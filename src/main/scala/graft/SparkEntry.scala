@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     _root_.graft.queries.Relational,
+    _root_.graft.queries.Analytics,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
