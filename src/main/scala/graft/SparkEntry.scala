@@ -12,6 +12,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     _root_.graft.queries.Relational,
     _root_.graft.queries.Analytics,
+    _root_.graft.queries.IncrementalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.incremental._
+import org.apache.spark.sql.functions._
+
+/** The incremental module's stateful contracts: schema-reconciliation
+  * truth table, interval chunking, idempotent slice replay, watermark
+  * ordering, header/detail key determinism, dead-letter split. */
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_inc").toString + "/t"
+
+  test("column_state truth table matches reference nikon_ETL.py:157-168") {
+    import SchemaReconcile._
+    // source == sink → proceed, nothing to drop
+    assert(columnState(Seq("a", "b"), Seq("a", "b")) == ColumnState(true, Nil, Nil))
+    // source has extras → proceed, drop extras
+    assert(columnState(Seq("a", "b", "x"), Seq("a", "b")) == ColumnState(true, Seq("x"), Nil))
+    // sink has extras → abort
+    assert(columnState(Seq("a"), Seq("a", "z")) == ColumnState(false, Nil, Seq("z")))
+    // both drift → abort
+    assert(columnState(Seq("a", "x"), Seq("a", "z")) == ColumnState(false, Seq("x"), Seq("z")))
+  }
+
+  test("reconcile projects to sink order and aborts on sink-only columns") {
+    val df = Seq((1, "u", 2.0)).toDF("b", "a", "x")
+    assert(SchemaReconcile.reconcile(df, Seq("a", "b")).columns.toSeq == Seq("a", "b"))
+    intercept[IllegalArgumentException] {
+      SchemaReconcile.reconcile(df, Seq("a", "missing"))
+    }
+  }
+
+  test("chunks: day steps, clamped tail, 30-chunk cap") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val c = Intervals.chunks(ts("2024-01-01 00:00:00"), ts("2024-01-03 12:00:00"))
+    assert(c == Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+      (ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00")),
+      (ts("2024-01-03 00:00:00"), ts("2024-01-03 12:00:00"))))
+    val capped = Intervals.chunks(ts("2024-01-01 00:00:00"), ts("2026-01-01 00:00:00"))
+    assert(capped.size == 30)
+    assert(Intervals.chunks(ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00")).isEmpty)
+  }
+
+  test("interval conventions: (s,e] vs [s,e) boundary rows") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 12:00:00"), ts("2024-01-02 00:00:00"))
+      .toDF("t")
+    val s0 = ts("2024-01-01 00:00:00"); val e0 = ts("2024-01-02 00:00:00")
+    assert(df.filter(Intervals.OpenClosed.contains(col("t"), s0, e0)).count() == 2) // excl start, incl end
+    assert(df.filter(Intervals.ClosedOpen.contains(col("t"), s0, e0)).count() == 2) // incl start, excl end
+  }
+
+  test("replicate is idempotent and exactly-once on replayed intervals") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val sink = tmpDir(); val wmPath = tmpDir()
+    val wm = new Watermarks(spark, wmPath)
+    wm.init(Seq(Watermark("EDC_Import", "t01", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"))))
+    val source = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+
+    val now1 = ts("2024-01-03 00:00:00")
+    val n1 = IncrementalRunner.replicate(spark, source, "ts", sink, wm, "EDC_Import", "t01", now1)
+    assert(n1 == 2)
+    val count1 = spark.read.parquet(sink).count()
+    val sum1 = spark.read.parquet(sink).agg(sum("event_id")).as[Long].head()
+    assert(count1 > 0)
+    assert(wm.require("EDC_Import", "t01").lastEndTime == now1)
+
+    // Replay the same window from scratch (simulates crash-before-advance):
+    wm.advance("EDC_Import", "t01", ts("2024-01-01 00:00:00"))
+    IncrementalRunner.replicate(spark, source, "ts", sink, wm, "EDC_Import", "t01", now1)
+    assert(spark.read.parquet(sink).count() == count1, "replay duplicated rows")
+    assert(spark.read.parquet(sink).agg(sum("event_id")).as[Long].head() == sum1)
+
+    // Advance beyond: only the new interval is appended.
+    val now2 = ts("2024-01-04 00:00:00")
+    IncrementalRunner.replicate(spark, source, "ts", sink, wm, "EDC_Import", "t01", now2)
+    val expect = source.filter(col("ts") > ts("2024-01-01 00:00:00") && col("ts") <= now2).count()
+    assert(spark.read.parquet(sink).count() == expect)
+
+    // Watermark caught up → no-op.
+    assert(IncrementalRunner.replicate(spark, source, "ts", sink, wm, "EDC_Import", "t01", now2) == 0)
+  }
+
+  test("check_flow: missing watermark row aborts") {
+    val wm = new Watermarks(spark, tmpDir())
+    wm.init(Seq.empty)
+    intercept[IllegalStateException] { wm.require("EDC_Import", "nope") }
+  }
+
+  test("headerDetail: deterministic shared surrogate keys") {
+    val header = Seq(("g1", 1.0), ("g2", 2.0), ("g3", 3.0)).toDF("glassid", "fit")
+    val detail = Seq(("g1", "p1", 0.1), ("g1", "p2", 0.2), ("g3", "p1", 0.3))
+      .toDF("glassid", "item", "v")
+    val (h1, d1) = Sinks.headerDetail(header, detail, Seq("glassid"))
+    val (h2, d2) = Sinks.headerDetail(header.orderBy(desc("glassid")), detail, Seq("glassid"))
+    // same keys regardless of input order (replay-safe, unlike monotonically_increasing_id)
+    assert(h1.select("glassid", "rot_id").collect().toSet ==
+           h2.select("glassid", "rot_id").collect().toSet)
+    val joined = d1.join(h1.withColumnRenamed("rot_id", "h_rot_id"), "glassid")
+    assert(joined.filter(col("rot_id") =!= col("h_rot_id")).isEmpty)
+    assert(d1.count() == 3)
+  }
+
+  test("splitMissing routes NA rows to the dead-letter relation with flag -1") {
+    val df = Seq((1, Some(1.0), Some(2.0)), (2, None, Some(2.0)), (3, Some(3.0), None))
+      .toDF("id", "x", "y")
+    val (clean, bad) = Sinks.splitMissing(df, Seq("x", "y"))
+    assert(clean.select("id").as[Int].collect().toSet == Set(1))
+    assert(bad.count() == 2)
+    assert(bad.select("flag").distinct().as[Int].head() == Sinks.FlagMissing)
+  }
+}

@@ -11,7 +11,7 @@ class ModuleSpec extends SparkTestBase {
 
   test("query names are unique across modules") {
     // flatMap(_.queries).toMap silently drops duplicates; catch collisions.
-    val mods = Seq(queries.Relational, queries.Analytics)
+    val mods = Seq(queries.Relational, queries.Analytics, queries.IncrementalQueries)
     val all = mods.flatMap(_.queries.keys)
     assert(all.distinct.sizeIs == all.size,
       s"duplicate names: ${all.diff(all.distinct).distinct}")
