@@ -13,6 +13,9 @@ object SparkEntry {
     _root_.graft.queries.Relational,
     _root_.graft.queries.Analytics,
     _root_.graft.queries.IncrementalQueries,
+    _root_.graft.queries.Dedup,
+    _root_.graft.queries.Similarity,
+    _root_.graft.queries.TextPipeline,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

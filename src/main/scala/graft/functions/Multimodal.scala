@@ -1,0 +1,69 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` columns with typed
+  * metadata, processed per-partition in batches.
+  *
+  * The real decode path (image/audio codecs) is STUBBED — this container
+  * ships no media libraries — behind [[decodeStub]], which produces
+  * deterministic pseudo-features from the payload's md5 so the pipeline is
+  * end-to-end testable (and oracle-checkable: the same features are
+  * SQL-expressible). Everything around the stub is the real Spark
+  * plumbing a production decoder needs:
+  *  - payloads travel as `BinaryType` columns (never stringified),
+  *  - decoding runs in [[Dataset.mapPartitions]] so a real codec would
+  *    amortize per-partition init (model load, decoder context) across
+  *    the batch — same shape as a Pandas-UDF/mapInPandas stage,
+  *  - output is a typed schema (media_type, width, height, n_frames,
+  *    fingerprint), partition-preserving (no shuffle).
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String,
+                           width: Int, height: Int, n_frames: Int, fingerprint: String)
+
+  private def md5hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+
+  private def hexPair(h: String, i: Int): Int =
+    Integer.parseInt(h.substring(i, i + 2), 16)
+
+  /** STUB decoder — replace with a real codec in production. Features are
+    * deterministic functions of the payload hash so tests and the DuckDB
+    * oracle can reproduce them exactly. */
+  def decodeStub(row: MediaRow): MediaFeatures = {
+    val h = md5hex(row.payload)
+    MediaFeatures(
+      doc_id = row.doc_id,
+      media_type = row.media_type,
+      width = 32 + hexPair(h, 0) % 224,
+      height = 32 + hexPair(h, 2) % 224,
+      n_frames = if (row.media_type == "image") 1 else 1 + hexPair(h, 4) % 32,
+      fingerprint = h)
+  }
+
+  /** The mapPartitions decode stage. A real implementation would open the
+    * codec once per partition here, then stream the batch through it. */
+  def decode(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init happens here (codec/model handles)
+      rows.map(decodeStub)
+    }
+  }
+
+  /** Build a media table from documents: payload = utf-8 bytes of text
+    * (stand-in for real image/audio bytes), media_type by doc_id. */
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "utf-8").as("payload"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Document deduplication for large-scale training-data pipelines, over the
+  * `documents` table: exact (hash-groupBy), n-gram Jaccard, MinHash+LSH
+  * (banded), and SimHash. Beyond the reference's own operator set (its A4
+  * dedup is `dropDuplicates`); these are the scale-path versions a 100 TB
+  * corpus needs.
+  *
+  * Scale stance:
+  *  - NOTHING here is all-pairs over the corpus. Candidate generation is
+  *    always an equi-join on a derived key (text hash, shared shingle,
+  *    LSH band, SimHash band) — Spark shuffles on that key and each bucket
+  *    is small; exact Jaccard is computed only for candidates.
+  *  - The shingle→pair join (q32) is the textbook approach whose hot keys
+  *    (stopword shingles) explode quadratically at corpus scale; it is
+  *    kept as the exact baseline, and q33's banded MinHash-LSH is the
+  *    production path: O(docs × bands) join keys, candidate count
+  *    proportional to true near-dup count, tunable via (hashes, bands).
+  *  - All hashing is md5 (cross-engine reproducible, so the DuckDB oracle
+  *    can replay it exactly): the MinHash signature is the lexicographic
+  *    MIN of md5(seed:shingle) hex strings per seed — a valid uniform
+  *    permutation family — and band keys are md5 over the band's
+  *    signature slice.
+  */
+object Dedup extends QueryModule {
+
+  /** Distinct word-2gram shingles per doc: (doc_id, shingle). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")
+      ).as("shingle"))
+      .distinct()
+  }
+
+  private val shinglesSqlCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |sh AS (SELECT DISTINCT doc_id, unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS shingle FROM toks)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q31 — exact dedup by content hash. The input simulates a re-ingested
+  // batch (the corpus unioned with a fifth of itself): group by md5(text),
+  // keep the minimum doc_id as canonical, count copies. One shuffle on the
+  // hash; at 100 TB this is the standard first pass before any fuzzy
+  // matching, and the hash key is uniform so there is no skew.
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val reingested = docs.unionByName(docs.filter(col("doc_id") % 5 === 0))
+    reingested
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+           count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy("canonical_doc_id")
+  }
+
+  private val q31Sql =
+    """WITH reingested AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)
+      |SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+      |FROM reingested GROUP BY md5(text) HAVING COUNT(*) > 1
+      |ORDER BY canonical_doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q32 — n-gram Jaccard near-dup, exact baseline: candidate pairs share
+  // at least one shingle (equi-join on shingle, never a cross join), then
+  // Jaccard = |∩| / (n1 + n2 − |∩|) ≥ 0.8. Finds the corpus's planted
+  // near-duplicate pairs.
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("d1", "d2", "inter", "n1", "n2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  private val q32Sql =
+    s"""WITH $shinglesSqlCte,
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.d1, p.d2, p.inter, s1.n AS n1, s2.n AS n2,
+      |       ROUND(CAST(p.inter AS DOUBLE) / (s1.n + s2.n - p.inter), 6) AS jaccard
+      |FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
+      |WHERE ROUND(CAST(p.inter AS DOUBLE) / (s1.n + s2.n - p.inter), 6) >= 0.8
+      |ORDER BY p.d1, p.d2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q33 — MinHash + banded LSH, the scale path: 16 minhashes per doc
+  // (lexicographic min of md5(seed:shingle)), 4 bands of 4 rows; docs
+  // sharing any band key become candidates; candidates are then verified
+  // with exact Jaccard. Join keys are (band, bandkey) — uniform md5
+  // values, so the shuffle is skew-free, and the candidate set is ~the
+  // true near-dup set rather than all shingle-sharing pairs (at sf0.01:
+  // 25 candidates vs 104k shingle-sharing pairs — a 4000× cut).
+  private val NumHashes = 16
+  private val BandSize = 4
+
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val seeds = s.range(NumHashes).select(col("id").cast("int").as("seed"))
+    val sig = sh.crossJoin(broadcast(seeds))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
+    val bands = sig
+      .withColumn("band", (col("seed") / BandSize).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(expr("md5(concat_ws('|', transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh))) AS bandkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // verify candidates with exact Jaccard (join restricted to candidates)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "d1").withColumnRenamed("shingle", "s1"), "d1")
+      .join(sh.withColumnRenamed("doc_id", "d2").withColumnRenamed("shingle", "s2"), "d2")
+      .filter(col("s1") === col("s2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  private val q33Sql =
+    s"""WITH $shinglesSqlCte,
+      |seeds AS (SELECT unnest(range($NumHashes)) AS seed),
+      |sig AS (
+      |  SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || shingle)) AS mh
+      |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, CAST(seed // $BandSize AS INT) AS band,
+      |         md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
+      |  FROM sig GROUP BY doc_id, seed // $BandSize),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.d1, c.d2, COUNT(*) AS inter
+      |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
+      |  GROUP BY c.d1, c.d2)
+      |SELECT c.d1, c.d2,
+      |       ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE) / (s1.n + s2.n - COALESCE(i.inter, 0)), 6) AS jaccard
+      |FROM cand c LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+      |JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
+      |ORDER BY c.d1, c.d2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q34 — SimHash document fingerprints: 32-bit signature from
+  // term-frequency-weighted md5 token bits. Per (doc, bit) the sign of
+  // Σ_tokens (2·bit − 1) decides the signature bit — integer sums, fully
+  // deterministic and engine-portable. One shuffle on (doc_id, bit).
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val bits = toks
+      .withColumn("h", md5(col("tok")))
+      .crossJoin(broadcast(s.range(32).select(col("id").cast("int").as("b"))))
+      // hex nibble holding bit b, then extract bit (3 - b % 4) of it
+      .withColumn("nib", expr("instr('0123456789abcdef', substring(h, (b div 4) + 1, 1)) - 1"))
+      .withColumn("bit", expr("(nib div element_at(array(8, 4, 2, 1), (b % 4) + 1)) % 2"))
+    bits.groupBy("doc_id", "b")
+      .agg(sum(col("bit") * 2 - 1).as("sgn"))
+      .withColumn("sbit", when(col("sgn") >= 0, lit("1")).otherwise(lit("0")))
+      .groupBy("doc_id")
+      .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(b, sbit))), x -> x.sbit)) AS simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val q34Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |         ((strpos('0123456789abcdef', substring(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1)
+      |            // [8, 4, 2, 1][(b % 4) + 1]) % 2 AS bit
+      |  FROM toks CROSS JOIN (SELECT unnest(range(32)) AS b)),
+      |sgns AS (
+      |  SELECT doc_id, b, SUM(bit * 2 - 1) AS sgn FROM bits GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |       string_agg(CASE WHEN sgn >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      |FROM sgns GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q35 — SimHash near-dup candidates: band the 32 bits into 4 bytes,
+  // join on (band, nibble) — again an equi-join, no all-pairs — and keep
+  // pairs within Hamming distance 1 (computed per candidate pair only).
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val sh = q34(s, dir).cache()
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, substring(simhash, b * 8 + 1, 8) AS bk))")).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("aggregate(transform(sequence(1, 32), i -> CASE WHEN substring(h1, i, 1) = substring(h2, i, 1) THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= 1)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  private val q35Sql =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |         ((strpos('0123456789abcdef', substring(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1)
+      |            // [8, 4, 2, 1][(b % 4) + 1]) % 2 AS bit
+      |  FROM toks CROSS JOIN (SELECT unnest(range(32)) AS b)),
+      |sgns AS (SELECT doc_id, b, SUM(bit * 2 - 1) AS sgn FROM bits GROUP BY doc_id, b),
+      |sh AS (
+      |  SELECT doc_id, string_agg(CASE WHEN sgn >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      |  FROM sgns GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, simhash, b AS band, substring(simhash, b * 8 + 1, 8) AS bk
+      |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+      |SELECT d1, d2,
+      |       len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 33)], x -> x)) AS hamming
+      |FROM cand
+      |WHERE len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 33)], x -> x)) <= 1
+      |ORDER BY d1, d2""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_exact_dedup"    -> (q31 _),
+    "q32_ngram_jaccard"  -> (q32 _),
+    "q33_minhash_lsh"    -> (q33 _),
+    "q34_simhash"        -> (q34 _),
+    "q35_simhash_pairs"  -> (q35 _),
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q31_exact_dedup"    -> q31Sql,
+    "q32_ngram_jaccard"  -> q32Sql,
+    "q33_minhash_lsh"    -> q33Sql,
+    "q34_simhash"        -> q34Sql,
+    "q35_simhash_pairs"  -> q35Sql,
+  )
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Similarity search over the `embeddings` table (64-dim unit vectors):
+  * brute-force cosine top-k as the exact baseline, plus two bucketed
+  * variants that are the 100 TB scale path — random-hyperplane LSH and an
+  * IVF-style probe over a coarse cell assignment.
+  *
+  * Determinism across engines: floating-point dot products are
+  * order-sensitive under Spark's partial aggregation, so vectors are
+  * quantized to fixed-point (round(v·1e7) as BIGINT — exact in both
+  * engines since float→double is exact and both round half away from
+  * zero). All sums are then exact integer arithmetic (≤6.4e15 < 2^53, no
+  * overflow, order-insensitive); the final cosine is one deterministic
+  * IEEE expression over exactly-representable integers.
+  *
+  * Scale stance: brute force (q36) is O(queries × corpus) and exists as
+  * the small-query-set baseline and the recall oracle for the bucketed
+  * variants. q37/q38 join on a bucket key instead — candidate generation
+  * is an equi-join, never a cross join — so the per-query cost is the
+  * bucket size, and the bucket key shuffle is uniform (md5-derived planes
+  * / given cells).
+  */
+object Similarity extends QueryModule {
+
+  private val Scale = 1e7
+  private val NumQueries = 8 // query set: vec_id < 8
+
+  /** Quantized coordinates: (vec_id, label, pos, q). */
+  private def quant(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
+        round(col("v").cast("double") * Scale).cast("long").as("q"))
+  }
+
+  private val quantSqlCte =
+    """quant AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+      |         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000000.0) AS BIGINT) AS q
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM quant GROUP BY vec_id)""".stripMargin
+
+  private def norms(qdf: DataFrame): DataFrame =
+    qdf.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
+
+  /** cosine between query q and doc d given integer dot and norms. */
+  private def cosine(dot: org.apache.spark.sql.Column,
+                     n2a: org.apache.spark.sql.Column,
+                     n2b: org.apache.spark.sql.Column) =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  // ---------------------------------------------------------------------
+  // q36 — brute-force cosine top-k: every query vector against the whole
+  // corpus via a position-wise equi-join and exact integer dot products.
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val qn = quant(s, dir).cache()
+    val nr = norms(qn).cache()
+    val queries = qn.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("pos"), col("q").as("qa"))
+    val dots = queries.join(qn.select(col("vec_id"), col("pos"), col("q").as("qb")), "pos")
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    val scored = dots
+      .join(nr.withColumnRenamed("vec_id", "qid").withColumnRenamed("n2", "n2q"), "qid")
+      .join(nr.withColumnRenamed("n2", "n2d"), "vec_id")
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2d")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  private val q36Sql =
+    s"""WITH $quantSqlCte,
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      |  FROM quant a JOIN quant b ON a.pos = b.pos AND a.vec_id < $NumQueries AND a.vec_id != b.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.qid, d.vec_id,
+      |         CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))) AS cos
+      |  FROM dots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nd ON d.vec_id = nd.vec_id),
+      |ranked AS (
+      |  SELECT qid, vec_id, cos,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q37 — random-hyperplane LSH buckets: 8 md5-derived ±1 planes give an
+  // 8-bit bucket signature; neighbors are searched within the bucket
+  // only. Planes are derived per (plane, pos) from md5 so both engines
+  // (and every executor) see the same hyperplanes with no side channel.
+  private val NumPlanes = 8
+
+  private def buckets(s: SparkSession, qdf: DataFrame): DataFrame = {
+    val planes = s.range(NumPlanes).select(col("id").cast("int").as("plane"))
+    qdf.crossJoin(broadcast(planes))
+      .withColumn("sgn", when(
+        substring(md5(concat(col("plane").cast("string"), lit("-"), col("pos").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L)))
+      .groupBy("vec_id", "plane")
+      .agg(sum(col("sgn") * col("q")).as("proj"))
+      .withColumn("bit", when(col("proj") >= 0, lit("1")).otherwise(lit("0")))
+      .groupBy("vec_id")
+      .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(plane, bit))), x -> x.bit)) AS bucket"))
+  }
+
+  private val bucketsSqlCte =
+    s"""projs AS (
+      |  SELECT vec_id, plane, CAST(SUM(CASE WHEN substring(md5(plane::VARCHAR || '-' || pos::VARCHAR), 1, 1)
+      |                          IN ('0','1','2','3','4','5','6','7') THEN q ELSE -q END) AS BIGINT) AS proj
+      |  FROM quant CROSS JOIN (SELECT unnest(range($NumPlanes)) AS plane)
+      |  GROUP BY vec_id, plane),
+      |buckets AS (
+      |  SELECT vec_id, string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bucket
+      |  FROM projs GROUP BY vec_id)""".stripMargin
+
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val qn = quant(s, dir).cache()
+    val nr = norms(qn)
+    val bk = buckets(s, qn)
+    val withB = qn.join(bk, "vec_id")
+    val queries = withB.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("bucket"), col("pos"), col("q").as("qa"))
+    val dots = queries.join(
+        withB.select(col("vec_id"), col("bucket"), col("pos"), col("q").as("qb")),
+        Seq("bucket", "pos"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    dots
+      .join(nr.withColumnRenamed("vec_id", "qid").withColumnRenamed("n2", "n2q"), "qid")
+      .join(nr.withColumnRenamed("n2", "n2d"), "vec_id")
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2d")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  private val q37Sql =
+    s"""WITH $quantSqlCte,
+      |$bucketsSqlCte,
+      |withb AS (SELECT q.*, b.bucket FROM quant q JOIN buckets b ON q.vec_id = b.vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      |  FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.pos = b.pos
+      |    AND a.vec_id < $NumQueries AND a.vec_id != b.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.qid, d.vec_id,
+      |         CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))) AS cos
+      |  FROM dots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nd ON d.vec_id = nd.vec_id),
+      |ranked AS (
+      |  SELECT qid, vec_id, cos,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q38 — within-class top-k: nearest neighbors restricted to the query's
+  // own `label` class (e.g. nearest same-class training example for
+  // per-class dedup or leakage checks). Structurally this is an IVF probe
+  // with nprobe = 1 — an equi-join on the cell id — and with k-means-built
+  // cells the same plan is the classic IVF scale path; here the cell is
+  // the given class annotation, so results answer "nearest within class",
+  // not "approximate global nearest" (the labels are not geometric
+  // clusters in this corpus — LSH (q37) is the approximate-ANN path).
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val qn = quant(s, dir).cache()
+    val nr = norms(qn)
+    val queries = qn.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label"), col("pos"), col("q").as("qa"))
+    val dots = queries.join(
+        qn.select(col("vec_id"), col("label"), col("pos"), col("q").as("qb")),
+        Seq("label", "pos"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    dots
+      .join(nr.withColumnRenamed("vec_id", "qid").withColumnRenamed("n2", "n2q"), "qid")
+      .join(nr.withColumnRenamed("n2", "n2d"), "vec_id")
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2d")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  private val q38Sql =
+    s"""WITH $quantSqlCte,
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      |  FROM quant a JOIN quant b ON a.label = b.label AND a.pos = b.pos
+      |    AND a.vec_id < $NumQueries AND a.vec_id != b.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.qid, d.vec_id,
+      |         CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))) AS cos
+      |  FROM dots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nd ON d.vec_id = nd.vec_id),
+      |ranked AS (
+      |  SELECT qid, vec_id, cos,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_ann_bruteforce" -> (q36 _),
+    "q37_ann_lsh"        -> (q37 _),
+    "q38_knn_within_class" -> (q38 _),
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q36_ann_bruteforce" -> q36Sql,
+    "q37_ann_lsh"        -> q37Sql,
+    "q38_knn_within_class" -> q38Sql,
+  )
+}

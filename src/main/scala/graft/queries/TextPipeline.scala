@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.functions.Multimodal
+
+/** Text analysis for training-data pipelines over `documents`: token
+  * counting (whitespace + BPE-ish regex), quality scoring, document
+  * fingerprinting, relational language-ID, and the multimodal decode
+  * plumbing. All per-document map work — no shuffle except the lang-ID
+  * marker join (broadcast) and its argmax window.
+  */
+object TextPipeline extends QueryModule {
+
+  // ---------------------------------------------------------------------
+  // q30 — per-document text statistics: whitespace token count, BPE-ish
+  // subword count (letter runs / digit runs / single punctuation, the
+  // shape of a byte-level BPE pre-tokenizer), average token length,
+  // stopword ratio, a [0,1] quality score combining them (the
+  // length-and-stopword heuristics used for corpus filtering), and an
+  // md5 content fingerprint. Pure narrow map — scales linearly, no
+  // shuffle, stays in whole-stage codegen.
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("ts", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("ts")))
+      .withColumn("n_bpe", size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+      .withColumn("n_stop", size(expr("filter(ts, t -> t IN ('the', 'a', 'is'))")))
+      .withColumn("avg_tok_len",
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("quality",
+        round((lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+          * least(lit(1.0), col("n_tokens").cast("double") / 50.0), 6))
+      .withColumn("fingerprint", md5(col("text")))
+      .select("doc_id", "n_tokens", "n_bpe", "avg_tok_len", "stop_ratio", "quality", "fingerprint")
+      .orderBy("doc_id")
+  }
+
+  private val q30Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text, n_chars, string_split(text, ' ') AS ts,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+      |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'is'))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_bpe,
+      |       ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS avg_tok_len,
+      |       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+      |       ROUND((1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+      |             * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 50.0), 6) AS quality,
+      |       md5(text) AS fingerprint
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q41 — relational language-ID: a small (lang, marker) table of
+  // function words, broadcast-joined against the token stream; predicted
+  // language = argmax marker hits (tie-break lexicographic, default
+  // 'und'). The marker table is the trained model — swapping in real
+  // per-language n-gram profiles changes the table, not the plan.
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "is",
+    "de" -> "der", "de" -> "die", "de" -> "und",
+    "es" -> "el", "es" -> "los", "es" -> "una",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et",
+    "zh" -> "de5", "zh" -> "shi4", "zh" -> "bu4")
+
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mk = broadcast(markers.toDF("cand_lang", "marker"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val hits = toks.join(mk, col("tok") === col("marker"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("hits"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("hits").desc, col("cand_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"))
+    Tables.documents(s, dir).select("doc_id", "lang")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill("und", Seq("pred_lang"))
+      .withColumn("correct", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  private val q41Sql = {
+    val markerRows = markers.map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
+    s"""WITH mk(cand_lang, marker) AS (VALUES $markerRows),
+      |toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |hits AS (
+      |  SELECT doc_id, cand_lang, COUNT(*) AS hits
+      |  FROM toks JOIN mk ON tok = marker GROUP BY doc_id, cand_lang),
+      |best AS (
+      |  SELECT doc_id, cand_lang AS pred_lang
+      |  FROM (SELECT doc_id, cand_lang,
+      |               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rk
+      |        FROM hits)
+      |  WHERE rk = 1)
+      |SELECT d.doc_id, d.lang, COALESCE(b.pred_lang, 'und') AS pred_lang,
+      |       COALESCE(b.pred_lang, 'und') = d.lang AS correct
+      |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q42 — multimodal decode plumbing (see functions.Multimodal): binary
+  // payload column → mapPartitions stub decoder → typed features. The
+  // oracle reproduces the stub's md5-derived features in SQL, proving the
+  // binary column round-trips byte-exactly through the typed pipeline.
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.decode(Multimodal.mediaFromDocuments(s, dir))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val q42Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |         md5(text) AS h
+      |  FROM documents),
+      |hx AS (
+      |  SELECT doc_id, media_type, h,
+      |         (strpos('0123456789abcdef', h[1]) - 1) * 16 + (strpos('0123456789abcdef', h[2]) - 1) AS p0,
+      |         (strpos('0123456789abcdef', h[3]) - 1) * 16 + (strpos('0123456789abcdef', h[4]) - 1) AS p1,
+      |         (strpos('0123456789abcdef', h[5]) - 1) * 16 + (strpos('0123456789abcdef', h[6]) - 1) AS p2
+      |  FROM m)
+      |SELECT doc_id, media_type,
+      |       CAST(32 + p0 % 224 AS INT) AS width,
+      |       CAST(32 + p1 % 224 AS INT) AS height,
+      |       CAST(CASE WHEN media_type = 'image' THEN 1 ELSE 1 + p2 % 32 END AS INT) AS n_frames,
+      |       h AS fingerprint
+      |FROM hx ORDER BY doc_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_stats"     -> (q30 _),
+    "q41_langid"         -> (q41 _),
+    "q42_multimodal_stub" -> (q42 _),
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q30_text_stats"     -> q30Sql,
+    "q41_langid"         -> q41Sql,
+    "q42_multimodal_stub" -> q42Sql,
+  )
+}

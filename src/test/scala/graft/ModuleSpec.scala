@@ -11,7 +11,8 @@ class ModuleSpec extends SparkTestBase {
 
   test("query names are unique across modules") {
     // flatMap(_.queries).toMap silently drops duplicates; catch collisions.
-    val mods = Seq(queries.Relational, queries.Analytics, queries.IncrementalQueries)
+    val mods = Seq(queries.Relational, queries.Analytics, queries.IncrementalQueries,
+      queries.Dedup, queries.Similarity, queries.TextPipeline)
     val all = mods.flatMap(_.queries.keys)
     assert(all.distinct.sizeIs == all.size,
       s"duplicate names: ${all.diff(all.distinct).distinct}")

@@ -1,0 +1,80 @@
+package graft
+
+import graft.queries.{Dedup, Similarity, TextPipeline}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Cross-checks between the exact baselines and their bucketed scale-path
+  * variants — the LSH analog of the reference's "two plans, same answer"
+  * harness (D3). */
+class PipelineSpec extends SparkTestBase {
+
+  test("MinHash-LSH candidates achieve full recall of exact Jaccard >= 0.9 pairs") {
+    val exact = Dedup.queries("q32_ngram_jaccard")(spark, sfDir)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.queries("q33_minhash_lsh")(spark, sfDir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    val missed = exact -- lsh
+    // 16 hashes / 4 bands: P(candidate | j=0.9) = 1-(1-0.9^4)^4 ≈ 0.98/pair
+    assert(missed.size <= math.max(1, exact.size / 10),
+      s"LSH missed too many true pairs: $missed")
+  }
+
+  test("exact dedup finds exactly the re-ingested fifth") {
+    val dups = Dedup.queries("q31_exact_dedup")(spark, sfDir)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(dups.count() == (total + 4) / 5)
+    assert(dups.filter(col("n_copies") =!= 2).isEmpty)
+  }
+
+  test("within-class top-k is the brute-force ranking restricted to the class") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wc = Similarity.queries("q38_knn_within_class")(spark, sfDir).collect()
+    assert(wc.nonEmpty)
+    wc.foreach { r =>
+      assert(emb(r.getLong(0)) == emb(r.getLong(1)), "neighbor crossed class boundary")
+    }
+    // cosines agree with brute-force where both scored the pair
+    val bf = Similarity.queries("q36_ann_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    wc.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9)
+      }
+    }
+  }
+
+  test("ANN: bucketed results are consistent with brute-force cosine order") {
+    val bf = Similarity.queries("q36_ann_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.queries("q37_ann_lsh")(spark, sfDir).collect()
+    // every LSH-reported cosine that brute force also scored must match
+    lsh.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9)
+      }
+    }
+  }
+
+  test("multimodal stub features are pure functions of the payload") {
+    import spark.implicits._
+    val a = graft.functions.Multimodal.decode(
+      graft.functions.Multimodal.mediaFromDocuments(spark, sfDir)).collect()
+    val byId = a.map(f => f.doc_id -> f).toMap
+    val b = graft.functions.Multimodal.decode(
+      graft.functions.Multimodal.mediaFromDocuments(spark, sfDir).repartition(7)).collect()
+    b.foreach { f => assert(byId(f.doc_id) == f, "features depend on partitioning") }
+    assert(a.forall(f => f.fingerprint.length == 32 && f.width >= 32 && f.width < 256))
+  }
+
+  test("langid marker join predicts a language for marker-bearing docs") {
+    val out = TextPipeline.queries("q41_langid")(spark, sfDir)
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+    // every doc got a prediction (possibly 'und'), none null
+    assert(out.filter(col("pred_lang").isNull).isEmpty)
+  }
+}
