@@ -301,6 +301,50 @@ object Analytics extends QueryModule {
       |WHERE k > 50 GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q25 — gap-based sessionization (batch twin of
+  // streaming.Streams.sessionize; StreamingSpec cross-checks the two —
+  // the reference's "two strategies, same answer" idea D3 applied to
+  // batch vs streaming): lag + cumulative-sum session ids, 30-minute
+  // gap. Gaps compare in integer MICROSECONDS (unix_micros / epoch_us) —
+  // exact in both engines, no floating-point epoch.
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    Tables.events(s, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"), col("value"),
+              unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(wU))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tsu") - col("prev") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).as("total_value"),
+           date_format(timestamp_micros(min(col("tsu"))), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
+           date_format(timestamp_micros(max(col("tsu"))), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val q25Sql =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS tsu
+      |  FROM events WHERE user_id < 40),
+      |lagd AS (
+      |  SELECT *, LAG(tsu, 1) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM ev),
+      |marked AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM lagd),
+      |sess AS (
+      |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, COUNT(*) AS n_events, ${sqlDsum("value")} AS total_value,
+      |       strftime(make_timestamp(MIN(tsu)), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+      |       strftime(make_timestamp(MAX(tsu)), '%Y-%m-%d %H:%M:%S.%f') AS end_ts
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_eav_pivot"      -> (q15 _),
@@ -311,6 +355,7 @@ object Analytics extends QueryModule {
     "q20_fit_residuals"  -> (q20 _),
     "q21_summary_mv"     -> (q21 _),
     "q22_json_extract"   -> (q22 _),
+    "q25_sessionize"     -> (q25 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -322,5 +367,6 @@ object Analytics extends QueryModule {
     "q20_fit_residuals"  -> q20Sql,
     "q21_summary_mv"     -> q21Sql,
     "q22_json_extract"   -> q22Sql,
+    "q25_sessionize"     -> q25Sql,
   )
 }

@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics: the windowed summary over a stream must equal the
+  * same aggregation run as a batch (exactly the D4 ↔ Structured Streaming
+  * equivalence the module claims), and the sessionizer must close
+  * sessions on gaps. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming windowed summary converges to the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = Streams.windowedSummary(mem.toDF())
+      .writeStream.format("memory").queryName("win_sum")
+      .outputMode("append").start()
+
+    val events = Seq(
+      Event(1, ts("2024-01-01 01:00:00"), 1, "click", 10.0),
+      Event(2, ts("2024-01-01 02:00:00"), 2, "click", 5.0),
+      Event(3, ts("2024-01-01 03:00:00"), 1, "purchase", 100.0),
+      Event(4, ts("2024-01-02 01:00:00"), 1, "click", 7.0))
+    mem.addData(events: _*)
+    query.processAllAvailable()
+    // advance the watermark far enough to close both windows
+    mem.addData(Event(99, ts("2024-01-10 00:00:00"), 9, "view", 1.0))
+    query.processAllAvailable()
+
+    val streamed = spark.table("win_sum")
+      .select("w_start", "event_type", "n", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    query.stop()
+
+    val expect = events.toDF()
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == expect)
+  }
+
+  test("sessionizer closes sessions after the gap and aggregates within") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = Streams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+      // > 30 min gap → new session
+      Event(3, ts("2024-01-01 11:00:00"), 1, "click", 4.0),
+      // other user, single event
+      Event(4, ts("2024-01-01 10:05:00"), 2, "view", 8.0))
+    query.processAllAvailable()
+    // push watermark way forward so timeouts fire and all sessions close
+    mem.addData(Event(99, ts("2024-01-02 12:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    mem.addData(Event(100, ts("2024-01-03 12:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    val out = spark.table("sessions").as[Streams.Session].collect()
+    query.stop()
+
+    val u1 = out.filter(_.user_id == 1).sortBy(_.start.getTime)
+    assert(u1.length == 2, s"expected 2 sessions for user 1, got ${u1.toSeq}")
+    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+    assert(u1(1).n_events == 1 && u1(1).total_value == 4.0)
+    assert(out.count(_.user_id == 2) == 1)
+  }
+
+  test("batch q25 sessionization agrees with the streaming sessionizer") {
+    // same events, two execution models (D3 applied to batch vs stream):
+    // session (user, n_events, total_value) multisets must match.
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = Streams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_xcheck")
+      .outputMode("append").start()
+    mem.addData(ev: _*)
+    query.processAllAvailable()
+    mem.addData(Event(-1, ts("2030-01-01 00:00:00"), -1, "view", 0.0))
+    query.processAllAvailable()
+    mem.addData(Event(-2, ts("2031-01-01 00:00:00"), -1, "view", 0.0))
+    query.processAllAvailable()
+    val streamed = spark.table("sessions_xcheck").as[Streams.Session].collect()
+      .filter(_.user_id >= 0)
+      .map(s => (s.user_id, s.n_events, math.round(s.total_value * 100)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    query.stop()
+
+    val batch = graft.queries.Analytics.queries("q25_sessionize")(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("n_events")).toInt,
+                 math.round(r.getDouble(r.fieldIndex("total_value")) * 100)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(streamed == batch)
+  }
+}
