@@ -376,6 +376,38 @@ object Relational extends QueryModule {
       |ORDER BY substring(o_orderpriority, 1, 1) DESC, o_orderkey LIMIT 200""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q26 — anti set-membership (P10/T2, reference R/tlcd_nikonrot.R:162
+  // `filter(!(product %in% prod_no_dv))` and the row set-difference at
+  // :191): customers holding no open orders, as a left-anti join — the
+  // scalable form of NOT IN (one shuffle, no driver-side set). The
+  // equivalent `except`-based phrasing is cross-checked in
+  // RelationalSpec (two plans, same answer).
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_mktsegment", "c_acctbal")
+    val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O").select("o_custkey")
+    cust.join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+      .filter(col("c_acctbal") > 1000)
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** `except`-based phrasing of q26's key set (T2), for the cross-check. */
+  def q26Except(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 1000)
+    val keys = cust.select("c_custkey")
+      .except(Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("c_custkey")))
+    keys.join(cust.select("c_custkey", "c_mktsegment"), "c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  private val q26Sql =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE c_acctbal > 1000
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_candidate_scan"  -> (q01 _),
@@ -392,6 +424,7 @@ object Relational extends QueryModule {
     "q12_rank_in_group"   -> (q12 _),
     "q13_topk_time"       -> (q13 _),
     "q14_substr_sort"     -> (q14 _),
+    "q26_anti_join"       -> (q26 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -409,5 +442,6 @@ object Relational extends QueryModule {
     "q12_rank_in_group"   -> q12Sql,
     "q13_topk_time"       -> q13Sql,
     "q14_substr_sort"     -> q14Sql,
+    "q26_anti_join"       -> q26Sql,
   )
 }
