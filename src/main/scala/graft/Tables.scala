@@ -38,6 +38,28 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+
+  /** Interval-pruned events scan. Because `ts` is DERIVED from the raw
+    * nanosecond long, a filter on it cannot reach the parquet scan — so
+    * this pushes a coarse (1 µs widened) predicate on the RAW column,
+    * which parquet row-group statistics can prune against, and keeps the
+    * exact microsecond filter as a residual on the derived column. At
+    * 100 TB the row-group pruning is what bounds the scan; the residual
+    * only re-checks surviving rows. */
+  def eventsInterval(s: SparkSession, d: String,
+                     lo: java.sql.Timestamp, hi: java.sql.Timestamp,
+                     convention: graft.incremental.Intervals.Convention): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def ns(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000000L + i.getNano
+    }
+    apply(s, d, "events")
+      .filter(col("ts") >= ns(lo) - 1000L && col("ts") <= ns(hi) + 1000L) // pushed to scan
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(convention.contains(col("ts"), lo, hi)) // exact residual
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -27,8 +27,9 @@ object IncrementalQueries extends QueryModule {
 
   private def q23(s: SparkSession, dir: String): DataFrame = {
     val chunk = Intervals.chunks(wmStart, wmEnd).head
-    val slice = Tables.events(s, dir)
-      .filter(Intervals.OpenClosed.contains(col("ts"), chunk._1, chunk._2))
+    // eventsInterval pushes a widened raw-ns predicate into the parquet
+    // scan (row-group pruning) and applies the exact (s, e] residual.
+    val slice = Tables.eventsInterval(s, dir, chunk._1, chunk._2, Intervals.OpenClosed)
     IncrementalRunner.cleanEndtimeData(
       slice, Seq("event_id", "user_id", "event_type", "ts"), batchTime)
       .orderBy("event_id")

@@ -29,7 +29,11 @@ object Relational extends QueryModule {
   // + plain semi-join (J4) + semi-join on a computed key (J5, mirrors
   // `upper(substr(relname,1,8))` at dbs/nikon.py:93) + F1/F2 + A3.
   private def q01(s: SparkSession, dir: String): DataFrame = {
-    val ev   = Tables.events(s, dir)
+    import graft.incremental.Intervals
+    // interval-pruned scan: raw-ns predicate reaches the parquet scan
+    val ev = Tables.eventsInterval(s, dir,
+      java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-25 00:00:00"), Intervals.OpenClosed)
     val cust = Tables.customer(s, dir)
     // J4: whitelist semi-join (reference: operationid IN (SELECT proc_operation ...))
     val whitelist = cust.filter(col("c_acctbal") > 0).select(col("c_custkey").as("uid"))
@@ -37,9 +41,7 @@ object Relational extends QueryModule {
     val computed = cust
       .filter(col("c_name").like("Customer#%") && col("c_mktsegment") === "BUILDING")
       .select((substring(upper(col("c_name")), 10, 9).cast("long") % 150).as("uid2"))
-    ev.filter(col("ts") > to_timestamp(lit("2024-01-05 00:00:00")) &&
-              col("ts") <= to_timestamp(lit("2024-01-25 00:00:00")))
-      .filter(col("event_type").like("_____"))
+    ev.filter(col("event_type").like("_____"))
       .join(whitelist, col("user_id") === col("uid"), "left_semi")
       .join(computed, col("user_id") === col("uid2"), "left_semi")
       .select("user_id").distinct()

@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.{Relational, IncrementalQueries}
+
+/** Physical-plan assertions — the 100 TB contract, checked in CI: filters
+  * reach the parquet scans, small dimensions broadcast instead of
+  * shuffling the fact table, and scans read only the projected columns.
+  * These lock in properties that `.explain` review found, so a future
+  * edit that silently regresses a plan fails the build. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q05 star join broadcasts every dimension (no SortMergeJoin)") {
+    val p = plan(Relational.queries("q05_star_broadcast")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "a dimension fell back to SMJ")
+  }
+
+  test("q02 pushes the shipdate range into the parquet scan") {
+    val p = plan(Relational.queries("q02_threekey_join")(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate.*"),
+      "shipdate lower bound not pushed")
+  }
+
+  test("q23 interval scan pushes the raw-ns bounds to the events scan") {
+    val p = plan(IncrementalQueries.queries("q23_replication_chunk")(spark, sfDir))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts.*"),
+      "raw ts lower bound not pushed:\n" + p.take(2000))
+  }
+
+  test("q05 scan reads only projected lineitem columns") {
+    val p = plan(Relational.queries("q05_star_broadcast")(spark, sfDir))
+    // the lineitem scan must not read l_comment-class width: check that
+    // ReadSchema mentions only needed columns
+    val read = "ReadSchema:.*".r.findAllIn(p).toList.mkString("\n")
+    assert(!read.contains("l_linenumber") && !read.contains("l_returnflag"),
+      s"scan reads unprojected columns:\n$read")
+  }
+
+  test("no query plan contains a cartesian product over fact-sized inputs") {
+    val exempt = Set("q07_grid") // deliberate small-distinct cross join (R4/J9)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!exempt.contains(name)) {
+        val p = plan(fn(spark, sfDir))
+        assert(!p.contains("CartesianProduct"),
+          s"$name has a CartesianProduct:\n${p.take(1500)}")
+      }
+    }
+  }
+}
