@@ -1,0 +1,90 @@
+package graft
+
+import graft.flows.RotFlow
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers._
+
+/** End-to-end ROT flow: a synthetic fab batch with known shift/rotation
+  * per glass, plus every error class, through the whole pipeline. */
+class RotFlowSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val nSites = 8 // 2 columns of 4 sites in the synthetic grid
+
+  // design grid for products A (complete) and C (incomplete — site 8 missing)
+  private def designValues = {
+    val a = (1 to nSites).map { i =>
+      ("A", i, ((i - 1) / 4) * 100.0, ((i - 1) % 4) * 50.0)
+    }
+    val c = (1 to nSites - 1).map { i =>
+      ("C", i, ((i - 1) / 4) * 100.0, ((i - 1) % 4) * 50.0)
+    }
+    (a ++ c).toDF("product", "site_idx", "dx", "dy")
+  }
+
+  /** one glass row: measured diffs consistent with (sx, sy, θµrad) + tiny noise */
+  private def glassRow(gid: String, product: String, sx: Double, sy: Double, theta: Double,
+                       na: Boolean = false): (String, String, String, Seq[Double], Seq[Double]) = {
+    val t = math.tan(theta * 1e-6)
+    val xs = (1 to nSites).map { i =>
+      val dy = ((i - 1) % 4) * 50.0
+      if (na && i == 3) Double.NaN else -sx + dy * t
+    }
+    val ys = (1 to nSites).map { i =>
+      val dx = ((i - 1) / 4) * 100.0
+      -sy - dx * t
+    }
+    (gid, product, "2024-01-01 00:00:00", xs, ys)
+  }
+
+  private def rawFrame(rows: Seq[(String, String, String, Seq[Double], Seq[Double])]) = {
+    val xNames = (1 to nSites).map(i => s"plfn_al${i}_x")
+    val yNames = (1 to nSites).map(i => s"plfn_al${i}_y")
+    rows.map { case (g, p, ts, xs, ys) => (g, p, ts, xs, ys) }
+      .toDF("glassid", "product", "tstamp", "xs", "ys")
+      .select(Seq(col("glassid"), col("product"), col("tstamp")) ++
+        xNames.zipWithIndex.map { case (n, i) =>
+          when(expr(s"isnan(xs[$i])"), lit(null)).otherwise(col("xs").getItem(i)).as(n) } ++
+        yNames.zipWithIndex.map { case (n, i) => col("ys").getItem(i).as(n) }: _*)
+  }
+
+  test("full flow: fits recover truth, errors route by flag, keys stay consistent") {
+    val rows = Seq(
+      glassRow("g1", "A", 0.5, -0.3, 120.0),
+      glassRow("g2", "A", -1.2, 0.8, -60.0),
+      glassRow("g3", "B", 0.1, 0.1, 10.0),        // product B: no design values → −2
+      glassRow("g4", "C", 0.2, 0.2, 20.0),        // product C: incomplete grid → −3
+      glassRow("g5", "A", 0.0, 0.0, 0.0, na = true)) // NA measurement → −1
+    val res = RotFlow.run(spark, rawFrame(rows), designValues)
+
+    // errors: one per class, right flags
+    val errs = res.errors.select("glassid", "flag").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(errs == Map("g5" -> -1, "g3" -> -2, "g4" -> -3))
+
+    // fits: g1/g2 recover the planted parameters
+    val fits = res.header.collect()
+      .map(r => r.getString(r.fieldIndex("glassid")) ->
+        (r.getDouble(r.fieldIndex("shift_x")), r.getDouble(r.fieldIndex("shift_y")),
+         r.getDouble(r.fieldIndex("theta_urad")))).toMap
+    assert(fits.keySet == Set("g1", "g2"))
+    fits("g1")._1 shouldBe 0.5 +- 1e-6
+    fits("g1")._2 shouldBe -0.3 +- 1e-6
+    fits("g1")._3 shouldBe 120.0 +- 0.05
+    fits("g2")._1 shouldBe -1.2 +- 1e-6
+    fits("g2")._3 shouldBe -60.0 +- 0.05
+
+    // residuals after transform ≈ 0 (the fit corrects the planted shift/rot)
+    val maxResid = res.detail
+      .agg(max(greatest(abs(col("x_rs")), abs(col("y_rs"))))).as[Double].head()
+    assert(maxResid < 1e-4, s"residual after correction: $maxResid")
+
+    // K7: every detail row carries its header's rot_id
+    val hKeys = res.header.select("glassid", "rot_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    res.detail.select("glassid", "rot_id").collect().foreach { r =>
+      assert(hKeys(r.getString(0)) == r.getLong(1))
+    }
+    assert(res.detail.count() == 2 * nSites)
+  }
+}
