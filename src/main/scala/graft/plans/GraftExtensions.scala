@@ -1,0 +1,21 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (registered via `spark.sql.extensions` by every
+  * harness session): injects the engine's native Catalyst expressions
+  * into the function registry so both the DataFrame API (`expr(...)`)
+  * and `spark.sql` can call them. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_hamming(a, b) takes two arguments")
+        HammingDistance(children.head, children(1))
+      }))
+  }
+}

@@ -110,37 +110,43 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------------------
   // q33 — MinHash + banded LSH, the scale path: 16 minhashes per doc
-  // (lexicographic min of md5(seed:shingle)), 4 bands of 4 rows; docs
-  // sharing any band key become candidates; candidates are then verified
-  // with exact Jaccard. Join keys are (band, bandkey) — uniform md5
-  // values, so the shuffle is skew-free, and the candidate set is ~the
-  // true near-dup set rather than all shingle-sharing pairs (at sf0.01:
-  // 25 candidates vs 104k shingle-sharing pairs — a 4000× cut).
+  // (lexicographic min over shingles of 32-bit words sliced from
+  // md5(band:shingle)), 4 bands of 4 rows; docs sharing any band key
+  // become candidates; candidates are then verified with exact Jaccard.
+  // Join keys are (band, bandkey) — uniform md5 values, so the shuffle
+  // is skew-free, and the candidate set is ~the true near-dup set rather
+  // than all shingle-sharing pairs (at sf0.01: ~25 candidates vs 104k
+  // shingle-sharing pairs — a 4000× cut).
   private val NumHashes = 16
   private val BandSize = 4
 
   private def q33(s: SparkSession, dir: String): DataFrame = {
-    // Signature: flat (doc × shingle × seed) explode through codegen'd
-    // md5 + partial-aggregated MIN — one skew-free shuffle on (doc_id,
-    // seed). The shingle SET also travels as an array column so exact
+    // Signature: one md5 per (shingle, band) yields FOUR independent
+    // 32-bit hash words (disjoint bit ranges of the digest — the
+    // standard way to amortize hashing), so 16 minhashes cost 4 md5
+    // calls per shingle, not 16. Flat codegen'd pipeline, one skew-free
+    // partial-aggregated shuffle on (doc_id, band) with 4 MIN columns.
+    // The shingle SET also travels as an array column so exact
     // verification of a candidate pair is array_intersect on the two
     // candidate rows (broadcast join), not a third shingle-level join.
-    // `bands` is cached so the self-join computes the signatures once.
     val docSh = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))))"))
       .select(col("doc_id"), col("sh"))
-    val seeds = s.range(NumHashes).select(col("id").cast("int").as("seed"))
-    val sig = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .crossJoin(broadcast(seeds))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
-    val bands = sig
-      .withColumn("band", expr(s"seed div $BandSize"))
+    val nBands = NumHashes / BandSize
+    val groups = s.range(nBands).select(col("id").cast("int").as("band"))
+    val bands = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .crossJoin(broadcast(groups))
+      .withColumn("h", md5(concat(col("band").cast("string"), lit(":"), col("shingle"))))
       .groupBy("doc_id", "band")
-      .agg(expr("md5(concat_ws('|', transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh))) AS bandkey"))
+      .agg(min(substring(col("h"), 1, 8)).as("w0"),
+           min(substring(col("h"), 9, 8)).as("w1"),
+           min(substring(col("h"), 17, 8)).as("w2"),
+           min(substring(col("h"), 25, 8)).as("w3"))
+      .select(col("doc_id"), col("band"),
+        md5(concat_ws("|", col("w0"), col("w1"), col("w2"), col("w3"))).as("bandkey"))
     // Bucket docs by (band, bandkey) and emit in-bucket pairs with array
     // combinatorics — the signature pipeline runs ONCE (no self-join that
     // would recompute it per side) and the pair blowup is bounded by the
@@ -167,14 +173,17 @@ object Dedup extends QueryModule {
 
   private val q33Sql =
     s"""WITH $shinglesSqlCte,
-      |seeds AS (SELECT unnest(range($NumHashes)) AS seed),
+      |grps AS (SELECT CAST(unnest(range(${NumHashes / BandSize})) AS INT) AS band),
       |sig AS (
-      |  SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || shingle)) AS mh
-      |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+      |  SELECT doc_id, band,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 1, 8)) AS w0,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 9, 8)) AS w1,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 17, 8)) AS w2,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 25, 8)) AS w3
+      |  FROM sh CROSS JOIN grps GROUP BY doc_id, band),
       |bands AS (
-      |  SELECT doc_id, CAST(seed // $BandSize AS INT) AS band,
-      |         md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
-      |  FROM sig GROUP BY doc_id, seed // $BandSize),
+      |  SELECT doc_id, band, md5(w0 || '|' || w1 || '|' || w2 || '|' || w3) AS bandkey
+      |  FROM sig),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
@@ -258,8 +267,9 @@ object Dedup extends QueryModule {
           |           y.doc_id AS d2, y.simhash AS h2))))""".stripMargin)).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.h1").as("h1"), col("p.h2").as("h2"))
       .distinct()
-      .withColumn("hamming",
-        expr("aggregate(transform(sequence(1, 32), i -> CASE WHEN substring(h1, i, 1) = substring(h2, i, 1) THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"))
+      // graft_hamming: native codegen'd Expression (plans.HammingDistance)
+      // instead of an interpreted 32-iteration higher-order function
+      .withColumn("hamming", expr("graft_hamming(h1, h2)"))
       .filter(col("hamming") <= 1)
       .select("d1", "d2", "hamming")
       .orderBy("d1", "d2")
