@@ -219,15 +219,98 @@ object Similarity extends QueryModule {
       |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, rank
       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q39 — embedding-cosine near-duplicate PAIRS (the fifth dedup method
+  // of the pipeline brief, over vectors instead of text): multi-table
+  // random-hyperplane LSH — L=6 tables of k=5 planes each — generates
+  // candidates (a pair is a candidate if it shares ANY table's 5-bit
+  // key), then exact integer-quantized cosine ≥ 0.35 verifies. On this
+  // corpus 0.35 is ~4.5σ above random for 64-dim unit vectors. Multi-
+  // table OR-construction trades candidate volume for recall the way a
+  // single k-bit table cannot (P[share k bits] decays exponentially in
+  // k, so one table is either all-pairs or no recall); candidates are
+  // verified with an exact zip_with/aggregate integer dot product per
+  // candidate row — never an all-pairs pass over the corpus.
+  private val NearDupTables = 6
+  private val PlanesPerTable = 5
+  private val CosThreshold = 0.35
+
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val qn = quant(s, dir)
+    // quantized vector + squared norm per row, kept as an array column
+    val vecs = qn.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
+           sum(col("q") * col("q")).as("n2"))
+    val tp = s.range(NearDupTables * PlanesPerTable).select(
+      (col("id") / PlanesPerTable).cast("int").as("tbl"),
+      col("id").cast("int").as("plane"))
+    val keys = qn.crossJoin(broadcast(tp))
+      .withColumn("sgn", when(
+        substring(md5(concat(col("plane").cast("string"), lit("-"), col("pos").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L)))
+      .groupBy("vec_id", "tbl", "plane")
+      .agg(sum(col("sgn") * col("q")).as("proj"))
+      .withColumn("bit", when(col("proj") >= 0, lit("1")).otherwise(lit("0")))
+      .groupBy("vec_id", "tbl")
+      .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(plane, bit))), x -> x.bit)) AS bk"))
+    val cand = keys
+      .groupBy("tbl", "bk")
+      .agg(expr("array_sort(collect_list(vec_id)) AS ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1), i ->
+          |  transform(slice(ids, i + 1, size(ids) - i), y ->
+          |    struct(element_at(ids, i) AS v1, y AS v2))))""".stripMargin)).as("p"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
+      .distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("v1"), col("qa").as("qa1"), col("n2").as("n21")), "v1")
+      .join(vecs.select(col("vec_id").as("v2"), col("qa").as("qa2"), col("n2").as("n22")), "v2")
+      .withColumn("dot", expr("aggregate(zip_with(qa1, qa2, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine", round(cosine(col("dot"), col("n21"), col("n22")), 6))
+      .filter(col("cosine") >= CosThreshold)
+      .select("v1", "v2", "cosine")
+      .orderBy("v1", "v2")
+  }
+
+  private val q39Sql =
+    s"""WITH $quantSqlCte,
+      |vecs AS (
+      |  SELECT vec_id, list(q ORDER BY pos) AS qa, CAST(SUM(q * q) AS BIGINT) AS n2
+      |  FROM quant GROUP BY vec_id),
+      |tp AS (SELECT CAST(i // $PlanesPerTable AS INT) AS tbl, CAST(i AS INT) AS plane
+      |       FROM (SELECT unnest(range(${NearDupTables * PlanesPerTable})) AS i)),
+      |projs AS (
+      |  SELECT vec_id, tbl, plane,
+      |         CAST(SUM(CASE WHEN substring(md5(plane::VARCHAR || '-' || pos::VARCHAR), 1, 1)
+      |                  IN ('0','1','2','3','4','5','6','7') THEN q ELSE -q END) AS BIGINT) AS proj
+      |  FROM quant CROSS JOIN tp GROUP BY vec_id, tbl, plane),
+      |keys AS (
+      |  SELECT vec_id, tbl,
+      |         string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bk
+      |  FROM projs GROUP BY vec_id, tbl),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      |  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT c.v1, c.v2,
+      |         ROUND(CAST(list_sum([x.qa[i] * y.qa[i] for i in range(1, len(x.qa) + 1)]) AS DOUBLE)
+      |               / (SQRT(CAST(x.n2 AS DOUBLE)) * SQRT(CAST(y.n2 AS DOUBLE))), 6) AS cosine
+      |  FROM cand c JOIN vecs x ON c.v1 = x.vec_id JOIN vecs y ON c.v2 = y.vec_id)
+      |SELECT v1, v2, cosine FROM scored WHERE cosine >= $CosThreshold
+      |ORDER BY v1, v2""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
     "q37_ann_lsh"        -> (q37 _),
     "q38_knn_within_class" -> (q38 _),
+    "q39_cosine_neardup"   -> (q39 _),
   )
 
   override val oracle: Map[String, String] = Map(
     "q36_ann_bruteforce" -> q36Sql,
     "q37_ann_lsh"        -> q37Sql,
     "q38_knn_within_class" -> q38Sql,
+    "q39_cosine_neardup"   -> q39Sql,
   )
 }

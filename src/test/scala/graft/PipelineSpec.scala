@@ -60,6 +60,28 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("cosine near-dup: perfect precision, bounded recall vs exact all-pairs") {
+    val rows = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS q")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val exact = (for {
+      i <- rows.indices.iterator; j <- (i + 1) until rows.size
+      c = cos(rows(i)._2, rows(j)._2) if math.rint(c * 1e6) / 1e6 >= 0.35
+    } yield (math.min(rows(i)._1, rows(j)._1), math.max(rows(i)._1, rows(j)._1))).toSet
+    val lsh = Similarity.queries("q39_cosine_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1 by construction: every reported pair is exactly verified
+    assert((lsh -- exact).isEmpty, s"false positives: ${(lsh -- exact).take(5)}")
+    // recall floor for 6 tables x 5 planes at cos>=0.35 (OR-construction)
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.25,
+      s"recall ${lsh.size}/${exact.size} below floor")
+  }
+
   test("multimodal stub features are pure functions of the payload") {
     import spark.implicits._
     val a = graft.functions.Multimodal.decode(
