@@ -1,0 +1,47 @@
+package graft.flows
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.incremental.{Intervals, Sinks, Watermarks}
+
+/** The windowed analytics driver (reference `ETL.rot`,
+  * nikon_ETL.py:425-499): walk the interval between the analytics
+  * watermark and the upstream replication watermark in ≤86400 s chunks
+  * (≤30 per run), run the ROT flow on each chunk's slice, append
+  * header/detail/error outputs, and advance the analytics watermark —
+  * data first, watermark last, so a crash replays at most one chunk.
+  *
+  * The reference re-reads each chunk from the DB inside Rscript
+  * (SURVEY §3.2 "double-read"); here the slice is the same DataFrame fed
+  * straight to RotFlow — one scan.
+  */
+object RotRunner {
+
+  case class RotOutputs(headerPath: String, detailPath: String, errorPath: String)
+
+  /** @param raw       full wide raw table with a `tstamp` timestamp column
+    * @param rotApp    watermark key of this analytics flow (e.g. "ROT_Transform")
+    * @param upstream  watermark key of the replication flow it trails (e.g. "EDC_Import")
+    * @return chunks processed
+    */
+  def run(spark: SparkSession, raw: DataFrame, designValues: DataFrame,
+          wm: Watermarks, toolid: String, rotApp: String, upstream: String,
+          out: RotOutputs,
+          stepSeconds: Long = 86400L, maxChunks: Int = 30): Int = {
+    val start = wm.require(rotApp, toolid).lastEndTime
+    val end = wm.require(upstream, toolid).lastEndTime // only analyze replicated data
+    if (!start.before(end)) return 0
+    val chunks = Intervals.chunks(start, end, stepSeconds, maxChunks)
+    chunks.foreach { case (s, e) =>
+      // ROT reads use the [s, e) convention (reference dbs/nikon.py:111-112)
+      val slice = raw.filter(Intervals.ClosedOpen.contains(col("tstamp"), s, e))
+      val res = RotFlow.run(spark, slice, designValues)
+      res.header.write.mode(SaveMode.Append).parquet(out.headerPath)
+      res.detail.write.mode(SaveMode.Append).parquet(out.detailPath)
+      Sinks.appendErrors(res.errors, out.errorPath)
+      wm.advance(rotApp, toolid, new Timestamp(e.getTime))
+    }
+    chunks.size
+  }
+}

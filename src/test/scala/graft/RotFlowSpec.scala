@@ -48,6 +48,32 @@ class RotFlowSpec extends SparkTestBase {
         yNames.zipWithIndex.map { case (n, i) => col("ys").getItem(i).as(n) }: _*)
   }
 
+  test("RotRunner walks the watermark interval in chunks and trails the upstream") {
+    import graft.flows.RotRunner
+    import graft.incremental.{Watermark, Watermarks}
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_rot").toString + "/t"
+    // two glasses on different days inside the watermark window, one beyond the upstream
+    val raw = rawFrame(Seq(
+      glassRow("g1", "A", 0.5, -0.3, 120.0),
+      glassRow("g2", "A", -1.2, 0.8, -60.0).copy(_3 = "2024-01-02 06:00:00"),
+      glassRow("g9", "A", 0.1, 0.1, 5.0).copy(_3 = "2024-01-05 00:00:00")))
+    val wm = new Watermarks(spark, tmp())
+    wm.init(Seq(
+      Watermark("ROT_Transform", "t01", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00")),
+      Watermark("EDC_Import", "t01", ts("2024-01-03 00:00:00"), ts("2024-01-03 00:00:00"))))
+    val out = RotRunner.RotOutputs(tmp(), tmp(), tmp())
+    val n = RotRunner.run(spark, raw, designValues, wm, "t01", "ROT_Transform", "EDC_Import", out)
+    assert(n == 2) // two day chunks between the ROT and EDC watermarks
+    val glasses = spark.read.parquet(out.headerPath).select("glassid")
+      .collect().map(_.getString(0)).toSet
+    assert(glasses == Set("g1", "g2"), "g9 is beyond the upstream watermark")
+    assert(wm.require("ROT_Transform", "t01").lastEndTime == ts("2024-01-03 00:00:00"))
+    // caught up → no-op
+    assert(RotRunner.run(spark, raw, designValues, wm, "t01", "ROT_Transform", "EDC_Import", out) == 0)
+  }
+
   test("full flow: fits recover truth, errors route by flag, keys stay consistent") {
     val rows = Seq(
       glassRow("g1", "A", 0.5, -0.3, 120.0),

@@ -52,4 +52,22 @@ class ScaleSpec extends SparkTestBase {
   test("AQE is enabled in the harness sessions") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
+
+  test("date-partitioned layout gets partition pruning (the 100 TB fact layout)") {
+    // The production layout for the time-windowed fact tables: parquet
+    // partitioned by event date, so interval scans prune whole
+    // directories before any row-group I/O.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events_by_day"
+    Tables.events(spark, sfDir)
+      .withColumn("d", to_date(col("ts")))
+      .write.partitionBy("d").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("d") === "2024-01-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*2024-01-03.*"),
+      s"no partition pruning:\n${plan.take(1200)}")
+    // pruning must not change results
+    val expect = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) === "2024-01-03").count()
+    assert(pruned.count() == expect && expect > 0)
+  }
 }
