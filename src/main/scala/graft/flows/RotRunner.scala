@@ -3,7 +3,7 @@ package graft.flows
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.incremental.{Intervals, Sinks, Watermarks}
+import graft.incremental.{Intervals, Watermarks}
 
 /** The windowed analytics driver (reference `ETL.rot`,
   * nikon_ETL.py:425-499): walk the interval between the analytics
@@ -37,9 +37,16 @@ object RotRunner {
       // ROT reads use the [s, e) convention (reference dbs/nikon.py:111-112)
       val slice = raw.filter(Intervals.ClosedOpen.contains(col("tstamp"), s, e))
       val res = RotFlow.run(spark, slice, designValues)
-      res.header.write.mode(SaveMode.Append).parquet(out.headerPath)
-      res.detail.write.mode(SaveMode.Append).parquet(out.detailPath)
-      Sinks.appendErrors(res.errors, out.errorPath)
+      // D5: outputs land in a chunk=<startMillis> partition, overwritten
+      // atomically per chunk — a crash-before-watermark replay rewrites
+      // the same partition instead of appending duplicates. On a real
+      // deployment this is the same dynamic-partition-overwrite contract
+      // as SliceStore, partitioned by chunk instead of filtered by time.
+      def writeChunk(df: DataFrame, path: String): Unit =
+        df.write.mode(SaveMode.Overwrite).parquet(s"$path/chunk=${s.getTime}")
+      writeChunk(res.header, out.headerPath)
+      writeChunk(res.detail, out.detailPath)
+      writeChunk(res.errors, out.errorPath)
       wm.advance(rotApp, toolid, new Timestamp(e.getTime))
     }
     chunks.size

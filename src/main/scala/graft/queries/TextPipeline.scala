@@ -105,6 +105,52 @@ object TextPipeline extends QueryModule {
   }
 
   // ---------------------------------------------------------------------
+  // q40 — winnowing document fingerprints (the MOSS scheme): hash every
+  // word 3-gram, slide a window of 4 consecutive hashes, keep each
+  // window's minimum, dedupe. Guarantees any shared run of ≥ 6 tokens
+  // between two documents shares a fingerprint, at ~1/4 the storage of
+  // all k-gram hashes. Gram hashing is one narrow projection; selection
+  // is a single window function per document (partition = doc, tiny).
+  private val GramK = 3
+  private val WinW = 4
+
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= GramK + WinW - 1)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(ts) - ${GramK - 1}), i ->
+           |  struct(i AS pos, substring(md5(concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))), 1, 8) AS h))""".stripMargin
+      )).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(WinW - 1), Window.currentRow)
+    grams
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") >= WinW) // complete windows only
+      .select("doc_id", "fp").distinct()
+      .orderBy("doc_id", "fp")
+  }
+
+  private val q40Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= ${GramK + WinW - 1}),
+      |grams AS (
+      |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+      |    SELECT doc_id, unnest([{'pos': i, 'h': substring(md5(ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]), 1, 8)}
+      |                           for i in range(1, len(ts) - ${GramK - 2})]) AS u
+      |    FROM toks)),
+      |wins AS (
+      |  SELECT doc_id, pos,
+      |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                      ROWS BETWEEN ${WinW - 1} PRECEDING AND CURRENT ROW) AS fp
+      |  FROM grams)
+      |SELECT DISTINCT doc_id, fp FROM wins WHERE pos >= $WinW
+      |ORDER BY doc_id, fp""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q42 — multimodal decode plumbing (see functions.Multimodal): binary
   // payload column → mapPartitions stub decoder → typed features. The
   // oracle reproduces the stub's md5-derived features in SQL, proving the
@@ -137,12 +183,14 @@ object TextPipeline extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats"     -> (q30 _),
+    "q40_winnow_fingerprints" -> (q40 _),
     "q41_langid"         -> (q41 _),
     "q42_multimodal_stub" -> (q42 _),
   )
 
   override val oracle: Map[String, String] = Map(
     "q30_text_stats"     -> q30Sql,
+    "q40_winnow_fingerprints" -> q40Sql,
     "q41_langid"         -> q41Sql,
     "q42_multimodal_stub" -> q42Sql,
   )

@@ -72,6 +72,12 @@ class RotFlowSpec extends SparkTestBase {
     assert(wm.require("ROT_Transform", "t01").lastEndTime == ts("2024-01-03 00:00:00"))
     // caught up → no-op
     assert(RotRunner.run(spark, raw, designValues, wm, "t01", "ROT_Transform", "EDC_Import", out) == 0)
+    // D5 replay: reset the watermark (simulates crash-before-advance) and
+    // re-run — chunk partitions are overwritten, not appended
+    val before = spark.read.parquet(out.headerPath).count()
+    wm.advance("ROT_Transform", "t01", ts("2024-01-01 00:00:00"))
+    RotRunner.run(spark, raw, designValues, wm, "t01", "ROT_Transform", "EDC_Import", out)
+    assert(spark.read.parquet(out.headerPath).count() == before, "replay duplicated headers")
   }
 
   test("full flow: fits recover truth, errors route by flag, keys stay consistent") {
