@@ -26,6 +26,7 @@ object Bench {
     // JSON string escape shared with Verify.
     def q(s: String): String = Verify.jsonEscape(s)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache() // drop prior queries' cached relations
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import graft.flows.EtlMain
+import graft.incremental.{Watermark, Watermarks}
+import org.apache.spark.sql.functions._
+
+/** The top-level ETL surface over two tools with DRIFTED schemas — the
+  * reference's hardest operational case (per-tool column sets differ and
+  * change over time, SURVEY §7.4 risk 1): the source has a column the
+  * sink lacks (dropped), and a tool whose sink expects a missing column
+  * aborts without corrupting the other tool's progress. */
+class EtlMainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def tmp() = java.nio.file.Files.createTempDirectory("graft_etl").toString + "/t"
+
+  test("etl replicates index + per-tool tables, reconciling drifted schemas") {
+    val ev = Tables.events(spark, sfDir)
+    val index = ev.select(col("event_id"), col("user_id"), col("ts").as("tstamp"))
+    // tool a: source has an extra column the sink doesn't store
+    val toolA = ev.select(col("event_id"), col("ts").as("tstamp"),
+      col("value"), col("props")) // props = source-only extra
+    // tool b: a different, narrower schema
+    val toolB = ev.select(col("event_id"), col("ts").as("tstamp"), col("event_type"))
+
+    val wm = new Watermarks(spark, tmp())
+    val t0 = ts("2024-01-01 00:00:00")
+    wm.init(Seq(
+      Watermark("EDC_Import", "index", t0, t0),
+      Watermark("EDC_Import", "tool_a", t0, t0),
+      Watermark("EDC_Import", "tool_b", t0, t0)))
+
+    val aPath = tmp(); val bPath = tmp(); val idxPath = tmp()
+    val now = ts("2024-01-03 00:00:00")
+    val (nIdx, perTool) = EtlMain.etl(spark, index, idxPath,
+      Seq(
+        EtlMain.ToolSource("tool_a", toolA, Seq("event_id", "tstamp", "value"), aPath),
+        EtlMain.ToolSource("tool_b", toolB, Seq("event_id", "tstamp", "event_type"), bPath)),
+      wm, "EDC_Import", "index", now)
+
+    assert(nIdx == 2 && perTool == Map("tool_a" -> 2, "tool_b" -> 2))
+    val a = spark.read.parquet(aPath)
+    assert(a.columns.toSeq == Seq("event_id", "tstamp", "value"), "extra column not dropped")
+    assert(spark.read.parquet(bPath).columns.toSeq == Seq("event_id", "tstamp", "event_type"))
+    val expect = ev.filter(col("ts") > t0 && col("ts") <= now).count()
+    assert(a.count() == expect && spark.read.parquet(idxPath).count() == expect)
+    assert(wm.require("EDC_Import", "tool_a").lastEndTime == now)
+  }
+
+  test("a tool whose sink expects a missing column aborts; others are unaffected") {
+    val ev = Tables.events(spark, sfDir)
+    val index = ev.select(col("event_id"), col("ts").as("tstamp"))
+    val tool = ev.select(col("event_id"), col("ts").as("tstamp"))
+    val wm = new Watermarks(spark, tmp())
+    val t0 = ts("2024-01-01 00:00:00")
+    wm.init(Seq(
+      Watermark("EDC_Import", "index", t0, t0),
+      Watermark("EDC_Import", "tool_bad", t0, t0)))
+    val idxPath = tmp()
+    intercept[IllegalArgumentException] {
+      EtlMain.etl(spark, index, idxPath,
+        Seq(EtlMain.ToolSource("tool_bad", tool,
+          Seq("event_id", "tstamp", "column_the_source_lost"), tmp())),
+        wm, "EDC_Import", "index", ts("2024-01-02 00:00:00"))
+    }
+    // the index stage before the failing tool still completed and advanced
+    assert(spark.read.parquet(idxPath).count() > 0)
+    assert(wm.require("EDC_Import", "index").lastEndTime == ts("2024-01-02 00:00:00"))
+    // the failed tool's watermark did NOT advance (no partial progress)
+    assert(wm.require("EDC_Import", "tool_bad").lastEndTime == t0)
+  }
+}
