@@ -56,6 +56,30 @@ object Multimodal {
     }
   }
 
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, fingerprint: String, luma: Int)
+
+  /** Frame sampling for video media: take up to `maxSamples` evenly-
+    * spaced frames per video and "decode" each (STUB — per-frame
+    * features are deterministic functions of the media fingerprint +
+    * frame index, so the pipeline is testable end-to-end and the oracle
+    * can replay it). The real implementation would seek the container
+    * per sampled index inside the same per-partition batch loop —
+    * sampling-before-decode is the point: at 100 TB you never decode
+    * frames you won't keep. */
+  def sampleFrames(features: Dataset[MediaFeatures], maxSamples: Int = 4): Dataset[FrameFeatures] = {
+    import features.sparkSession.implicits._
+    features.flatMap { f =>
+      if (f.media_type != "video") Seq.empty[FrameFeatures]
+      else {
+        val step = math.max(1, f.n_frames / maxSamples)
+        (1 to f.n_frames by step).take(maxSamples).map { idx =>
+          val h = md5hex(s"${f.fingerprint}:$idx".getBytes("UTF-8"))
+          FrameFeatures(f.doc_id, idx, h, 16 + hexPair(h, 0) % 224)
+        }
+      }
+    }
+  }
+
   /** Build a media table from documents: payload = utf-8 bytes of text
     * (stand-in for real image/audio bytes), media_type by doc_id. */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {

@@ -135,6 +135,7 @@ object Dedup extends QueryModule {
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))))"))
       .select(col("doc_id"), col("sh"))
+      .cache() // used three times: signature explode + both verification sides
     val nBands = NumHashes / BandSize
     val groups = s.range(nBands).select(col("id").cast("int").as("band"))
     val bands = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))

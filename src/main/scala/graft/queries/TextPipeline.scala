@@ -181,11 +181,45 @@ object TextPipeline extends QueryModule {
       |       h AS fingerprint
       |FROM hx ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q43 — video frame sampling (multimodal continued): up to 4 evenly-
+  // spaced frames per video row through the stub decoder. The oracle
+  // replays the md5-derived frame features, proving the typed flatMap
+  // stage is deterministic and engine-reproducible.
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.sampleFrames(
+        Multimodal.decode(Multimodal.mediaFromDocuments(s, dir)))
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val q43Sql =
+    """WITH m AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2),
+      |v AS (
+      |  SELECT doc_id, h,
+      |         1 + ((strpos('0123456789abcdef', h[5]) - 1) * 16 + (strpos('0123456789abcdef', h[6]) - 1)) % 32 AS n_frames
+      |  FROM m),
+      |frames AS (
+      |  SELECT doc_id, h, n_frames,
+      |         unnest(range(1, n_frames + 1, greatest(1, n_frames // 4))[1:4]) AS frame_idx
+      |  FROM v),
+      |feat AS (
+      |  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |         md5(h || ':' || frame_idx::VARCHAR) AS fingerprint
+      |  FROM frames)
+      |SELECT doc_id, frame_idx, fingerprint,
+      |       CAST(16 + ((strpos('0123456789abcdef', fingerprint[1]) - 1) * 16
+      |                  + (strpos('0123456789abcdef', fingerprint[2]) - 1)) % 224 AS INT) AS luma
+      |FROM feat ORDER BY doc_id, frame_idx""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats"     -> (q30 _),
     "q40_winnow_fingerprints" -> (q40 _),
     "q41_langid"         -> (q41 _),
     "q42_multimodal_stub" -> (q42 _),
+    "q43_frame_sample"   -> (q43 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -193,5 +227,6 @@ object TextPipeline extends QueryModule {
     "q40_winnow_fingerprints" -> q40Sql,
     "q41_langid"         -> q41Sql,
     "q42_multimodal_stub" -> q42Sql,
+    "q43_frame_sample"   -> q43Sql,
   )
 }
