@@ -33,6 +33,25 @@ object Streams {
               col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming storage sink with the D5 replay contract: every
+    * micro-batch overwrites its own `batch=<id>` partition, so a batch
+    * replayed after a failure (same epoch id from the checkpoint)
+    * rewrites its partition instead of appending duplicates — the
+    * streaming twin of SliceStore.overwriteSlice / RotRunner's chunk
+    * partitions. Combined with a checkpointLocation this is end-to-end
+    * exactly-once onto plain parquet. */
+  def startPartitionedSink(df: DataFrame, path: String,
+                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/batch=$id")
+      }
+      .start()
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int, total_value: Double)

@@ -76,6 +76,28 @@ class StreamingSpec extends SparkTestBase {
     assert(out.count(_.user_id == 2) == 1)
   }
 
+  test("partitioned streaming sink lands each micro-batch idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[Event]
+    val q = Streams.startPartitionedSink(
+      Streams.windowedSummary(mem.toDF()), s"$dir/out", s"$dir/ckpt")
+    mem.addData(
+      Event(1, ts("2024-01-01 01:00:00"), 1, "click", 10.0),
+      Event(2, ts("2024-01-01 02:00:00"), 2, "click", 5.0))
+    q.processAllAvailable()
+    mem.addData(Event(9, ts("2024-01-09 00:00:00"), 9, "view", 1.0)) // closes the window
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    // the closed 2024-01-01 click window arrived exactly once
+    assert(out.filter(col("event_type") === "click").count() == 1)
+    val row = out.filter(col("event_type") === "click").collect().head
+    assert(row.getAs[Long]("n") == 2 && row.getAs[Double]("total_value") == 15.0)
+    // batch partitions exist (the replay unit)
+    assert(out.columns.contains("batch"))
+  }
+
   test("batch q25 sessionization agrees with the streaming sessionizer") {
     // same events, two execution models (D3 applied to batch vs stream):
     // session (user, n_events, total_value) multisets must match.
