@@ -1,0 +1,89 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The interactive query API surface (reference eda_query.py:260-277
+  * `edc_main`/`teg_main` → `Queryedc.glass_history` / `glass_data` /
+  * `Queryteg.glass_raw_data`, queries in dbs/auto.py:19-200). A user of
+  * the reference's Python functions calls these instead; the 200-thread
+  * and 50-process scatter-gather pools (eda_query.py:24,83) disappear —
+  * each call is one declarative join pipeline and Spark tasks supply the
+  * parallelism.
+  *
+  * Mapped onto the shared testdata star schema: glass → customer key,
+  * history → orders, detail → lineitem. Against a real warehouse the
+  * same pipelines run over `spark.read.jdbc` sources unchanged.
+  */
+object QueryApi {
+
+  /** glass_history (reference eda_query.py:164-171, dbs/auto.py:19-38):
+    * per-id history rows, time-ordered — the driving keyed lookup. `ids`
+    * is a one-column DataFrame (from Sources.idList or any relation);
+    * the fan-out of one point query per id becomes a single broadcast
+    * semi-join. */
+  def glassHistory(s: SparkSession, dir: String, ids: DataFrame): DataFrame = {
+    val keyed = ids.toDF("custkey")
+    Tables.orders(s, dir)
+      .join(broadcast(keyed), col("o_custkey") === col("custkey"), "left_semi")
+      .select(col("o_custkey").as("glass_id"), col("o_orderkey").as("step_id"),
+              col("o_orderdate").as("glass_start_time"), col("o_orderpriority"))
+      .orderBy("glass_id", "glass_start_time", "step_id")
+  }
+
+  /** glass_data (reference eda_query.py:174-187, dbs/auto.py:41-62): the
+    * per-(glass, step, start_time) detail lookup — the 50-process pool
+    * becomes one equi-join from the history relation. */
+  def glassData(s: SparkSession, dir: String, history: DataFrame): DataFrame = {
+    Tables.lineitem(s, dir)
+      .join(history.select(col("step_id"), col("glass_id"), col("glass_start_time")),
+        col("l_orderkey") === col("step_id"))
+      .select(col("glass_id"), col("step_id"), col("glass_start_time"),
+              col("l_linenumber").as("site"), col("l_quantity").as("param_value"))
+      .orderBy("glass_id", "step_id", "site")
+  }
+
+  /** glass_raw_data with the caller-selectable physical strategy flag
+    * (reference `subquery=True/False`, eda_query.py:216-231, D3):
+    *  - `subquery = true`  → the correlated-IN phrasing through the SQL
+    *    parser (Catalyst decorrelates it);
+    *  - `subquery = false` → the hand-decorrelated semi-join.
+    * Both produce the same relation — the reference's own timing harness
+    * cross-checked exactly this, and ApiSpec keeps doing so. */
+  def glassRawData(s: SparkSession, dir: String, ids: DataFrame,
+                   subquery: Boolean): DataFrame = {
+    val keyed = ids.toDF("custkey")
+    if (subquery) {
+      Tables.lineitem(s, dir).createOrReplaceTempView("api_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("api_orders")
+      keyed.createOrReplaceTempView("api_ids")
+      s.sql(
+        """SELECT o.o_custkey AS glass_id, l.l_orderkey AS step_id,
+          |       l.l_linenumber AS site, l.l_quantity AS param_value
+          |FROM api_lineitem l JOIN api_orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_custkey IN (SELECT custkey FROM api_ids)
+          |ORDER BY glass_id, step_id, site""".stripMargin)
+    } else {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).join(broadcast(keyed),
+            col("o_custkey") === col("custkey"), "left_semi"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("glass_id"), col("l_orderkey").as("step_id"),
+                col("l_linenumber").as("site"), col("l_quantity").as("param_value"))
+        .orderBy("glass_id", "step_id", "site")
+    }
+  }
+
+  /** The map-shaped result the reference's API hands back
+    * ({glass_id → rows}, eda_query.py:71) — only materialize this
+    * grouping at the API edge, and only when the caller genuinely wants
+    * a per-key collection. */
+  def grouped(df: DataFrame, key: String): Dataset[(Long, Seq[String])] = {
+    import df.sparkSession.implicits._
+    df.select(col(key).cast("long"), to_json(struct(df.columns.map(col): _*)))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroups((k, it) => (k, it.map(_._2).toSeq))
+  }
+}
