@@ -80,9 +80,12 @@ object RotFlow {
     val sites = melt(xCols, "x").join(melt(yCols, "y"), Seq("glassid", "product", "site_idx"))
       .join(broadcast(designValues), Seq("product", "site_idx"))
 
-    // 6. per-glass rigid-body fit (R6) — glassid is hashed to the typed key
+    // 6. per-glass rigid-body fit (R6) — glassid is hashed to the typed
+    // key with xxhash64: a 32-bit hash would collide with ~50% odds at
+    // ~77k glasses (birthday bound) and silently merge two glasses' fits;
+    // 64 bits pushes that past 5e9 keys.
     val typed = sites.select(
-        hash(col("glassid")).cast("long").as("glass"),
+        xxhash64(col("glassid")).as("glass"),
         col("glassid"), col("product"), col("site_idx"),
         col("x"), col("y"), col("dx"), col("dy"))
     val fits = RigidFit.fit(typed.select("glass", "x", "y", "dx", "dy").as[RigidFit.Site]).toDF()
