@@ -120,7 +120,9 @@ object Dedup extends QueryModule {
   private val NumHashes = 16
   private val BandSize = 4
 
-  private def q33(s: SparkSession, dir: String): DataFrame = {
+  /** Verified near-dup pairs (d1, d2, jaccard) — q33's body, reused by
+    * the corpus filter (q44). */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Signature: one md5 per (shingle, band) yields FOUR independent
     // 32-bit hash words (disjoint bit ranges of the digest — the
     // standard way to amortize hashing), so 16 minhashes cost 4 md5
@@ -169,8 +171,10 @@ object Dedup extends QueryModule {
       .withColumn("jaccard", round(col("inter").cast("double")
         / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
       .select("d1", "d2", "jaccard")
-      .orderBy("d1", "d2")
   }
+
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy("d1", "d2")
 
   private val q33Sql =
     s"""WITH $shinglesSqlCte,
@@ -299,12 +303,87 @@ object Dedup extends QueryModule {
       |WHERE len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 33)], x -> x)) <= 1
       |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q44 — the corpus filter, the END ARTIFACT of the training-data
+  // pipeline: compose quality scoring (q30's heuristics) with near-dup
+  // removal (q33's verified MinHash pairs) into a keep/drop decision per
+  // document with a reason code. Near-dup groups keep their lowest
+  // doc_id (the canonical); quality is gated first, so a low-quality
+  // canonical doesn't shield its duplicates. One narrow scoring pass +
+  // the banded-LSH candidate join — the same plan shape a 100 TB corpus
+  // sweep runs.
+  private val QualityFloor = 0.5
+  private val DupThreshold = 0.8
+
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val quality = Tables.documents(s, dir)
+      .withColumn("ts", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("ts")))
+      .withColumn("n_stop", size(expr("filter(ts, t -> t IN ('the', 'a', 'is'))")))
+      .withColumn("quality",
+        round((lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+          * least(lit(1.0), col("n_tokens").cast("double") / 50.0), 6))
+      .select("doc_id", "quality")
+    val dupVictims = minhashPairs(s, dir)
+      .filter(col("jaccard") >= DupThreshold)
+      .select(col("d2").as("doc_id")) // keep the lowest id of each pair
+      .distinct()
+    quality
+      .join(dupVictims.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("quality") < QualityFloor, "low_quality")
+          .when(col("is_dup"), "near_dup"))
+      .select(col("doc_id"), col("quality"), col("reason").isNull.as("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
+  private val q44Sql =
+    s"""WITH $shinglesSqlCte,
+      |grps AS (SELECT CAST(unnest(range(${NumHashes / BandSize})) AS INT) AS band),
+      |sig AS (
+      |  SELECT doc_id, band,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 1, 8)) AS w0,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 9, 8)) AS w1,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 17, 8)) AS w2,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 25, 8)) AS w3
+      |  FROM sh CROSS JOIN grps GROUP BY doc_id, band),
+      |bands AS (
+      |  SELECT doc_id, band, md5(w0 || '|' || w1 || '|' || w2 || '|' || w3) AS bandkey
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.d1, c.d2, COUNT(*) AS inter
+      |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
+      |  GROUP BY c.d1, c.d2),
+      |victims AS (
+      |  SELECT DISTINCT c.d2 AS doc_id
+      |  FROM cand c LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+      |  JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
+      |  WHERE ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE) / (s1.n + s2.n - COALESCE(i.inter, 0)), 6) >= $DupThreshold),
+      |quality AS (
+      |  SELECT doc_id,
+      |         ROUND((1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'is'))) AS DOUBLE)
+      |                       / len(string_split(text, ' ')))
+      |               * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0), 6) AS quality
+      |  FROM documents)
+      |SELECT q.doc_id, q.quality,
+      |       (CASE WHEN q.quality < $QualityFloor THEN 'low_quality'
+      |             WHEN v.doc_id IS NOT NULL THEN 'near_dup' END) IS NULL AS keep,
+      |       CASE WHEN q.quality < $QualityFloor THEN 'low_quality'
+      |            WHEN v.doc_id IS NOT NULL THEN 'near_dup' END AS reason
+      |FROM quality q LEFT JOIN victims v ON q.doc_id = v.doc_id
+      |ORDER BY q.doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_exact_dedup"    -> (q31 _),
     "q32_ngram_jaccard"  -> (q32 _),
     "q33_minhash_lsh"    -> (q33 _),
     "q34_simhash"        -> (q34 _),
     "q35_simhash_pairs"  -> (q35 _),
+    "q44_corpus_filter"  -> (q44 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -313,5 +392,6 @@ object Dedup extends QueryModule {
     "q33_minhash_lsh"    -> q33Sql,
     "q34_simhash"        -> q34Sql,
     "q35_simhash_pairs"  -> q35Sql,
+    "q44_corpus_filter"  -> q44Sql,
   )
 }
