@@ -51,18 +51,23 @@ object QueryApi {
     *  - `subquery = false` → the hand-decorrelated semi-join.
     * Both produce the same relation — the reference's own timing harness
     * cross-checked exactly this, and ApiSpec keeps doing so. */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+
   def glassRawData(s: SparkSession, dir: String, ids: DataFrame,
                    subquery: Boolean): DataFrame = {
     val keyed = ids.toDF("custkey")
     if (subquery) {
-      Tables.lineitem(s, dir).createOrReplaceTempView("api_lineitem")
-      Tables.orders(s, dir).createOrReplaceTempView("api_orders")
-      keyed.createOrReplaceTempView("api_ids")
+      // per-call view names: fixed names would let a second call clobber
+      // the views under the first call's still-lazy plan
+      val n = viewSeq.incrementAndGet()
+      Tables.lineitem(s, dir).createOrReplaceTempView(s"api_lineitem_$n")
+      Tables.orders(s, dir).createOrReplaceTempView(s"api_orders_$n")
+      keyed.createOrReplaceTempView(s"api_ids_$n")
       s.sql(
-        """SELECT o.o_custkey AS glass_id, l.l_orderkey AS step_id,
+        s"""SELECT o.o_custkey AS glass_id, l.l_orderkey AS step_id,
           |       l.l_linenumber AS site, l.l_quantity AS param_value
-          |FROM api_lineitem l JOIN api_orders o ON l.l_orderkey = o.o_orderkey
-          |WHERE o.o_custkey IN (SELECT custkey FROM api_ids)
+          |FROM api_lineitem_$n l JOIN api_orders_$n o ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_custkey IN (SELECT custkey FROM api_ids_$n)
           |ORDER BY glass_id, step_id, site""".stripMargin)
     } else {
       Tables.lineitem(s, dir)

@@ -62,47 +62,57 @@ object RotFlow {
     val withDv = present.join(broadcast(dvProducts), Seq("product"), "left_semi")
     val noDvErr = Sinks.deadLetter(noDv.select(keyCols.map(col): _*), Sinks.FlagNoDesign, "no design values")
 
-    // 4. design grid completeness per product (A5): every site_idx 1..n present exactly once
+    // 4. design grid completeness per product (A5): site_idx must cover
+    // exactly 1..n — count and distinct-count alone would accept an
+    // offset (e.g. 0-based) grid whose rows then silently drop at the
+    // position join below.
     val expected = xCols.size
     val gridOk = designValues.groupBy("product")
-      .agg(count(lit(1)).as("n"), countDistinct(col("site_idx")).as("nd"))
-      .filter(col("n") === expected && col("nd") === expected)
+      .agg(count(lit(1)).as("n"), countDistinct(col("site_idx")).as("nd"),
+           min(col("site_idx")).as("lo"), max(col("site_idx")).as("hi"))
+      .filter(col("n") === expected && col("nd") === expected &&
+              col("lo") === 1 && col("hi") === expected)
       .select("product")
     val badGrid = withDv.join(broadcast(gridOk), Seq("product"), "left_anti")
     val badGridErr = Sinks.deadLetter(badGrid.select(keyCols.map(col): _*), Sinks.FlagBadGrid, "bad design grid")
     val fitInput = withDv.join(broadcast(gridOk), Seq("product"), "left_semi")
 
-    // 5. melt wide x/y to long sites (R3) and join the design grid (J2)
+    // 5. melt wide x/y to long sites (R3) and join the design grid (J2).
+    // The melt key is the FULL measurement identity (glassid, product,
+    // tstamp): a glass measured twice inside one chunk is two separate
+    // fits, and dropping tstamp here would cross-join the two
+    // measurements' x and y columns into one corrupted group.
     def melt(cols: Seq[String], name: String): DataFrame =
-      fitInput.select(col("glassid"), col("product"),
+      fitInput.select(col("glassid"), col("product"), col("tstamp"),
         posexplode(array(cols.map(col): _*)).as(Seq("site0", name)))
         .withColumn("site_idx", col("site0") + 1).drop("site0")
-    val sites = melt(xCols, "x").join(melt(yCols, "y"), Seq("glassid", "product", "site_idx"))
+    val sites = melt(xCols, "x")
+      .join(melt(yCols, "y"), Seq("glassid", "product", "tstamp", "site_idx"))
       .join(broadcast(designValues), Seq("product", "site_idx"))
 
-    // 6. per-glass rigid-body fit (R6) — glassid is hashed to the typed
-    // key with xxhash64: a 32-bit hash would collide with ~50% odds at
-    // ~77k glasses (birthday bound) and silently merge two glasses' fits;
-    // 64 bits pushes that past 5e9 keys.
+    // 6. per-measurement rigid-body fit (R6) — the typed key is
+    // xxhash64 over the full (glassid, tstamp) identity: 32-bit hashing
+    // would collide with ~50% odds at ~77k keys (birthday bound) and
+    // silently merge two fits; 64 bits pushes that past 5e9.
     val typed = sites.select(
-        xxhash64(col("glassid")).as("glass"),
-        col("glassid"), col("product"), col("site_idx"),
+        xxhash64(col("glassid"), col("tstamp")).as("glass"),
+        col("glassid"), col("product"), col("tstamp"), col("site_idx"),
         col("x"), col("y"), col("dx"), col("dy"))
     val fits = RigidFit.fit(typed.select("glass", "x", "y", "dx", "dy").as[RigidFit.Site]).toDF()
-      .join(broadcast(typed.select("glass", "glassid", "product").distinct()), "glass")
+      .join(typed.select("glass", "glassid", "product", "tstamp").distinct(), "glass")
 
     // 7. apply the transform (R7): x' = x + sx − dy·tan(θ·1e-6)
-    val detailLong = typed.join(broadcast(fits.select("glass", "shiftX", "shiftY", "thetaUrad")), "glass")
+    val detailLong = typed.join(fits.select("glass", "shiftX", "shiftY", "thetaUrad"), "glass")
       .withColumn("t", tan(col("thetaUrad") * 1e-6))
       .withColumn("x_rs", col("x") + col("shiftX") - col("dy") * col("t"))
       .withColumn("y_rs", col("y") + col("shiftY") + col("dx") * col("t"))
-      .select("glassid", "product", "site_idx", "x_rs", "y_rs")
+      .select("glassid", "product", "tstamp", "site_idx", "x_rs", "y_rs")
 
     // 8. header/detail with shared deterministic key (K7)
-    val header = fits.select(col("glassid"), col("product"),
+    val header = fits.select(col("glassid"), col("product"), col("tstamp"),
       col("shiftX").as("shift_x"), col("shiftY").as("shift_y"), col("thetaUrad").as("theta_urad"),
       col("nSites").as("n_sites"))
-    val (h, d) = Sinks.headerDetail(header, detailLong, Seq("glassid"))
+    val (h, d) = Sinks.headerDetail(header, detailLong, Seq("glassid", "tstamp"))
 
     val errors = missingErr.select(col("glassid"), col("product"), col("flag"), col("description"))
       .unionByName(noDvErr.select(col("glassid"), col("product"), col("flag"), col("description")))

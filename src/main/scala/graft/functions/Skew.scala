@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private val SupportedJoinTypes = Set("inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    // right/full-outer would surface every unmatched right row once per
+    // salt replica — reject rather than silently duplicate
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin does not support '$joinType' (right side is replicated)")
     val saltCol = "__graft_salt"
     val l = left.withColumn(saltCol, pmod(hash(left.columns.map(col): _*), lit(salt)))
     val r = right.withColumn(saltCol, explode(sequence(lit(0), lit(salt - 1))))

@@ -9,23 +9,20 @@ object Sinks {
 
   /** K7 — header/detail insert with a shared surrogate key (reference
     * R/pg_db.R:62-111: `WITH ins AS (INSERT ... RETURNING rot_id), ins2 AS
-    * (INSERT ... SELECT rot_id FROM ins)`): a serial header id propagated
-    * to detail rows.
+    * (INSERT ... SELECT rot_id FROM ins)`): a header id propagated to
+    * detail rows.
     *
-    * The DB's serial is replaced with a DETERMINISTIC surrogate — a dense
-    * row_number over the natural header key — rather than
-    * `monotonically_increasing_id` (partition-dependent, non-replayable:
-    * a replay under D5 must regenerate identical keys or detail rows
-    * orphan). Returns (header with rot_id, detail with rot_id).
-    *
-    * Scale note: the window is over the header relation only (one row per
-    * glass — small); detail rows get the key via a broadcast-joinable
-    * equi-join on the natural key, no detail-side shuffle.
+    * The DB's serial is replaced with `xxhash64(natural key)`: globally
+    * unique w.h.p. ACROSS batches/chunks (a per-invocation row_number
+    * would restart at 1 every chunk and collide in a partitioned sink),
+    * deterministic under D5 replay (unlike monotonically_increasing_id,
+    * which is partition-dependent and would orphan detail rows), and
+    * computed without any global sort — a pure narrow projection at any
+    * scale. Returns (header with rot_id, detail with rot_id).
     */
   def headerDetail(header: DataFrame, detail: DataFrame,
                    naturalKey: Seq[String]): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(naturalKey.map(col): _*)
-    val h = header.withColumn("rot_id", row_number().over(w).cast("long"))
+    val h = header.withColumn("rot_id", xxhash64(naturalKey.map(col): _*))
     val d = detail.join(broadcast(h.select((naturalKey :+ "rot_id").map(col): _*)), naturalKey)
     (h, d)
   }
@@ -49,9 +46,13 @@ object Sinks {
 
   /** P12 — missing-value split (reference R/tlcd_nikonrot.R:168-196 +
     * R/basic_fun.R:76-80): partition a frame into (clean, flagged-missing)
-    * on NULLs in the measurement columns; the flagged half routes to K8. */
+    * on NULL or NaN in the measurement columns — NaN survives a double
+    * cast and would otherwise slip past the gate and poison the fit; the
+    * flagged half routes to K8. */
   def splitMissing(df: DataFrame, measureCols: Seq[String]): (DataFrame, DataFrame) = {
-    val anyNull = measureCols.map(col(_).isNull).reduce(_ || _)
-    (df.filter(!anyNull), deadLetter(df.filter(anyNull), FlagMissing, "missing measurement"))
+    val anyMissing = measureCols
+      .map(c => col(c).isNull || isnan(col(c).cast("double")))
+      .reduce(_ || _)
+    (df.filter(!anyMissing), deadLetter(df.filter(anyMissing), FlagMissing, "missing measurement"))
   }
 }

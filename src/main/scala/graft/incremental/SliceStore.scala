@@ -1,7 +1,7 @@
 package graft.incremental
 
 import java.sql.Timestamp
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions.col
   * source rows for the same interval. The Spark analog is an overwrite of
   * the time slice: keep = sink ∖ interval, write keep ∪ new.
   *
+  * Durability: the table swap keeps the previous table as `<path>.old`
+  * until the new one is in place (rename old-out, rename new-in, drop
+  * old), and every read path first heals the one crash window (target
+  * missing, `.old` present) by renaming it back — a crash at any point
+  * loses at most the in-flight chunk, which the watermark replays. A
+  * naive delete-then-rename would lose the WHOLE table if the process
+  * died between the two calls, which the watermark would never replay.
+  *
   * Scale note (100 TB): this local implementation is read-modify-write of
   * the whole table, which is correct but O(table) — fine for the control
   * tables it serves here. On a real deployment the fact tables are
@@ -23,22 +31,51 @@ import org.apache.spark.sql.functions.col
   */
 object SliceStore {
 
-  def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def oldPath(target: Path) = new Path(target.toString + ".old")
+
+  /** Recover the crash window of [[swapIn]]: target gone, backup present. */
+  private def heal(fs: FileSystem, target: Path): Unit = {
+    val old = oldPath(target)
+    if (!fs.exists(target) && fs.exists(old)) {
+      require(fs.rename(old, target), s"heal: rename $old -> $target failed")
+    }
   }
 
-  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  /** Atomically-enough replace target with tmp, never leaving a state
+    * without either the old or the new table on disk. */
+  private def swapIn(fs: FileSystem, tmp: Path, target: Path): Unit = {
+    val old = oldPath(target)
+    fs.delete(old, true)
+    if (fs.exists(target)) {
+      require(fs.rename(target, old), s"swap: rename $target -> $old failed")
+    }
+    require(fs.rename(tmp, target), s"swap: rename $tmp -> $target failed")
+    fs.delete(old, true)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    heal(fs, p)
+    fs.exists(p)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    heal(fsOf(spark, new Path(path)), new Path(path))
+    spark.read.parquet(path)
+  }
 
   /** Overwrite rows of `path` inside the interval with `slice`, preserving
-    * all rows outside it. Reads the survivors eagerly (checkpoint via
-    * local collect-free materialization to a temp dir) so the subsequent
-    * overwrite of the same path is safe. */
+    * all rows outside it. */
   def overwriteSlice(spark: SparkSession, path: String, slice: DataFrame,
                      tsCol: String, s: Timestamp, e: Timestamp,
                      conv: Intervals.Convention = Intervals.OpenClosed): Unit = {
     val target = new Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, target)
+    heal(fs, target)
     val tmp = new Path(path + ".staging")
     fs.delete(tmp, true)
     if (!fs.exists(target)) {
@@ -49,7 +86,18 @@ object SliceStore {
     // Align source columns to the sink schema (T1) before the union.
     val aligned = SchemaReconcile.reconcile(slice, keep.columns.toSeq)
     keep.unionByName(aligned).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+    swapIn(fs, tmp, target)
+  }
+
+  /** Replace the whole table at `path` with `df` under the same
+    * crash-safe swap (used by the watermark store). */
+  def replaceTable(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val target = new Path(path)
+    val fs = fsOf(spark, target)
+    heal(fs, target)
+    val tmp = new Path(path + ".staging")
+    fs.delete(tmp, true)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapIn(fs, tmp, target)
   }
 }

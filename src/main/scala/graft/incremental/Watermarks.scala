@@ -30,18 +30,15 @@ class Watermarks(spark: SparkSession, path: String) {
       throw new IllegalStateException(s"no watermark row for ($apname, $toolid) — check_flow failed"))
 
   /** K6 upsert: UPDATE last_end_time + update_time for the key, keeping
-    * every other row (reference dbs/nikon.py:169-186 + now()). */
+    * every other row (reference dbs/nikon.py:169-186 + now()). The write
+    * goes through SliceStore's crash-safe swap — losing the watermark
+    * table to a crash mid-swap would silently re-replicate everything
+    * (or, worse, nothing). */
   def advance(apname: String, toolid: String, lastEndTime: Timestamp,
               updateTime: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
     val rows = all().filterNot(w => w.apname == apname && w.toolid == toolid) :+
       Watermark(apname, toolid, lastEndTime, updateTime)
-    val tmp = path + ".staging"
-    rows.toDS().repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    Predef.require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path)),
-      "watermark swap failed")
+    SliceStore.replaceTable(spark, path, rows.toDS().repartition(1).toDF())
   }
 
   def init(rows: Seq[Watermark]): Unit = {

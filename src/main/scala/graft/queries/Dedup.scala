@@ -130,7 +130,7 @@ object Dedup extends QueryModule {
     // partial-aggregated shuffle on (doc_id, band) with 4 MIN columns.
     // The shingle SET also travels as an array column so exact
     // verification of a candidate pair is array_intersect on the two
-    // candidate rows (broadcast join), not a third shingle-level join.
+    // candidate rows, not a third shingle-level join.
     val docSh = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
@@ -164,9 +164,12 @@ object Dedup extends QueryModule {
           |    struct(element_at(ids, i) AS d1, y AS d2))))""".stripMargin)).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
+    // no broadcast hint: the shingle-array relation is corpus-sized and a
+    // forced broadcast would hit the 8 GB limit / driver OOM at scale —
+    // Catalyst/AQE broadcasts it automatically while it is small
     cand
-      .join(broadcast(docSh.select(col("doc_id").as("d1"), col("sh").as("sh1"))), "d1")
-      .join(broadcast(docSh.select(col("doc_id").as("d2"), col("sh").as("sh2"))), "d2")
+      .join(docSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(docSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", round(col("inter").cast("double")
         / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))

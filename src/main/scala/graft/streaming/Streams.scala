@@ -79,7 +79,10 @@ object Streams {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.last <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.value + e.value))
+              // out-of-order (non-late) events may precede the session
+              // start — extend both bounds, not just the end
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                s.n + 1, s.value + e.value))
             case Some(s) =>
               closed :+= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.value)
               cur = Some(SessionState(t, t, 1, e.value))

@@ -106,12 +106,13 @@ class IncrementalSpec extends SparkTestBase {
     assert(d1.count() == 3)
   }
 
-  test("splitMissing routes NA rows to the dead-letter relation with flag -1") {
-    val df = Seq((1, Some(1.0), Some(2.0)), (2, None, Some(2.0)), (3, Some(3.0), None))
+  test("splitMissing routes NULL and NaN rows to the dead letter with flag -1") {
+    val df = Seq((1, Some(1.0), Some(2.0)), (2, None, Some(2.0)), (3, Some(3.0), None),
+        (4, Some(Double.NaN), Some(2.0))) // NaN survives a double cast — must be caught too
       .toDF("id", "x", "y")
     val (clean, bad) = Sinks.splitMissing(df, Seq("x", "y"))
     assert(clean.select("id").as[Int].collect().toSet == Set(1))
-    assert(bad.count() == 2)
+    assert(bad.count() == 3)
     assert(bad.select("flag").distinct().as[Int].head() == Sinks.FlagMissing)
   }
 }

@@ -80,6 +80,36 @@ class RotFlowSpec extends SparkTestBase {
     assert(spark.read.parquet(out.headerPath).count() == before, "replay duplicated headers")
   }
 
+  test("a glass measured twice in one chunk yields two independent fits") {
+    val rows = Seq(
+      glassRow("g1", "A", 0.5, -0.3, 120.0),
+      glassRow("g1", "A", -1.2, 0.8, -60.0).copy(_3 = "2024-01-01 08:00:00"))
+    val res = RotFlow.run(spark, rawFrame(rows), designValues)
+    val fits = res.header.collect()
+      .map(r => r.getString(r.fieldIndex("tstamp")) -> r.getDouble(r.fieldIndex("shift_x"))).toMap
+    assert(fits.size == 2, "two measurements must fit separately")
+    fits("2024-01-01 00:00:00") shouldBe 0.5 +- 1e-6
+    fits("2024-01-01 08:00:00") shouldBe -1.2 +- 1e-6
+    assert(res.detail.count() == 2 * nSites, "melt must not cross-join the two measurements")
+    // header/detail keys still pair correctly per measurement
+    val hKeys = res.header.select("tstamp", "rot_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    res.detail.select("tstamp", "rot_id").collect().foreach { r =>
+      assert(hKeys(r.getString(0)) == r.getLong(1))
+    }
+  }
+
+  test("an offset (0-based) design grid is flagged -3, not silently truncated") {
+    val dv = designValues.unionByName(
+      (0 until nSites).map { i =>
+        ("D", i, ((i % nSites) / 4) * 100.0, (i % 4) * 50.0)
+      }.toDF("product", "site_idx", "dx", "dy"))
+    val res = RotFlow.run(spark, rawFrame(Seq(glassRow("g8", "D", 0.1, 0.1, 5.0))), dv)
+    assert(res.header.isEmpty)
+    val err = res.errors.collect()
+    assert(err.length == 1 && err.head.getInt(err.head.fieldIndex("flag")) == -3)
+  }
+
   test("full flow: fits recover truth, errors route by flag, keys stay consistent") {
     val rows = Seq(
       glassRow("g1", "A", 0.5, -0.3, 120.0),
