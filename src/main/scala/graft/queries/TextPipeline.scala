@@ -182,6 +182,71 @@ object TextPipeline extends QueryModule {
       |FROM hx ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q45 — character-n-gram language ID (Cavnar–Trenkle style): per-lang
+  // trigram profiles (top 50 trigrams by corpus frequency) are built
+  // relationally from the labeled corpus, then every document is scored
+  // by Σ count(tri) · weight(rank) against each profile and classified
+  // by argmax. Pure integer arithmetic, two shuffles (profile build +
+  // doc scoring join) — the profile relation is tiny and broadcasts.
+  // On this synthetic corpus the languages share one vocabulary, so the
+  // profiles barely separate (accuracy ≈ prior of the majority class) —
+  // the operator is the point; the marker-table variant is q41.
+  private val ProfileSize = 50
+
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tris = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+    val docTri = tris.groupBy("doc_id", "tri").agg(count(lit(1)).as("cnt"))
+    val profiles = tris.groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("tri"))))
+      .filter(col("rank") <= ProfileSize)
+      .select(col("lang").as("cand_lang"), col("tri"),
+        (lit(ProfileSize + 1) - col("rank")).as("weight"))
+    val scores = docTri.join(broadcast(profiles), "tri")
+      .groupBy("doc_id", "cand_lang")
+      .agg(sum(col("cnt") * col("weight")).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
+    Tables.documents(s, dir).select("doc_id", "lang")
+      .join(scores, Seq("doc_id"), "left")
+      .na.fill("und", Seq("pred_lang"))
+      .withColumn("correct", col("pred_lang") === col("lang"))
+      .select("doc_id", "lang", "pred_lang", "correct")
+      .orderBy("doc_id")
+  }
+
+  private val q45Sql =
+    s"""WITH tris AS (
+      |  SELECT doc_id, lang, u AS tri FROM (
+      |    SELECT doc_id, lang, unnest([text[i:i+2] for i in range(1, length(text) - 1)]) AS u
+      |    FROM documents)),
+      |doctri AS (SELECT doc_id, tri, COUNT(*) AS cnt FROM tris GROUP BY doc_id, tri),
+      |profiles AS (
+      |  SELECT lang AS cand_lang, tri, ${ProfileSize + 1} - rank AS weight FROM (
+      |    SELECT lang, tri,
+      |           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tri) AS rank
+      |    FROM tris GROUP BY lang, tri)
+      |  WHERE rank <= $ProfileSize),
+      |scores AS (
+      |  SELECT doc_id, cand_lang, CAST(SUM(cnt * weight) AS BIGINT) AS score FROM doctri
+      |  JOIN profiles USING (tri) GROUP BY doc_id, cand_lang),
+      |best AS (
+      |  SELECT doc_id, cand_lang AS pred_lang, score FROM (
+      |    SELECT doc_id, cand_lang, score,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rk
+      |    FROM scores)
+      |  WHERE rk = 1)
+      |SELECT d.doc_id, d.lang, COALESCE(b.pred_lang, 'und') AS pred_lang,
+      |       COALESCE(b.pred_lang, 'und') = d.lang AS correct
+      |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q43 — video frame sampling (multimodal continued): up to 4 evenly-
   // spaced frames per video row through the stub decoder. The oracle
   // replays the md5-derived frame features, proving the typed flatMap
@@ -220,6 +285,7 @@ object TextPipeline extends QueryModule {
     "q41_langid"         -> (q41 _),
     "q42_multimodal_stub" -> (q42 _),
     "q43_frame_sample"   -> (q43 _),
+    "q45_langid_ngram"   -> (q45 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -228,5 +294,6 @@ object TextPipeline extends QueryModule {
     "q41_langid"         -> q41Sql,
     "q42_multimodal_stub" -> q42Sql,
     "q43_frame_sample"   -> q43Sql,
+    "q45_langid_ngram"   -> q45Sql,
   )
 }
