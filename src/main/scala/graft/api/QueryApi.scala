@@ -57,18 +57,25 @@ object QueryApi {
                    subquery: Boolean): DataFrame = {
     val keyed = ids.toDF("custkey")
     if (subquery) {
-      // per-call view names: fixed names would let a second call clobber
-      // the views under the first call's still-lazy plan
+      // per-call view names so concurrent callers can't interleave; the
+      // views are dropped before returning — s.sql analyzes eagerly, so
+      // the returned plan no longer needs them and leaving them would
+      // leak catalog entries for the session's lifetime
       val n = viewSeq.incrementAndGet()
       Tables.lineitem(s, dir).createOrReplaceTempView(s"api_lineitem_$n")
       Tables.orders(s, dir).createOrReplaceTempView(s"api_orders_$n")
       keyed.createOrReplaceTempView(s"api_ids_$n")
-      s.sql(
+      try s.sql(
         s"""SELECT o.o_custkey AS glass_id, l.l_orderkey AS step_id,
           |       l.l_linenumber AS site, l.l_quantity AS param_value
           |FROM api_lineitem_$n l JOIN api_orders_$n o ON l.l_orderkey = o.o_orderkey
           |WHERE o.o_custkey IN (SELECT custkey FROM api_ids_$n)
           |ORDER BY glass_id, step_id, site""".stripMargin)
+      finally {
+        s.catalog.dropTempView(s"api_lineitem_$n")
+        s.catalog.dropTempView(s"api_orders_$n")
+        s.catalog.dropTempView(s"api_ids_$n")
+      }
     } else {
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir).join(broadcast(keyed),

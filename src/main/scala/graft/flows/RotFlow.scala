@@ -50,8 +50,10 @@ object RotFlow {
     require(xCols.nonEmpty && xCols.size == yCols.size,
       s"coordinate column sets mismatched: ${xCols.size} x vs ${yCols.size} y")
     val keyCols = Seq("glassid", "product", "tstamp")
+    // try_cast mirrors R's as.numeric (junk → NA → flagged −1 below);
+    // an ANSI cast would abort the whole batch on one malformed cell
     val clean = raw.select((keyCols.map(col) ++
-      (xCols ++ yCols).map(c => col(c).cast("double").as(c))): _*)
+      (xCols ++ yCols).map(c => expr(s"try_cast(`$c` AS DOUBLE)").as(c))): _*)
 
     // 2. missing measurements → flag −1 (P12/K8)
     val (present, missingErr) = Sinks.splitMissing(clean, xCols ++ yCols)

@@ -50,8 +50,15 @@ object Sinks {
     * cast and would otherwise slip past the gate and poison the fit; the
     * flagged half routes to K8. */
   def splitMissing(df: DataFrame, measureCols: Seq[String]): (DataFrame, DataFrame) = {
+    // A column is missing if NULL, non-castable to double (reference
+    // measurements arrive as strings — "N/A" must flag, not vanish), or
+    // NaN. Each disjunct below is non-null whenever the previous ones are
+    // false, so the predicate is total — a nullable predicate would drop
+    // rows from BOTH halves under three-valued logic.
     val anyMissing = measureCols
-      .map(c => col(c).isNull || isnan(col(c).cast("double")))
+      .map(c => col(c).isNull ||
+        expr(s"try_cast(`$c` AS DOUBLE)").isNull || // ANSI-safe: plain cast throws on "N/A"
+        isnan(expr(s"try_cast(`$c` AS DOUBLE)")))
       .reduce(_ || _)
     (df.filter(!anyMissing), deadLetter(df.filter(anyMissing), FlagMissing, "missing measurement"))
   }

@@ -195,11 +195,19 @@ object TextPipeline extends QueryModule {
 
   private def q45(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tris = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), explode(expr(
+    // length >= 3 guard: Spark's sequence(1, n-2) counts DOWN for n < 3
+    // and would emit degenerate n-grams the oracle's empty range never
+    // produces. Trigrams are exploded ONCE; the per-lang profile counts
+    // derive from the per-doc counts via the small doc→lang map instead
+    // of a second full explosion.
+    val docTri = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
-    val docTri = tris.groupBy("doc_id", "tri").agg(count(lit(1)).as("cnt"))
-    val profiles = tris.groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("cnt"))
+    val docLang = Tables.documents(s, dir).select("doc_id", "lang")
+    val profiles = docTri.join(broadcast(docLang), "doc_id")
+      .groupBy("lang", "tri").agg(sum(col("cnt")).as("n"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("lang").orderBy(col("n").desc, col("tri"))))
       .filter(col("rank") <= ProfileSize)
@@ -224,7 +232,7 @@ object TextPipeline extends QueryModule {
     s"""WITH tris AS (
       |  SELECT doc_id, lang, u AS tri FROM (
       |    SELECT doc_id, lang, unnest([text[i:i+2] for i in range(1, length(text) - 1)]) AS u
-      |    FROM documents)),
+      |    FROM documents WHERE length(text) >= 3)),
       |doctri AS (SELECT doc_id, tri, COUNT(*) AS cnt FROM tris GROUP BY doc_id, tri),
       |profiles AS (
       |  SELECT lang AS cand_lang, tri, ${ProfileSize + 1} - rank AS weight FROM (

@@ -78,11 +78,17 @@ object Streams {
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.last <= gapMs =>
+            case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
               // out-of-order (non-late) events may precede the session
-              // start — extend both bounds, not just the end
+              // start — extend both bounds, not just the end; the lower
+              // bound keeps an event more than a gap BEFORE the session
+              // from being absorbed (batch semantics split there)
               cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
                 s.n + 1, s.value + e.value))
+            case Some(s) if t < s.start - gapMs =>
+              // earlier than the open session by more than a gap: it is
+              // its own (already-closed) session, the open one stands
+              closed :+= Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
             case Some(s) =>
               closed :+= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.value)
               cur = Some(SessionState(t, t, 1, e.value))

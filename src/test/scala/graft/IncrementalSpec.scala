@@ -114,5 +114,13 @@ class IncrementalSpec extends SparkTestBase {
     assert(clean.select("id").as[Int].collect().toSet == Set(1))
     assert(bad.count() == 3)
     assert(bad.select("flag").distinct().as[Int].head() == Sinks.FlagMissing)
+
+    // string measurements (the reference's arrival type): non-numeric
+    // text must flag as missing, not vanish under three-valued logic
+    val sdf = Seq((1, "1.5"), (2, "N/A"), (3, null)).toDF("id", "x")
+    val (sClean, sBad) = Sinks.splitMissing(sdf, Seq("x"))
+    assert(sClean.select("id").as[Int].collect().toSeq == Seq(1))
+    assert(sBad.select("id").as[Int].collect().toSet == Set(2, 3))
+    assert(sClean.count() + sBad.count() == sdf.count(), "split must partition the input")
   }
 }
