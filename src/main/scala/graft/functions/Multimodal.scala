@@ -26,8 +26,28 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, media_type: String,
                            width: Int, height: Int, n_frames: Int, fingerprint: String)
 
-  private def md5hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
+  // One MessageDigest per executor thread (i.e. per running task), reused
+  // across every row of the partition — `getInstance` does a provider
+  // lookup + allocation and must not run per row; `reset()` is O(1).
+  // Hex via a char table: no per-byte format-string boxing.
+  private val digestLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5hex(bytes: Array[Byte]): String = {
+    val md = digestLocal.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   private def hexPair(h: String, i: Int): Int =
     Integer.parseInt(h.substring(i, i + 2), 16)

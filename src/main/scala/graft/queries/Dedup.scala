@@ -13,14 +13,20 @@ import graft.{QueryModule, Tables}
   *
   * Scale stance:
   *  - NOTHING here is all-pairs over the corpus. Candidate generation is
-  *    always an equi-join on a derived key (text hash, shared shingle,
+  *    always an equi-join on a derived key (text hash, prefix shingle,
   *    LSH band, SimHash band) — Spark shuffles on that key and each bucket
-  *    is small; exact Jaccard is computed only for candidates.
-  *  - The shingle→pair join (q32) is the textbook approach whose hot keys
-  *    (stopword shingles) explode quadratically at corpus scale; it is
-  *    kept as the exact baseline, and q33's banded MinHash-LSH is the
-  *    production path: O(docs × bands) join keys, candidate count
-  *    proportional to true near-dup count, tunable via (hashes, bands).
+  *    is bounded; exact Jaccard is computed only for candidates.
+  *  - The exact baseline (q32) uses AllPairs/PPJoin-style PREFIX FILTERING
+  *    (Bayardo et al. WWW'07, Xiao et al. WWW'08): only each document's
+  *    rarest ⌊(1−t)·n⌋+1 shingles enter the candidate join. Exact — zero
+  *    recall loss at the threshold — while hot stopword shingles never
+  *    reach the join unless they are somebody's prefix.
+  *  - Every LSH bucket is CAPPED at [[BucketCap]]: a bucket larger than
+  *    the cap means degenerate signatures (boilerplate / exact copies),
+  *    which are q31's job — exact-hash dedup runs BEFORE MinHash in the
+  *    corpus filter (q44) precisely so identical texts never reach LSH.
+  *    Without the cap, one boilerplate document at corpus scale puts all
+  *    its copies in one `collect_list` on one task and emits O(c²) pairs.
   *  - All hashing is md5 (cross-engine reproducible, so the DuckDB oracle
   *    can replay it exactly): the MinHash signature is the lexicographic
   *    MIN of md5(seed:shingle) hex strings per seed — a valid uniform
@@ -71,42 +77,69 @@ object Dedup extends QueryModule {
       |ORDER BY canonical_doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q32 — n-gram Jaccard near-dup, exact baseline: candidate pairs share
-  // at least one shingle (equi-join on shingle, never a cross join), then
-  // Jaccard = |∩| / (n1 + n2 − |∩|) ≥ 0.8. Finds the corpus's planted
-  // near-duplicate pairs. Runs on a deterministic 1/2 stratum (even
-  // doc_id): the shingle-pair join is inherently ~quadratic in docs per
-  // shingle — this is the EXACT baseline kept for verification; the
-  // full-corpus path is q33's banded LSH.
+  // q32 — n-gram Jaccard near-dup, exact over the FULL corpus via prefix
+  // filtering: sort each doc's shingles by global document frequency
+  // (rarest first, shingle as tiebreak); any pair with Jaccard ≥ t must
+  // share a shingle inside the first n − ⌈t·n⌉ + 1 of BOTH orderings
+  // (the AllPairs/PPJoin prefix lemma), so the candidate join touches
+  // only those prefixes. Hot shingles (document frequency ~corpus size)
+  // sit at the END of every ordering and never enter the join — the
+  // per-key quadratic blowup of the naive shared-shingle join is gone
+  // without sampling and without losing a single true pair. Candidates
+  // are then verified exactly with full shingle sets as array columns:
+  // candidate-proportional work, no second shingle-level join.
+  // ⌈t·n⌉ for t = 4/5 is computed as (4n+4) div 5 — pure integer
+  // arithmetic, so Spark and the oracle agree on the boundary exactly.
+  private val JaccardThreshold = 0.8
+
   private def q32(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).filter(col("doc_id") % 2 === 0).cache()
+    val sh = shingles(s, dir).cache() // feeds rank, sizes, and verification sets
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, "shingle").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "shingle")))
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sets = sh.groupBy("doc_id").agg(sort_array(collect_list("shingle")).as("set"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("set").as("s1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("set").as("s2")), "d2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("n1", size(col("s1")).cast("long"))
+      .withColumn("n2", size(col("s2")).cast("long"))
       .withColumn("jaccard", round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= JaccardThreshold)
       .select("d1", "d2", "inter", "n1", "n2", "jaccard")
       .orderBy("d1", "d2")
   }
 
   private val q32Sql =
     s"""WITH $shinglesSqlCte,
-      |sh2 AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
-      |pairs AS (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+      |ranked AS (
+      |  SELECT s.doc_id, s.shingle,
+      |         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rk, z.n
+      |  FROM sh s JOIN dfreq d ON s.shingle = d.shingle JOIN sizes z ON z.doc_id = s.doc_id),
+      |prefix AS (SELECT doc_id, shingle FROM ranked WHERE rk <= n - ((4 * n + 4) // 5) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.d1, c.d2, COUNT(*) AS inter
+      |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
       |  GROUP BY 1, 2)
-      |SELECT p.d1, p.d2, p.inter, s1.n AS n1, s2.n AS n2,
-      |       ROUND(CAST(p.inter AS DOUBLE) / (s1.n + s2.n - p.inter), 6) AS jaccard
-      |FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
-      |WHERE ROUND(CAST(p.inter AS DOUBLE) / (s1.n + s2.n - p.inter), 6) >= 0.8
-      |ORDER BY p.d1, p.d2""".stripMargin
+      |SELECT c.d1, c.d2, i.inter, s1.n AS n1, s2.n AS n2,
+      |       ROUND(CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter), 6) AS jaccard
+      |FROM cand c JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+      |JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
+      |WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter), 6) >= $JaccardThreshold
+      |ORDER BY c.d1, c.d2""".stripMargin
 
   // ---------------------------------------------------------------------
   // q33 — MinHash + banded LSH, the scale path: 16 minhashes per doc
@@ -120,9 +153,19 @@ object Dedup extends QueryModule {
   private val NumHashes = 16
   private val BandSize = 4
 
-  /** Verified near-dup pairs (d1, d2, jaccard) — q33's body, reused by
-    * the corpus filter (q44). */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Hard cap on LSH bucket size (shared with q35; mirrors
+    * Similarity.scala's cosine-LSH cap). A bucket above the cap means
+    * near-identical signatures en masse — exact duplicates or boilerplate
+    * — which the exact-hash pass (q31 / q44's prepass) must collapse
+    * first; emitting its O(c²) pairs from one task is the 100 TB
+    * scale-killer this cap exists to prevent. Legitimate near-dup
+    * buckets on this corpus max out at 5 members (sf0.1). */
+  private val BucketCap = 64
+
+  /** Verified near-dup pairs (d1, d2, jaccard) over an arbitrary
+    * (doc_id, text) relation — q33's body, reused (after exact-hash
+    * dedup) by the corpus filter q44 and the component labeling q46. */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
     // Signature: one md5 per (shingle, band) yields FOUR independent
     // 32-bit hash words (disjoint bit ranges of the digest — the
     // standard way to amortize hashing), so 16 minhashes cost 4 md5
@@ -131,7 +174,8 @@ object Dedup extends QueryModule {
     // The shingle SET also travels as an array column so exact
     // verification of a candidate pair is array_intersect on the two
     // candidate rows, not a third shingle-level join.
-    val docSh = Tables.documents(s, dir)
+    val s = docs.sparkSession
+    val docSh = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
       .withColumn("sh", expr(
@@ -152,12 +196,13 @@ object Dedup extends QueryModule {
         md5(concat_ws("|", col("w0"), col("w1"), col("w2"), col("w3"))).as("bandkey"))
     // Bucket docs by (band, bandkey) and emit in-bucket pairs with array
     // combinatorics — the signature pipeline runs ONCE (no self-join that
-    // would recompute it per side) and the pair blowup is bounded by the
-    // bucket sizes, which banded minhash keeps tiny by construction.
+    // would recompute it per side). Buckets above BucketCap are DROPPED
+    // (q31's exact pass owns identical texts): the pair blowup is bounded
+    // by cap² per bucket, never by the count of copies of one document.
     val cand = bands
       .groupBy("band", "bandkey")
       .agg(expr("array_sort(collect_list(doc_id)) AS ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")).between(2, BucketCap))
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1), i ->
           |  transform(slice(ids, i + 1, size(ids) - i), y ->
@@ -176,11 +221,20 @@ object Dedup extends QueryModule {
       .select("d1", "d2", "jaccard")
   }
 
+  /** q33's pair set over the raw documents table. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.documents(s, dir).select("doc_id", "text"))
+
   private def q33(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy("d1", "d2")
 
-  private val q33Sql =
-    s"""WITH $shinglesSqlCte,
+  /** Shared oracle CTE chain: shingles → minhash signatures → banded keys
+    * → capped candidate pairs → exact-Jaccard verification. Mirrors
+    * [[minhashPairsOf]] over the relation named by `docsRel`; yields CTEs
+    * `cand` (d1, d2) and `verified` (d1, d2, jaccard). */
+  private def minhashSqlCtes(docsRel: String): String =
+    s"""mh_toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM $docsRel WHERE len(string_split(text, ' ')) >= 2),
+      |mh_sh AS (SELECT DISTINCT doc_id, unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS shingle FROM mh_toks),
       |grps AS (SELECT CAST(unnest(range(${NumHashes / BandSize})) AS INT) AS band),
       |sig AS (
       |  SELECT doc_id, band,
@@ -188,23 +242,31 @@ object Dedup extends QueryModule {
       |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 9, 8)) AS w1,
       |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 17, 8)) AS w2,
       |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 25, 8)) AS w3
-      |  FROM sh CROSS JOIN grps GROUP BY doc_id, band),
+      |  FROM mh_sh CROSS JOIN grps GROUP BY doc_id, band),
       |bands AS (
       |  SELECT doc_id, band, md5(w0 || '|' || w1 || '|' || w2 || '|' || w3) AS bandkey
       |  FROM sig),
+      |bsz AS (SELECT band, bandkey, COUNT(*) AS c FROM bands GROUP BY band, bandkey),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
+      |  JOIN bsz k ON k.band = a.band AND k.bandkey = a.bandkey
+      |  WHERE k.c <= $BucketCap),
+      |mh_sizes AS (SELECT doc_id, COUNT(*) AS n FROM mh_sh GROUP BY doc_id),
+      |mh_inter AS (
       |  SELECT c.d1, c.d2, COUNT(*) AS inter
-      |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
-      |  GROUP BY c.d1, c.d2)
-      |SELECT c.d1, c.d2,
-      |       ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE) / (s1.n + s2.n - COALESCE(i.inter, 0)), 6) AS jaccard
-      |FROM cand c LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
-      |JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
-      |ORDER BY c.d1, c.d2""".stripMargin
+      |  FROM cand c JOIN mh_sh a ON a.doc_id = c.d1 JOIN mh_sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
+      |  GROUP BY c.d1, c.d2),
+      |verified AS (
+      |  SELECT c.d1, c.d2,
+      |         ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE) / (s1.n + s2.n - COALESCE(i.inter, 0)), 6) AS jaccard
+      |  FROM cand c LEFT JOIN mh_inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+      |  JOIN mh_sizes s1 ON c.d1 = s1.doc_id JOIN mh_sizes s2 ON c.d2 = s2.doc_id)""".stripMargin
+
+  private val q33Sql =
+    s"""WITH ${minhashSqlCtes("documents")}
+      |SELECT d1, d2, jaccard FROM verified
+      |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------------
   // q34 — SimHash document fingerprints: 32-bit signature from
@@ -216,7 +278,7 @@ object Dedup extends QueryModule {
   // positions with a broadcast join — flat codegen'd expressions, no
   // interpreted higher-order functions in the hot path.
   /** Unsorted simhash frame shared by q34 (adds the output sort) and q35
-    * (bands + self-join). */
+    * (bands + in-bucket pairs). */
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
     val tc = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -250,9 +312,11 @@ object Dedup extends QueryModule {
       |FROM sgns GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q35 — SimHash near-dup candidates: band the 32 bits into 4 bytes,
-  // join on (band, nibble) — again an equi-join, no all-pairs — and keep
-  // pairs within Hamming distance 1 (computed per candidate pair only).
+  // q35 — SimHash near-dup candidates: band the 32 bits into 2×16-bit
+  // halves, bucket on (band, half) — again an equi-join, no all-pairs —
+  // and keep pairs within Hamming distance 1 (computed per candidate
+  // pair only). Buckets are capped like q33's: a >cap bucket means
+  // signature-identical boilerplate, which exact dedup owns.
   private def q35(s: SparkSession, dir: String): DataFrame = {
     // 2 bands of 16 bits: by pigeonhole, any pair within Hamming distance
     // 1 has at least one identical half — full recall with far fewer
@@ -266,7 +330,7 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
       .groupBy("band", "bk")
       .agg(expr("array_sort(collect_list(struct(doc_id, simhash))) AS mem"))
-      .filter(size(col("mem")) >= 2)
+      .filter(size(col("mem")).between(2, BucketCap))
     buckets
       .select(explode(expr(
         """flatten(transform(sequence(1, size(mem) - 1), i ->
@@ -297,9 +361,12 @@ object Dedup extends QueryModule {
       |bands AS (
       |  SELECT doc_id, simhash, b AS band, substring(simhash, b * 16 + 1, 16) AS bk
       |  FROM sh CROSS JOIN (SELECT unnest(range(2)) AS b)),
+      |bsz AS (SELECT band, bk, COUNT(*) AS c FROM bands GROUP BY band, bk),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      |  JOIN bsz k ON k.band = a.band AND k.bk = a.bk
+      |  WHERE k.c <= $BucketCap)
       |SELECT d1, d2,
       |       len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 33)], x -> x)) AS hamming
       |FROM cand
@@ -307,14 +374,94 @@ object Dedup extends QueryModule {
       |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Connected components over the near-dup pair graph — transitive
+  // canonicalization: a chain A~B~C (without A~C) is ONE duplicate group
+  // and keeps exactly one canonical (min doc_id), where pairwise victim
+  // dropping could let interior members survive.
+  /** Iterative min-label propagation: each node's label converges to the
+    * smallest doc_id reachable from it. O(diameter) rounds, each one
+    * equi-join + partial-aggregated groupBy — near-dup components are
+    * shallow (planted groups are near-cliques), so this terminates in a
+    * handful of rounds; the production-scale upgrade (large-star/
+    * small-star, Kiveris et al.) keeps the same per-round plan shape.
+    * Returns (doc_id, root) for every node that appears in `pairs`. */
+  def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("root", col("doc_id")).cache()
+    var converged = labels.isEmpty
+    var iter = 0
+    while (!converged && iter < 50) {
+      val viaNbr = edges
+        .join(labels.select(col("doc_id").as("src"), col("root").as("nroot")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("nroot")).as("nbr_root"))
+      val next = labels.join(viaNbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("root"), coalesce(col("nbr_root"), col("root"))).as("root"))
+        .cache()
+      val nChanged = next.as("n").join(labels.as("p"), "doc_id")
+        .filter(col("n.root") =!= col("p.root")).count()
+      labels.unpersist()
+      labels = next
+      converged = nChanged == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Oracle twin of [[components]]: transitive closure by recursive CTE
+    * (reach = every (node, reachable id)), component id = MIN reachable.
+    * Requires the surrounding WITH to be declared RECURSIVE. Expects a
+    * CTE named `dup_edges` (src, dst, symmetric) in scope. */
+  private val componentsSqlCtes =
+    """reach(node, r) AS (
+      |  SELECT DISTINCT src, src FROM dup_edges
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN dup_edges e ON e.src = reach.node),
+      |comp AS (SELECT node AS doc_id, MIN(r) AS root FROM reach GROUP BY node)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q46 — transitive near-dup group labeling over the corpus: q33's
+  // verified pairs at the dup threshold, grouped into connected
+  // components; one row per grouped document with its canonical id and
+  // group size. The relational surface of "which documents are the same
+  // underlying text, transitively".
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("d1", "d2")
+    val comp = components(pairs)
+    val sizes = comp.groupBy("root").agg(count(lit(1)).as("component_size"))
+    comp.join(sizes, "root")
+      .select(col("doc_id"), col("root").as("canonical_doc_id"), col("component_size"))
+      .orderBy("doc_id")
+  }
+
+  private val q46Sql =
+    s"""WITH RECURSIVE ${minhashSqlCtes("documents")},
+      |dup_edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM verified WHERE jaccard >= $JaccardThreshold
+      |  UNION
+      |  SELECT d2, d1 FROM verified WHERE jaccard >= $JaccardThreshold),
+      |$componentsSqlCtes,
+      |csz AS (SELECT root, COUNT(*) AS component_size FROM comp GROUP BY root)
+      |SELECT c.doc_id, c.root AS canonical_doc_id, z.component_size
+      |FROM comp c JOIN csz z ON z.root = c.root
+      |ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q44 — the corpus filter, the END ARTIFACT of the training-data
-  // pipeline: compose quality scoring (q30's heuristics) with near-dup
-  // removal (q33's verified MinHash pairs) into a keep/drop decision per
-  // document with a reason code. Near-dup groups keep their lowest
-  // doc_id (the canonical); quality is gated first, so a low-quality
-  // canonical doesn't shield its duplicates. One narrow scoring pass +
-  // the banded-LSH candidate join — the same plan shape a 100 TB corpus
-  // sweep runs.
+  // pipeline: compose quality scoring (q30's heuristics), EXACT dedup
+  // (q31's hash key — so identical texts are collapsed BEFORE any LSH
+  // and can never form mega-buckets), and transitive near-dup removal
+  // (q33's verified pairs grouped by connected components, one canonical
+  // kept per group) into a keep/drop decision per document with a reason
+  // code. One narrow scoring pass + one hash groupBy + the banded-LSH
+  // candidate join — the same plan shape a 100 TB corpus sweep runs.
   private val QualityFloor = 0.5
   private val DupThreshold = 0.8
 
@@ -327,45 +474,45 @@ object Dedup extends QueryModule {
         round((lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
           * least(lit(1.0), col("n_tokens").cast("double") / 50.0), 6))
       .select("doc_id", "quality")
-    val dupVictims = minhashPairs(s, dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    // exact-hash prepass (q31's key): canonical = min doc_id per text
+    // hash; only canonicals reach MinHash, so exact copies cannot
+    // saturate an LSH bucket. All rows of a hash group hold the same
+    // text, so `first` is deterministic here.
+    val canon = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select("doc_id", "text")
+    val exactVictims = docs.select("doc_id")
+      .join(canon.select("doc_id"), Seq("doc_id"), "left_anti")
+    val pairs = minhashPairsOf(canon)
       .filter(col("jaccard") >= DupThreshold)
-      .select(col("d2").as("doc_id")) // keep the lowest id of each pair
-      .distinct()
+      .select("d1", "d2")
+    val nearVictims = components(pairs)
+      .filter(col("doc_id") =!= col("root"))
+      .select("doc_id")
     quality
-      .join(dupVictims.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .join(exactVictims.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearVictims.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
       .withColumn("reason",
         when(col("quality") < QualityFloor, "low_quality")
+          .when(col("is_exact"), "exact_dup")
           .when(col("is_dup"), "near_dup"))
       .select(col("doc_id"), col("quality"), col("reason").isNull.as("keep"), col("reason"))
       .orderBy("doc_id")
   }
 
   private val q44Sql =
-    s"""WITH $shinglesSqlCte,
-      |grps AS (SELECT CAST(unnest(range(${NumHashes / BandSize})) AS INT) AS band),
-      |sig AS (
-      |  SELECT doc_id, band,
-      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 1, 8)) AS w0,
-      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 9, 8)) AS w1,
-      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 17, 8)) AS w2,
-      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 25, 8)) AS w3
-      |  FROM sh CROSS JOIN grps GROUP BY doc_id, band),
-      |bands AS (
-      |  SELECT doc_id, band, md5(w0 || '|' || w1 || '|' || w2 || '|' || w3) AS bandkey
-      |  FROM sig),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT c.d1, c.d2, COUNT(*) AS inter
-      |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
-      |  GROUP BY c.d1, c.d2),
-      |victims AS (
-      |  SELECT DISTINCT c.d2 AS doc_id
-      |  FROM cand c LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
-      |  JOIN sizes s1 ON c.d1 = s1.doc_id JOIN sizes s2 ON c.d2 = s2.doc_id
-      |  WHERE ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE) / (s1.n + s2.n - COALESCE(i.inter, 0)), 6) >= $DupThreshold),
+    s"""WITH RECURSIVE canon AS (
+      |  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents GROUP BY md5(text)),
+      |${minhashSqlCtes("canon")},
+      |dup_edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM verified WHERE jaccard >= $DupThreshold
+      |  UNION
+      |  SELECT d2, d1 FROM verified WHERE jaccard >= $DupThreshold),
+      |$componentsSqlCtes,
+      |near_victims AS (SELECT doc_id FROM comp WHERE doc_id != root),
+      |exact_victims AS (
+      |  SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM canon)),
       |quality AS (
       |  SELECT doc_id,
       |         ROUND((1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'is'))) AS DOUBLE)
@@ -374,27 +521,33 @@ object Dedup extends QueryModule {
       |  FROM documents)
       |SELECT q.doc_id, q.quality,
       |       (CASE WHEN q.quality < $QualityFloor THEN 'low_quality'
+      |             WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
       |             WHEN v.doc_id IS NOT NULL THEN 'near_dup' END) IS NULL AS keep,
       |       CASE WHEN q.quality < $QualityFloor THEN 'low_quality'
+      |            WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
       |            WHEN v.doc_id IS NOT NULL THEN 'near_dup' END AS reason
-      |FROM quality q LEFT JOIN victims v ON q.doc_id = v.doc_id
+      |FROM quality q
+      |LEFT JOIN exact_victims e ON q.doc_id = e.doc_id
+      |LEFT JOIN near_victims v ON q.doc_id = v.doc_id
       |ORDER BY q.doc_id""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q31_exact_dedup"    -> (q31 _),
-    "q32_ngram_jaccard"  -> (q32 _),
-    "q33_minhash_lsh"    -> (q33 _),
-    "q34_simhash"        -> (q34 _),
-    "q35_simhash_pairs"  -> (q35 _),
-    "q44_corpus_filter"  -> (q44 _),
+    "q31_exact_dedup"        -> (q31 _),
+    "q32_ngram_jaccard"      -> (q32 _),
+    "q33_minhash_lsh"        -> (q33 _),
+    "q34_simhash"            -> (q34 _),
+    "q35_simhash_pairs"      -> (q35 _),
+    "q44_corpus_filter"      -> (q44 _),
+    "q46_neardup_components" -> (q46 _),
   )
 
   override val oracle: Map[String, String] = Map(
-    "q31_exact_dedup"    -> q31Sql,
-    "q32_ngram_jaccard"  -> q32Sql,
-    "q33_minhash_lsh"    -> q33Sql,
-    "q34_simhash"        -> q34Sql,
-    "q35_simhash_pairs"  -> q35Sql,
-    "q44_corpus_filter"  -> q44Sql,
+    "q31_exact_dedup"        -> q31Sql,
+    "q32_ngram_jaccard"      -> q32Sql,
+    "q33_minhash_lsh"        -> q33Sql,
+    "q34_simhash"            -> q34Sql,
+    "q35_simhash_pairs"      -> q35Sql,
+    "q44_corpus_filter"      -> q44Sql,
+    "q46_neardup_components" -> q46Sql,
   )
 }

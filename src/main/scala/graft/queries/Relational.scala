@@ -230,9 +230,24 @@ object Relational extends QueryModule {
     val li = Tables.lineitem(s, dir)
     val xs = li.select(col("l_linenumber").as("x")).distinct()
     val ys = li.select(col("l_returnflag").as("y")).distinct()
-    import org.apache.spark.sql.expressions.Window
-    xs.crossJoin(ys)
-      .withColumn("item_id", row_number().over(Window.orderBy("x", "y")))
+    // item_id without any global window (an unpartitioned row_number
+    // serializes the grid onto one task): rank each axis by a count-based
+    // self-join over the DISTINCT axis values — tiny relations, broadcast
+    // by Catalyst — then item_id = (rank_x − 1)·|y| + rank_y. Equivalent
+    // to ROW_NUMBER() OVER (ORDER BY x, y) on the full grid, but every
+    // step is a broadcast join: nothing funnels to a single partition.
+    val rankX = xs.as("a")
+      .join(xs.as("b"), col("b.x") < col("a.x"), "left")
+      .groupBy(col("a.x").as("x"))
+      .agg((count(col("b.x")) + 1).cast("int").as("rank_x"))
+    val rankY = ys.as("a")
+      .join(ys.as("b"), col("b.y") < col("a.y"), "left")
+      .groupBy(col("a.y").as("y"))
+      .agg((count(col("b.y")) + 1).cast("int").as("rank_y"))
+    val nY = ys.agg(count(lit(1)).cast("int").as("n_y"))
+    rankX.crossJoin(rankY).crossJoin(nY)
+      .withColumn("item_id", (col("rank_x") - 1) * col("n_y") + col("rank_y"))
+      .select("x", "y", "item_id")
       .orderBy("item_id")
   }
 

@@ -82,6 +82,46 @@ class PipelineSpec extends SparkTestBase {
       s"recall ${lsh.size}/${exact.size} below floor")
   }
 
+  test("LSH bucket cap: 1000 planted identical docs yield no mega-bucket pairs") {
+    import spark.implicits._
+    val planted = (1L to 1000L).map(i =>
+      (i, "the same boilerplate text repeated verbatim across the whole corpus over and over"))
+    val normal = Seq(
+      (2001L, "alpha beta gamma delta epsilon zeta iota kappa"),
+      (2002L, "alpha beta gamma delta epsilon zeta iota lambda"),
+      (2003L, "omicron rho sigma tau upsilon phi chi psi"))
+    val docs = (planted ++ normal).toDF("doc_id", "text")
+    // Identical texts agree on EVERY band key → one 1000-member bucket
+    // per band, all above BucketCap → dropped, so the observable pair
+    // set contains NO pair of planted ids (exact duplicates are q31's
+    // job) and the candidate explosion (4 × C(1000,2) ≈ 2M pairs
+    // uncapped) never materializes.
+    val pairs = Dedup.minhashPairsOf(docs).collect()
+    assert(!pairs.exists(r => r.getLong(0) <= 1000L && r.getLong(1) <= 1000L),
+      "a planted-duplicate pair leaked through the bucket cap")
+    assert(pairs.length <= 4, s"unexpected candidate blowup: ${pairs.length}")
+    // q44's composition: the exact-hash prepass collapses the planted
+    // group to one canonical BEFORE LSH, so near-dup detection still
+    // sees (one copy of) the boilerplate text.
+    val canon = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select("doc_id", "text")
+    assert(canon.count() == 4)
+    val canonPairs = Dedup.minhashPairsOf(canon).collect()
+    assert(canonPairs.forall(r => r.getLong(0) >= 1L))
+  }
+
+  test("connected components: transitive min-id labeling over pair chains") {
+    import spark.implicits._
+    // chain 1-2-3 (no 1-3 edge), pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("d1", "d2")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("multimodal stub features are pure functions of the payload") {
     import spark.implicits._
     val a = graft.functions.Multimodal.decode(
