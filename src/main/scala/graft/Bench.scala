@@ -33,22 +33,34 @@ object Bench {
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache() // drop prior queries' cached relations
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0 // sentinel: a broken query must not look fast
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
+    val failed = results.filter(_._2 < 0).map(_._1)
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},"failed":${failed.size}}"""
     println(line)
-    // Robust copy for the driver in case stdout is swallowed by sbt logging.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_last.json"), line)
-    catch { case _: Throwable => }
+    // Robust copy for the driver in case stdout is swallowed by sbt
+    // logging — next to the build the bench ran from (overridable).
+    val copyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File("bench_last.json").getAbsolutePath)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(copyPath), line)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $copyPath: ${e.getMessage}")
+    }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

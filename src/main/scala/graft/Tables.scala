@@ -30,8 +30,13 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects; read it as a long and truncate to microseconds (`div`, not
     * `/`: ns-since-epoch exceeds 2^53 so double division would corrupt).
-    * DuckDB keeps nanoseconds — equality holds for everything coarser than
-    * 1 us, which is all the engine ever compares. */
+    * The DuckDB oracle reads the same parquet and ALSO floor-truncates
+    * ns→µs (its TIMESTAMP is µs; verified on the shared testdata, which
+    * does carry sub-µs components: …778549829 ns reads back as 778549 µs
+    * on both engines) — so interval boundaries agree exactly by
+    * construction, not by luck of the data. The matching floor (`div`,
+    * never rounding) is pinned by IncrementalSpec "events truncation is
+    * floor to microseconds". */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")

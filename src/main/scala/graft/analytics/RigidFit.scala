@@ -28,6 +28,12 @@ object RigidFit {
   case class Site(glass: Long, x: Double, y: Double, dx: Double, dy: Double)
   case class Fit(glass: Long, nSites: Int, shiftX: Double, shiftY: Double, thetaUrad: Double)
 
+  /** Outcome of a checked fit: `ok = false` carries the failure reason
+    * (reference flag −4 taxonomy, R/tlcd_nikonrot.R:263-272 — optim
+    * failures are inserted into the error table, never silently kept). */
+  case class FitAttempt(glass: Long, nSites: Int, shiftX: Double, shiftY: Double,
+                        thetaUrad: Double, ok: Boolean, error: String)
+
   /** The reference's objective (R/basic_fun.R:25-33), t in microradians. */
   def objective(xs: Array[Double], ys: Array[Double],
                 dxs: Array[Double], dys: Array[Double])(p: DenseVector[Double]): Double = {
@@ -52,7 +58,41 @@ object RigidFit {
     * rescaled variable v = t·S with S = sqrt(Σ(dx²+dy²)/n) (same objective,
     * same minimum, condition number ~1) and convert back to θ at the end. */
   def fitOne(glass: Long, sites: Iterator[Site]): Fit = {
+    val a = fitOneChecked(glass, sites)
+    require(a.ok, s"fit failed for glass $glass: ${a.error}")
+    Fit(a.glass, a.nSites, a.shiftX, a.shiftY, a.thetaUrad)
+  }
+
+  /** Checked fit: degenerate or non-convergent input yields
+    * `FitAttempt(ok = false, error = reason)` instead of garbage params —
+    * the caller routes those to the flag −4 dead letter (K8). Failure
+    * classes, mirroring what makes the reference's `optim` call error:
+    *  - non-finite measurement/design coordinates (objective undefined);
+    *  - rotation-unidentifiable design (all (dx, dy) equal — the θ
+    *    column of the normal matrix collapses into the shift columns,
+    *    e.g. a degenerate all-identical design grid);
+    *  - solver abort or a non-finite solution. */
+  def fitOneChecked(glass: Long, sites: Iterator[Site]): FitAttempt = {
     val arr = sites.toArray
+    def fail(reason: String) = FitAttempt(glass, arr.length, 0.0, 0.0, 0.0, ok = false, reason)
+    if (arr.exists(p => !java.lang.Double.isFinite(p.x) || !java.lang.Double.isFinite(p.y) ||
+        !java.lang.Double.isFinite(p.dx) || !java.lang.Double.isFinite(p.dy)))
+      return fail("non-finite coordinate")
+    if (arr.forall(p => p.dx == arr.head.dx && p.dy == arr.head.dy))
+      return fail("rotation unidentifiable: all design points identical")
+    try {
+      val f = fitSolve(arr)
+      if (!java.lang.Double.isFinite(f.shiftX) || !java.lang.Double.isFinite(f.shiftY) ||
+          !java.lang.Double.isFinite(f.thetaUrad))
+        fail("solver returned non-finite parameters")
+      else FitAttempt(glass, f.nSites, f.shiftX, f.shiftY, f.thetaUrad, ok = true, "")
+    } catch {
+      case e: Exception => fail(s"solver abort: ${e.getClass.getSimpleName}")
+    }
+  }
+
+  private def fitSolve(arr: Array[Site]): Fit = {
+    val glass = arr.head.glass
     val xs = arr.map(_.x); val ys = arr.map(_.y)
     val dxs = arr.map(_.dx); val dys = arr.map(_.dy)
     val scale = {
@@ -84,10 +124,19 @@ object RigidFit {
   }
 
   /** Distributed fit: one row per glass. Input must have columns
-    * (glass, x, y, dx, dy). */
+    * (glass, x, y, dx, dy). Throws on a degenerate glass — callers that
+    * must survive bad input use [[fitChecked]] and route failures. */
   def fit(sites: Dataset[Site]): Dataset[Fit] = {
     import sites.sparkSession.implicits._
     sites.groupByKey(_.glass).mapGroups((g, it) => fitOne(g, it))
+  }
+
+  /** Distributed checked fit: one [[FitAttempt]] per glass; failures come
+    * back as rows (`ok = false`), not exceptions — one bad glass must
+    * dead-letter, not abort a 100 TB batch. */
+  def fitChecked(sites: Dataset[Site]): Dataset[FitAttempt] = {
+    import sites.sparkSession.implicits._
+    sites.groupByKey(_.glass).mapGroups((g, it) => fitOneChecked(g, it))
   }
 
   /** DataFrame adapter over the embeddings testdata layout used by the

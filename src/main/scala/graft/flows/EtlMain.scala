@@ -22,21 +22,34 @@ object EtlMain {
 
   case class ToolSource(toolid: String, raw: DataFrame, sinkColumns: Seq[String], sinkPath: String)
 
-  /** @return (index chunks run, per-tool chunks run) */
+  /** Per-tool outcome: chunks replicated, or the failure that stopped
+    * this tool (other tools keep running — their state is disjoint). */
+  case class ToolResult(chunks: Int, failure: Option[String]) {
+    def ok: Boolean = failure.isEmpty
+  }
+
+  /** @return (index chunks run, per-tool results). A tool whose
+    * replication aborts (e.g. a schema-reconcile refusal: the sink has
+    * columns the source lost, T1) is recorded as failed and does NOT
+    * stop later tools — the reference's per-tool isolation holds for
+    * every tool, not just the ones sorted before the failure. A failed
+    * tool's watermark is untouched, so the next run retries it. */
   def etl(spark: SparkSession,
           index: DataFrame, indexSinkPath: String,
           tools: Seq[ToolSource],
           wm: Watermarks, apname: String, indexToolid: String,
-          now: Timestamp): (Int, Map[String, Int]) = {
+          now: Timestamp): (Int, Map[String, ToolResult]) = {
     // §3.1 step 3: index table replication (dbtransfer)
     val n = IncrementalRunner.replicate(spark, index, "tstamp", indexSinkPath,
       wm, apname, indexToolid, now)
     // §3.1 step 4: per-tool replication with schema reconciliation
     val perTool = tools.sortBy(_.toolid).map { t => // sorted loop, reference nikon_ETL.py:385
-      val chunks = IncrementalRunner.replicate(spark, t.raw, "tstamp", t.sinkPath,
-        wm, apname, t.toolid, now,
-        transform = df => SchemaReconcile.reconcile(df, t.sinkColumns))
-      t.toolid -> chunks
+      val result =
+        try ToolResult(IncrementalRunner.replicate(spark, t.raw, "tstamp", t.sinkPath,
+          wm, apname, t.toolid, now,
+          transform = df => SchemaReconcile.reconcile(df, t.sinkColumns)), None)
+        catch { case e: Exception => ToolResult(0, Some(e.getMessage)) }
+      t.toolid -> result
     }.toMap
     (n, perTool)
   }

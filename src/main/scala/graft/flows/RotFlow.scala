@@ -96,12 +96,23 @@ object RotFlow {
     // xxhash64 over the full (glassid, tstamp) identity: 32-bit hashing
     // would collide with ~50% odds at ~77k keys (birthday bound) and
     // silently merge two fits; 64 bits pushes that past 5e9.
+    // The CHECKED fit returns failures as rows: a degenerate glass
+    // (identical design points, non-finite cell, solver abort) routes
+    // to flag −4 (reference R/tlcd_nikonrot.R:263-272) instead of
+    // poisoning the header with garbage params or aborting the batch.
     val typed = sites.select(
         xxhash64(col("glassid"), col("tstamp")).as("glass"),
         col("glassid"), col("product"), col("tstamp"), col("site_idx"),
         col("x"), col("y"), col("dx"), col("dy"))
-    val fits = RigidFit.fit(typed.select("glass", "x", "y", "dx", "dy").as[RigidFit.Site]).toDF()
+    val attempts = RigidFit.fitChecked(
+        typed.select("glass", "x", "y", "dx", "dy").as[RigidFit.Site]).toDF()
       .join(typed.select("glass", "glassid", "product", "tstamp").distinct(), "glass")
+      .cache() // split into fits + failures below — compute the fit once
+    val fits = attempts.filter(col("ok"))
+    val fitErr = attempts.filter(!col("ok"))
+      .select(col("glassid"), col("product"), col("tstamp"),
+        concat(lit("fit error: "), col("error")).as("description"))
+      .withColumn("flag", lit(Sinks.FlagFitError))
 
     // 7. apply the transform (R7): x' = x + sx − dy·tan(θ·1e-6)
     val detailLong = typed.join(fits.select("glass", "shiftX", "shiftY", "thetaUrad"), "glass")
@@ -119,6 +130,7 @@ object RotFlow {
     val errors = missingErr.select(col("glassid"), col("product"), col("flag"), col("description"))
       .unionByName(noDvErr.select(col("glassid"), col("product"), col("flag"), col("description")))
       .unionByName(badGridErr.select(col("glassid"), col("product"), col("flag"), col("description")))
+      .unionByName(fitErr.select(col("glassid"), col("product"), col("flag"), col("description")))
     RotResult(h, d, errors)
   }
 }

@@ -93,19 +93,49 @@ object Dedup extends QueryModule {
   private val JaccardThreshold = 0.8
 
   private def q32(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache() // feeds rank, sizes, and verification sets
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val prefix = sh.join(dfreq, "shingle").join(sizes, "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy("df", "shingle")))
-      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-      .select("doc_id", "shingle")
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // Shingles are TOKENIZED to int64 (top 60 bits of md5 — DuckDB
+    // computes the identical value via CAST('0x'||hex AS BIGINT), so the
+    // oracle replays every step bit-exactly): the similarity is Jaccard
+    // over hashed-shingle sets, integer comparisons throughout — the
+    // rank ordering (df, tok) is numeric (no collation dependence) and
+    // the verification intersects long arrays, not strings.
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")
+      ).as("shingle"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("tok"))
       .distinct()
-    val sets = sh.groupBy("doc_id").agg(sort_array(collect_list("shingle")).as("set"))
+      .cache() // feeds rank, sizes, and verification sets
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    // n via a count window over the SAME doc_id partitioning as the rank
+    // — one shuffle serves both (a separate sizes join would add one)
+    val prefix = tok.join(dfreq, "tok")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "tok")))
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select("doc_id", "tok", "rk", "n")
+      .cache() // self-joined below — without this the rank pipeline runs twice
+    // Positional filter (PPJoin): the FIRST shared prefix token at ranks
+    // (i, j) bounds the overlap by min(n1−i, n2−j)+1 (every shared token
+    // sorts at-or-after it on both sides); J ≥ t needs overlap ≥
+    // ⌈t/(1+t)·(n1+n2)⌉ = (4(n1+n2)+8) div 9 for t = 4/5. MAX(ub) keeps
+    // exactly the first-match bound, cutting candidates ~7× before the
+    // exact verification.
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")).as("ub0"),
+        col("a.n").as("an"), col("b.n").as("bn"))
+      .withColumn("alpha", expr("((an + bn) * 4 + 8) div 9")) // integer div: must match the oracle's // exactly
+      .groupBy("d1", "d2")
+      .agg((max(col("ub0")) + 1).as("ub"), max(col("alpha")).as("alpha"))
+      .filter(col("ub") >= col("alpha"))
+      .select("d1", "d2")
+    val sets = tok.groupBy("doc_id").agg(sort_array(collect_list("tok")).as("set"))
     cand
       .join(sets.select(col("doc_id").as("d1"), col("set").as("s1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("set").as("s2")), "d2")
@@ -119,20 +149,24 @@ object Dedup extends QueryModule {
   }
 
   private val q32Sql =
-    s"""WITH $shinglesSqlCte,
-      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |shing AS (SELECT DISTINCT doc_id, unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS shingle FROM toks),
+      |tok AS (SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS tok FROM shing),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
       |ranked AS (
-      |  SELECT s.doc_id, s.shingle,
-      |         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rk, z.n
-      |  FROM sh s JOIN dfreq d ON s.shingle = d.shingle JOIN sizes z ON z.doc_id = s.doc_id),
-      |prefix AS (SELECT doc_id, shingle FROM ranked WHERE rk <= n - ((4 * n + 4) // 5) + 1),
+      |  SELECT s.doc_id, s.tok,
+      |         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.tok) AS rk, z.n
+      |  FROM tok s JOIN dfreq d ON s.tok = d.tok JOIN sizes z ON z.doc_id = s.doc_id),
+      |prefix AS (SELECT doc_id, tok, rk, n FROM ranked WHERE rk <= n - ((4 * n + 4) // 5) + 1),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING MAX(LEAST(a.n - a.rk, b.n - b.rk)) + 1 >= MAX(((a.n + b.n) * 4 + 8) // 9)),
       |inter AS (
       |  SELECT c.d1, c.d2, COUNT(*) AS inter
-      |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
+      |  FROM cand c JOIN tok a ON a.doc_id = c.d1 JOIN tok b ON b.doc_id = c.d2 AND a.tok = b.tok
       |  GROUP BY 1, 2)
       |SELECT c.d1, c.d2, i.inter, s1.n AS n1, s2.n AS n2,
       |       ROUND(CAST(i.inter AS DOUBLE) / (s1.n + s2.n - i.inter), 6) AS jaccard

@@ -72,35 +72,36 @@ object Streams {
         state.remove()
         Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.value))
       } else {
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
-        var closed = Vector.empty[Session]
-        var cur = state.getOption
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
-              // out-of-order (non-late) events may precede the session
-              // start — extend both bounds, not just the end; the lower
-              // bound keeps an event more than a gap BEFORE the session
-              // from being absorbed (batch semantics split there)
-              cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
-                s.n + 1, s.value + e.value))
-            case Some(s) if t < s.start - gapMs =>
-              // earlier than the open session by more than a gap: it is
-              // its own (already-closed) session, the open one stands
-              closed :+= Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
-            case Some(s) =>
-              closed :+= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.value)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
+        // Fold the open session (if any) and the batch's events into one
+        // time-ordered interval list, then run the SAME gap-merge the
+        // batch q25 sessionization applies. This keeps out-of-order
+        // (non-late) events correct in every arrangement: events more
+        // than a gap BEFORE the open session merge with EACH OTHER when
+        // they belong to one session (not one singleton each), and still
+        // split from the open session across the gap.
+        case class Span(start: Long, last: Long, n: Int, value: Double)
+        val items = (state.getOption.map(s => Span(s.start, s.last, s.n, s.value)).toSeq ++
+          rows.map(e => Span(e.ts.getTime, e.ts.getTime, 1, e.value)))
+          .sortBy(i => (i.start, i.last))
+        if (items.isEmpty) Iterator.empty
+        else {
+          var merged = Vector.empty[Span]
+          items.foreach { it =>
+            merged.lastOption match {
+              case Some(m) if it.start - m.last <= gapMs =>
+                merged = merged.init :+ Span(m.start, math.max(m.last, it.last),
+                  m.n + it.n, m.value + it.value)
+              case _ => merged :+= it
+            }
           }
+          // the latest span stays open (its gap hasn't elapsed yet);
+          // every earlier span is separated from it by > gap and closes
+          val open = merged.last
+          state.update(SessionState(open.start, open.last, open.n, open.value))
+          state.setTimeoutTimestamp(open.last + gapMs)
+          merged.init.map(m =>
+            Session(userId, new Timestamp(m.start), new Timestamp(m.last), m.n, m.value)).iterator
         }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
-        }
-        closed.iterator
       }
     }
 

@@ -40,7 +40,8 @@ class EtlMainSpec extends SparkTestBase {
         EtlMain.ToolSource("tool_b", toolB, Seq("event_id", "tstamp", "event_type"), bPath)),
       wm, "EDC_Import", "index", now)
 
-    assert(nIdx == 2 && perTool == Map("tool_a" -> 2, "tool_b" -> 2))
+    assert(nIdx == 2 && perTool == Map(
+      "tool_a" -> EtlMain.ToolResult(2, None), "tool_b" -> EtlMain.ToolResult(2, None)))
     val a = spark.read.parquet(aPath)
     assert(a.columns.toSeq == Seq("event_id", "tstamp", "value"), "extra column not dropped")
     assert(spark.read.parquet(bPath).columns.toSeq == Seq("event_id", "tstamp", "event_type"))
@@ -49,7 +50,7 @@ class EtlMainSpec extends SparkTestBase {
     assert(wm.require("EDC_Import", "tool_a").lastEndTime == now)
   }
 
-  test("a tool whose sink expects a missing column aborts; others are unaffected") {
+  test("a tool whose sink expects a missing column fails alone; LATER tools continue") {
     val ev = Tables.events(spark, sfDir)
     val index = ev.select(col("event_id"), col("ts").as("tstamp"))
     val tool = ev.select(col("event_id"), col("ts").as("tstamp"))
@@ -57,18 +58,26 @@ class EtlMainSpec extends SparkTestBase {
     val t0 = ts("2024-01-01 00:00:00")
     wm.init(Seq(
       Watermark("EDC_Import", "index", t0, t0),
-      Watermark("EDC_Import", "tool_bad", t0, t0)))
-    val idxPath = tmp()
-    intercept[IllegalArgumentException] {
-      EtlMain.etl(spark, index, idxPath,
-        Seq(EtlMain.ToolSource("tool_bad", tool,
-          Seq("event_id", "tstamp", "column_the_source_lost"), tmp())),
-        wm, "EDC_Import", "index", ts("2024-01-02 00:00:00"))
-    }
-    // the index stage before the failing tool still completed and advanced
+      Watermark("EDC_Import", "tool_a_bad", t0, t0),
+      Watermark("EDC_Import", "tool_z_good", t0, t0)))
+    val idxPath = tmp(); val goodPath = tmp()
+    val now = ts("2024-01-02 00:00:00")
+    // the failing tool sorts FIRST — the tool after it must still run
+    val (_, perTool) = EtlMain.etl(spark, index, idxPath,
+      Seq(
+        EtlMain.ToolSource("tool_a_bad", tool,
+          Seq("event_id", "tstamp", "column_the_source_lost"), tmp()),
+        EtlMain.ToolSource("tool_z_good", tool, Seq("event_id", "tstamp"), goodPath)),
+      wm, "EDC_Import", "index", now)
+    assert(!perTool("tool_a_bad").ok &&
+      perTool("tool_a_bad").failure.get.contains("column_the_source_lost"))
+    assert(perTool("tool_z_good") == EtlMain.ToolResult(1, None))
+    // the index stage and the LATER tool both completed and advanced
     assert(spark.read.parquet(idxPath).count() > 0)
-    assert(wm.require("EDC_Import", "index").lastEndTime == ts("2024-01-02 00:00:00"))
+    assert(spark.read.parquet(goodPath).count() > 0)
+    assert(wm.require("EDC_Import", "index").lastEndTime == now)
+    assert(wm.require("EDC_Import", "tool_z_good").lastEndTime == now)
     // the failed tool's watermark did NOT advance (no partial progress)
-    assert(wm.require("EDC_Import", "tool_bad").lastEndTime == t0)
+    assert(wm.require("EDC_Import", "tool_a_bad").lastEndTime == t0)
   }
 }

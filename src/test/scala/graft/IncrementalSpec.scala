@@ -123,4 +123,22 @@ class IncrementalSpec extends SparkTestBase {
     assert(sBad.select("id").as[Int].collect().toSet == Set(2, 3))
     assert(sClean.count() + sBad.count() == sdf.count(), "split must partition the input")
   }
+  test("events truncation is floor to microseconds (matches the DuckDB oracle's read)") {
+    // The testdata's nanosecond timestamps DO carry sub-µs components.
+    // Boundary equality with the oracle holds because BOTH engines
+    // floor-truncate ns→µs on read (DuckDB's TIMESTAMP is µs). Pin the
+    // Spark side: Tables.events must floor (integer div), never round —
+    // a round-half-up here would disagree with the oracle on ~half the
+    // sub-µs rows.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("ts").as("ns"))
+    assert(raw.filter(col("ns") % 1000 =!= 0).count() > 0,
+      "testdata lost its sub-µs components — this test no longer exercises the boundary")
+    val derived = Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val mismatch = derived.join(raw, "event_id")
+      .filter(col("us") =!= expr("ns div 1000")).count()
+    assert(mismatch == 0, s"$mismatch events not floor-truncated to microseconds")
+  }
 }

@@ -11,7 +11,9 @@ class RotFlowSpec extends SparkTestBase {
 
   private val nSites = 8 // 2 columns of 4 sites in the synthetic grid
 
-  // design grid for products A (complete) and C (incomplete — site 8 missing)
+  // design grid for products A (complete), C (incomplete — site 8
+  // missing), and E (degenerate — all design points identical, so the
+  // rotation is unidentifiable and the fit must flag −4)
   private def designValues = {
     val a = (1 to nSites).map { i =>
       ("A", i, ((i - 1) / 4) * 100.0, ((i - 1) % 4) * 50.0)
@@ -19,7 +21,8 @@ class RotFlowSpec extends SparkTestBase {
     val c = (1 to nSites - 1).map { i =>
       ("C", i, ((i - 1) / 4) * 100.0, ((i - 1) % 4) * 50.0)
     }
-    (a ++ c).toDF("product", "site_idx", "dx", "dy")
+    val e = (1 to nSites).map { i => ("E", i, 0.0, 0.0) }
+    (a ++ c ++ e).toDF("product", "site_idx", "dx", "dy")
   }
 
   /** one glass row: measured diffs consistent with (sx, sy, θµrad) + tiny noise */
@@ -116,13 +119,19 @@ class RotFlowSpec extends SparkTestBase {
       glassRow("g2", "A", -1.2, 0.8, -60.0),
       glassRow("g3", "B", 0.1, 0.1, 10.0),        // product B: no design values → −2
       glassRow("g4", "C", 0.2, 0.2, 20.0),        // product C: incomplete grid → −3
-      glassRow("g5", "A", 0.0, 0.0, 0.0, na = true)) // NA measurement → −1
+      glassRow("g5", "A", 0.0, 0.0, 0.0, na = true), // NA measurement → −1
+      glassRow("g6", "E", 0.3, 0.3, 0.0))         // product E: degenerate design → −4
     val res = RotFlow.run(spark, rawFrame(rows), designValues)
 
     // errors: one per class, right flags
     val errs = res.errors.select("glassid", "flag").collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(errs == Map("g5" -> -1, "g3" -> -2, "g4" -> -3))
+    assert(errs == Map("g5" -> -1, "g3" -> -2, "g4" -> -3, "g6" -> -4))
+    // the −4 row carries the reason and the failed glass reaches neither sink
+    val fitErrDesc = res.errors.filter(col("flag") === -4)
+      .select("description").as[String].head()
+    assert(fitErrDesc.contains("fit error"))
+    assert(res.detail.filter(col("glassid") === "g6").isEmpty)
 
     // fits: g1/g2 recover the planted parameters
     val fits = res.header.collect()

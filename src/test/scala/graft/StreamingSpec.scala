@@ -101,6 +101,36 @@ class StreamingSpec extends SparkTestBase {
     assert(out(1).start == ts("2024-01-01 10:00:00") && out(1).n_events == 1)
   }
 
+  test("two early out-of-order events in ONE batch merge into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = Streams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_ooo2")
+      .outputMode("append").start()
+    // batch 1 opens a session at 10:00
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+    query.processAllAvailable()
+    // batch 2 delivers TWO non-late events (inside the 1 h watermark)
+    // well before the open session that are within a gap of EACH OTHER —
+    // batch semantics make them one 2-event session, not two singletons
+    mem.addData(
+      Event(2, ts("2024-01-01 09:05:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 09:15:00"), 1, "click", 4.0))
+    query.processAllAvailable()
+    mem.addData(Event(99, ts("2024-01-02 12:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    mem.addData(Event(100, ts("2024-01-03 12:00:00"), 9, "view", 0.0))
+    query.processAllAvailable()
+    val out = spark.table("sessions_ooo2").as[Streams.Session].collect()
+      .filter(_.user_id == 1).sortBy(_.start.getTime)
+    query.stop()
+    assert(out.length == 2, s"expected 2 sessions, got ${out.toSeq}")
+    assert(out(0).start == ts("2024-01-01 09:05:00") &&
+      out(0).end == ts("2024-01-01 09:15:00") &&
+      out(0).n_events == 2 && out(0).total_value == 6.0)
+    assert(out(1).start == ts("2024-01-01 10:00:00") && out(1).n_events == 1)
+  }
+
   test("partitioned streaming sink lands each micro-batch idempotently") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
