@@ -76,15 +76,24 @@ object QueryApi {
         s.catalog.dropTempView(s"api_orders_$n")
         s.catalog.dropTempView(s"api_ids_$n")
       }
-    } else {
-      Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir).join(broadcast(keyed),
-            col("o_custkey") === col("custkey"), "left_semi"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("glass_id"), col("l_orderkey").as("step_id"),
-                col("l_linenumber").as("site"), col("l_quantity").as("param_value"))
-        .orderBy("glass_id", "step_id", "site")
-    }
+    } else glassRawDataFrom(Tables.lineitem(s, dir), Tables.orders(s, dir), ids)
+  }
+
+  /** Source-agnostic form of the decorrelated pipeline: the same program
+    * over ANY lineitem/orders relations — parquet in tests,
+    * `spark.read.jdbc` against a warehouse (JdbcSpec proves the swap:
+    * identical results, predicates pushed into the JDBC scan). This is
+    * the substance behind "JDBC-swappable": the pipeline never names its
+    * storage. */
+  def glassRawDataFrom(lineitem: DataFrame, orders: DataFrame, ids: DataFrame): DataFrame = {
+    val keyed = ids.toDF("custkey")
+    lineitem
+      .join(orders.join(broadcast(keyed),
+          col("o_custkey") === col("custkey"), "left_semi"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("glass_id"), col("l_orderkey").as("step_id"),
+              col("l_linenumber").as("site"), col("l_quantity").as("param_value"))
+      .orderBy("glass_id", "step_id", "site")
   }
 
   /** The map-shaped result the reference's API hands back
