@@ -356,6 +356,11 @@ object Analytics extends QueryModule {
     "q21_summary_mv"     -> (q21 _),
     "q22_json_extract"   -> (q22 _),
     "q25_sessionize"     -> (q25 _),
+    // R5 fidelity path: hclust(ward.D)/cutree semantics per glass. No
+    // oracle SQL (iterative agglomeration isn't SQL-expressible → the
+    // driver's rows-only check applies); PositionLabelSpec carries the
+    // correctness contract, incl. equality with q18 on separated columns.
+    "q47_position_label_ward" -> ((s, dir) => graft.analytics.Hclust1D.labeled(s, dir)),
   )
 
   override val oracle: Map[String, String] = Map(
