@@ -516,6 +516,7 @@ object Dedup extends QueryModule {
     val canon = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
       .select("doc_id", "text")
+      .cache() // read twice: MinHash input + the exact-victims anti-join
     val exactVictims = docs.select("doc_id")
       .join(canon.select("doc_id"), Seq("doc_id"), "left_anti")
     val pairs = minhashPairsOf(canon)

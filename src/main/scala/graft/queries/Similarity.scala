@@ -310,11 +310,96 @@ object Similarity extends QueryModule {
       |SELECT v1, v2, cosine FROM scored WHERE cosine >= $CosThreshold
       |ORDER BY v1, v2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q48 — GEOMETRIC IVF (inverted-file ANN), the classic coarse-quantizer
+  // scale path that q38's class-restricted probe is only shaped like:
+  //  1. coarse centroids = a deterministic 1-in-61 sample of the corpus
+  //     (vec_id % 61 == 3 — stride sampling stands in for k-means, keeps
+  //     both engines seed-free; centroid count scales with the corpus);
+  //  2. every vector is ASSIGNED to its nearest centroid by exact
+  //     integer-quantized cosine — the O(N·K) assignment pass every IVF
+  //     build pays, as array dot products against a broadcast centroid
+  //     table (no N×K-row shuffle);
+  //  3. a query probes its nprobe = 2 nearest cells and ranks only their
+  //     members — per-query cost is the probed cells' population, never
+  //     the corpus.
+  // All ties (equal cosine) break on the lower id, so Spark and DuckDB
+  // agree bit-for-bit.
+  private val PivotStride = 61
+  private val PivotPhase = 3
+  private val NProbe = 2
+
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val qn = quant(s, dir)
+    val vecs = qn.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
+           sum(col("q") * col("q")).as("n2"))
+      .cache() // assignment + probe + scoring all read it
+    val pivots = vecs.filter(col("vec_id") % PivotStride === PivotPhase)
+      .select(col("vec_id").as("cell"), col("qa").as("pa"), col("n2").as("pn2"))
+    // 2. nearest-centroid assignment (and, for queries, the nprobe list):
+    // one narrow pass over vectors × broadcast centroids
+    val affinity = vecs.crossJoin(broadcast(pivots))
+      .withColumn("dot", expr("aggregate(zip_with(qa, pa, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cos", cosine(col("dot"), col("n2"), col("pn2")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))))
+    val assigned = affinity.filter(col("crank") === 1).select("vec_id", "cell")
+    val probes = affinity.filter(col("vec_id") < NumQueries && col("crank") <= NProbe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    // 3. rank the probed cells' members with exact integer cosine
+    val cand = probes.join(assigned, "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("qid"), col("qa").as("qa1"), col("n2").as("n21")), "qid")
+      .join(vecs.select(col("vec_id"), col("qa").as("qa2"), col("n2").as("n22")), "vec_id")
+      .withColumn("dot", expr("aggregate(zip_with(qa1, qa2, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cos", cosine(col("dot"), col("n21"), col("n22")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  private val q48Sql =
+    s"""WITH $quantSqlCte,
+      |vecs AS (
+      |  SELECT vec_id, list(q ORDER BY pos) AS qa, CAST(SUM(q * q) AS BIGINT) AS n2
+      |  FROM quant GROUP BY vec_id),
+      |pivots AS (SELECT vec_id AS cell, qa AS pa, n2 AS pn2 FROM vecs WHERE vec_id % $PivotStride = $PivotPhase),
+      |affinity AS (
+      |  SELECT v.vec_id, p.cell,
+      |         CAST(list_sum([v.qa[i] * p.pa[i] for i in range(1, len(v.qa) + 1)]) AS DOUBLE)
+      |           / (SQRT(CAST(v.n2 AS DOUBLE)) * SQRT(CAST(p.pn2 AS DOUBLE))) AS cos
+      |  FROM vecs v CROSS JOIN pivots p),
+      |ranked_cells AS (
+      |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS crank
+      |  FROM affinity),
+      |assigned AS (SELECT vec_id, cell FROM ranked_cells WHERE crank = 1),
+      |probes AS (SELECT vec_id AS qid, cell FROM ranked_cells WHERE vec_id < $NumQueries AND crank <= $NProbe),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, a.vec_id
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid != a.vec_id),
+      |scored AS (
+      |  SELECT c.qid, c.vec_id,
+      |         CAST(list_sum([x.qa[i] * y.qa[i] for i in range(1, len(x.qa) + 1)]) AS DOUBLE)
+      |           / (SQRT(CAST(x.n2 AS DOUBLE)) * SQRT(CAST(y.n2 AS DOUBLE))) AS cos
+      |  FROM cand c JOIN vecs x ON c.qid = x.vec_id JOIN vecs y ON c.vec_id = y.vec_id),
+      |final_ranked AS (
+      |  SELECT qid, vec_id, cos,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, rank
+      |FROM final_ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
     "q37_ann_lsh"        -> (q37 _),
     "q38_knn_within_class" -> (q38 _),
     "q39_cosine_neardup"   -> (q39 _),
+    "q48_ann_ivf"          -> (q48 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -322,5 +407,6 @@ object Similarity extends QueryModule {
     "q37_ann_lsh"        -> q37Sql,
     "q38_knn_within_class" -> q38Sql,
     "q39_cosine_neardup"   -> q39Sql,
+    "q48_ann_ivf"          -> q48Sql,
   )
 }

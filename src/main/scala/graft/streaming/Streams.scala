@@ -52,6 +52,23 @@ object Streams {
       .start()
   }
 
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  /** Streaming twin of the exact-dedup pass (q31, D3 applied to the LLM
+    * pipeline): first-seen-wins on the content hash over a continuous
+    * document feed. `dropDuplicatesWithinWatermark` bounds the hash
+    * state by the event-time watermark — a plain `dropDuplicates` would
+    * hold every hash ever seen and OOM on an unbounded corpus feed; the
+    * contract is "no duplicates closer than the watermark horizon",
+    * which is exactly the re-ingestion window a training-data intake
+    * needs to guard. */
+  def streamingExactDedup(docs: DataFrame): DataFrame = {
+    docs
+      .withWatermark("ts", "1 day")
+      .withColumn("text_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("text_hash")
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int, total_value: Double)

