@@ -40,6 +40,20 @@ class PlanSpec extends SparkTestBase {
       s"scan reads unprojected columns:\n$read")
   }
 
+  test("q32 document scans stay narrow: no lang/source/n_chars in ReadSchema") {
+    val p = plan(graft.queries.Dedup.queries("q32_ngram_jaccard")(spark, sfDir))
+    val read = "ReadSchema:.*".r.findAllIn(p).toList.mkString("\n")
+    assert(read.nonEmpty)
+    assert(!read.contains("lang") && !read.contains("source") && !read.contains("n_chars"),
+      s"documents scan reads unprojected columns:\n$read")
+  }
+
+  test("q48 IVF assignment broadcasts the centroid table (no shuffle against it)") {
+    val p = plan(graft.queries.Similarity.queries("q48_ann_ivf")(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid table not broadcast:\n${p.take(2000)}")
+  }
+
   test("no query plan contains a cartesian product over fact-sized inputs") {
     val exempt = Set("q07_grid") // deliberate small-distinct cross join (R4/J9)
     SparkEntry.queries.foreach { case (name, fn) =>
