@@ -62,6 +62,76 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("prefix + positional filtering never loses a Jaccard >= 0.8 pair (q32's lemma)") {
+    // Pure-Scala mirror of q32's candidate generation: rank each doc's
+    // tokens by (global df, token), keep the first n − ⌈4n/5⌉ + 1, pair
+    // docs sharing a prefix token, apply the positional bound
+    // min(n1−i, n2−j)+1 ≥ ⌈4(n1+n2)/9⌉. The property: every pair with
+    // true Jaccard ≥ 0.8 survives — the filters are pure pruning.
+    def candidates(docs: Map[Long, Set[Long]]): Set[(Long, Long)] = {
+      val df = docs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val prefix = docs.map { case (id, toks) =>
+        val n = toks.size
+        val plen = n - ((4 * n + 4) / 5) + 1
+        id -> toks.toSeq.sortBy(t => (df(t), t)).take(plen).zipWithIndex
+          .map { case (t, i) => (t, i + 1) }
+      }
+      val matches = for {
+        (a, pa) <- prefix.toSeq; (b, pb) <- prefix.toSeq if a < b
+        (t1, i) <- pa; (t2, j) <- pb if t1 == t2
+      } yield ((a, b), math.min(docs(a).size - i, docs(b).size - j) + 1)
+      matches.groupBy(_._1).collect { case ((a, b), ms)
+        if ms.map(_._2).max >= (4 * (docs(a).size + docs(b).size) + 8) / 9 => (a, b)
+      }.toSet
+    }
+    val docGen: Gen[Map[Long, Set[Long]]] = for {
+      nDocs <- Gen.choose(3, 12)
+      base <- Gen.listOfN(nDocs, Gen.choose(5, 30).flatMap(sz =>
+        Gen.listOfN(sz, Gen.choose(0L, 60L)).map(_.toSet).suchThat(_.size >= 5)))
+      // plant a near-dup of doc 0: drop one token, add one
+      drop <- Gen.oneOf(base.head.toSeq)
+      add <- Gen.choose(100L, 110L)
+    } yield (base.zipWithIndex.map { case (s, i) => i.toLong -> s } :+
+      (nDocs.toLong -> (base.head - drop + add))).toMap
+    forAllN(docGen, n = 40) { docs =>
+      def jac(a: Set[Long], b: Set[Long]) =
+        a.intersect(b).size.toDouble / a.union(b).size
+      val truePairs = (for {
+        a <- docs.keys; b <- docs.keys if a < b && jac(docs(a), docs(b)) >= 0.8
+      } yield (a, b)).toSet
+      val missed = truePairs -- candidates(docs)
+      assert(missed.isEmpty, s"prefix filter lost true pairs: $missed")
+    }
+  }
+
+  test("components labels every node with its true connected-component minimum") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val edgeGen = Gen.choose(2, 12).flatMap(m =>
+      Gen.listOfN(m, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+      .suchThat(_.nonEmpty)
+    forAllN(edgeGen, n = 5) { edges => // Spark loop per sample — keep the draw count low
+      val got = graft.queries.Dedup.components(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(edges)
+      // union-find roots are component minima by construction here
+      // (max always points at min), so the maps must agree exactly
+      assert(got == want, s"edges=$edges got=$got want=$want")
+    }
+  }
+
   test("pivot then unpivot round-trips the long EAV relation (R1/R3 inverses)") {
     import org.apache.spark.sql.functions.{col, first}
     val attrs = Seq("p1", "p2", "p3")
