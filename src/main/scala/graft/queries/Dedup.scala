@@ -420,27 +420,43 @@ object Dedup extends QueryModule {
     * small-star, Kiveris et al.) keeps the same per-round plan shape.
     * Returns (doc_id, root) for every node that appears in `pairs`. */
   def components(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+    // Symmetric edges PLUS a self-loop per node: one round is then a
+    // single join + MIN-groupBy (label(v) ← min over {v} ∪ N(v) of
+    // labels) — no left-join to merge the previous label back in. No
+    // distinct pass either: duplicate edges are absorbed by MIN, and the
+    // extra shuffle costs more than it saves. Per-round job count is
+    // what dominates here (the graph is the dup-pair set — orders of
+    // magnitude smaller than the corpus), so rounds are kept to two
+    // shuffles and ONE action.
+    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val edges = sym
+      .unionByName(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id"), col("src").as("root"))
       .distinct().cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("root", col("doc_id")).cache()
-    var converged = labels.isEmpty
+    var cached = labels // the DataFrame actually holding this round's cache
+    // Labels only ever decrease, so Σroot strictly decreases until the
+    // fixpoint: the convergence check is a scalar aggregate over the
+    // round's own cache fill — no per-row comparison join. Decimal sum:
+    // Σ of 64-bit ids can exceed 2^63 at full scale.
+    var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
-    while (!converged && iter < 50) {
-      val viaNbr = edges
+    var done = false
+    while (!done && iter < 50) {
+      val next = edges
         .join(labels.select(col("doc_id").as("src"), col("root").as("nroot")), "src")
         .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("nroot")).as("nbr_root"))
-      val next = labels.join(viaNbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("root"), coalesce(col("nbr_root"), col("root"))).as("root"))
+        .agg(min(col("nroot")).as("root"))
         .cache()
-      val nChanged = next.as("n").join(labels.as("p"), "doc_id")
-        .filter(col("n.root") =!= col("p.root")).count()
-      labels.unpersist()
+      val sum = next.agg(org.apache.spark.sql.functions.sum(col("root").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      cached.unpersist()
+      cached = next
       labels = next
-      converged = nChanged == 0
+      done = prevSum.exists(p => (p == null && sum == null) || (p != null && p.compareTo(sum) == 0))
+      prevSum = Some(sum)
       iter += 1
     }
     edges.unpersist()
