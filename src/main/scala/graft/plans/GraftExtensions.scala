@@ -17,5 +17,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_hamming(a, b) takes two arguments")
         HammingDistance(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(a, b) takes two arguments")
+        DotProduct(children.head, children(1))
+      }))
   }
 }

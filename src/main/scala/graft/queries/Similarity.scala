@@ -274,7 +274,10 @@ object Similarity extends QueryModule {
     cand
       .join(vecs.select(col("vec_id").as("v1"), col("qa").as("qa1"), col("n2").as("n21")), "v1")
       .join(vecs.select(col("vec_id").as("v2"), col("qa").as("qa2"), col("n2").as("n22")), "v2")
-      .withColumn("dot", expr("aggregate(zip_with(qa1, qa2, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      // graft_dot: native codegen'd Expression (plans.DotProduct) — the
+      // zip_with/aggregate HOF pair would run two interpreted lambdas
+      // per element per candidate row, outside whole-stage codegen
+      .withColumn("dot", expr("graft_dot(qa1, qa2)"))
       .withColumn("cosine", round(cosine(col("dot"), col("n21"), col("n22")), 6))
       .filter(col("cosine") >= CosThreshold)
       .select("v1", "v2", "cosine")
@@ -340,7 +343,7 @@ object Similarity extends QueryModule {
     // 2. nearest-centroid assignment (and, for queries, the nprobe list):
     // one narrow pass over vectors × broadcast centroids
     val affinity = vecs.crossJoin(broadcast(pivots))
-      .withColumn("dot", expr("aggregate(zip_with(qa, pa, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("graft_dot(qa, pa)")) // native codegen'd dot (plans.DotProduct)
       .withColumn("cos", cosine(col("dot"), col("n2"), col("pn2")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))))
@@ -354,7 +357,7 @@ object Similarity extends QueryModule {
     cand
       .join(vecs.select(col("vec_id").as("qid"), col("qa").as("qa1"), col("n2").as("n21")), "qid")
       .join(vecs.select(col("vec_id"), col("qa").as("qa2"), col("n2").as("n22")), "vec_id")
-      .withColumn("dot", expr("aggregate(zip_with(qa1, qa2, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("graft_dot(qa1, qa2)"))
       .withColumn("cos", cosine(col("dot"), col("n21"), col("n22")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))

@@ -42,4 +42,39 @@ class ExpressionSpec extends SparkTestBase {
     // "*(n)" marks operators inside a WholeStageCodegen span
     assert(plan.contains("*(1) Project") && plan.contains("graft_hamming"), plan)
   }
+
+  test("graft_dot equals the zip_with/aggregate HOF on random long vectors") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200) {
+      val n = 1 + rnd.nextInt(64)
+      (Seq.fill(n)(rnd.nextInt(2000001).toLong - 1000000L),
+       Seq.fill(n)(rnd.nextInt(2000001).toLong - 1000000L))
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("fast", expr("graft_dot(a, b)"))
+      .withColumn("slow", expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+    assert(df.filter(col("fast") =!= col("slow")).isEmpty)
+    assert(df.filter(col("fast").isNull).isEmpty)
+  }
+
+  test("graft_dot null and length-mismatch semantics") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),   // 32
+      (Seq(1L, 2L), Seq(1L, 2L, 3L)),       // mismatch -> null
+      (null, Seq(1L, 2L)))                  // null input -> null
+      .toDF("a", "b").selectExpr("graft_dot(a, b) AS d")
+    assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+      == Seq(32L, null, null))
+  }
+
+  test("graft_dot stays in codegen on an array-backed frame") {
+    val plan = Tables.embeddings(spark, sfDir)
+      .selectExpr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS q")
+      .selectExpr("graft_dot(q, q) AS n2")
+      .queryExecution.executedPlan.toString
+    // the Project evaluating graft_dot must carry the WholeStageCodegen
+    // star (the upstream transform HOF sits outside codegen by design,
+    // so the spans split — what matters is graft_dot's span exists)
+    assert("\\*\\(\\d+\\) Project \\[graft_dot".r.findFirstIn(plan).isDefined, plan)
+  }
 }
