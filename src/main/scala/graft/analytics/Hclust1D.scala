@@ -75,7 +75,7 @@ object Hclust1D {
     // label clusters 1..k by ascending mean x (reference orders position
     // columns left-to-right before assigning ids)
     val groups = (0 until n).filter(active).map(member)
-      .sortBy(m => m.map(xs).sum / m.size)
+      .sortBy(m => (m.map(xs).sum / m.size, m.min)) // min-index tiebreak for equal means
     val out = new Array[Int](n)
     groups.zipWithIndex.foreach { case (m, gi) => m.foreach(out(_) = gi + 1) }
     out
@@ -88,8 +88,14 @@ object Hclust1D {
     * monotone transform, kept for numeric fidelity), ward.D-cluster into
     * n/clusterSize columns, then item_id = (x_id−1)·clusterSize +
     * rank-of-y within the column (W1, R/basic_fun.R:93-101). */
-  def labelGlass(glass: Long, sites: Seq[(Long, Double, Double)],
+  def labelGlass(glass: Long, sitesIn: Seq[(Long, Double, Double)],
                  clusterSize: Int = 6): Seq[LabeledSite] = {
+    // Canonical input order (x, then site_id): merge-criterion ties and
+    // equal-mean cluster ties in cutreeWard break on index order, and the
+    // iterator order a flatMapGroups group arrives in is shuffle-fetch
+    // order — NOT stable across runs. Tied x values (quantized/repeated
+    // measurements) would otherwise label nondeterministically.
+    val sites = sitesIn.sortBy(p => (p._2, p._1))
     val n = sites.size
     require(n % clusterSize == 0, s"n=$n not divisible by $clusterSize") // reference aborts too
     val xsRaw = sites.map(_._2).toArray

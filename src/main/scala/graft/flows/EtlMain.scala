@@ -32,8 +32,17 @@ object EtlMain {
     * replication aborts (e.g. a schema-reconcile refusal: the sink has
     * columns the source lost, T1) is recorded as failed and does NOT
     * stop later tools — the reference's per-tool isolation holds for
-    * every tool, not just the ones sorted before the failure. A failed
-    * tool's watermark is untouched, so the next run retries it. */
+    * every tool, not just the ones sorted before the failure.
+    *
+    * Partial-progress contract on failure: `replicate` advances the
+    * watermark after EACH landed chunk (data first, watermark last), so
+    * a tool that fails mid-run keeps the chunks that landed and the next
+    * run resumes from the advanced watermark — nothing is lost and the
+    * D5 slice overwrite makes any replayed boundary chunk exact. A
+    * plan-time abort (like the reconcile refusal) lands zero chunks and
+    * leaves the watermark at its start. `ToolResult.chunks` counts only
+    * what a SUCCESSFUL run completed (0 on failure — consult the
+    * watermark for how far a failed tool got). */
   def etl(spark: SparkSession,
           index: DataFrame, indexSinkPath: String,
           tools: Seq[ToolSource],
@@ -48,7 +57,8 @@ object EtlMain {
         try ToolResult(IncrementalRunner.replicate(spark, t.raw, "tstamp", t.sinkPath,
           wm, apname, t.toolid, now,
           transform = df => SchemaReconcile.reconcile(df, t.sinkColumns)), None)
-        catch { case e: Exception => ToolResult(0, Some(e.getMessage)) }
+        catch { case e: Exception =>
+          ToolResult(0, Some(Option(e.getMessage).getOrElse(e.getClass.getName))) }
       t.toolid -> result
     }.toMap
     (n, perTool)

@@ -24,8 +24,6 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private val longArray = ArrayType(LongType, containsNull = false)
-
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(

@@ -35,21 +35,6 @@ import graft.{QueryModule, Tables}
   */
 object Dedup extends QueryModule {
 
-  /** Distinct word-2gram shingles per doc: (doc_id, shingle). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")
-      ).as("shingle"))
-      .distinct()
-  }
-
-  private val shinglesSqlCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 2),
-      |sh AS (SELECT DISTINCT doc_id, unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS shingle FROM toks)""".stripMargin
-
   // ---------------------------------------------------------------------
   // q31 — exact dedup by content hash. The input simulates a re-ingested
   // batch (the corpus unioned with a fifth of itself): group by md5(text),
@@ -459,6 +444,13 @@ object Dedup extends QueryModule {
       prevSum = Some(sum)
       iter += 1
     }
+    // Fail LOUDLY if the round cap truncated propagation: silently
+    // returning partial labels would split one transitive group into
+    // several "canonicals" (and diverge from the oracle's closure). A
+    // >50-hop min-id chain means the graph isn't the near-dup shape this
+    // operator serves — switch to pointer-jumping before raising the cap.
+    if (!done) throw new IllegalStateException(
+      s"components did not converge within $iter rounds")
     edges.unpersist()
     labels
   }

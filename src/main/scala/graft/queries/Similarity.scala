@@ -347,6 +347,8 @@ object Similarity extends QueryModule {
       .withColumn("cos", cosine(col("dot"), col("n2"), col("pn2")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))))
+      .select("vec_id", "cell", "crank")
+      .cache() // assignment AND probe branch from it — the O(N·K) pass must run once
     val assigned = affinity.filter(col("crank") === 1).select("vec_id", "cell")
     val probes = affinity.filter(col("vec_id") < NumQueries && col("crank") <= NProbe)
       .select(col("vec_id").as("qid"), col("cell"))

@@ -19,8 +19,10 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     names.foreach { prefix =>
-      val (name, fn) = graft.SparkEntry.queries.find(_._1.startsWith(prefix))
-        .getOrElse(sys.error(s"no query matches $prefix"))
+      val matches = graft.SparkEntry.queries.filter(_._1.startsWith(prefix))
+      require(matches.size == 1,
+        s"prefix '$prefix' matches ${matches.size} queries: ${matches.keys.toSeq.sorted.mkString(", ")}")
+      val (name, fn) = matches.head
       (1 to 2).foreach { i =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

@@ -77,7 +77,9 @@ class EtlMainSpec extends SparkTestBase {
     assert(spark.read.parquet(goodPath).count() > 0)
     assert(wm.require("EDC_Import", "index").lastEndTime == now)
     assert(wm.require("EDC_Import", "tool_z_good").lastEndTime == now)
-    // the failed tool's watermark did NOT advance (no partial progress)
+    // a plan-time abort lands zero chunks, so this tool's watermark is
+    // still at its start (a mid-run failure would legitimately leave it
+    // advanced past the chunks that landed — see EtlMain.etl's contract)
     assert(wm.require("EDC_Import", "tool_a_bad").lastEndTime == t0)
   }
 }

@@ -124,8 +124,14 @@ class PipelineSpec extends SparkTestBase {
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
       .select("doc_id", "text")
     assert(canon.count() == 4)
+    // after the prepass only ONE planted id (the canonical, min id = 1)
+    // can appear in any LSH pair — ids 2..1000 were deduplicated away
     val canonPairs = Dedup.minhashPairsOf(canon).collect()
-    assert(canonPairs.forall(r => r.getLong(0) >= 1L))
+    canonPairs.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1)).foreach { id =>
+        assert(id == 1L || id > 1000L, s"deduped doc $id leaked into LSH: $r")
+      }
+    }
   }
 
   test("connected components: transitive min-id labeling over pair chains") {
