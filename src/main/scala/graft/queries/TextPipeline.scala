@@ -287,8 +287,62 @@ object TextPipeline extends QueryModule {
       |                  + (strpos('0123456789abcdef', fingerprint[2]) - 1)) % 224 AS INT) AS luma
       |FROM feat ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q49 — the remaining multimodal stages composed: decode (stub) →
+  // resize planning (REAL integer box-fit math) + feature extraction
+  // (REAL 16-bin byte histogram — no codec involved, so nothing here is
+  // stubbed except the upstream decode dims). All output columns are
+  // integers: the oracle replays the md5-derived dims, the rational
+  // resize arithmetic, and the per-byte histogram exactly.
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, dir)
+    val rp = Multimodal.resizePlan(Multimodal.decode(media)).toDF()
+    val hist = Multimodal.extractFeatures(media).toDF()
+      .select(col("doc_id") +: col("n_bytes") +: (0 until 16).map(i =>
+        element_at(col("bins"), i + 1).as(f"b$i%02d")): _*)
+    rp.join(hist, "doc_id")
+      .select(Seq("doc_id", "media_type", "width", "height", "out_w", "out_h", "n_bytes").map(col)
+        ++ (0 until 16).map(i => col(f"b$i%02d")): _*)
+      .orderBy("doc_id")
+  }
+
+  private val q49Sql = {
+    val binCols = (0 until 16).map(i =>
+      s"COUNT(*) FILTER (bin = $i) AS b${"%02d".format(i)}").mkString(",\n      |         ")
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |         md5(text) AS h, text
+      |  FROM documents),
+      |hx AS (
+      |  SELECT doc_id, media_type, text,
+      |         CAST(32 + ((strpos('0123456789abcdef', h[1]) - 1) * 16 + (strpos('0123456789abcdef', h[2]) - 1)) % 224 AS INT) AS width,
+      |         CAST(32 + ((strpos('0123456789abcdef', h[3]) - 1) * 16 + (strpos('0123456789abcdef', h[4]) - 1)) % 224 AS INT) AS height
+      |  FROM m),
+      |rp AS (
+      |  SELECT doc_id, media_type, width, height,
+      |         CAST(CASE WHEN width <= 64 AND height <= 64 THEN width
+      |                   WHEN width * 64 >= height * 64 THEN 64
+      |                   ELSE GREATEST(1, (width * 64) // height) END AS INT) AS out_w,
+      |         CAST(CASE WHEN width <= 64 AND height <= 64 THEN height
+      |                   WHEN width * 64 >= height * 64 THEN GREATEST(1, (height * 64) // width)
+      |                   ELSE 64 END AS INT) AS out_h
+      |  FROM hx),
+      |chars AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |bh AS (SELECT doc_id, ord(c) // 16 AS bin FROM chars),
+      |hist AS (
+      |  SELECT doc_id, COUNT(*) AS n_bytes,
+      |         $binCols
+      |  FROM bh GROUP BY doc_id)
+      |SELECT r.doc_id, r.media_type, r.width, r.height, r.out_w, r.out_h, t.n_bytes,
+      |       ${(0 until 16).map(i => s"t.b${"%02d".format(i)}").mkString(", ")}
+      |FROM rp r JOIN hist t ON r.doc_id = t.doc_id
+      |ORDER BY r.doc_id""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats"     -> (q30 _),
+    "q49_media_features" -> (q49 _),
     "q40_winnow_fingerprints" -> (q40 _),
     "q41_langid"         -> (q41 _),
     "q42_multimodal_stub" -> (q42 _),
@@ -303,5 +357,6 @@ object TextPipeline extends QueryModule {
     "q42_multimodal_stub" -> q42Sql,
     "q43_frame_sample"   -> q43Sql,
     "q45_langid_ngram"   -> q45Sql,
+    "q49_media_features" -> q49Sql,
   )
 }

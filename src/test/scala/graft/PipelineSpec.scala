@@ -156,6 +156,37 @@ class PipelineSpec extends SparkTestBase {
     assert(a.forall(f => f.fingerprint.length == 32 && f.width >= 32 && f.width < 256))
   }
 
+  test("media feature extraction: histogram sums to payload size, entropy bounds hold") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Array.fill[Byte](64)(0x41)),          // constant -> entropy 0
+      Multimodal.MediaRow(2L, "audio", (0 until 256).map(_.toByte).toArray), // uniform bytes -> max bin entropy 4.0
+      Multimodal.MediaRow(3L, "video", "hello world".getBytes("UTF-8")))
+    val out = Multimodal.extractFeatures(media.toDS()).collect().map(f => f.doc_id -> f).toMap
+    out.values.foreach { f => assert(f.bins.sum == f.n_bytes) }
+    assert(out(1L).entropy == 0.0)
+    assert(math.abs(out(2L).entropy - 4.0) < 1e-9) // 16 bins equally likely
+    assert(out(3L).entropy > 0.0 && out(3L).entropy <= 4.0)
+  }
+
+  test("resize planning: aspect preserved, never upscaled, never zero") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    val feats = Seq(
+      Multimodal.MediaFeatures(1L, "image", 32, 32, 1, "a"),    // fits: unchanged
+      Multimodal.MediaFeatures(2L, "image", 128, 64, 1, "b"),   // width-bound
+      Multimodal.MediaFeatures(3L, "image", 50, 200, 1, "c"),   // height-bound
+      Multimodal.MediaFeatures(4L, "image", 255, 33, 1, "d"))   // extreme ratio
+    val out = Multimodal.resizePlan(feats.toDS(), maxW = 64, maxH = 64)
+      .collect().map(r => r.doc_id -> (r.out_w, r.out_h)).toMap
+    assert(out(1L) == (32, 32))
+    assert(out(2L) == (64, 32))
+    assert(out(3L) == (16, 64))
+    assert(out(4L) == (64, 8))
+    out.values.foreach { case (w, h) => assert(w >= 1 && h >= 1 && w <= 64 && h <= 64) }
+  }
+
   test("langid marker join predicts a language for marker-bearing docs") {
     val out = TextPipeline.queries("q41_langid")(spark, sfDir)
     assert(out.count() == Tables.documents(spark, sfDir).count())
