@@ -297,21 +297,27 @@ object Dedup extends QueryModule {
   // positions with a broadcast join — flat codegen'd expressions, no
   // interpreted higher-order functions in the hot path.
   /** Unsorted simhash frame shared by q34 (adds the output sort) and q35
-    * (bands + in-bucket pairs). */
+    * (bands + in-bucket pairs). The 32 bit-sums run as ONE wide
+    * partial-aggregated pass — 32 integer sum columns over the token
+    * relation — instead of fanning every token row out 32× and shuffling
+    * the blow-up (same values, 1/32nd of the shuffled rows, and the
+    * second per-doc aggregation disappears entirely). */
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
     val tc = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("tok")))
-    val bits = tc
-      .crossJoin(broadcast(s.range(32).select(col("id").cast("int").as("b"))))
-      .withColumn("nib", expr("instr('0123456789abcdef', substring(h, (b div 4) + 1, 1)) - 1"))
-      .withColumn("bit", expr("(nib div element_at(array(8, 4, 2, 1), (b % 4) + 1)) % 2"))
-    bits.groupBy("doc_id", "b")
-      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("sgn"))
-      .withColumn("sbit", when(col("sgn") >= 0, lit("1")).otherwise(lit("0")))
-      .groupBy("doc_id")
-      .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(b, sbit))), x -> x.sbit)) AS simhash"))
+    val bitSums = (0 until 32).map { b =>
+      val nib = b / 4 + 1            // hex digit holding bit b
+      val mask = Seq(8, 4, 2, 1)(b % 4)
+      sum(col("cnt") *
+        (expr(s"((instr('0123456789abcdef', substring(h, $nib, 1)) - 1) div $mask) % 2") * 2 - 1))
+        .as(s"s$b")
+    }
+    tc.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 32).map(b =>
+          when(col(s"s$b") >= 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
   private def q34(s: SparkSession, dir: String): DataFrame =
