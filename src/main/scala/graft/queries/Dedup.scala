@@ -464,8 +464,9 @@ object Dedup extends QueryModule {
   /** Oracle twin of [[components]]: transitive closure by recursive CTE
     * (reach = every (node, reachable id)), component id = MIN reachable.
     * Requires the surrounding WITH to be declared RECURSIVE. Expects a
-    * CTE named `dup_edges` (src, dst, symmetric) in scope. */
-  private val componentsSqlCtes =
+    * CTE named `dup_edges` (src, dst, symmetric) in scope. Shared with
+    * Similarity's semantic-dedup oracle (q50). */
+  private[queries] val componentsSqlCtes =
     """reach(node, r) AS (
       |  SELECT DISTINCT src, src FROM dup_edges
       |  UNION

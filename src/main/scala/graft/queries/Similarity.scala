@@ -242,7 +242,9 @@ object Similarity extends QueryModule {
   private val PlanesPerTable = 5
   private val CosThreshold = 0.35
 
-  private def q39(s: SparkSession, dir: String): DataFrame = {
+  /** q39's verified pair set (v1, v2, cosine) — reused by the semantic
+    * dedup canonicalization (q50). */
+  def cosineNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val qn = quant(s, dir)
     // quantized vector + squared norm per row, kept as an array column
     val vecs = qn.groupBy("vec_id")
@@ -281,11 +283,15 @@ object Similarity extends QueryModule {
       .withColumn("cosine", round(cosine(col("dot"), col("n21"), col("n22")), 6))
       .filter(col("cosine") >= CosThreshold)
       .select("v1", "v2", "cosine")
-      .orderBy("v1", "v2")
   }
 
-  private val q39Sql =
-    s"""WITH $quantSqlCte,
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    cosineNearDupPairs(s, dir).orderBy("v1", "v2")
+
+  /** Shared oracle CTE chain mirroring [[cosineNearDupPairs]]; yields the
+    * CTE `verified_pairs` (v1, v2, cosine). Used by q39 and q50. */
+  private val cosinePairsSqlCtes =
+    s"""$quantSqlCte,
       |vecs AS (
       |  SELECT vec_id, list(q ORDER BY pos) AS qa, CAST(SUM(q * q) AS BIGINT) AS n2
       |  FROM quant GROUP BY vec_id),
@@ -309,9 +315,54 @@ object Similarity extends QueryModule {
       |  SELECT c.v1, c.v2,
       |         ROUND(CAST(list_sum([x.qa[i] * y.qa[i] for i in range(1, len(x.qa) + 1)]) AS DOUBLE)
       |               / (SQRT(CAST(x.n2 AS DOUBLE)) * SQRT(CAST(y.n2 AS DOUBLE))), 6) AS cosine
-      |  FROM cand c JOIN vecs x ON c.v1 = x.vec_id JOIN vecs y ON c.v2 = y.vec_id)
-      |SELECT v1, v2, cosine FROM scored WHERE cosine >= $CosThreshold
+      |  FROM cand c JOIN vecs x ON c.v1 = x.vec_id JOIN vecs y ON c.v2 = y.vec_id),
+      |verified_pairs AS (SELECT v1, v2, cosine FROM scored WHERE cosine >= $CosThreshold)""".stripMargin
+
+  private val q39Sql =
+    s"""WITH $cosinePairsSqlCtes
+      |SELECT v1, v2, cosine FROM verified_pairs
       |ORDER BY v1, v2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q50 — SEMANTIC DEDUP over embeddings (the SemDeDup recipe): q39's
+  // verified cosine-near-dup pairs grouped into transitive components
+  // (Dedup.components — same min-label propagation as text near-dups),
+  // one representative (min vec_id) kept per group, every other member
+  // marked dropped. The end artifact of embedding-space dedup: a
+  // keep/drop verdict per vector, joined back over the full embedding
+  // table so ungrouped vectors read (self, group of 1, keep).
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val pairs = cosineNearDupPairs(s, dir)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val comp = Dedup.components(pairs) // (doc_id, root)
+    val sizes = comp.groupBy("root").agg(count(lit(1)).as("gs"))
+    val labeled = comp.join(sizes, "root")
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(labeled.select(col("doc_id").as("vec_id"), col("root"), col("gs")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("root"), col("vec_id")).as("canonical_vec_id"),
+        coalesce(col("gs"), lit(1L)).as("group_size"),
+        (coalesce(col("root"), col("vec_id")) === col("vec_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val q50Sql =
+    s"""WITH RECURSIVE $cosinePairsSqlCtes,
+      |dup_edges AS (
+      |  SELECT v1 AS src, v2 AS dst FROM verified_pairs
+      |  UNION
+      |  SELECT v2, v1 FROM verified_pairs),
+      |${Dedup.componentsSqlCtes},
+      |csz AS (SELECT root, COUNT(*) AS gs FROM comp GROUP BY root)
+      |SELECT e.vec_id,
+      |       COALESCE(c.root, e.vec_id) AS canonical_vec_id,
+      |       COALESCE(z.gs, 1) AS group_size,
+      |       COALESCE(c.root, e.vec_id) = e.vec_id AS keep
+      |FROM (SELECT vec_id FROM embeddings) e
+      |LEFT JOIN comp c ON e.vec_id = c.doc_id
+      |LEFT JOIN csz z ON c.root = z.root
+      |ORDER BY e.vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q48 — GEOMETRIC IVF (inverted-file ANN), the classic coarse-quantizer
@@ -405,6 +456,7 @@ object Similarity extends QueryModule {
     "q38_knn_within_class" -> (q38 _),
     "q39_cosine_neardup"   -> (q39 _),
     "q48_ann_ivf"          -> (q48 _),
+    "q50_semantic_dedup"   -> (q50 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -413,5 +465,6 @@ object Similarity extends QueryModule {
     "q38_knn_within_class" -> q38Sql,
     "q39_cosine_neardup"   -> q39Sql,
     "q48_ann_ivf"          -> q48Sql,
+    "q50_semantic_dedup"   -> q50Sql,
   )
 }

@@ -145,6 +145,26 @@ class PipelineSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("semantic dedup: exactly one kept representative per near-dup group") {
+    val out = Similarity.queries("q50_semantic_dedup")(spark, sfDir).collect()
+    assert(out.length == Tables.embeddings(spark, sfDir).count())
+    val byGroup = out.groupBy(_.getLong(1))
+    byGroup.foreach { case (root, members) =>
+      // the canonical is a member of its own group and the only keeper
+      assert(members.count(_.getBoolean(3)) == 1, s"group $root keepers != 1")
+      val keeper = members.find(_.getBoolean(3)).get
+      assert(keeper.getLong(0) == root, s"group $root kept a non-canonical")
+      assert(root == members.map(_.getLong(0)).min, s"group $root canonical not min id")
+      members.foreach(m => assert(m.getLong(2) == members.length, "group_size mismatch"))
+    }
+    // every q39 pair is within one group (the grouping covers the pairs)
+    val comp = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Similarity.queries("q39_cosine_neardup")(spark, sfDir).collect().foreach { p =>
+      assert(comp(p.getLong(0)) == comp(p.getLong(1)),
+        s"pair (${p.getLong(0)}, ${p.getLong(1)}) split across groups")
+    }
+  }
+
   test("multimodal stub features are pure functions of the payload") {
     import spark.implicits._
     val a = graft.functions.Multimodal.decode(
