@@ -411,40 +411,46 @@ object Dedup extends QueryModule {
     * small-star, Kiveris et al.) keeps the same per-round plan shape.
     * Returns (doc_id, root) for every node that appears in `pairs`. */
   def components(pairs: DataFrame): DataFrame = {
-    // Symmetric edges PLUS a self-loop per node: one round is then a
-    // single join + MIN-groupBy (label(v) ← min over {v} ∪ N(v) of
-    // labels) — no left-join to merge the previous label back in. No
-    // distinct pass either: duplicate edges are absorbed by MIN, and the
-    // extra shuffle costs more than it saves. Per-round job count is
-    // what dominates here (the graph is the dup-pair set — orders of
-    // magnitude smaller than the corpus), so rounds are kept to two
-    // shuffles and ONE action.
+    // Symmetric edges PLUS a self-loop per node, so one neighbor-min
+    // pass is a single join + MIN-groupBy (label(v) ← min over {v}∪N(v)
+    // of labels — the self-edge folds the previous label in, no
+    // left-join). No distinct pass: duplicate edges are absorbed by MIN.
     val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     val edges = sym
       .unionByName(sym.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))
       .cache()
+    // Each round: neighbor-min THEN pointer-jump (label ← label of the
+    // new label — every label value is itself a node id, so the lookup
+    // is a join back on labels). Plain min-propagation needs O(diameter)
+    // rounds, which on a GIANT near-dup component (one connected blob of
+    // boilerplate variants) can be dozens; the jump contracts pointer
+    // chains exponentially, converging in O(log diameter) rounds.
+    // localCheckpoint truncates each round's lineage: without it the
+    // round-k plan nests all k−1 predecessors plus the full upstream
+    // pair pipeline, and the driver dies on plan blow-up long before the
+    // data is at risk (the labels relation is |V| rows).
     var labels = edges.select(col("src").as("doc_id"), col("src").as("root"))
-      .distinct().cache()
-    var cached = labels // the DataFrame actually holding this round's cache
+      .distinct().localCheckpoint()
     // Labels only ever decrease, so Σroot strictly decreases until the
-    // fixpoint: the convergence check is a scalar aggregate over the
-    // round's own cache fill — no per-row comparison join. Decimal sum:
-    // Σ of 64-bit ids can exceed 2^63 at full scale.
+    // fixpoint: the convergence check is one scalar aggregate per round.
+    // Decimal sum: Σ of 64-bit ids can exceed 2^63 at full scale.
     var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
     var done = false
     while (!done && iter < 50) {
-      val next = edges
+      val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("root").as("nroot")), "src")
         .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("nroot")).as("root"))
-        .cache()
+        .agg(min(col("nroot")).as("m"))
+      val next = nbrMin
+        .join(labels.select(col("doc_id").as("p"), col("root").as("proot")),
+          col("m") === col("p"))
+        .select(col("doc_id"), col("proot").as("root"))
+        .localCheckpoint() // eager: materializes the round, truncates lineage
       val sum = next.agg(org.apache.spark.sql.functions.sum(col("root").cast("decimal(38,0)")))
         .head().getDecimal(0)
-      cached.unpersist()
-      cached = next
       labels = next
       done = prevSum.exists(p => (p == null && sum == null) || (p != null && p.compareTo(sum) == 0))
       prevSum = Some(sum)
@@ -452,9 +458,8 @@ object Dedup extends QueryModule {
     }
     // Fail LOUDLY if the round cap truncated propagation: silently
     // returning partial labels would split one transitive group into
-    // several "canonicals" (and diverge from the oracle's closure). A
-    // >50-hop min-id chain means the graph isn't the near-dup shape this
-    // operator serves — switch to pointer-jumping before raising the cap.
+    // several "canonicals" (and diverge from the oracle's closure).
+    // With pointer-jumping, 50 rounds covers any diameter ≤ ~2^50.
     if (!done) throw new IllegalStateException(
       s"components did not converge within $iter rounds")
     edges.unpersist()
