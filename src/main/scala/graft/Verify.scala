@@ -30,12 +30,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      spark.catalog.clearCache() // drop prior queries' cached relations
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally Caches.release() // drop this query's tracked caches
     }
     def q(s: String): String = jsonEscape(s)
     val json = SparkEntry.oracleSql

@@ -104,10 +104,11 @@ object RotFlow {
         xxhash64(col("glassid"), col("tstamp")).as("glass"),
         col("glassid"), col("product"), col("tstamp"), col("site_idx"),
         col("x"), col("y"), col("dx"), col("dy"))
-    val attempts = RigidFit.fitChecked(
+    val attempts = graft.Caches.track(RigidFit.fitChecked(
         typed.select("glass", "x", "y", "dx", "dy").as[RigidFit.Site]).toDF()
-      .join(typed.select("glass", "glassid", "product", "tstamp").distinct(), "glass")
-      .cache() // split into fits + failures below — compute the fit once
+      .join(typed.select("glass", "glassid", "product", "tstamp").distinct(), "glass"))
+      // tracked cache: split into fits + failures below — compute the fit
+      // once; the runner releases it after the sinks' actions
     val fits = attempts.filter(col("ok"))
     val fitErr = attempts.filter(!col("ok"))
       .select(col("glassid"), col("product"), col("tstamp"),

@@ -44,9 +44,11 @@ object RotRunner {
       // as SliceStore, partitioned by chunk instead of filtered by time.
       def writeChunk(df: DataFrame, path: String): Unit =
         df.write.mode(SaveMode.Overwrite).parquet(s"$path/chunk=${s.getTime}")
-      writeChunk(res.header, out.headerPath)
-      writeChunk(res.detail, out.detailPath)
-      writeChunk(res.errors, out.errorPath)
+      try {
+        writeChunk(res.header, out.headerPath)
+        writeChunk(res.detail, out.detailPath)
+        writeChunk(res.errors, out.errorPath)
+      } finally graft.Caches.release() // free the chunk's fit cache
       wm.advance(rotApp, toolid, new Timestamp(e.getTime))
     }
     chunks.size

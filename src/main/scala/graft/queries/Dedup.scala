@@ -84,7 +84,7 @@ object Dedup extends QueryModule {
     // over hashed-shingle sets, integer comparisons throughout — the
     // rank ordering (df, tok) is numeric (no collation dependence) and
     // the verification intersects long arrays, not strings.
-    val tok = Tables.documents(s, dir)
+    val tok = graft.Caches.track(Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(
@@ -92,18 +92,18 @@ object Dedup extends QueryModule {
       ).as("shingle"))
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("tok"))
-      .distinct()
-      .cache() // feeds rank, sizes, and verification sets
+      .distinct()) // tracked cache: feeds rank, sizes, and verification sets
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     // n via a count window over the SAME doc_id partitioning as the rank
     // — one shuffle serves both (a separate sizes join would add one)
-    val prefix = tok.join(dfreq, "tok")
+    val prefix = graft.Caches.track(tok.join(dfreq, "tok")
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "tok")))
       .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-      .select("doc_id", "tok", "rk", "n")
-      .cache() // self-joined below — without this the rank pipeline runs twice
+      .select("doc_id", "tok", "rk", "n"))
+      // tracked cache: self-joined below — without it the rank pipeline
+      // runs twice
     // Positional filter (PPJoin): the FIRST shared prefix token at ranks
     // (i, j) bounds the overlap by min(n1−i, n2−j)+1 (every shared token
     // sorts at-or-after it on both sides); J ≥ t needs overlap ≥
@@ -194,13 +194,14 @@ object Dedup extends QueryModule {
     // verification of a candidate pair is array_intersect on the two
     // candidate rows, not a third shingle-level join.
     val s = docs.sparkSession
-    val docSh = docs
+    val docSh = graft.Caches.track(docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))))"))
-      .select(col("doc_id"), col("sh"))
-      .cache() // used three times: signature explode + both verification sides
+      .select(col("doc_id"), col("sh")))
+      // tracked cache: used three times — signature explode + both
+      // verification sides
     val nBands = NumHashes / BandSize
     val groups = s.range(nBands).select(col("id").cast("int").as("band"))
     val bands = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -403,67 +404,111 @@ object Dedup extends QueryModule {
   // canonicalization: a chain A~B~C (without A~C) is ONE duplicate group
   // and keeps exactly one canonical (min doc_id), where pairwise victim
   // dropping could let interior members survive.
-  /** Iterative min-label propagation: each node's label converges to the
-    * smallest doc_id reachable from it. O(diameter) rounds, each one
-    * equi-join + partial-aggregated groupBy — near-dup components are
-    * shallow (planted groups are near-cliques), so this terminates in a
-    * handful of rounds; the production-scale upgrade (large-star/
-    * small-star, Kiveris et al.) keeps the same per-round plan shape.
-    * Returns (doc_id, root) for every node that appears in `pairs`. */
+  /** Per-partition union-find contraction: replace whatever edges landed
+    * in each partition with star edges (localMin, member) of that
+    * partition's union-find forest. EXACT — an original edge (a, b) in
+    * partition p means a and b share a local root, so they stay connected
+    * through it; star edges only connect nodes a partition proved
+    * connected — and ZERO shuffle (narrow mapPartitions). Near-dup
+    * groups are near-cliques whose edges mostly co-locate, so this
+    * collapses most structure before the first global round; what
+    * remains is ≤ 2 rows per (node, partition-it-appeared-in), far
+    * smaller than a dense component's edge set. Memory per task is one
+    * long→long entry per distinct node in the partition — bounded by the
+    * partition's edge bytes, the same order as a shuffle hash map.
+    * Emits (find(n), n) plus the (n, n) self-loop the label loop's
+    * old-label fold-in needs. */
+  private def contractLocal(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select(col("d1").cast("long"), col("d2").cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          // union by MIN id, so every local root is its set's smallest —
+          // the loop's labels then start at the local minimum directly
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = Iterator.newBuilder[(Long, Long)]
+        parent.keySet().forEach { n => out += ((find(n), n)); out += ((n, n)) }
+        out.result()
+      }.toDF("src", "dst")
+  }
+
+  /** Iterative min-label propagation over the contracted star graph:
+    * each node's label converges to the smallest doc_id reachable from
+    * it. Each round is ONE driver action — the neighbor-min join folds
+    * the previous label in through the self-loop row, two pointer jumps
+    * (label ← label(label(m))) contract pointer chains exponentially,
+    * and the changed-label count rides an accumulator inside the same
+    * eager localCheckpoint job, so convergence costs no second job.
+    * (Task retries can overcount the accumulator, but a true fixpoint
+    * counts 0 on every attempt, so the loop can only run long, never
+    * stop early.) localCheckpoint also truncates lineage: without it the
+    * round-k plan nests all k−1 predecessors plus the full upstream pair
+    * pipeline. Returns (doc_id, root) for every node in `pairs`. */
   def components(pairs: DataFrame): DataFrame = {
-    // Symmetric edges PLUS a self-loop per node, so one neighbor-min
-    // pass is a single join + MIN-groupBy (label(v) ← min over {v}∪N(v)
-    // of labels — the self-edge folds the previous label in, no
-    // left-join). No distinct pass: duplicate edges are absorbed by MIN.
-    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-    val edges = sym
-      .unionByName(sym.select(col("src")).distinct()
-        .select(col("src"), col("src").as("dst")))
+    val s = pairs.sparkSession
+    import s.implicits._
+    val stars = contractLocal(pairs)
+    val edges = stars
+      .unionByName(stars.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
-    // Each round: neighbor-min THEN pointer-jump (label ← label of the
-    // new label — every label value is itself a node id, so the lookup
-    // is a join back on labels). Plain min-propagation needs O(diameter)
-    // rounds, which on a GIANT near-dup component (one connected blob of
-    // boilerplate variants) can be dozens; the jump contracts pointer
-    // chains exponentially, converging in O(log diameter) rounds.
-    // localCheckpoint truncates each round's lineage: without it the
-    // round-k plan nests all k−1 predecessors plus the full upstream
-    // pair pipeline, and the driver dies on plan blow-up long before the
-    // data is at risk (the labels relation is |V| rows).
-    var labels = edges.select(col("src").as("doc_id"), col("src").as("root"))
-      .distinct().localCheckpoint()
-    // Labels only ever decrease, so Σroot strictly decreases until the
-    // fixpoint: the convergence check is one scalar aggregate per round.
-    // Decimal sum: Σ of 64-bit ids can exceed 2^63 at full scale.
-    var prevSum: Option[java.math.BigDecimal] = None
-    var iter = 0
-    var done = false
-    while (!done && iter < 50) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("root").as("nroot")), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("nroot")).as("m"))
-      val next = nbrMin
-        .join(labels.select(col("doc_id").as("p"), col("root").as("proot")),
-          col("m") === col("p"))
-        .select(col("doc_id"), col("proot").as("root"))
-        .localCheckpoint() // eager: materializes the round, truncates lineage
-      val sum = next.agg(org.apache.spark.sql.functions.sum(col("root").cast("decimal(38,0)")))
-        .head().getDecimal(0)
-      labels = next
-      done = prevSum.exists(p => (p == null && sum == null) || (p != null && p.compareTo(sum) == 0))
-      prevSum = Some(sum)
-      iter += 1
-    }
-    // Fail LOUDLY if the round cap truncated propagation: silently
-    // returning partial labels would split one transitive group into
-    // several "canonicals" (and diverge from the oracle's closure).
-    // With pointer-jumping, 50 rounds covers any diameter ≤ ~2^50.
-    if (!done) throw new IllegalStateException(
-      s"components did not converge within $iter rounds")
-    edges.unpersist()
-    labels
+    try {
+      // Initial labels: min local root observed for the node across the
+      // partitions it appeared in — round 0 for free (and the job that
+      // computes it materializes the edges cache).
+      var labels = edges.groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src")).as("root"))
+        .localCheckpoint()
+      val changed = s.sparkContext.longAccumulator("graft.components.changed")
+      var iter = 0
+      var done = false
+      while (!done && iter < 50) {
+        // min over {v}∪N(v) of labels; the self-loop row (src == dst)
+        // carries v's own previous label, read back out as `old`
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("src"), col("root").as("nroot")), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("nroot")).as("m"),
+               min(when(col("src") === col("dst"), col("nroot"))).as("old"))
+        val next = nbrMin
+          .join(labels.select(col("doc_id").as("p1"), col("root").as("r1")),
+            col("m") === col("p1"))
+          .join(labels.select(col("doc_id").as("p2"), col("root").as("r2")),
+            col("r1") === col("p2"))
+          .select(col("doc_id"), col("r2").as("root"), col("old"))
+        changed.reset()
+        labels = next.as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, root, old) =>
+              if (root != old) changed.add(1)
+              (id, root)
+            }
+          }.toDF("doc_id", "root")
+          .localCheckpoint() // eager: the round's ONE action, fills `changed`
+        done = changed.value == 0
+        iter += 1
+      }
+      // Fail LOUDLY if the round cap truncated propagation: silently
+      // returning partial labels would split one transitive group into
+      // several "canonicals" (and diverge from the oracle's closure).
+      // With pointer-jumping, 50 rounds covers any diameter ≤ ~2^50.
+      if (!done) throw new IllegalStateException(
+        s"components did not converge within $iter rounds")
+      labels
+    } finally edges.unpersist()
   }
 
   /** Oracle twin of [[components]]: transitive closure by recursive CTE
@@ -533,10 +578,10 @@ object Dedup extends QueryModule {
     // hash; only canonicals reach MinHash, so exact copies cannot
     // saturate an LSH bucket. All rows of a hash group hold the same
     // text, so `first` is deterministic here.
-    val canon = docs.groupBy(md5(col("text")).as("h"))
+    val canon = graft.Caches.track(docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
-      .select("doc_id", "text")
-      .cache() // read twice: MinHash input + the exact-victims anti-join
+      .select("doc_id", "text"))
+      // tracked cache: read twice — MinHash input + exact-victims anti-join
     val exactVictims = docs.select("doc_id")
       .join(canon.select("doc_id"), Seq("doc_id"), "left_anti")
     val pairs = minhashPairsOf(canon)

@@ -57,21 +57,24 @@ object Similarity extends QueryModule {
 
   // ---------------------------------------------------------------------
   // q36 — brute-force cosine top-k: every query vector against the whole
-  // corpus via a position-wise equi-join and exact integer dot products.
+  // corpus. The plan is a BROADCAST of the tiny query set (8 vectors as
+  // array columns) against one narrow pass over the corpus — per corpus
+  // row, 8 codegen'd integer dot products (graft_dot) — then a per-query
+  // top-k window. Zero shuffle of corpus bytes for candidate generation
+  // (the only shuffles are the per-vector array roll-up and the 8-key
+  // window); the earlier position-explode equi-join shuffled the corpus
+  // ×64 on a 64-value key. Same exact integer arithmetic, same oracle.
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    val qn = quant(s, dir).cache()
-    val nr = norms(qn).cache()
-    val queries = qn.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("pos"), col("q").as("qa"))
-    val dots = queries.join(qn.select(col("vec_id"), col("pos"), col("q").as("qb")), "pos")
+    val qn = quant(s, dir)
+    val vecs = qn.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
+           sum(col("q") * col("q")).as("n2"))
+    val queries = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    vecs.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("vec_id"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("qa") * col("qb")).as("dot"))
-    val scored = dots
-      .join(nr.withColumnRenamed("vec_id", "qid").withColumnRenamed("n2", "n2q"), "qid")
-      .join(nr.withColumnRenamed("n2", "n2d"), "vec_id")
-      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2d")))
-    scored
+      .withColumn("dot", expr("graft_dot(qq, qa)")) // native codegen'd dot (plans.DotProduct)
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= 5)
@@ -134,7 +137,7 @@ object Similarity extends QueryModule {
       |  FROM projs GROUP BY vec_id)""".stripMargin
 
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    val qn = quant(s, dir).cache()
+    val qn = graft.Caches.track(quant(s, dir)) // buckets + dots + norms all read it
     val nr = norms(qn)
     val bk = buckets(s, qn)
     val withB = qn.join(bk, "vec_id")
@@ -187,7 +190,7 @@ object Similarity extends QueryModule {
   // not "approximate global nearest" (the labels are not geometric
   // clusters in this corpus — LSH (q37) is the approximate-ANN path).
   private def q38(s: SparkSession, dir: String): DataFrame = {
-    val qn = quant(s, dir).cache()
+    val qn = graft.Caches.track(quant(s, dir)) // queries + corpus side + norms all read it
     val nr = norms(qn)
     val queries = qn.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("label"), col("pos"), col("q").as("qa"))
@@ -385,21 +388,22 @@ object Similarity extends QueryModule {
 
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val qn = quant(s, dir)
-    val vecs = qn.groupBy("vec_id")
+    val vecs = graft.Caches.track(qn.groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
            sum(col("q") * col("q")).as("n2"))
-      .cache() // assignment + probe + scoring all read it
+      ) // tracked cache: assignment + probe + scoring all read it
     val pivots = vecs.filter(col("vec_id") % PivotStride === PivotPhase)
       .select(col("vec_id").as("cell"), col("qa").as("pa"), col("n2").as("pn2"))
     // 2. nearest-centroid assignment (and, for queries, the nprobe list):
     // one narrow pass over vectors × broadcast centroids
-    val affinity = vecs.crossJoin(broadcast(pivots))
+    val affinity = graft.Caches.track(vecs.crossJoin(broadcast(pivots))
       .withColumn("dot", expr("graft_dot(qa, pa)")) // native codegen'd dot (plans.DotProduct)
       .withColumn("cos", cosine(col("dot"), col("n2"), col("pn2")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))))
-      .select("vec_id", "cell", "crank")
-      .cache() // assignment AND probe branch from it — the O(N·K) pass must run once
+      .select("vec_id", "cell", "crank"))
+      // tracked cache: assignment AND probe branch from it — the O(N·K)
+      // pass must run once
     val assigned = affinity.filter(col("crank") === 1).select("vec_id", "cell")
     val probes = affinity.filter(col("vec_id") < NumQueries && col("crank") <= NProbe)
       .select(col("vec_id").as("qid"), col("cell"))

@@ -200,11 +200,15 @@ object TextPipeline extends QueryModule {
     // produces. Trigrams are exploded ONCE; the per-lang profile counts
     // derive from the per-doc counts via the small doc→lang map instead
     // of a second full explosion.
-    val docTri = Tables.documents(s, dir)
+    val docTri = graft.Caches.track(Tables.documents(s, dir)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
-      .groupBy("doc_id", "tri").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("cnt")))
+      // tracked cache: the explode+groupBy above is the query's most
+      // expensive stage and BOTH profiles and scores read it — uncached
+      // it executes twice (Catalyst does not dedup across the
+      // aggregation boundary)
     val docLang = Tables.documents(s, dir).select("doc_id", "lang")
     val profiles = docTri.join(broadcast(docLang), "doc_id")
       .groupBy("lang", "tri").agg(sum(col("cnt")).as("n"))
