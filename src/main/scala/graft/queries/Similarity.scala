@@ -46,9 +46,6 @@ object Similarity extends QueryModule {
       |norms AS (
       |  SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM quant GROUP BY vec_id)""".stripMargin
 
-  private def norms(qdf: DataFrame): DataFrame =
-    qdf.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
-
   /** cosine between query q and doc d given integer dot and norms. */
   private def cosine(dot: org.apache.spark.sql.Column,
                      n2a: org.apache.spark.sql.Column,
@@ -65,10 +62,7 @@ object Similarity extends QueryModule {
   // window); the earlier position-explode equi-join shuffled the corpus
   // ×64 on a 64-value key. Same exact integer arithmetic, same oracle.
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    val qn = quant(s, dir)
-    val vecs = qn.groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
-           sum(col("q") * col("q")).as("n2"))
+    val vecs = vecsOf(quant(s, dir)).select("vec_id", "qa", "n2")
     val queries = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
     vecs.crossJoin(broadcast(queries))
@@ -117,10 +111,30 @@ object Similarity extends QueryModule {
           .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L)))
   }
 
-  private def buckets(s: SparkSession, qdf: DataFrame): DataFrame = {
-    qdf.join(broadcast(signTable(s, NumPlanes)), "pos")
-      .groupBy("vec_id", "plane")
-      .agg(sum(col("sgn") * col("q")).as("proj"))
+  /** [[signTable]] rolled up to one ±1 ARRAY per plane (pos-ordered), so
+    * a projection is one codegen'd graft_dot per (vector, plane) row
+    * instead of a ×64 position fan-out through a join-then-aggregate —
+    * the corpus is never exploded for bucketing. */
+  private def planeArrays(s: SparkSession, planes: Int): DataFrame = {
+    signTable(s, planes)
+      .groupBy("plane")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sgn))), x -> x.sgn) AS sa"))
+  }
+
+  /** Per-vector rolled-up relation: (vec_id, label, qa = pos-ordered
+    * quantized array, n2 = squared norm). The ONE corpus-wide roll-up
+    * every similarity query starts from. */
+  private def vecsOf(qdf: DataFrame): DataFrame = {
+    qdf.groupBy("vec_id", "label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
+           sum(col("q") * col("q")).as("n2"))
+  }
+
+  /** 8-bit random-hyperplane bucket per vector, from array dots against
+    * the broadcast plane table. */
+  private def buckets(s: SparkSession, vecs: DataFrame): DataFrame = {
+    vecs.crossJoin(broadcast(planeArrays(s, NumPlanes)))
+      .withColumn("proj", expr("graft_dot(qa, sa)"))
       .withColumn("bit", when(col("proj") >= 0, lit("1")).otherwise(lit("0")))
       .groupBy("vec_id")
       .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(plane, bit))), x -> x.bit)) AS bucket"))
@@ -137,21 +151,15 @@ object Similarity extends QueryModule {
       |  FROM projs GROUP BY vec_id)""".stripMargin
 
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    val qn = graft.Caches.track(quant(s, dir)) // buckets + dots + norms all read it
-    val nr = norms(qn)
-    val bk = buckets(s, qn)
-    val withB = qn.join(bk, "vec_id")
+    // tracked cache: bucketing + both sides of the in-bucket join read it
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)))
+    val withB = vecs.join(buckets(s, vecs), "vec_id")
     val queries = withB.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("bucket"), col("pos"), col("q").as("qa"))
-    val dots = queries.join(
-        withB.select(col("vec_id"), col("bucket"), col("pos"), col("q").as("qb")),
-        Seq("bucket", "pos"))
+      .select(col("vec_id").as("qid"), col("bucket"), col("qa").as("qq"), col("n2").as("n2q"))
+    queries.join(
+        withB.select(col("vec_id"), col("bucket"), col("qa"), col("n2").as("n2d")), "bucket")
       .filter(col("qid") =!= col("vec_id"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("qa") * col("qb")).as("dot"))
-    dots
-      .join(nr.withColumnRenamed("vec_id", "qid").withColumnRenamed("n2", "n2q"), "qid")
-      .join(nr.withColumnRenamed("n2", "n2d"), "vec_id")
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
       .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2d")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
@@ -190,19 +198,14 @@ object Similarity extends QueryModule {
   // not "approximate global nearest" (the labels are not geometric
   // clusters in this corpus — LSH (q37) is the approximate-ANN path).
   private def q38(s: SparkSession, dir: String): DataFrame = {
-    val qn = graft.Caches.track(quant(s, dir)) // queries + corpus side + norms all read it
-    val nr = norms(qn)
-    val queries = qn.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("label"), col("pos"), col("q").as("qa"))
-    val dots = queries.join(
-        qn.select(col("vec_id"), col("label"), col("pos"), col("q").as("qb")),
-        Seq("label", "pos"))
+    // tracked cache: both sides of the within-class join read it
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)))
+    val queries = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label"), col("qa").as("qq"), col("n2").as("n2q"))
+    queries.join(
+        vecs.select(col("vec_id"), col("label"), col("qa"), col("n2").as("n2d")), "label")
       .filter(col("qid") =!= col("vec_id"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("qa") * col("qb")).as("dot"))
-    dots
-      .join(nr.withColumnRenamed("vec_id", "qid").withColumnRenamed("n2", "n2q"), "qid")
-      .join(nr.withColumnRenamed("n2", "n2d"), "vec_id")
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
       .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2d")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
@@ -248,16 +251,13 @@ object Similarity extends QueryModule {
   /** q39's verified pair set (v1, v2, cosine) — reused by the semantic
     * dedup canonicalization (q50). */
   def cosineNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val qn = quant(s, dir)
-    // quantized vector + squared norm per row, kept as an array column
-    val vecs = qn.groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
-           sum(col("q") * col("q")).as("n2"))
-    val signs = signTable(s, NearDupTables * PlanesPerTable)
+    // tracked cache: the per-vector roll-up feeds the 30-plane bucketing
+    // AND both verification join sides — one corpus pass, reused
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)))
+    val planes = planeArrays(s, NearDupTables * PlanesPerTable)
       .withColumn("tbl", (col("plane") / PlanesPerTable).cast("int"))
-    val keys = qn.join(broadcast(signs), "pos")
-      .groupBy("vec_id", "tbl", "plane")
-      .agg(sum(col("sgn") * col("q")).as("proj"))
+    val keys = vecs.crossJoin(broadcast(planes))
+      .withColumn("proj", expr("graft_dot(qa, sa)")) // one codegen'd dot per (vec, plane)
       .withColumn("bit", when(col("proj") >= 0, lit("1")).otherwise(lit("0")))
       .groupBy("vec_id", "tbl")
       .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(plane, bit))), x -> x.bit)) AS bk"))
@@ -387,11 +387,8 @@ object Similarity extends QueryModule {
   private val NProbe = 2
 
   private def q48(s: SparkSession, dir: String): DataFrame = {
-    val qn = quant(s, dir)
-    val vecs = graft.Caches.track(qn.groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
-           sum(col("q") * col("q")).as("n2"))
-      ) // tracked cache: assignment + probe + scoring all read it
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+      // tracked cache: assignment + probe + scoring all read it
     val pivots = vecs.filter(col("vec_id") % PivotStride === PivotPhase)
       .select(col("vec_id").as("cell"), col("qa").as("pa"), col("n2").as("pn2"))
     // 2. nearest-centroid assignment (and, for queries, the nprobe list):
