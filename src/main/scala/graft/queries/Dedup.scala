@@ -461,6 +461,12 @@ object Dedup extends QueryModule {
     * stop early.) localCheckpoint also truncates lineage: without it the
     * round-k plan nests all k−1 predecessors plus the full upstream pair
     * pipeline. Returns (doc_id, root) for every node in `pairs`. */
+  /** Label-loop rounds of the most recent [[components]] call (driver
+    * actions = rounds + 1 init): the per-round driver floor is the
+    * operator's scale cost, so ScaleSpec pins it for the dedup-shaped
+    * workload. */
+  private[graft] var lastRounds: Int = -1
+
   def components(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
@@ -526,6 +532,7 @@ object Dedup extends QueryModule {
       // With pointer-jumping, 50 rounds covers any diameter ≤ ~2^50.
       if (!done) throw new IllegalStateException(
         s"components did not converge within $iter rounds")
+      lastRounds = iter
       labels
     } finally edges.unpersist()
   }
