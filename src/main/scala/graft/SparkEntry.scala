@@ -16,6 +16,7 @@ object SparkEntry {
     _root_.graft.queries.Dedup,
     _root_.graft.queries.Similarity,
     _root_.graft.queries.TextPipeline,
+    _root_.graft.queries.Curation,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

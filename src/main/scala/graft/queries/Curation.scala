@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Corpus curation operators a large-scale training-data pipeline runs
+  * AFTER dedup (Dedup.scala) and quality scoring (TextPipeline.scala):
+  * benchmark decontamination, deterministic stratified sampling, domain
+  * mixture weighting, and PII redaction. Beyond the reference's own
+  * operator set — these are the intake-side ops its relational surface
+  * would grow at 100 TB.
+  *
+  * Scale stance:
+  *  - Decontamination (q51) is an equi-join on an int64 n-gram key with
+  *    a document-frequency cap, so ubiquitous n-grams (the join-key skew
+  *    at corpus scale) are excluded BY DEFINITION — standard practice,
+  *    since a stop-phrase shared with an eval doc is not contamination.
+  *  - Sampling (q52) is hash-based and stateless: keep iff a 60-bit
+  *    md5 integer of the doc id falls under the stratum's rate
+  *    threshold. No RNG, no seed plumbing, no shuffle beyond the
+  *    stratum-count window; replays identically on any cluster.
+  *  - Mixture weights (q53) are two partial-aggregated passes; the
+  *    normalizer is the MAX stratum (order-insensitive), never an
+  *    FP sum over strata (order-dependent across engines/partitions).
+  *  - Redaction (q54) is a pure narrow map — regex extraction and
+  *    replacement run inside whole-stage codegen, no shuffle at all.
+  *
+  * Every hash is md5 so the DuckDB oracle replays each step bit-exactly
+  * (int64 tokens via the same hex-prefix construction as Dedup q32).
+  */
+object Curation extends QueryModule {
+
+  // ---------------------------------------------------------------------
+  // q51 — benchmark decontamination: the eval split is the deterministic
+  // slice doc_id % 17 == 5; a training document is contaminated if it
+  // shares ≥ MinShared distinct rare token-3-grams with an eval document
+  // (near-duplicate leakage shows up as 30-90 shared trigrams on this
+  // corpus; incidental vocabulary overlap stays at 1-3). "Rare" = document
+  // frequency ≤ max(2, corpus/20): frequent trigrams are boilerplate, not
+  // leakage, and excluding them also bounds the join key's fan-out.
+  private val EvalMod = 17
+  private val EvalPhase = 5
+  private val MinShared = 4
+
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))"
+      )).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("tok"))
+      .distinct()
+    val total = tri.select(countDistinct(col("doc_id")).as("total"))
+    val dfreq = tri.groupBy("tok").agg(count(lit(1)).as("df"))
+    val rare = tri.join(dfreq, "tok")
+      .crossJoin(broadcast(total))
+      .filter(col("df") <= greatest(lit(2), expr("total div 20")))
+      .select("doc_id", "tok")
+    val ev = rare.filter(col("doc_id") % EvalMod === EvalPhase)
+      .select(col("doc_id").as("eval_doc"), col("tok"))
+    val tr = rare.filter(col("doc_id") % EvalMod =!= EvalPhase)
+    tr.join(ev, "tok")
+      .groupBy(col("doc_id").as("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy("train_doc", "eval_doc")
+      .select("train_doc", "eval_doc", "n_shared")
+  }
+
+  private val q51Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |tri AS (
+      |  SELECT DISTINCT doc_id,
+      |         CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS tok
+      |  FROM (SELECT doc_id, unnest([ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] for i in range(1, len(ts) - 1)]) AS g FROM toks)),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS total FROM tri),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tri GROUP BY tok),
+      |rare AS (
+      |  SELECT t.doc_id, t.tok FROM tri t JOIN dfreq d USING (tok) CROSS JOIN n
+      |  WHERE d.df <= GREATEST(2, n.total // 20)),
+      |ev AS (SELECT doc_id AS eval_doc, tok FROM rare WHERE doc_id % $EvalMod = $EvalPhase),
+      |tr AS (SELECT doc_id, tok FROM rare WHERE doc_id % $EvalMod != $EvalPhase)
+      |SELECT tr.doc_id AS train_doc, ev.eval_doc, COUNT(*) AS n_shared
+      |FROM tr JOIN ev USING (tok)
+      |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
+      |ORDER BY train_doc, eval_doc""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q52 — deterministic stratified sampling: strata are (lang, source);
+  // each stratum is downsampled to ≈ TargetPerStratum docs by keeping a
+  // document iff its 60-bit md5 integer falls below rate·2^60. The
+  // threshold uses floor() explicitly because DuckDB's CAST(double AS
+  // BIGINT) rounds while Spark's truncates — floor makes both exact on
+  // the same IEEE double.
+  private val TargetPerStratum = 48
+
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("n_stratum", count(lit(1)).over(w))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .withColumn("keep", col("u") < floor(
+        least(lit(1.0), lit(TargetPerStratum.toDouble) / col("n_stratum"))
+          * lit(1152921504606846976.0)).cast("long"))
+      .select("doc_id", "lang", "source", "n_stratum", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val q52Sql =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |         COUNT(*) OVER (PARTITION BY lang, source) AS n_stratum
+      |  FROM documents)
+      |SELECT doc_id, lang, source, n_stratum,
+      |       CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)
+      |         < CAST(FLOOR(LEAST(1.0, ${TargetPerStratum.toDouble} / n_stratum) * 1152921504606846976.0) AS BIGINT) AS keep
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q53 — domain mixture weights at sampling temperature τ = 1/2: per
+  // (lang, source) stratum, weight ∝ (token share)^τ — the standard
+  // down-weighting of dominant domains when composing a training mix.
+  // Normalized by the LARGEST stratum (a MAX, order-insensitive and
+  // engine-portable) rather than the sum of powers, which would be an
+  // order-dependent FP reduction.
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val strata = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val mx = strata.select(max(col("n_tokens")).as("max_tokens"))
+    strata.crossJoin(broadcast(mx))
+      .withColumn("weight",
+        round(sqrt(col("n_tokens").cast("double") / col("max_tokens")), 6))
+      .select("lang", "source", "n_docs", "n_tokens", "weight")
+      .orderBy("lang", "source")
+  }
+
+  private val q53Sql =
+    """WITH strata AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang, source),
+      |mx AS (SELECT MAX(n_tokens) AS max_tokens FROM strata)
+      |SELECT lang, source, n_docs, n_tokens,
+      |       ROUND(SQRT(CAST(n_tokens AS DOUBLE) / max_tokens), 6) AS weight
+      |FROM strata CROSS JOIN mx
+      |ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q54 — PII redaction over an intake feed. The synthetic corpus
+  // carries no PII, so the feed INJECTS deterministic contact strings
+  // into a slice of documents (labeled fixture, both engines build the
+  // same feed); the operator then counts and redacts emails and
+  // 555-prefixed phone extensions. Pure codegen'd narrow map — the shape
+  // that sweeps 100 TB at scan speed. Output carries md5(clean text) so
+  // the oracle verifies the exact redacted bytes without shipping them.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val feed = Tables.documents(s, dir)
+      .withColumn("t", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" tel 555-0"), (col("doc_id") % 900 + 100).cast("string")))
+          .otherwise(lit(""))))
+    feed
+      .withColumn("n_emails", size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))))
+      .withColumn("clean_hash", md5(
+        regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")))
+      .select("doc_id", "n_emails", "n_phones", "clean_hash")
+      .orderBy("doc_id")
+  }
+
+  private val q54Sql =
+    s"""WITH feed AS (
+      |  SELECT doc_id,
+      |         text
+      |           || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+      |           || CASE WHEN doc_id % 11 = 0 THEN ' tel 555-0' || (doc_id % 900 + 100)::VARCHAR ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |       len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+      |       len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+      |       md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')) AS clean_hash
+      |FROM feed ORDER BY doc_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_decontaminate"     -> (q51 _),
+    "q52_stratified_sample" -> (q52 _),
+    "q53_domain_mix"        -> (q53 _),
+    "q54_pii_redact"        -> (q54 _),
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q51_decontaminate"     -> q51Sql,
+    "q52_stratified_sample" -> q52Sql,
+    "q53_domain_mix"        -> q53Sql,
+    "q54_pii_redact"        -> q54Sql,
+  )
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.queries.Curation
+import org.apache.spark.sql.functions._
+
+/** Invariants of the curation operators (q51-q54) beyond the DuckDB
+  * hash-equality the driver gate provides. */
+class CurationSpec extends SparkTestBase {
+
+  test("q51 decontamination splits train/eval correctly and finds planted leakage") {
+    val out = Curation.queries("q51_decontaminate")(spark, sfDir).collect()
+    assert(out.nonEmpty, "near-dup leakage into the eval slice must be detected")
+    out.foreach { r =>
+      assert(r.getLong(0) % 17 != 5, s"train_doc ${r.getLong(0)} is in the eval slice")
+      assert(r.getLong(1) % 17 == 5, s"eval_doc ${r.getLong(1)} is not in the eval slice")
+      assert(r.getLong(2) >= 4)
+    }
+  }
+
+  test("q52 sampling keeps whole strata at or under the target and is deterministic") {
+    val out = Curation.queries("q52_stratified_sample")(spark, sfDir)
+    // a stratum at or below the target has rate 1.0 — every doc kept
+    val small = out.filter(col("n_stratum") <= 48)
+    assert(small.count() > 0)
+    assert(small.filter(!col("keep")).count() == 0,
+      "sub-target strata must keep every document")
+    // hash-based sampling replays identically
+    val a = out.collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val b = Curation.queries("q52_stratified_sample")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(a == b)
+  }
+
+  test("q53 mixture weights are (0,1] with the dominant stratum at exactly 1") {
+    val rows = Curation.queries("q53_domain_mix")(spark, sfDir).collect()
+    val ws = rows.map(_.getDouble(4))
+    assert(ws.forall(w => w > 0.0 && w <= 1.0))
+    assert(ws.max == 1.0, "largest stratum must normalize to weight 1")
+    // τ=1/2 damping: weights are ordered with token counts
+    val byTok = rows.sortBy(_.getLong(3))
+    assert(byTok.map(_.getDouble(4)).toSeq == byTok.map(_.getDouble(4)).sorted.toSeq)
+  }
+
+  test("q54 redaction touches only injected rows and scrubs every match") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("orig_hash"))
+    val out = Curation.queries("q54_pii_redact")(spark, sfDir)
+      .join(docs, "doc_id").collect()
+    out.foreach { r =>
+      val (id, emails, phones) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      if (id % 7 == 0) assert(emails >= 1, s"doc $id: injected email not found")
+      if (id % 11 == 0) assert(phones >= 1, s"doc $id: injected phone not found")
+      if (id % 7 != 0 && id % 11 != 0) {
+        assert(emails == 0 && phones == 0)
+        // untouched feed == original text, so the clean hash must match
+        assert(r.getString(3) == r.getString(4), s"doc $id modified without PII")
+      }
+    }
+  }
+}
