@@ -161,8 +161,10 @@ object Curation extends QueryModule {
   // 555-prefixed phone extensions. Pure codegen'd narrow map — the shape
   // that sweeps 100 TB at scan speed. Output carries md5(clean text) so
   // the oracle verifies the exact redacted bytes without shipping them.
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "555-[0-9]{4}"
+  /** Shared with the streaming intake flow (Streams.intake), so batch
+    * and stream scrub identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
 
   private def q54(s: SparkSession, dir: String): DataFrame = {
     val feed = Tables.documents(s, dir)

@@ -69,6 +69,30 @@ object Streams {
       .dropDuplicatesWithinWatermark("text_hash")
   }
 
+  /** Composed streaming corpus intake — the curation-side end artifact,
+    * the streaming twin of the batch corpus filter (q44) plus redaction
+    * (q54): document feed → watermark-bounded exact dedup
+    * (first-seen-wins on the content hash) → quality floor (the same
+    * stopword/length heuristic q30/q44 score with) → PII scrub (q54's
+    * patterns, shared constants so batch and stream redact identically).
+    * Everything after the dedup state is a stateless narrow map, so the
+    * flow's only state is the watermark-bounded hash set — the shape
+    * that keeps a 100 TB/day intake running indefinitely. */
+  def intake(docs: DataFrame, qualityFloor: Double = 0.5): DataFrame = {
+    import graft.queries.Curation.{EmailRe, PhoneRe}
+    streamingExactDedup(docs)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", size(expr("filter(toks, t -> t IN ('the', 'a', 'is'))")))
+      .withColumn("quality",
+        round((lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+          * least(lit(1.0), col("n_tokens").cast("double") / 50.0), 6))
+      .filter(col("quality") >= qualityFloor)
+      .withColumn("clean_text",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+      .select("doc_id", "ts", "text_hash", "quality", "clean_text")
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int, total_value: Double)

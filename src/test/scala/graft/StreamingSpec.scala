@@ -171,6 +171,28 @@ class StreamingSpec extends SparkTestBase {
     assert(out == Set(1L, 3L), s"expected first-seen docs only, got $out")
   }
 
+  test("intake flow dedups, enforces the quality floor, and scrubs PII in one pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Doc]
+    val good = ("data " * 60).trim // 60 non-stopword tokens → quality 1.0
+    val query = Streams.intake(mem.toDF())
+      .writeStream.format("memory").queryName("intake")
+      .outputMode("append").start()
+    mem.addData(
+      Streams.Doc(1, ts("2024-01-01 10:00:00"), good),
+      Streams.Doc(2, ts("2024-01-01 10:05:00"), good),            // exact dup → dropped
+      Streams.Doc(3, ts("2024-01-01 10:10:00"), "the a is the a"), // all stopwords → quality 0
+      Streams.Doc(4, ts("2024-01-01 10:15:00"), good + " mail me2@ex.org x"))
+    query.processAllAvailable()
+    val out = spark.table("intake").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    query.stop()
+    assert(out.keySet == Set(1L, 4L), s"expected dedup + quality drop, got ${out.keySet}")
+    assert(out(4L).contains("<EMAIL>") && !out(4L).contains("me2@ex.org"),
+      "PII must be scrubbed in the surviving feed")
+    assert(out(1L) == good, "clean docs pass through byte-identical")
+  }
+
   test("batch q25 sessionization agrees with the streaming sessionizer") {
     // same events, two execution models (D3 applied to batch vs stream):
     // session (user, n_events, total_value) multisets must match.
