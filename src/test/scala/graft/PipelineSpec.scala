@@ -145,6 +145,41 @@ class PipelineSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components: exact on 40 randomized graphs vs reference union-find") {
+    import spark.implicits._
+    // Deterministic LCG so failures replay; graphs mix duplicate edges,
+    // self-loops, skewed degrees, and both orientations — everything the
+    // contraction passes and label loop must absorb without changing the
+    // answer. Reference = classic driver-side union-find.
+    var seed = 0x5eed5eedL
+    def rnd(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound) + bound).toInt % bound
+    }
+    for (trial <- 1 to 40) {
+      val n = 5 + rnd(56)                       // nodes 0..n-1 (sparse ids below)
+      val m = 1 + rnd(3 * n)
+      val edges = (1 to m).map { _ =>
+        val a = rnd(n).toLong * (1 + trial % 3) // non-contiguous ids on some trials
+        val b = rnd(n).toLong * (1 + trial % 3)
+        (a, b)
+      }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.components(edges.toDF("d1", "d2").repartition(1 + rnd(7)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial (n=$n, m=$m) diverged from union-find")
+    }
+  }
+
   test("semantic dedup: exactly one kept representative per near-dup group") {
     val out = Similarity.queries("q50_semantic_dedup")(spark, sfDir).collect()
     assert(out.length == Tables.embeddings(spark, sfDir).count())
