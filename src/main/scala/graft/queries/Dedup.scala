@@ -193,7 +193,6 @@ object Dedup extends QueryModule {
     // The shingle SET also travels as an array column so exact
     // verification of a candidate pair is array_intersect on the two
     // candidate rows, not a third shingle-level join.
-    val s = docs.sparkSession
     val docSh = graft.Caches.track(docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
@@ -202,18 +201,26 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("sh")))
       // tracked cache: used three times — signature explode + both
       // verification sides
+    // The 16 minhashes run as ONE wide aggregate: per (doc, shingle) row
+    // the 4 per-band digests are 4 columns (not a ×4 band fan-out), and
+    // the per-doc groupBy takes 16 MIN columns at once — same trick as
+    // SimHash's 32-sum aggregate. Shuffle rows drop 4×, the second
+    // (doc, band)-keyed aggregation disappears, and the 4 band keys are
+    // recovered with a 4-row-per-doc explode AFTER aggregation. Values
+    // are bit-identical to the oracle's per-band formulation.
     val nBands = NumHashes / BandSize
-    val groups = s.range(nBands).select(col("id").cast("int").as("band"))
-    val bands = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .crossJoin(broadcast(groups))
-      .withColumn("h", md5(concat(col("band").cast("string"), lit(":"), col("shingle"))))
-      .groupBy("doc_id", "band")
-      .agg(min(substring(col("h"), 1, 8)).as("w0"),
-           min(substring(col("h"), 9, 8)).as("w1"),
-           min(substring(col("h"), 17, 8)).as("w2"),
-           min(substring(col("h"), 25, 8)).as("w3"))
-      .select(col("doc_id"), col("band"),
-        md5(concat_ws("|", col("w0"), col("w1"), col("w2"), col("w3"))).as("bandkey"))
+    val hashed = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id") +: (0 until nBands).map(b =>
+        md5(concat(lit(s"$b:"), col("shingle"))).as(s"h$b")): _*)
+    val minCols = for { b <- 0 until nBands; w <- 0 until BandSize }
+      yield min(substring(col(s"h$b"), w * 8 + 1, 8)).as(s"w${b}_$w")
+    val bands = hashed.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", (0 until BandSize).map(w => col(s"w${b}_$w")): _*)).as("bandkey"))
+      }: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bandkey").as("bandkey"))
     // Bucket docs by (band, bandkey) and emit in-bucket pairs with array
     // combinatorics — the signature pipeline runs ONCE (no self-join that
     // would recompute it per side). Buckets above BucketCap are DROPPED

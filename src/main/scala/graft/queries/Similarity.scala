@@ -100,26 +100,34 @@ object Similarity extends QueryModule {
   // (and every executor) see the same hyperplanes with no side channel.
   private val NumPlanes = 8
 
-  /** md5-derived ±1 hyperplane components, materialized once as a tiny
-    * broadcast relation (plane × dim rows) instead of recomputing the
-    * same md5 per data row — the fact side then only multiplies. */
-  private def signTable(s: SparkSession, planes: Int): DataFrame = {
-    s.range(planes).select(col("id").cast("int").as("plane"))
-      .crossJoin(s.range(1, 65).select(col("id").cast("int").as("pos")))
-      .withColumn("sgn", when(
-        substring(md5(concat(col("plane").cast("string"), lit("-"), col("pos").cast("string"))), 1, 1)
-          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L)))
+  /** The md5-derived ±1 hyperplanes are CONSTANTS (md5 of "plane-pos"),
+    * so they are computed here in plain Scala — no Spark job, no side
+    * channel — and inlined as foldable array literals. A vector's whole
+    * bucket signature is then a per-row expression (one codegen'd
+    * graft_dot per plane against a literal array): bucketing costs ZERO
+    * joins and ZERO shuffles beyond the per-vector roll-up, for any
+    * corpus size. The DuckDB oracle recomputes the same md5 table
+    * relationally and agrees bit-for-bit. */
+  private def planeSigns(planes: Int): IndexedSeq[IndexedSeq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (1 to 64).map { pos =>
+        val hex = md.digest(s"$p-$pos".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) <= '7') 1L else -1L // first hex digit in 0-7 → +1
+      }
+    }
   }
 
-  /** [[signTable]] rolled up to one ±1 ARRAY per plane (pos-ordered), so
-    * a projection is one codegen'd graft_dot per (vector, plane) row
-    * instead of a ×64 position fan-out through a join-then-aggregate —
-    * the corpus is never exploded for bucketing. */
-  private def planeArrays(s: SparkSession, planes: Int): DataFrame = {
-    signTable(s, planes)
-      .groupBy("plane")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, sgn))), x -> x.sgn) AS sa"))
-  }
+  /** One projection column per plane: graft_dot(qa, <literal ±1 array>). */
+  private def projCol(sa: IndexedSeq[Long]): org.apache.spark.sql.Column =
+    expr(s"graft_dot(qa, array(${sa.mkString("L,")}L))")
+
+  /** Bucket-signature string over `planes` hyperplanes as one per-row
+    * expression (bit b = sign of projection b). */
+  private def bucketCol(planes: Int): org.apache.spark.sql.Column =
+    concat(planeSigns(planes).map(sa =>
+      when(projCol(sa) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
   /** Per-vector rolled-up relation: (vec_id, label, qa = pos-ordered
     * quantized array, n2 = squared norm). The ONE corpus-wide roll-up
@@ -128,16 +136,6 @@ object Similarity extends QueryModule {
     qdf.groupBy("vec_id", "label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
            sum(col("q") * col("q")).as("n2"))
-  }
-
-  /** 8-bit random-hyperplane bucket per vector, from array dots against
-    * the broadcast plane table. */
-  private def buckets(s: SparkSession, vecs: DataFrame): DataFrame = {
-    vecs.crossJoin(broadcast(planeArrays(s, NumPlanes)))
-      .withColumn("proj", expr("graft_dot(qa, sa)"))
-      .withColumn("bit", when(col("proj") >= 0, lit("1")).otherwise(lit("0")))
-      .groupBy("vec_id")
-      .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(plane, bit))), x -> x.bit)) AS bucket"))
   }
 
   private val bucketsSqlCte =
@@ -151,9 +149,10 @@ object Similarity extends QueryModule {
       |  FROM projs GROUP BY vec_id)""".stripMargin
 
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    // tracked cache: bucketing + both sides of the in-bucket join read it
+    // tracked cache: both sides of the in-bucket join read it
     val vecs = graft.Caches.track(vecsOf(quant(s, dir)))
-    val withB = vecs.join(buckets(s, vecs), "vec_id")
+    // bucket = one per-row expression over literal planes — no join
+    val withB = vecs.withColumn("bucket", bucketCol(NumPlanes))
     val queries = withB.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("bucket"), col("qa").as("qq"), col("n2").as("n2q"))
     queries.join(
@@ -254,13 +253,16 @@ object Similarity extends QueryModule {
     // tracked cache: the per-vector roll-up feeds the 30-plane bucketing
     // AND both verification join sides — one corpus pass, reused
     val vecs = graft.Caches.track(vecsOf(quant(s, dir)))
-    val planes = planeArrays(s, NearDupTables * PlanesPerTable)
-      .withColumn("tbl", (col("plane") / PlanesPerTable).cast("int"))
-    val keys = vecs.crossJoin(broadcast(planes))
-      .withColumn("proj", expr("graft_dot(qa, sa)")) // one codegen'd dot per (vec, plane)
-      .withColumn("bit", when(col("proj") >= 0, lit("1")).otherwise(lit("0")))
-      .groupBy("vec_id", "tbl")
-      .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(plane, bit))), x -> x.bit)) AS bk"))
+    // All 6 tables' 5-bit keys come from per-row expressions over the
+    // literal planes (30 codegen'd dots), then a 6-row-per-vector
+    // explode — zero joins/shuffles for candidate-key generation.
+    val signs = planeSigns(NearDupTables * PlanesPerTable)
+    val keys = vecs.select(col("vec_id"), explode(array((0 until NearDupTables).map { t =>
+        struct(lit(t).as("tbl"),
+          concat((t * PlanesPerTable until (t + 1) * PlanesPerTable).map(p =>
+            when(projCol(signs(p)) >= 0, lit("1")).otherwise(lit("0"))): _*).as("bk"))
+      }: _*)).as("x"))
+      .select(col("vec_id"), col("x.tbl").as("tbl"), col("x.bk").as("bk"))
     // Mega-buckets (> 64 members) are keys that failed to discriminate —
     // near-boundary projections — and would contribute O(c²) candidate
     // pairs with random-pair cosine statistics; standard LSH practice is
