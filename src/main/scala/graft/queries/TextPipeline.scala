@@ -197,29 +197,29 @@ object TextPipeline extends QueryModule {
     import s.implicits._
     // length >= 3 guard: Spark's sequence(1, n-2) counts DOWN for n < 3
     // and would emit degenerate n-grams the oracle's empty range never
-    // produces. Trigrams are exploded ONCE; the per-lang profile counts
-    // derive from the per-doc counts via the small doc→lang map instead
-    // of a second full explosion.
-    val docTri = graft.Caches.track(Tables.documents(s, dir)
+    // produces. The raw occurrence stream feeds both sides directly — no
+    // per-(doc, tri) pre-aggregation: profile counts are a straight
+    // (lang, tri) aggregate (Σ_doc cnt == occurrence count), and scores
+    // filter the stream against the tiny broadcast profile FIRST, so the
+    // only corpus-sized shuffle is the profile build (the per-doc score
+    // aggregate sees profile trigrams only, and Σ cnt·weight over doc
+    // counts == Σ weight over surviving occurrences — same integers).
+    val rawTri = graft.Caches.track(Tables.documents(s, dir)
       .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
-      .groupBy("doc_id", "tri").agg(count(lit(1)).as("cnt")))
-      // tracked cache: the explode+groupBy above is the query's most
-      // expensive stage and BOTH profiles and scores read it — uncached
-      // it executes twice (Catalyst does not dedup across the
-      // aggregation boundary)
-    val docLang = Tables.documents(s, dir).select("doc_id", "lang")
-    val profiles = docTri.join(broadcast(docLang), "doc_id")
-      .groupBy("lang", "tri").agg(sum(col("cnt")).as("n"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri")))
+      // tracked cache: the char-level explode is the expensive part and
+      // both the profile build and the scoring filter read it
+    val profiles = rawTri
+      .groupBy("lang", "tri").agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("lang").orderBy(col("n").desc, col("tri"))))
       .filter(col("rank") <= ProfileSize)
       .select(col("lang").as("cand_lang"), col("tri"),
         (lit(ProfileSize + 1) - col("rank")).as("weight"))
-    val scores = docTri.join(broadcast(profiles), "tri")
+    val scores = rawTri.join(broadcast(profiles), "tri")
       .groupBy("doc_id", "cand_lang")
-      .agg(sum(col("cnt") * col("weight")).as("score"))
+      .agg(sum(col("weight")).as("score"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand_lang"))))
       .filter(col("rk") === 1)

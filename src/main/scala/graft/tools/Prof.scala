@@ -20,6 +20,8 @@ object Prof {
     val fn = graft.SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
     (1 to 2).foreach { i =>
+      graft.Caches.release()     // mirror Bench: no cross-run cache reuse
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[prof] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
