@@ -53,9 +53,13 @@ object Bench {
     val budgetFactor = sys.env.getOrElse("SPARK_GRAFT_BUDGET_FACTOR", "3.0").toDouble
     val baseline: Map[String, Double] = {
       val f = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BASELINE",
-        "bench_baseline.json"))
-      if (!f.isFile) Map.empty
-      else """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
+        new java.io.File("bench_baseline.json").getAbsolutePath))
+      if (!f.isFile) {
+        // A missing baseline must not masquerade as "everything within
+        // budget" — say so, loudly, so a mis-set CWD or path is visible.
+        System.err.println(s"[bench] WARNING: no baseline at $f — budget check disabled")
+        Map.empty
+      } else """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r
         .findAllMatchIn(java.nio.file.Files.readString(f.toPath))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }

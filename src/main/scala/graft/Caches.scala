@@ -11,29 +11,43 @@ import org.apache.spark.sql.DataFrame
   * executor memory until `spark.catalog.clearCache()` nukes everyone's
   * caches, not just this library's.
   *
+  * The registry is THREAD-LOCAL: release() drops only the caches the
+  * calling thread's builders tracked, so concurrent queries sharing one
+  * SparkSession cannot unpersist each other's in-flight relations. The
+  * contract is build-and-consume on one thread (how Bench, Verify,
+  * RotRunner, and a composing API caller all run); a builder whose
+  * consumer runs on a different thread should release on the building
+  * thread after the consuming action completes.
+  *
   * Paths that run their OWN actions (e.g. Dedup.components' round loop)
   * release their caches with try/finally instead and never appear here.
   */
 object Caches {
-  private val reg = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val reg = ThreadLocal.withInitial(
+    () => new java.util.ArrayDeque[DataFrame]())
 
-  /** Cache `df` and remember it for the next [[release]]. Idempotent: a
-    * plan the cache manager already holds (e.g. the same builder invoked
-    * twice before a release) is not re-cached or double-registered. */
+  /** Cache `df` and remember it for this thread's next [[release]].
+    * Idempotent: a plan the cache manager already holds (e.g. the same
+    * builder invoked twice before a release) is not re-cached or
+    * double-registered. */
   def track(df: DataFrame): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      reg.add(df.cache())
+      reg.get().add(df.cache())
     }
     df
   }
 
-  /** Unpersist every tracked cache (non-blocking). Safe to call when
-    * nothing is tracked; safe to call repeatedly. */
+  /** Number of caches this thread currently has registered (test hook). */
+  private[graft] def trackedCount: Int = reg.get().size()
+
+  /** Unpersist every cache tracked by THIS thread (non-blocking). Safe
+    * to call when nothing is tracked; safe to call repeatedly. */
   def release(): Unit = {
-    var d = reg.poll()
+    val q = reg.get()
+    var d = q.poll()
     while (d != null) {
       d.unpersist(false)
-      d = reg.poll()
+      d = q.poll()
     }
   }
 }

@@ -45,7 +45,7 @@ object Curation extends QueryModule {
   private val MinShared = 4
 
   private def q51(s: SparkSession, dir: String): DataFrame = {
-    val tri = Tables.documents(s, dir)
+    val tri = graft.Caches.track(Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -53,13 +53,14 @@ object Curation extends QueryModule {
       )).as("g"))
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("tok"))
-      .distinct()
+      .distinct()) // tracked cache: feeds total, dfreq, AND the rare filter
     val total = tri.select(countDistinct(col("doc_id")).as("total"))
     val dfreq = tri.groupBy("tok").agg(count(lit(1)).as("df"))
-    val rare = tri.join(dfreq, "tok")
+    val rare = graft.Caches.track(tri.join(dfreq, "tok")
       .crossJoin(broadcast(total))
       .filter(col("df") <= greatest(lit(2), expr("total div 20")))
-      .select("doc_id", "tok")
+      .select("doc_id", "tok"))
+      // tracked cache: both sides of the train/eval join slice it
     val ev = rare.filter(col("doc_id") % EvalMod === EvalPhase)
       .select(col("doc_id").as("eval_doc"), col("tok"))
     val tr = rare.filter(col("doc_id") % EvalMod =!= EvalPhase)

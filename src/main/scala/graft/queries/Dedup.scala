@@ -477,6 +477,7 @@ object Dedup extends QueryModule {
   def components(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
+    lastRounds = -1 // a failed/aborted run must not leave a stale count
     // Two contraction passes: the first over edges as they arrive, the
     // second over the resulting star edges REPARTITIONED BY MEMBER — all
     // of a node's roots then co-locate and the partition-local union-find
@@ -599,12 +600,7 @@ object Dedup extends QueryModule {
 
   private def q44(s: SparkSession, dir: String): DataFrame = {
     val quality = Tables.documents(s, dir)
-      .withColumn("ts", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("ts")))
-      .withColumn("n_stop", size(expr("filter(ts, t -> t IN ('the', 'a', 'is'))")))
-      .withColumn("quality",
-        round((lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
-          * least(lit(1.0), col("n_tokens").cast("double") / 50.0), 6))
+      .withColumn("quality", TextPipeline.qualityCol(split(col("text"), " ")))
       .select("doc_id", "quality")
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     // exact-hash prepass (q31's key): canonical = min doc_id per text

@@ -14,6 +14,18 @@ import graft.functions.Multimodal
   */
 object TextPipeline extends QueryModule {
 
+  /** The corpus-filter quality heuristic over a whitespace-token array
+    * column: (1 − stopword ratio) damped by a 50-token length ramp,
+    * rounded to 6 places. ONE definition shared by q30's scorer, q44's
+    * corpus filter, and the streaming intake flow, so batch and stream
+    * can never diverge on which documents pass the floor. */
+  def qualityCol(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin("the", "a", "is")))
+    round((lit(1.0) - nStop.cast("double") / nTok)
+      * least(lit(1.0), nTok.cast("double") / 50.0), 6)
+  }
+
   // ---------------------------------------------------------------------
   // q30 — per-document text statistics: whitespace token count, BPE-ish
   // subword count (letter runs / digit runs / single punctuation, the
@@ -31,9 +43,7 @@ object TextPipeline extends QueryModule {
       .withColumn("avg_tok_len",
         round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6))
       .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
-      .withColumn("quality",
-        round((lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
-          * least(lit(1.0), col("n_tokens").cast("double") / 50.0), 6))
+      .withColumn("quality", qualityCol(col("ts")))
       .withColumn("fingerprint", md5(col("text")))
       .select("doc_id", "n_tokens", "n_bpe", "avg_tok_len", "stop_ratio", "quality", "fingerprint")
       .orderBy("doc_id")

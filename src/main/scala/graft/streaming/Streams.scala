@@ -81,12 +81,8 @@ object Streams {
   def intake(docs: DataFrame, qualityFloor: Double = 0.5): DataFrame = {
     import graft.queries.Curation.{EmailRe, PhoneRe}
     streamingExactDedup(docs)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_stop", size(expr("filter(toks, t -> t IN ('the', 'a', 'is'))")))
       .withColumn("quality",
-        round((lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
-          * least(lit(1.0), col("n_tokens").cast("double") / 50.0), 6))
+        graft.queries.TextPipeline.qualityCol(split(col("text"), " ")))
       .filter(col("quality") >= qualityFloor)
       .withColumn("clean_text",
         regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))

@@ -10,16 +10,24 @@ class CachesSpec extends SparkTestBase {
 
   test("track caches, release unpersists, and track is idempotent") {
     Caches.release() // isolate from other suites
-    val df = Seq(1, 2, 3).toDF("x").select($"x" * 2 as "y")
+    def build() = Seq(1, 2, 3).toDF("x").select($"x" * 2 as "y")
+    val df = build()
     val tracked = Caches.track(df)
     assert(tracked eq df, "track returns the same frame")
     assert(df.storageLevel != StorageLevel.NONE, "track must cache")
-    // idempotent: tracking an already-cached plan must not re-register
-    Caches.track(df.sparkSession.createDataFrame(df.rdd, df.schema))
+    assert(Caches.trackedCount == 1)
+    // idempotent on the REAL re-entry shape: the same builder invoked
+    // again yields a structurally-equal (not identical) plan, which the
+    // cache manager already holds — it must not re-cache or re-register
+    val again = build()
+    Caches.track(again)
     Caches.track(df)
+    assert(Caches.trackedCount == 1, "equal plans must not double-register")
+    assert(again.storageLevel != StorageLevel.NONE, "equal plan reads the same cache")
     df.count()
     Caches.release()
     assert(df.storageLevel == StorageLevel.NONE, "release must unpersist")
+    assert(Caches.trackedCount == 0)
     // release with nothing tracked is a no-op
     Caches.release()
   }
