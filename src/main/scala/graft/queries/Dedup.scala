@@ -84,20 +84,24 @@ object Dedup extends QueryModule {
     // over hashed-shingle sets, integer comparisons throughout — the
     // rank ordering (df, tok) is numeric (no collation dependence) and
     // the verification intersects long arrays, not strings.
-    val tok = graft.Caches.track(Tables.documents(s, dir)
+    // Each doc's hashed-shingle SET is built NARROWLY as one array column
+    // (bigrams → md5→int64 → array_distinct → sort): per-doc dedup needs
+    // no global `distinct()` over the exploded stream, and the
+    // verification sets need no groupBy/collect_list re-aggregation —
+    // both were full-corpus shuffles in the previous plan. The cache
+    // holds one compact array row per doc, not the exploded relation.
+    val docSets = graft.Caches.track(Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")
-      ).as("shingle"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("tok"))
-      .distinct()) // tracked cache: feeds rank, sizes, and verification sets
+      .select(col("doc_id"), expr(
+        """sort_array(array_distinct(transform(sequence(1, size(ts) - 1),
+          |  i -> cast(conv(substring(md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1))), 1, 15), 16, 10) AS bigint))))""".stripMargin)
+        .as("set"))
+      .withColumn("n", size(col("set"))))
+      // tracked cache: feeds df counts, rank, and both verification sides
+    val tok = docSets.select(col("doc_id"), col("n"), explode(col("set")).as("tok"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    // n via a count window over the SAME doc_id partitioning as the rank
-    // — one shuffle serves both (a separate sizes join would add one)
     val prefix = graft.Caches.track(tok.join(dfreq, "tok")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "tok")))
       .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
@@ -120,10 +124,9 @@ object Dedup extends QueryModule {
       .agg((max(col("ub0")) + 1).as("ub"), max(col("alpha")).as("alpha"))
       .filter(col("ub") >= col("alpha"))
       .select("d1", "d2")
-    val sets = tok.groupBy("doc_id").agg(sort_array(collect_list("tok")).as("set"))
     cand
-      .join(sets.select(col("doc_id").as("d1"), col("set").as("s1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("set").as("s2")), "d2")
+      .join(docSets.select(col("doc_id").as("d1"), col("set").as("s1")), "d1")
+      .join(docSets.select(col("doc_id").as("d2"), col("set").as("s2")), "d2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .withColumn("n1", size(col("s1")).cast("long"))
       .withColumn("n2", size(col("s2")).cast("long"))
