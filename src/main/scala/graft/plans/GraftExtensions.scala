@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HammingDistance(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_inter_count"),
+      new ExpressionInfo(classOf[SortedInterCount].getName, "graft_inter_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_inter_count(a, b) takes two arguments")
+        SortedInterCount(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => {

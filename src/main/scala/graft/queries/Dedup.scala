@@ -108,26 +108,35 @@ object Dedup extends QueryModule {
       .select("doc_id", "tok", "rk", "n"))
       // tracked cache: self-joined below — without it the rank pipeline
       // runs twice
-    // Positional filter (PPJoin): the FIRST shared prefix token at ranks
-    // (i, j) bounds the overlap by min(n1−i, n2−j)+1 (every shared token
-    // sorts at-or-after it on both sides); J ≥ t needs overlap ≥
-    // ⌈t/(1+t)·(n1+n2)⌉ = (4(n1+n2)+8) div 9 for t = 4/5. MAX(ub) keeps
-    // exactly the first-match bound, cutting candidates ~7× before the
-    // exact verification.
+    // Positional + length filters (PPJoin), applied PER MATCHED ROW
+    // inside the join condition, before any aggregation: a shared prefix
+    // token at ranks (i, j) bounds the overlap by min(n1−i, n2−j)+1
+    // (every shared token sorts at-or-after it on both sides); J ≥ t
+    // needs overlap ≥ ⌈t/(1+t)·(n1+n2)⌉ = (4(n1+n2)+8) div 9 for
+    // t = 4/5, and set sizes within 5·min ≥ 4·max. Row-level filtering
+    // is EXACT here: the pair-level test max(ub) ≥ alpha passes iff SOME
+    // matched row passes its own bound (alpha is constant per pair), so
+    // dropping failing rows in the join keeps exactly the same surviving
+    // pairs while the aggregate — now a plain distinct — sees only the
+    // survivors instead of every shared-prefix-token row. On corpora
+    // with no rare shingles (worst case for prefix selectivity) this is
+    // the difference between aggregating all raw matches and
+    // aggregating the filtered few.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")).as("ub0"),
-        col("a.n").as("an"), col("b.n").as("bn"))
-      .withColumn("alpha", expr("((an + bn) * 4 + 8) div 9")) // integer div: must match the oracle's // exactly
-      .groupBy("d1", "d2")
-      .agg((max(col("ub0")) + 1).as("ub"), max(col("alpha")).as("alpha"))
-      .filter(col("ub") >= col("alpha"))
-      .select("d1", "d2")
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 4
+          && least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1
+             >= expr("((a.n + b.n) * 4 + 8) div 9")) // integer div: must match the oracle's // exactly
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
     cand
       .join(docSets.select(col("doc_id").as("d1"), col("set").as("s1")), "d1")
       .join(docSets.select(col("doc_id").as("d2"), col("set").as("s2")), "d2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      // graft_inter_count: native codegen'd two-pointer merge over the
+      // sorted shingle sets (plans.SortedInterCount) — the per-pair
+      // verification kernel, replacing size(array_intersect(...))'s
+      // per-row hash set + materialized intersection array
+      .withColumn("inter", expr("graft_inter_count(s1, s2)"))
       .withColumn("n1", size(col("s1")).cast("long"))
       .withColumn("n2", size(col("s2")).cast("long"))
       .withColumn("jaccard", round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6))
