@@ -23,6 +23,28 @@ object Bench {
     // query's number measures the query, not session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.region(spark, sfDir).count()
+    // JMH-style steady-state warmup: run the WHOLE catalog once at the
+    // smallest scale factor before timing anything. Each query family
+    // exercises its own hot paths (md5 + higher-order-function
+    // interpreter, window sort, broadcast build, codegen'd kernels);
+    // without this, the first heavy query in alphabetical order pays the
+    // C2 compilation of those paths inside BOTH of its timed runs — on a
+    // slow or contended host that dwarfs the query itself (observed as a
+    // consistent ~8× inflation of q32, the first md5-heavy name, while
+    // identical work later in the alphabet ran at recorded speed). Best
+    // effort: a missing warmup dir or a query error here must not fail
+    // the bench — the timed loop is the authority on failures.
+    sys.env.get("SPARK_GRAFT_WARMUP_DIR")
+      .orElse(Option(new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001"))
+        .filter(_.isDirectory).map(_.getAbsolutePath))
+      .foreach { warmDir =>
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          Caches.release()
+          spark.catalog.clearCache()
+        }
+      }
     // JSON string escape shared with Verify.
     def q(s: String): String = Verify.jsonEscape(s)
     // Best-of-2 per query: this host shows 2× run-to-run swings from
