@@ -17,6 +17,7 @@ object SparkEntry {
     _root_.graft.queries.Similarity,
     _root_.graft.queries.TextPipeline,
     _root_.graft.queries.Curation,
+    _root_.graft.queries.Temporal,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -65,6 +65,31 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .filter(convention.contains(col("ts"), lo, hi)) // exact residual
   }
+  /** Redistribute a scan whose split count is below the cluster's
+    * parallelism — called by the CPU-heavy narrow builders (md5
+    * shingling, n-gram explodes) right before their expensive map work,
+    * NOT at every scan: cheap queries that shuffle immediately anyway
+    * must not pay an extra exchange. Parquet cannot split below
+    * row-group granularity, so a file written as one row group yields
+    * ONE scan partition no matter what
+    * `spark.sql.files.maxPartitionBytes` says — and the narrow CPU-heavy
+    * stage downstream then runs single-threaded until its first shuffle.
+    * The split-count probe is memoized per path (it is file metadata),
+    * and the guard keeps this a no-op in the 100 TB case: a corpus with
+    * thousands of row groups already scans wider than the core count and
+    * must NOT pay a gratuitous full-corpus shuffle here. */
+  private val scanParts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def fanOut(df: DataFrame, path: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = scanParts.computeIfAbsent(path, _ => df.rdd.getNumPartitions)
+    if (parts < target) df.repartition(target) else df
+  }
+
+  /** The documents scan, redistributed for a CPU-heavy narrow consumer
+    * (see [[fanOut]]). */
+  def documentsWide(s: SparkSession, d: String): DataFrame =
+    fanOut(apply(s, d, "documents"), s"$d/documents.parquet")
+
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

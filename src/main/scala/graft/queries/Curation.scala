@@ -45,7 +45,7 @@ object Curation extends QueryModule {
   private val MinShared = 4
 
   private def q51(s: SparkSession, dir: String): DataFrame = {
-    val tri = graft.Caches.track(Tables.documents(s, dir)
+    val tri = graft.Caches.track(Tables.documentsWide(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(

@@ -90,7 +90,7 @@ object Dedup extends QueryModule {
     // verification sets need no groupBy/collect_list re-aggregation —
     // both were full-corpus shuffles in the previous plan. The cache
     // holds one compact array row per doc, not the exploded relation.
-    val docSets = graft.Caches.track(Tables.documents(s, dir)
+    val docSets = graft.Caches.track(Tables.documentsWide(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), expr(
@@ -262,7 +262,7 @@ object Dedup extends QueryModule {
 
   /** q33's pair set over the raw documents table. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsOf(Tables.documents(s, dir).select("doc_id", "text"))
+    minhashPairsOf(Tables.documentsWide(s, dir).select("doc_id", "text"))
 
   private def q33(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy("d1", "d2")
@@ -323,7 +323,7 @@ object Dedup extends QueryModule {
     * the blow-up (same values, 1/32nd of the shuffled rows, and the
     * second per-doc aggregation disappears entirely). */
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
-    val tc = Tables.documents(s, dir)
+    val tc = Tables.documentsWide(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("tok")))

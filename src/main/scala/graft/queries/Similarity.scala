@@ -453,6 +453,101 @@ object Similarity extends QueryModule {
       |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, rank
       |FROM final_ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q59 — K-MEANS over the embedding space (Lloyd's algorithm, K = 8,
+  // two unrolled iterations): the clustering substrate of
+  // cluster-balanced curation — SemDeDup prunes within clusters,
+  // mixture-balancing samples across them — reported as per-cluster
+  // population and inertia. Determinism across engines and partitionings
+  // is total, by construction:
+  //  - coordinates quantize at 1e4 (exact float→double, round half away
+  //    from zero on both engines), so every distance is pure int64:
+  //    dist² = n2v − 2·dot + n2c, and Σ dist² ≤ 2000·2.6e10 ≪ 2^63;
+  //  - assignment argmin orders by (n2c − 2·dot, cid) — integer tuple,
+  //    no FP comparison anywhere;
+  //  - centroid update is the elementwise FLOOR-mean Σq div n (both
+  //    engines truncate toward zero, verified for negative sums), so
+  //    iteration-2 centroids are identical integers on both engines;
+  //  - seeds are vectors 0..7 (k-means|| is the production init at
+  //    scale; a fixed seed set is what makes the oracle replayable).
+  // Plan shape per iteration: one narrow scoring pass over vectors ×
+  // broadcast centroids (K·64 longs — broadcastable at any corpus size)
+  // + one (cid, pos) partial-agg shuffle for the update — the canonical
+  // distributed Lloyd step; no N×K row materialization ever shuffles.
+  private val KmK = 8
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val quant4 = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+        round(col("v").cast("double") * 10000).cast("long").as("q"))
+    val vecs = graft.Caches.track(quant4.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
+           sum(col("q") * col("q")).as("n2v")))
+      // tracked cache: read by both assignment passes and both updates
+    val c0 = vecs.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("long").as("cid"), col("qa").as("ca"), col("n2v").as("n2c"))
+
+    // assignment: argmin over (n2c − 2·dot, cid); the winning score IS
+    // dist² − n2v, so inertia needs no re-join with the winner's dot
+    def assign(cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("dot", expr("graft_dot(qa, ca)"))
+        .withColumn("score", col("n2c") - lit(2L) * col("dot"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("score"), col("cid"))).as("m"), max(col("n2v")).as("n2v"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          (col("n2v") + col("m.score")).as("dist2"))
+
+    // update: elementwise floor-mean per (cid, pos), rolled back into
+    // centroid arrays (empty clusters simply vanish from the relation —
+    // identically on both engines)
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select("vec_id", "cid").join(quant4, "vec_id")
+        .groupBy("cid", "pos")
+        .agg(expr("sum(q) div count(1) AS c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c) AS ca"),
+             sum(col("c") * col("c")).as("n2c"))
+
+    val a2 = assign(update(assign(c0)))
+    a2.groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist2")).as("inertia"))
+      .orderBy("cluster_id")
+  }
+
+  private val q59Sql =
+    s"""WITH quant4 AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS q
+      |  FROM embeddings),
+      |n2 AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2v FROM quant4 GROUP BY vec_id),
+      |c0 AS (SELECT vec_id AS cid, pos, q AS c FROM quant4 WHERE vec_id < $KmK),
+      |cn0 AS (SELECT cid, CAST(SUM(c * c) AS BIGINT) AS n2c FROM c0 GROUP BY cid),
+      |dot1 AS (
+      |  SELECT v.vec_id, c.cid, CAST(SUM(v.q * c.c) AS BIGINT) AS dot
+      |  FROM quant4 v JOIN c0 c ON v.pos = c.pos GROUP BY v.vec_id, c.cid),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT d.vec_id, d.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY cn.n2c - 2 * d.dot, d.cid) AS rk
+      |    FROM dot1 d JOIN cn0 cn ON d.cid = cn.cid) WHERE rk = 1),
+      |c1 AS (
+      |  SELECT a.cid, q.pos, CAST(SUM(q.q) AS BIGINT) // COUNT(*) AS c
+      |  FROM a1 a JOIN quant4 q ON a.vec_id = q.vec_id GROUP BY a.cid, q.pos),
+      |cn1 AS (SELECT cid, CAST(SUM(c * c) AS BIGINT) AS n2c FROM c1 GROUP BY cid),
+      |dot2 AS (
+      |  SELECT v.vec_id, c.cid, CAST(SUM(v.q * c.c) AS BIGINT) AS dot
+      |  FROM quant4 v JOIN c1 c ON v.pos = c.pos GROUP BY v.vec_id, c.cid),
+      |a2 AS (
+      |  SELECT vec_id, cid, n2c - 2 * dot AS score FROM (
+      |    SELECT d.vec_id, d.cid, d.dot, cn.n2c,
+      |           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY cn.n2c - 2 * d.dot, d.cid) AS rk
+      |    FROM dot2 d JOIN cn1 cn ON d.cid = cn.cid) WHERE rk = 1)
+      |SELECT a.cid AS cluster_id, COUNT(*) AS n_members,
+      |       CAST(SUM(n.n2v + a.score) AS BIGINT) AS inertia
+      |FROM a2 a JOIN n2 n ON a.vec_id = n.vec_id
+      |GROUP BY a.cid ORDER BY cluster_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
     "q37_ann_lsh"        -> (q37 _),
@@ -460,6 +555,7 @@ object Similarity extends QueryModule {
     "q39_cosine_neardup"   -> (q39 _),
     "q48_ann_ivf"          -> (q48 _),
     "q50_semantic_dedup"   -> (q50 _),
+    "q59_kmeans_clusters"  -> (q59 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -469,5 +565,6 @@ object Similarity extends QueryModule {
     "q39_cosine_neardup"   -> q39Sql,
     "q48_ann_ivf"          -> q48Sql,
     "q50_semantic_dedup"   -> q50Sql,
+    "q59_kmeans_clusters"  -> q59Sql,
   )
 }

@@ -5,112 +5,138 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 
-/** Temporal join operators over the `events` stream — the two join shapes
-  * Spark has no native operator for, each expressed the way it should run
-  * at 100 TB (SURVEY.md §2.11 L23/L24; the time-window discipline extends
-  * the reference's interval conventions, `nikon_ETL.py:463-466`).
+/** Temporal operators over the `events` stream that the reference's
+  * relational surface lacks entirely (SURVEY §2.3 "Not present in the
+  * reference: theta/range/as-of/interval joins") but any event-sourced
+  * training-data or feature pipeline needs: the as-of join and exact
+  * grouped quantiles.
   *
-  * - AS-OF join (q60): match each row to the latest earlier row of another
-  *   stream. The scale-correct Spark phrasing is NOT a join at all: union
-  *   the two streams, ONE shuffle on the entity key, and carry the other
-  *   stream's last value forward with a running window (`last(..,
-  *   ignoreNulls)` over rows-preceding). A join-based as-of would shuffle
-  *   both inputs AND need a per-row inequality probe; the union form is a
-  *   single sort-merge pass and is how kdb/Flink implement it.
-  * - RANGE join (q61): rows falling inside derived time intervals. A naive
-  *   inequality join is a cartesian product per entity; instead both sides
-  *   are bucketed to fixed bins sized == the interval length, so every
-  *   interval spans at most 2 bins — candidate generation becomes an
-  *   EQUI-join on (entity, bin) with the exact bounds as a residual
-  *   predicate. Bin width pinned to window length keeps the blow-up factor
-  *   at exactly 2 regardless of scale.
+  * Scale stance:
+  *  - The as-of join (q57) is implemented as UNION + per-key windowed
+  *    last-match propagation — one shuffle on the join key, one
+  *    within-partition time sort, zero row multiplication. The naive
+  *    alternative (range θ-join then per-left-row max) materializes
+  *    every (left, earlier-right) pair — quadratic per key — which is
+  *    exactly the plan shape that dies at 100 TB. This is the sort-merge
+  *    formulation every production as-of implementation (kdb+, Flink
+  *    temporal join, QuestDB) uses.
+  *  - Exact quantiles (q58) are rank selection inside a per-group sort —
+  *    the honest exact path (exact order statistics are not computable
+  *    without a per-group ordering pass). The approximate scale path for
+  *    wide group counts is `approx_percentile` (t-digest) and loses the
+  *    cross-engine bit-exactness this catalog verifies, so the exact
+  *    variant is what the oracle checks.
   *
-  * Time arithmetic is integer microseconds throughout (`unix_micros` /
-  * DuckDB `epoch_us`) — exact in both engines, no floating-point epochs
-  * (same discipline as q25's sessionization).
+  * Timestamps follow the catalog convention: `Tables.events` truncates
+  * the parquet nanosecond longs to microseconds exactly like DuckDB 1.0
+  * reads them, and all arithmetic here is integer microseconds
+  * (`unix_micros` / `epoch_us`) — no FP time math anywhere.
   */
 object Temporal extends QueryModule {
 
-  /** Blackout window length: 10 minutes in microseconds. */
-  private val WindowUs = 600000000L
-
   // ---------------------------------------------------------------------
-  // q60 — AS-OF join: every 'click' event matched to the most recent
-  // strictly-preceding 'error' event of the same user (time-since-last-
-  // failure, the standard telemetry as-of). "Preceding" is the total
-  // order (ts, event_id), so ties are deterministic in both engines.
-  // Clicks with no prior error are dropped (inner as-of).
-  private def q60(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+  // q57 — AS-OF JOIN: each purchase event matched to the same user's most
+  // recent STRICTLY EARLIER click (the "state of the world as of this
+  // event" join). Right side is first deduplicated per (user_id, tsu) to
+  // the max event_id — as-of semantics need one row per right timestamp
+  // for the match to be well-defined. The Spark plan tags both sides,
+  // unions them, and propagates the latest click attributes with a
+  // last(ignoreNulls) running window ordered by (tsu, side): side 0 =
+  // purchase sorts BEFORE side 1 = click at equal timestamps, so an
+  // equal-timestamp click is not yet visible to the purchase — strict
+  // "<" semantics, no tie ambiguity. The DuckDB oracle uses the engine's
+  // native ASOF LEFT JOIN — a genuinely independent algorithm — so this
+  // is a two-implementation cross-check, not a mirrored plan.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"),
+        lit(0).as("side"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("tsu"))
+      .agg(max(struct(col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("tsu"),
+        col("m.event_id").as("click_id"), col("m.value").as("click_value"),
+        lit(1).as("side"))
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("side"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-              unix_micros(col("ts")).as("tsu"))
-      .withColumn("err_tsu", when(col("event_type") === "error", col("tsu")))
-      .withColumn("last_err", last(col("err_tsu"), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "click" && col("last_err").isNotNull)
-      .select(col("event_id"), col("user_id"),
-              (col("tsu") - col("last_err")).as("gap_us"))
-      .orderBy("event_id")
+    purchases.unionByName(clicks, allowMissingColumns = true)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_tsu", last(when(col("side") === 1, col("tsu")), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("purchase_id"), col("user_id"), col("tsu").as("purchase_tsu"),
+        col("purchase_value"),
+        col("asof_click_id").as("click_id"), col("asof_click_tsu").as("click_tsu"),
+        col("asof_click_value").as("click_value"),
+        (col("tsu") - col("asof_click_tsu")).as("gap_us"))
+      .orderBy("purchase_id")
   }
 
-  private val q60Sql =
-    """WITH ev AS (
-      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events),
-      |marked AS (
-      |  SELECT *, last_value(CASE WHEN event_type = 'error' THEN tsu END IGNORE NULLS)
-      |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_err
-      |  FROM ev)
-      |SELECT event_id, user_id, tsu - last_err AS gap_us
-      |FROM marked WHERE event_type = 'click' AND last_err IS NOT NULL
-      |ORDER BY event_id""".stripMargin
+  private val q57Sql =
+    """WITH l AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_tsu, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |rdedup AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+      |r AS (
+      |  SELECT d.user_id, d.tsu, d.click_id, e.value AS click_value
+      |  FROM rdedup d JOIN events e ON d.click_id = e.event_id)
+      |SELECT l.purchase_id, l.user_id, l.purchase_tsu, l.purchase_value,
+      |       r.click_id, r.tsu AS click_tsu, r.click_value,
+      |       l.purchase_tsu - r.tsu AS gap_us
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.purchase_tsu > r.tsu
+      |ORDER BY l.purchase_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q61 — RANGE join: per user, count 'view' events falling inside ANY
-  // 10-minute blackout window [error_ts, error_ts + 10min) opened by that
-  // user's 'error' events. EXISTS semantics (a view inside two overlapping
-  // blackouts counts once), realized as a LEFT SEMI join. Candidates come
-  // from an equi-join on (user_id, bin): each error contributes its
-  // window's (at most) two covering bins, so corpus bytes shuffle once on
-  // a uniform composite key and the inequality is only a residual.
-  private def q61(s: SparkSession, dir: String): DataFrame = {
+  // q58 — exact grouped quantiles (p25/p50/p75/p95 of `value` per
+  // event_type), as RANK SELECTION: the k-th smallest with
+  // k(q) = ⌊(n−1)·q⌋ + 1, computed in pure integer arithmetic
+  // ((n−1)·25 div 100 …) so both engines pick the same rank, and the
+  // reported quantile is an ACTUAL input value (no interpolation — the
+  // lower discrete quantile), so the doubles hash bit-exactly. Ties in
+  // `value` are ordered by event_id: the selected rank is deterministic
+  // even on duplicated values.
+  private def q58(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
-    val views = ev.filter(col("event_type") === "view")
-      .withColumn("bin", expr(s"tsu div ${WindowUs}L"))
-    val errs = ev.filter(col("event_type") === "error")
-      .select(col("user_id").as("e_user"), col("tsu").as("etsu"),
-              explode(array(expr(s"tsu div ${WindowUs}L"),
-                            expr(s"tsu div ${WindowUs}L + 1L"))).as("bin"))
-    views.join(errs,
-        views("user_id") === errs("e_user") && views("bin") === errs("bin") &&
-        views("tsu") >= errs("etsu") && views("tsu") < errs("etsu") + WindowUs,
-        "left_semi")
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_blackout_views"))
-      .orderBy("user_id")
+    val ranked = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    ranked
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n - 1) * 25 div 100 + 1"), col("value"))).as("p25"),
+        max(when(col("rn") === expr("(n - 1) * 50 div 100 + 1"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(n - 1) * 75 div 100 + 1"), col("value"))).as("p75"),
+        max(when(col("rn") === expr("(n - 1) * 95 div 100 + 1"), col("value"))).as("p95"))
+      .orderBy("event_type")
   }
 
-  private val q61Sql =
-    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events)
-      |SELECT v.user_id, COUNT(*) AS n_blackout_views
-      |FROM ev v
-      |WHERE v.event_type = 'view' AND EXISTS (
-      |  SELECT 1 FROM ev e
-      |  WHERE e.user_id = v.user_id AND e.event_type = 'error'
-      |    AND v.tsu >= e.tsu AND v.tsu < e.tsu + $WindowUs)
-      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
-
-  // ---------------------------------------------------------------------
+  private val q58Sql =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, MAX(n) AS n,
+      |       MAX(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN value END) AS p25,
+      |       MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN value END) AS p50,
+      |       MAX(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN value END) AS p75,
+      |       MAX(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN value END) AS p95
+      |FROM ranked GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q60_asof_join"  -> (q60 _),
-    "q61_range_join" -> (q61 _),
+    "q57_asof_join"         -> (q57 _),
+    "q58_grouped_quantiles" -> (q58 _),
   )
 
   override val oracle: Map[String, String] = Map(
-    "q60_asof_join"  -> q60Sql,
-    "q61_range_join" -> q61Sql,
+    "q57_asof_join"         -> q57Sql,
+    "q58_grouped_quantiles" -> q58Sql,
   )
 }

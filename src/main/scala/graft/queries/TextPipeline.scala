@@ -35,7 +35,7 @@ object TextPipeline extends QueryModule {
   // md5 content fingerprint. Pure narrow map — scales linearly, no
   // shuffle, stays in whole-stage codegen.
   private def q30(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
+    Tables.documentsWide(s, dir)
       .withColumn("ts", split(col("text"), " "))
       .withColumn("n_tokens", size(col("ts")))
       .withColumn("n_bpe", size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
@@ -126,7 +126,7 @@ object TextPipeline extends QueryModule {
 
   private def q40(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(s, dir)
+    val grams = Tables.documentsWide(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= GramK + WinW - 1)
       .select(col("doc_id"), explode(expr(
@@ -214,7 +214,7 @@ object TextPipeline extends QueryModule {
     // only corpus-sized shuffle is the profile build (the per-doc score
     // aggregate sees profile trigrams only, and Σ cnt·weight over doc
     // counts == Σ weight over surviving occurrences — same integers).
-    val rawTri = graft.Caches.track(Tables.documents(s, dir)
+    val rawTri = graft.Caches.track(Tables.documentsWide(s, dir)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri")))
@@ -354,8 +354,109 @@ object TextPipeline extends QueryModule {
       |ORDER BY r.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q55 — within-document repetition quality (the Gopher/MassiveText
+  // repetition rules, §A1.1 of Rae et al. 2112.11446): fraction of bigram
+  // OCCURRENCES that are repeats of an earlier occurrence in the same
+  // document, and the share taken by the single most frequent bigram.
+  // Boilerplate, keyword-stuffed, and generation-loop documents score
+  // high on both and are dropped before training. Two uniform-key
+  // shuffles — (doc_id, bigram) then doc_id — both partial-aggregated
+  // map-side; no corpus-wide state, so the pass is embarrassingly
+  // horizontal at 100 TB. Bigrams are md5→int64 tokens (q32's exact
+  // construction) so the oracle replays hashing bit-exactly and the
+  // shuffle key is fixed-width.
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documentsWide(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> cast(conv(substring(md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1))), 1, 15), 16, 10) AS bigint))""".stripMargin))
+        .as("tok"))
+    bi.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+           count(lit(1)).as("n_unique"),
+           max(col("c")).as("top_count"))
+      .withColumn("dup_frac",
+        round((col("n_bigrams") - col("n_unique")).cast("double") / col("n_bigrams").cast("double"), 6))
+      .withColumn("top_frac",
+        round(col("top_count").cast("double") / col("n_bigrams").cast("double"), 6))
+      // MassiveText thresholds: drop if >20% duplicate bigram mass or one
+      // bigram owns >10% of the document
+      .withColumn("keep", col("dup_frac") <= 0.2 && col("top_frac") <= 0.1)
+      .select("doc_id", "n_bigrams", "n_unique", "dup_frac", "top_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val q55Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id,
+      |         unnest([CAST('0x' || substring(md5(ts[i] || ' ' || ts[i + 1]), 1, 15) AS BIGINT)
+      |                 for i in range(1, len(ts))]) AS tok
+      |  FROM toks),
+      |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM bi GROUP BY doc_id, tok),
+      |agg AS (
+      |  SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_unique, MAX(c) AS top_count
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, n_unique,
+      |       ROUND(CAST(n_bigrams - n_unique AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS dup_frac,
+      |       ROUND(CAST(top_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS top_frac,
+      |       (ROUND(CAST(n_bigrams - n_unique AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) <= 0.2
+      |        AND ROUND(CAST(top_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) <= 0.1) AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q56 — TF-IDF keyword extraction: top-3 terms per document scored by
+  // term frequency × inverse document frequency. The idf is INTEGER-
+  // QUANTIZED — idf_q = (N · 10⁶) div df — instead of ln(N/df): the
+  // score stays pure int64 arithmetic, so ranking is bit-identical on
+  // any engine and any partitioning (a transcendental ln differs in the
+  // last ulp across libms, which a hash-compared rank boundary cannot
+  // tolerate; the quantized idf is order-isomorphic to 1/df, which is
+  // all the ranking consumes). Ties break on the md5-int64 of the term
+  // (numeric, collation-free). Two uniform-key shuffles + one small
+  // broadcast (the df side aggregates to ≤|vocabulary| rows).
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = docs.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).select(countDistinct(col("doc_id")).as("n"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("(n * 1000000) div df"))
+      .withColumn("tok", conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val q56Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.term, t.tf, d.df, t.tf * ((n.n * 1000000) // d.df) AS score,
+      |         CAST('0x' || substring(md5(t.term), 1, 15) AS BIGINT) AS tok
+      |  FROM tf t JOIN df d USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, score,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, score, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats"     -> (q30 _),
+    "q55_repetition"     -> (q55 _),
+    "q56_tfidf_topk"     -> (q56 _),
     "q49_media_features" -> (q49 _),
     "q40_winnow_fingerprints" -> (q40 _),
     "q41_langid"         -> (q41 _),
@@ -366,6 +467,8 @@ object TextPipeline extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q30_text_stats"     -> q30Sql,
+    "q55_repetition"     -> q55Sql,
+    "q56_tfidf_topk"     -> q56Sql,
     "q40_winnow_fingerprints" -> q40Sql,
     "q41_langid"         -> q41Sql,
     "q42_multimodal_stub" -> q42Sql,

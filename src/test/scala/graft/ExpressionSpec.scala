@@ -67,6 +67,28 @@ class ExpressionSpec extends SparkTestBase {
       == Seq(32L, null, null))
   }
 
+  test("graft_inter_count equals size(array_intersect(...)) on random sorted sets") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(300) {
+      def set() = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      (set(), set())
+    }
+    val df = rows.toDF("a", "b")
+      .withColumn("fast", expr("graft_inter_count(a, b)"))
+      .withColumn("slow", expr("size(array_intersect(a, b))").cast("long"))
+    assert(df.filter(col("fast") =!= col("slow")).isEmpty)
+  }
+
+  test("graft_inter_count null and empty semantics") {
+    val df = Seq(
+      (Seq(1L, 3L, 7L), Seq(3L, 7L, 9L)),  // 2
+      (Seq.empty[Long], Seq(1L, 2L)),      // 0
+      (null, Seq(1L)))                     // null input -> null
+      .toDF("a", "b").selectExpr("graft_inter_count(a, b) AS c")
+    assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+      == Seq(2L, 0L, null))
+  }
+
   test("graft_dot stays in codegen on an array-backed frame") {
     val plan = Tables.embeddings(spark, sfDir)
       .selectExpr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS q")

@@ -248,4 +248,31 @@ class PipelineSpec extends SparkTestBase {
     // every doc got a prediction (possibly 'und'), none null
     assert(out.filter(col("pred_lang").isNull).isEmpty)
   }
+
+  test("k-means clusters match a plain-Scala Lloyd recomputation") {
+    val got = SparkEntry.queries("q59_kmeans_clusters")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent: same algorithm in driver-side Scala over the raw table
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(v => math.rint(v.toDouble * 10000).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byId = vecs.toMap
+    def assign(cents: Map[Long, Array[Long]]) = vecs.toSeq.map { case (id, a) =>
+      val (cid, dd) = cents.toSeq.map { case (c, ca) => (c, d2(a, ca)) }
+        .minBy { case (c, dd) => (dd, c) }
+      (id, cid, dd)
+    }
+    // mirror the query's unrolled structure: assign → update → assign
+    val c0 = vecs.filter(_._1 < 8).map { case (id, a) => id -> a }.toMap
+    val a1 = assign(c0)
+    val c1 = a1.groupBy(_._2).map { case (c, members) =>
+      val arrs = members.map(m => byId(m._1))
+      c -> Array.tabulate(64)(p => arrs.map(_(p)).sum / arrs.length) // truncating div, matches `div`
+    }
+    val fin = assign(c1).map { case (_, cid, dd) => (cid, dd) }
+    val expect = fin.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, ms) => (c, ms.size.toLong, ms.map(_._2).sum) }
+    assert(got.toSeq == expect, s"got=${got.toSeq}\nexpect=$expect")
+  }
 }
