@@ -147,4 +147,58 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  case class AsofMatch(purchase_id: Long, user_id: Long, purchase_tsu: Long,
+                       purchase_value: Double, click_id: java.lang.Long,
+                       click_tsu: java.lang.Long, click_value: java.lang.Double)
+  case class ClickState(ctsu: Long, cid: Long, cval: Double)
+
+  /** Streaming twin of the batch as-of join (q57, D3 applied to the
+    * temporal operators): per-user state holds only the LATEST click
+    * seen — O(1) state per key, watermark-prunable — and each purchase
+    * emits its match immediately. Within a micro-batch, events process
+    * in (tsu, side) order with purchases BEFORE clicks at equal
+    * timestamps: the same ordering trick the batch window uses, so an
+    * equal-timestamp click is not visible to the purchase (strict "<")
+    * and batch/stream agree exactly on an in-order feed. Cross-batch
+    * out-of-order clicks only matter if they would BEAT the retained
+    * latest click — the (ctsu, cid) max-merge handles those — while a
+    * purchase that already emitted is final, the standard streaming
+    * as-of contract (enrichment uses the state as of arrival). */
+  def asofJoin(events: Dataset[Event]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+
+    // integer MICROseconds, the catalog's time unit (Timestamp.getTime is
+    // ms and would both lose precision and disagree with batch unix_micros)
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[ClickState]): Iterator[AsofMatch] = {
+      val sorted = rows.toSeq.sortBy(e =>
+        (micros(e.ts), if (e.event_type == "purchase") 0 else 1, e.event_id))
+      var st = state.getOption
+      val out = Seq.newBuilder[AsofMatch]
+      sorted.foreach { e =>
+        e.event_type match {
+          case "click" =>
+            if (st.forall(s => s.ctsu < micros(e.ts)
+                || (s.ctsu == micros(e.ts) && s.cid < e.event_id)))
+              st = Some(ClickState(micros(e.ts), e.event_id, e.value))
+          case "purchase" =>
+            out += AsofMatch(e.event_id, userId, micros(e.ts), e.value,
+              st.map(s => java.lang.Long.valueOf(s.cid)).orNull,
+              st.map(s => java.lang.Long.valueOf(s.ctsu)).orNull,
+              st.map(s => java.lang.Double.valueOf(s.cval)).orNull)
+          case _ => ()
+        }
+      }
+      st.foreach(state.update)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }

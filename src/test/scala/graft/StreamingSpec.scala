@@ -226,4 +226,40 @@ class StreamingSpec extends SparkTestBase {
       .groupBy(identity).view.mapValues(_.size).toMap
     assert(streamed == batch)
   }
+
+  test("batch q57 as-of join agrees with the streaming as-of state machine") {
+    // same in-order feed, two execution models: every purchase's matched
+    // (click_id, click_tsu) must be identical.
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 25)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = Streams.asofJoin(mem.toDS())
+      .writeStream.format("memory").queryName("asof_xcheck")
+      .outputMode("append").start()
+    // split the ordered feed across two micro-batches to exercise the
+    // cross-batch click state
+    val (first, second) = ev.splitAt(ev.length / 2)
+    mem.addData(first: _*)
+    query.processAllAvailable()
+    mem.addData(second: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("asof_xcheck").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(4)).map(_.asInstanceOf[Long]),
+                                 Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    query.stop()
+
+    val batch = SparkEntry.queries("q57_asof_join")(spark, sfDir)
+      .filter(col("user_id") < 25)
+      .collect()
+      .map { r =>
+        val cid = if (r.isNullAt(4)) None else Some(r.getLong(4))
+        val ctsu = if (r.isNullAt(5)) None else Some(r.getLong(5))
+        r.getLong(0) -> ((cid, ctsu))
+      }.toMap
+    assert(streamed == batch)
+  }
 }
