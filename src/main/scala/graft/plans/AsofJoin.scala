@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, PartitioningCollection}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Whole-operator extension (SURVEY §7.3 preference order (c)): a native
+  * AS-OF JOIN — logical node, planner strategy, and sort-merge physical
+  * operator, injected via `SparkSessionExtensions` (GraftExtensions).
+  *
+  * Semantics: for every left row, attach the right row with the greatest
+  * (ts, tiebreak) strictly below the left row's ts within the same key —
+  * the kdb+/QuestDB/Flink-temporal-join contract, and exactly what the
+  * composed union+window formulation (queries.Temporal q57) computes.
+  * Unmatched left rows emit nulls on the right (left-outer as-of).
+  *
+  * Physical shape (the 100 TB plan): EnsureRequirements sees the
+  * operator's required distribution (cluster both sides by key) and
+  * ordering (key, ts, tiebreak), so Catalyst inserts the one hash
+  * exchange + per-partition sort each side needs; the operator itself is
+  * then a single streaming merge pass per partition holding ONE retained
+  * right row — no row multiplication, no buffering beyond the current
+  * match, no range-join explosion. This is the plan the union+window
+  * formulation approximates with a windowed union; natively, the right
+  * side's columns need no null-padded union schema and the merge needs
+  * no window state machine.
+  *
+  * Key and timestamp are single int64 expressions (ids/epoch-µs — the
+  * catalog's convention); a composite key packs into one int64 upstream.
+  */
+case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTs: Expression, rightTs: Expression,
+                        rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+class AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, rtie) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rtie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTs: Expression, rightTs: Expression,
+                        rightTie: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // cluster both sides on the key; EnsureRequirements inserts the
+  // exchanges, and pinning requiredNumPartitions keeps AQE from
+  // coalescing the two shuffles to different partition counts (the merge
+  // zips partitions pairwise, so the counts must match exactly — SMJ
+  // gets this coordination from AQE's join handling, a custom node must
+  // ask for it)
+  private val numParts =
+    org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = Some(numParts)) ::
+    ClusteredDistribution(Seq(rightKey), requiredNumPartitions = Some(numParts)) :: Nil
+
+  // per-partition merge order: (key, ts) on the left; (key, ts, tie) on
+  // the right so the last-retained row among equal timestamps is the
+  // max-tiebreak one — deterministic on duplicated right timestamps
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+        SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+        SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending),
+        SortOrder(rightTie, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lk = leftKey; val rk = rightKey; val lts = leftTs; val rts = rightTs
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lkEval = UnsafeProjection.create(Seq(lk), leftOut)
+      val rkEval = UnsafeProjection.create(Seq(rk), rightOut)
+      val ltsEval = UnsafeProjection.create(Seq(lts), leftOut)
+      val rtsEval = UnsafeProjection.create(Seq(rts), rightOut)
+      val out = UnsafeProjection.create((leftOut ++ rightOut).map(_.dataType).toArray)
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val joined = new JoinedRow
+
+      val rBuf = rIter.buffered
+      var curKey = Long.MinValue
+      var haveKey = false
+      var latest: InternalRow = null
+
+      def advanceRight(key: Long, ts: Long): Unit = {
+        // consume every right row with (rKey, rTs) < (key, ts) in the
+        // merge order; the last one matching THIS key is the as-of match
+        // (right is tie-ordered, so equal-ts duplicates resolve to the
+        // max tiebreak). Rows for earlier keys drain — their lefts have
+        // already passed.
+        while (rBuf.hasNext && {
+          val h = rBuf.head
+          val hk = rkEval(h).getLong(0)
+          hk < key || (hk == key && rtsEval(h).getLong(0) < ts)
+        }) {
+          val row = rBuf.next()
+          if (rkEval(row).getLong(0) == key) latest = row.copy()
+        }
+      }
+
+      lIter.map { lrow =>
+        val key = lkEval(lrow).getLong(0)
+        if (!haveKey || key != curKey) { curKey = key; haveKey = true; latest = null }
+        advanceRight(key, ltsEval(lrow).getLong(0))
+        out(joined(lrow, if (latest != null) latest else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API for the native operator. */
+object AsofJoin {
+  def apply(spark: SparkSession,
+            left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+            leftKey: String, rightKey: String,
+            leftTs: String, rightTs: String, rightTie: String): org.apache.spark.sql.DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def res(p: LogicalPlan, n: String): Expression =
+      p.output.find(_.name == n).getOrElse(sys.error(s"column $n not found"))
+    org.apache.spark.sql.graftshim.Shim.ofRows(spark, AsofJoinPlan(lp, rp,
+      res(lp, leftKey), res(rp, rightKey), res(lp, leftTs), res(rp, rightTs), res(rp, rightTie)))
+  }
+}

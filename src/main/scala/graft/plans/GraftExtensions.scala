@@ -10,6 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * and `spark.sql` can call them. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension (SURVEY §7.3 (c)): the native as-of join
+    ext.injectPlannerStrategy(_ => new AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),

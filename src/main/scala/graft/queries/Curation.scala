@@ -199,11 +199,110 @@ object Curation extends QueryModule {
       |       md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')) AS clean_hash
       |FROM feed ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q60 — SEQUENCE PACKING: the GPT-style pretraining layout — documents
+  // concatenate in doc_id order and split at fixed SeqLen-token
+  // boundaries; each document reports its sequence id, offset within the
+  // sequence, and how many sequences it spans. All pure integer window
+  // math over a global prefix sum of token counts.
+  //
+  // Scale shape: a single ORDER BY cumsum window is a one-partition
+  // bottleneck, so the prefix sum is TWO-PHASE — per-bucket partial sums
+  // (bucket = doc_id div BucketSz, a partitioned window), a tiny
+  // bucket-level running-offset window (|buckets| = corpus/BucketSz
+  // rows), and a broadcast join back. Same two-pass prefix-sum every
+  // distributed scan service uses; the oracle computes the plain global
+  // cumsum and the results agree exactly because the arithmetic is
+  // identical.
+  private val SeqLen = 2048L
+  private val PackBucket = 1000L
+
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $PackBucket"))
+    val inBucket = n.withColumn("cum_in_bucket",
+      sum(col("n_tokens")).over(Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketTotals = n.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("boffset",
+        coalesce(sum(col("btot")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "boffset")
+    inBucket.join(broadcast(bucketTotals), "bucket")
+      .withColumn("cum", col("boffset") + col("cum_in_bucket"))
+      .withColumn("start_off", col("cum") - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_off div $SeqLen"))
+      .withColumn("offset", expr(s"start_off % $SeqLen"))
+      .withColumn("n_seqs", expr(s"(cum - 1) div $SeqLen") - col("seq_id") + 1)
+      .select("doc_id", "n_tokens", "seq_id", "offset", "n_seqs")
+      .orderBy("doc_id")
+  }
+
+  private val q60Sql =
+    s"""WITH n AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM n)
+      |SELECT doc_id, n_tokens,
+      |       (cum - n_tokens) // $SeqLen AS seq_id,
+      |       (cum - n_tokens) % $SeqLen AS "offset",
+      |       (cum - 1) // $SeqLen - (cum - n_tokens) // $SeqLen + 1 AS n_seqs
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q61 — DOCUMENT CHUNKING: split each document into fixed-width token
+  // windows with overlap (the HF-tokenizer `return_overflowing_tokens`
+  // shape): window = 48 tokens, stride = 32, so consecutive chunks share
+  // 16 tokens of context. Chunk count is 1 + ⌈max(0, n−W)/S⌉ — the last
+  // chunk clamps to the document end. Pure narrow explode (no shuffle);
+  // chunk content is reported as md5 so the verified artifact is the
+  // exact chunk bytes without dumping the corpus.
+  private val ChunkW = 48
+  private val ChunkS = 32
+
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    Tables.documentsWide(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .select(col("doc_id"), col("ts"), col("n"),
+        explode(expr(s"sequence(0, greatest(0, (n - $ChunkW + $ChunkS - 1)) div $ChunkS)"))
+          .as("chunk_id0"))
+      .withColumn("chunk_id", col("chunk_id0").cast("int"))
+      .withColumn("start", (col("chunk_id") * ChunkS + 1).cast("int"))
+      .withColumn("chunk_len", least(lit(ChunkW), col("n") - col("start") + 1).cast("int"))
+      .filter(col("chunk_len") > 0) // a stride landing past the end emits nothing
+      .withColumn("chunk_hash", md5(concat_ws(" ", slice(col("ts"), col("start"), lit(ChunkW)))))
+      .select("doc_id", "chunk_id", "start", "chunk_len", "chunk_hash")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val q61Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts, len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, ts, n,
+      |         unnest(range(0, GREATEST(0, (n - $ChunkW + $ChunkS - 1)) // $ChunkS + 1)) AS chunk_id
+      |  FROM t)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |       CAST(chunk_id * $ChunkS + 1 AS INT) AS start,
+      |       CAST(LEAST($ChunkW, n - (chunk_id * $ChunkS + 1) + 1) AS INT) AS chunk_len,
+      |       md5(array_to_string(ts[(chunk_id * $ChunkS + 1):(chunk_id * $ChunkS + $ChunkW)], ' ')) AS chunk_hash
+      |FROM chunks
+      |WHERE LEAST($ChunkW, n - (chunk_id * $ChunkS + 1) + 1) > 0
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_decontaminate"     -> (q51 _),
     "q52_stratified_sample" -> (q52 _),
     "q53_domain_mix"        -> (q53 _),
     "q54_pii_redact"        -> (q54 _),
+    "q60_sequence_packing"  -> (q60 _),
+    "q61_doc_chunking"      -> (q61 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -211,5 +310,7 @@ object Curation extends QueryModule {
     "q52_stratified_sample" -> q52Sql,
     "q53_domain_mix"        -> q53Sql,
     "q54_pii_redact"        -> q54Sql,
+    "q60_sequence_packing"  -> q60Sql,
+    "q61_doc_chunking"      -> q61Sql,
   )
 }

@@ -130,13 +130,40 @@ object Temporal extends QueryModule {
       |FROM ranked GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q62 — the SAME as-of semantics through the NATIVE operator
+  // (plans.AsofJoin: custom LogicalPlan + injected SparkStrategy +
+  // sort-merge AsofJoinExec — SURVEY §7.3 preference order (c)). Three
+  // independent computations of one contract now cross-check in the
+  // gate: the union+window composition (q57), this native physical
+  // operator, and DuckDB's built-in ASOF JOIN (the shared oracle).
+  // The native plan is one exchange + sort per side feeding a streaming
+  // merge that retains a single right row — no null-padded union schema,
+  // no window state machine.
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cuser"), col("tsu").as("click_tsu"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    graft.plans.AsofJoin(s, p, c, "user_id", "cuser", "tsu", "click_tsu", "click_id")
+      .select(col("purchase_id"), col("user_id"), col("tsu").as("purchase_tsu"),
+        col("purchase_value"), col("click_id"), col("click_tsu"), col("click_value"),
+        (col("tsu") - col("click_tsu")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join"         -> (q57 _),
     "q58_grouped_quantiles" -> (q58 _),
+    "q62_asof_native"       -> (q62 _),
   )
 
   override val oracle: Map[String, String] = Map(
     "q57_asof_join"         -> q57Sql,
     "q58_grouped_quantiles" -> q58Sql,
+    "q62_asof_native"       -> q57Sql, // identical contract, third implementation
   )
 }

@@ -57,4 +57,45 @@ class CurationSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q60 two-phase prefix-sum packing equals the plain global cumsum") {
+    val got = SparkEntry.queries("q60_sequence_packing")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong)).sortBy(_._1)
+    var cum = 0L
+    docs.foreach { case (id, n) =>
+      val start = cum; cum += n
+      val seqId = start / 2048
+      val expect = (n, seqId, start % 2048, (cum - 1) / 2048 - seqId + 1)
+      assert(got(id) == expect, s"doc $id: got=${got(id)} expect=$expect")
+    }
+    // boundary sanity: every document either fits its sequence or spans
+    // exactly the sequences its token range covers
+    assert(got.values.forall { case (n, _, off, spans) => off + n <= spans * 2048 })
+  }
+
+  test("q61 chunking recomputes per document: coverage, overlap, hashes") {
+    val got = SparkEntry.queries("q61_doc_chunking")(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val ts = r.getString(1).split(" ", -1)
+      val n = ts.length
+      val nChunks = 1 + math.max(0, (n - 48 + 32 - 1) / 32)
+      val rows = got(id).sortBy(_.getInt(1))
+      assert(rows.length == nChunks, s"doc $id: ${rows.length} chunks, expect $nChunks")
+      rows.foreach { c =>
+        val (cid, start, len) = (c.getInt(1), c.getInt(2), c.getInt(3))
+        assert(start == cid * 32 + 1 && len == math.min(48, n - start + 1) && len > 0)
+        val text = ts.slice(start - 1, start - 1 + 48).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hash = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(c.getString(4) == hash, s"doc $id chunk $cid hash mismatch")
+      }
+      // full coverage: last chunk reaches the document end
+      assert(rows.last.getInt(2) + rows.last.getInt(3) - 1 == n)
+    }
+  }
 }
