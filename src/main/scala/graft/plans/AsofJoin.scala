@@ -132,7 +132,14 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** DataFrame-level API for the native operator. */
+/** DataFrame-level API for the native operator.
+  *
+  * Preconditions: key/ts columns are non-null int64 (null reads as 0 in
+  * the unsafe accessor — filter nulls upstream if the domain has them),
+  * and the two inputs must be separately-analyzed DataFrames (distinct
+  * expression ids; any two `Tables.*` reads or `.select` chains are —
+  * only literally passing one DataFrame object as both sides would
+  * collide, as with any hand-built logical self-join). */
 object AsofJoin {
   def apply(spark: SparkSession,
             left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
