@@ -151,4 +151,35 @@ class PropertySpec extends SparkTestBase {
       assert(back.exceptAll(long).isEmpty && long.exceptAll(back).isEmpty)
     }
   }
+
+  test("native as-of join matches driver-side brute force on random feeds") {
+    // random keys/timestamps with heavy collision rates: duplicate right
+    // timestamps (tiebreak path), keys with no right rows (null path),
+    // keys only on the right (drain path), empty sides
+    val feedGen = for {
+      nl <- Gen.choose(0, 40)
+      nr <- Gen.choose(0, 40)
+      ls <- Gen.listOfN(nl, for {
+        k <- Gen.choose(1L, 6L); ts <- Gen.choose(0L, 30L)
+      } yield (k, ts))
+      rs <- Gen.listOfN(nr, for {
+        k <- Gen.choose(1L, 8L); ts <- Gen.choose(0L, 30L); v <- Gen.choose(0, 1000)
+      } yield (k, ts, v.toDouble))
+    } yield (ls, rs)
+    forAllN(feedGen, n = 15) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rs.zipWithIndex.map { case ((k, ts, v), i) => (k, ts, i.toLong, v) }
+        .toDF("rk", "rts", "rid", "rv")
+      val got = plans.AsofJoin(spark, left, right, "k", "rk", "ts", "rts", "rid")
+        .collect()
+        .map(r => r.getLong(2) -> (if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+      val rSeq = rs.zipWithIndex.map { case ((k, ts, v), i) => (k, ts, i.toLong) }
+      val expect = ls.zipWithIndex.map { case ((k, ts), i) =>
+        val cands = rSeq.filter(r => r._1 == k && r._2 < ts)
+        i.toLong -> (if (cands.isEmpty) -1L else cands.maxBy(r => (r._2, r._3))._3)
+      }.toMap
+      assert(got == expect, s"left=$ls right=$rs")
+    }
+  }
 }
