@@ -548,6 +548,113 @@ object Similarity extends QueryModule {
       |FROM a2 a JOIN n2 n ON a.vec_id = n.vec_id
       |GROUP BY a.cid ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q63 — PRODUCT QUANTIZATION (Jégou et al., the IVF-PQ memory layer):
+  // the 64-dim space splits into M = 8 subspaces of 8 dims; each
+  // subspace trains its own K = 16 codebook (the same integer-
+  // deterministic Lloyd step as q59, all subspaces trained in ONE pass
+  // by carrying the subspace id through every aggregation), and every
+  // vector compresses to 8 codeword ids — 64 floats → 8 nibbles, the
+  // 32× compression that lets a 100 TB embedding store serve ANN from
+  // memory. Output per vector: the code string and the total integer
+  // quantization error Σ_s ‖v_s − c_s‖² (the reconstruction loss an
+  // ADC distance table would incur).
+  //
+  // Scale shape: training joins on (subspace, pos) against K·M·8 = 1024
+  // broadcast-sized centroid rows; assignment is a (vec, subspace)
+  // partial-agg shuffle. Nothing is per-pair; the corpus is touched
+  // twice per Lloyd iteration, identically to single-space k-means.
+  private val PqM = 8        // subspaces
+  private val PqDim = 8      // dims per subspace
+  private val PqK = 16       // codewords per subspace
+
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    // (vec_id, sub, p, q) at 1e4 quantization — same determinism story
+    // as q59: every distance and update is int64 on both engines
+    val quantS = graft.Caches.track(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"),
+        expr(s"pos0 div $PqDim").as("sub"),
+        expr(s"pos0 % $PqDim").as("p"),
+        round(col("v").cast("double") * 10000).cast("long").as("q")))
+      // tracked cache: feeds seeds, both assignment joins, both updates
+    val c0 = quantS.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("sub"), col("p"), col("q").as("c"))
+
+    // one Lloyd step over ALL subspaces at once: scores keyed (vec, sub,
+    // cid); argmin by (n2c − 2·dot, cid); update = floor-mean per
+    // (cid, sub, p)
+    def assign(cents: DataFrame): DataFrame = {
+      val n2c = cents.groupBy("cid", "sub").agg(sum(col("c") * col("c")).as("n2c"))
+      quantS.join(cents, Seq("sub", "p"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(sum(col("q") * col("c")).as("dot"))
+        .join(n2c, Seq("cid", "sub"))
+        .withColumn("score", col("n2c") - lit(2L) * col("dot"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id", "sub").orderBy(col("score"), col("cid"))))
+        .filter(col("rk") === 1)
+        .select("vec_id", "sub", "cid", "score")
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select("vec_id", "sub", "cid")
+        .join(quantS, Seq("vec_id", "sub"))
+        .groupBy("cid", "sub", "p")
+        .agg(expr("sum(q) div count(1) AS c"))
+
+    val a2 = assign(update(assign(c0)))
+    val n2v = quantS.groupBy("vec_id", "sub").agg(sum(col("q") * col("q")).as("n2v"))
+    a2.join(n2v, Seq("vec_id", "sub"))
+      .groupBy("vec_id")
+      .agg(
+        // code = subspace-ordered codeword ids; deterministic because
+        // (sub, cid) pairs are unique per vector after the argmin
+        expr("array_join(transform(array_sort(collect_list(struct(sub, cid))), x -> x.cid), '-')")
+          .as("code"),
+        sum(col("n2v") + col("score")).as("qerr"))
+      .orderBy("vec_id")
+  }
+
+  private val q63Sql =
+    s"""WITH quants AS (
+      |  SELECT vec_id, (pos - 1) // $PqDim AS sub, (pos - 1) % $PqDim AS p, q
+      |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS q
+      |        FROM embeddings)),
+      |c0 AS (SELECT vec_id AS cid, sub, p, q AS c FROM quants WHERE vec_id < $PqK),
+      |cn0 AS (SELECT cid, sub, CAST(SUM(c * c) AS BIGINT) AS n2c FROM c0 GROUP BY cid, sub),
+      |dot1 AS (
+      |  SELECT v.vec_id, v.sub, c.cid, CAST(SUM(v.q * c.c) AS BIGINT) AS dot
+      |  FROM quants v JOIN c0 c ON v.sub = c.sub AND v.p = c.p
+      |  GROUP BY v.vec_id, v.sub, c.cid),
+      |a1 AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT d.vec_id, d.sub, d.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+      |             ORDER BY cn.n2c - 2 * d.dot, d.cid) AS rk
+      |    FROM dot1 d JOIN cn0 cn ON d.cid = cn.cid AND d.sub = cn.sub) WHERE rk = 1),
+      |c1 AS (
+      |  SELECT a.cid, q.sub, q.p, CAST(SUM(q.q) AS BIGINT) // COUNT(*) AS c
+      |  FROM a1 a JOIN quants q ON a.vec_id = q.vec_id AND a.sub = q.sub
+      |  GROUP BY a.cid, q.sub, q.p),
+      |cn1 AS (SELECT cid, sub, CAST(SUM(c * c) AS BIGINT) AS n2c FROM c1 GROUP BY cid, sub),
+      |dot2 AS (
+      |  SELECT v.vec_id, v.sub, c.cid, CAST(SUM(v.q * c.c) AS BIGINT) AS dot
+      |  FROM quants v JOIN c1 c ON v.sub = c.sub AND v.p = c.p
+      |  GROUP BY v.vec_id, v.sub, c.cid),
+      |a2 AS (
+      |  SELECT vec_id, sub, cid, score FROM (
+      |    SELECT d.vec_id, d.sub, d.cid, cn.n2c - 2 * d.dot AS score,
+      |           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
+      |             ORDER BY cn.n2c - 2 * d.dot, d.cid) AS rk
+      |    FROM dot2 d JOIN cn1 cn ON d.cid = cn.cid AND d.sub = cn.sub) WHERE rk = 1),
+      |n2v AS (SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2v FROM quants GROUP BY vec_id, sub)
+      |SELECT a.vec_id,
+      |       string_agg(a.cid::VARCHAR, '-' ORDER BY a.sub) AS code,
+      |       CAST(SUM(n.n2v + a.score) AS BIGINT) AS qerr
+      |FROM a2 a JOIN n2v n ON a.vec_id = n.vec_id AND a.sub = n.sub
+      |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
     "q37_ann_lsh"        -> (q37 _),
@@ -556,6 +663,7 @@ object Similarity extends QueryModule {
     "q48_ann_ivf"          -> (q48 _),
     "q50_semantic_dedup"   -> (q50 _),
     "q59_kmeans_clusters"  -> (q59 _),
+    "q63_pq_codes"         -> (q63 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -566,5 +674,6 @@ object Similarity extends QueryModule {
     "q48_ann_ivf"          -> q48Sql,
     "q50_semantic_dedup"   -> q50Sql,
     "q59_kmeans_clusters"  -> q59Sql,
+    "q63_pq_codes"         -> q63Sql,
   )
 }

@@ -275,4 +275,35 @@ class PipelineSpec extends SparkTestBase {
       .map { case (c, ms) => (c, ms.size.toLong, ms.map(_._2).sum) }
     assert(got.toSeq == expect, s"got=${got.toSeq}\nexpect=$expect")
   }
+
+  test("product quantization codes match a plain-Scala per-subspace Lloyd recomputation") {
+    val got = SparkEntry.queries("q63_pq_codes")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(v => math.rint(v.toDouble * 10000).toLong).toArray)
+      .sortBy(_._1)
+    def subv(a: Array[Long], s: Int) = a.slice(s * 8, s * 8 + 8)
+    def dd2(a: Array[Long], b: Array[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val perSub = (0 until 8).map { s =>
+      // independent per-subspace Lloyd: assign → floor-mean update → assign
+      val data = vecs.map { case (id, a) => id -> subv(a, s) }
+      val byId = data.toMap
+      def assign(cents: Map[Long, Array[Long]]) = data.map { case (id, a) =>
+        val (cid, dd) = cents.toSeq.map { case (c, ca) => (c, dd2(a, ca)) }
+          .minBy { case (c, dd) => (dd, c) }
+        (id, cid, dd)
+      }
+      val c0 = data.filter(_._1 < 16).map { case (id, a) => id -> a }.toMap
+      val c1 = assign(c0).groupBy(_._2).map { case (c, ms) =>
+        val arrs = ms.map(m => byId(m._1))
+        c -> Array.tabulate(8)(p => arrs.map(_(p)).sum / arrs.length)
+      }
+      s -> assign(c1).map { case (id, cid, dd) => id -> ((cid, dd)) }.toMap
+    }.toMap
+    vecs.foreach { case (id, _) =>
+      val code = (0 until 8).map(s => perSub(s)(id)._1).mkString("-")
+      val qerr = (0 until 8).map(s => perSub(s)(id)._2).sum
+      assert(got(id) == ((code, qerr)), s"vec $id: got=${got(id)} expect=${(code, qerr)}")
+    }
+  }
 }
