@@ -672,8 +672,74 @@ object Dedup extends QueryModule {
       |LEFT JOIN near_victims v ON q.doc_id = v.doc_id
       |ORDER BY q.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q66 — SPAN-LEVEL exact dedup (the Lee et al. 2107.06499 "deduplicating
+  // training data" recipe at segment granularity, = CCNet's paragraph
+  // dedup on a corpus whose documents are single paragraphs): documents
+  // split into fixed SegLen-token segments; a segment occurring anywhere
+  // earlier in the corpus (first occurrence = lowest (doc_id, seg_id)) is
+  // REMOVED from later documents, and each document reports how much of
+  // it survived plus the md5 of its reassembled cleaned text — document-
+  // level dedup (q31) can only drop whole rows; this is the operator
+  // that strips boilerplate shared across distinct documents.
+  //
+  // Scale shape: segmenting is a narrow explode; the only corpus-sized
+  // shuffle keys on the segment's md5-int64 — fixed-width, uniform (the
+  // ubiquitous-segment skew that would pool on one reducer is exactly
+  // the mass this operator deletes, and the per-key work is a first-
+  // occurrence argmin, O(occurrences)); reassembly is a per-document
+  // sorted-array fold, no second corpus shuffle beyond the doc_id
+  // partial agg.
+  private val SegLen = 8
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documentsWide(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .select(col("doc_id"), col("ts"), col("n"),
+        explode(expr(s"sequence(0, (n - 1) div $SegLen)")).as("seg_id0"))
+      .withColumn("seg_id", col("seg_id0").cast("int"))
+      .withColumn("seg", concat_ws(" ",
+        slice(col("ts"), col("seg_id") * SegLen + 1, lit(SegLen))))
+      .select(col("doc_id"), col("seg_id"), col("seg"),
+        conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long").as("tok"))
+    val keeper = segs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("tok").orderBy("doc_id", "seg_id")))
+      .withColumn("kept", col("rk") === 1)
+    keeper
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_segs"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        md5(expr(
+          "array_join(transform(filter(array_sort(collect_list(struct(seg_id, kept, seg))), x -> x.kept), x -> x.seg), ' ')"))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val q66Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts, len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(seg_id AS INT) AS seg_id,
+      |         array_to_string(ts[(seg_id * $SegLen + 1):(seg_id * $SegLen + $SegLen)], ' ') AS seg
+      |  FROM (SELECT doc_id, ts, unnest(range(0, (n - 1) // $SegLen + 1)) AS seg_id FROM t)),
+      |keeper AS (
+      |  SELECT doc_id, seg_id, seg,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY CAST(('0x' || substring(md5(seg), 1, 15)) AS BIGINT)
+      |           ORDER BY doc_id, seg_id) = 1 AS kept
+      |  FROM segs)
+      |SELECT doc_id,
+      |       CAST(COUNT(*) AS INT) AS n_segs,
+      |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+      |       md5(COALESCE(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_id), '')) AS clean_hash
+      |FROM keeper GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_exact_dedup"        -> (q31 _),
+    "q66_span_dedup"         -> (q66 _),
     "q32_ngram_jaccard"      -> (q32 _),
     "q33_minhash_lsh"        -> (q33 _),
     "q34_simhash"            -> (q34 _),
@@ -684,6 +750,7 @@ object Dedup extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q31_exact_dedup"        -> q31Sql,
+    "q66_span_dedup"         -> q66Sql,
     "q32_ngram_jaccard"      -> q32Sql,
     "q33_minhash_lsh"        -> q33Sql,
     "q34_simhash"            -> q34Sql,

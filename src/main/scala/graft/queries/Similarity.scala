@@ -475,7 +475,12 @@ object Similarity extends QueryModule {
   // + one (cid, pos) partial-agg shuffle for the update — the canonical
   // distributed Lloyd step; no N×K row materialization ever shuffles.
   private val KmK = 8
-  private def q59(s: SparkSession, dir: String): DataFrame = {
+
+  /** The two-iteration Lloyd assignment shared by q59 (cluster summary)
+    * and q68 (outlier pruning): returns (vec_id, cid, dist2) after
+    * assign → floor-mean update → assign. Tracked caches cover the
+    * rolled-up vector relation read by every pass. */
+  private def kmAssignments(s: SparkSession, dir: String): DataFrame = {
     val quant4 = Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
       .select(col("vec_id"), (col("pos0") + 1).as("pos"),
@@ -509,14 +514,19 @@ object Similarity extends QueryModule {
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c) AS ca"),
              sum(col("c") * col("c")).as("n2c"))
 
-    val a2 = assign(update(assign(c0)))
-    a2.groupBy(col("cid").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"), sum(col("dist2")).as("inertia"))
-      .orderBy("cluster_id")
+    assign(update(assign(c0)))
   }
 
-  private val q59Sql =
-    s"""WITH quant4 AS (
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    kmAssignments(s, dir)
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist2")).as("inertia"))
+      .orderBy("cluster_id")
+
+  /** Shared oracle CTE prefix for the k-means family (q59/q68): ends at
+    * `assigned(vec_id, cid, dist2)` — the two-iteration Lloyd result. */
+  private val kmSqlCtes =
+    s"""quant4 AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
       |         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS q
       |  FROM embeddings),
@@ -542,11 +552,65 @@ object Similarity extends QueryModule {
       |  SELECT vec_id, cid, n2c - 2 * dot AS score FROM (
       |    SELECT d.vec_id, d.cid, d.dot, cn.n2c,
       |           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY cn.n2c - 2 * d.dot, d.cid) AS rk
-      |    FROM dot2 d JOIN cn1 cn ON d.cid = cn.cid) WHERE rk = 1)
-      |SELECT a.cid AS cluster_id, COUNT(*) AS n_members,
-      |       CAST(SUM(n.n2v + a.score) AS BIGINT) AS inertia
-      |FROM a2 a JOIN n2 n ON a.vec_id = n.vec_id
-      |GROUP BY a.cid ORDER BY cluster_id""".stripMargin
+      |    FROM dot2 d JOIN cn1 cn ON d.cid = cn.cid) WHERE rk = 1),
+      |assigned AS (
+      |  SELECT a.vec_id, a.cid, CAST(n.n2v + a.score AS BIGINT) AS dist2
+      |  FROM a2 a JOIN n2 n ON a.vec_id = n.vec_id)""".stripMargin
+
+  private val q59Sql =
+    s"""WITH $kmSqlCtes
+      |SELECT cid AS cluster_id, COUNT(*) AS n_members,
+      |       CAST(SUM(dist2) AS BIGINT) AS inertia
+      |FROM assigned
+      |GROUP BY cid ORDER BY cluster_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q68 — EMBEDDING OUTLIER PRUNING: after the q59 Lloyd assignment,
+  // flag the top 3% of each cluster's members by distance to their own
+  // centroid — the cluster-relative percentile prune that drops corrupt/
+  // mis-embedded rows before semantic dedup or ANN index build (a global
+  // threshold can't work when cluster radii differ by orders of
+  // magnitude, and a fixed radius multiple fails the other way when the
+  // distance distribution is tight — both regimes occur across this
+  // corpus's scale factors). The verdict is pure integer rank math:
+  // outlier ⇔ rank·100 > n·97 AND dist2 strictly above the cluster
+  // median (the strict-median guard keeps tiny clusters from flagging
+  // themselves wholesale); the median is the same discrete rank
+  // selection as q58 (⌊(n−1)/2⌋+1, an ACTUAL member distance) and is
+  // reported for audit. Plan shape: the Lloyd passes (q59's), plus one
+  // K-key window for rank/median and a broadcast join of K medians back
+  // onto the assignment — nothing new shuffles the corpus.
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.Caches.track(kmAssignments(s, dir))
+      // tracked cache: the assignment feeds both the median build and the
+      // final verdict join
+    val ranked = assigned
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("dist2"), col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cid")))
+    val med = ranked
+      .groupBy("cid")
+      .agg(max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("dist2"))).as("med"))
+    ranked.join(broadcast(med), "cid")
+      .withColumn("is_outlier", col("rn") * 100 > col("n") * 97 && col("dist2") > col("med"))
+      .select("vec_id", "cid", "dist2", "med", "is_outlier")
+      .orderBy("vec_id")
+  }
+
+  private val q68Sql =
+    s"""WITH $kmSqlCtes,
+      |ranked AS (
+      |  SELECT vec_id, cid, dist2,
+      |         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist2, vec_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY cid) AS n
+      |  FROM assigned),
+      |med AS (
+      |  SELECT cid, MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN dist2 END) AS med
+      |  FROM ranked GROUP BY cid)
+      |SELECT r.vec_id, r.cid, r.dist2, m.med,
+      |       r.rn * 100 > r.n * 97 AND r.dist2 > m.med AS is_outlier
+      |FROM ranked r JOIN med m ON r.cid = m.cid
+      |ORDER BY r.vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q63 — PRODUCT QUANTIZATION (Jégou et al., the IVF-PQ memory layer):
@@ -568,41 +632,54 @@ object Similarity extends QueryModule {
   private val PqDim = 8      // dims per subspace
   private val PqK = 16       // codewords per subspace
 
-  private def q63(s: SparkSession, dir: String): DataFrame = {
-    // (vec_id, sub, p, q) at 1e4 quantization — same determinism story
-    // as q59: every distance and update is int64 on both engines
-    val quantS = graft.Caches.track(Tables.embeddings(s, dir)
+  /** PQ coordinate stream (vec_id, sub, p, q) at 1e4 quantization — same
+    * determinism story as q59: every distance and update is int64 on both
+    * engines. Tracked cache: feeds seeds, both assignment joins, both
+    * updates (and, for q64, the query-side distance tables). */
+  private def pqQuant(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.track(Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
       .select(col("vec_id"),
         expr(s"pos0 div $PqDim").as("sub"),
         expr(s"pos0 % $PqDim").as("p"),
         round(col("v").cast("double") * 10000).cast("long").as("q")))
-      // tracked cache: feeds seeds, both assignment joins, both updates
-    val c0 = quantS.filter(col("vec_id") < PqK)
+
+  /** All (vec, sub, codeword) scores for one Lloyd step: score =
+    * n2c − 2·dot, keyed (vec_id, sub, cid) — the pre-argmin relation.
+    * ‖v_s − c‖² = n2v_s + score, so the same relation serves assignment
+    * (argmin) and q64's asymmetric distance tables (all cids kept). */
+  private def pqScores(quantS: DataFrame, cents: DataFrame): DataFrame = {
+    val n2c = cents.groupBy("cid", "sub").agg(sum(col("c") * col("c")).as("n2c"))
+    quantS.join(cents, Seq("sub", "p"))
+      .groupBy(col("vec_id"), col("sub"), col("cid"))
+      .agg(sum(col("q") * col("c")).as("dot"))
+      .join(n2c, Seq("cid", "sub"))
+      .withColumn("score", col("n2c") - lit(2L) * col("dot"))
+  }
+
+  /** Lloyd assignment: argmin over (score, cid) per (vec, sub). */
+  private def pqAssign(quantS: DataFrame, cents: DataFrame): DataFrame =
+    pqScores(quantS, cents)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("score"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "sub", "cid", "score")
+
+  /** Lloyd update: elementwise floor-mean per (cid, sub, p). */
+  private def pqUpdate(quantS: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.select("vec_id", "sub", "cid")
+      .join(quantS, Seq("vec_id", "sub"))
+      .groupBy("cid", "sub", "p")
+      .agg(expr("sum(q) div count(1) AS c"))
+
+  private def pqSeeds(quantS: DataFrame): DataFrame =
+    quantS.filter(col("vec_id") < PqK)
       .select(col("vec_id").as("cid"), col("sub"), col("p"), col("q").as("c"))
 
-    // one Lloyd step over ALL subspaces at once: scores keyed (vec, sub,
-    // cid); argmin by (n2c − 2·dot, cid); update = floor-mean per
-    // (cid, sub, p)
-    def assign(cents: DataFrame): DataFrame = {
-      val n2c = cents.groupBy("cid", "sub").agg(sum(col("c") * col("c")).as("n2c"))
-      quantS.join(cents, Seq("sub", "p"))
-        .groupBy(col("vec_id"), col("sub"), col("cid"))
-        .agg(sum(col("q") * col("c")).as("dot"))
-        .join(n2c, Seq("cid", "sub"))
-        .withColumn("score", col("n2c") - lit(2L) * col("dot"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id", "sub").orderBy(col("score"), col("cid"))))
-        .filter(col("rk") === 1)
-        .select("vec_id", "sub", "cid", "score")
-    }
-    def update(assigned: DataFrame): DataFrame =
-      assigned.select("vec_id", "sub", "cid")
-        .join(quantS, Seq("vec_id", "sub"))
-        .groupBy("cid", "sub", "p")
-        .agg(expr("sum(q) div count(1) AS c"))
-
-    val a2 = assign(update(assign(c0)))
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val quantS = pqQuant(s, dir)
+    val c0 = pqSeeds(quantS)
+    val a2 = pqAssign(quantS, pqUpdate(quantS, pqAssign(quantS, c0)))
     val n2v = quantS.groupBy("vec_id", "sub").agg(sum(col("q") * col("q")).as("n2v"))
     a2.join(n2v, Seq("vec_id", "sub"))
       .groupBy("vec_id")
@@ -615,8 +692,12 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
-  private val q63Sql =
-    s"""WITH quants AS (
+  /** Shared oracle CTE prefix for the PQ family (q63/q64): coordinate
+    * quantization, seed codebook, one full Lloyd step (assignment dot1/a1
+    * + floor-mean update c1), and the second-iteration scores dot2/a2 —
+    * a2 carries both the winning codeword (the CODE) and its score. */
+  private val pqSqlCtes =
+    s"""quants AS (
       |  SELECT vec_id, (pos - 1) // $PqDim AS sub, (pos - 1) % $PqDim AS p, q
       |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
       |               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS q
@@ -642,18 +723,91 @@ object Similarity extends QueryModule {
       |  SELECT v.vec_id, v.sub, c.cid, CAST(SUM(v.q * c.c) AS BIGINT) AS dot
       |  FROM quants v JOIN c1 c ON v.sub = c.sub AND v.p = c.p
       |  GROUP BY v.vec_id, v.sub, c.cid),
+      |scores2 AS (
+      |  SELECT d.vec_id, d.sub, d.cid, cn.n2c - 2 * d.dot AS score
+      |  FROM dot2 d JOIN cn1 cn ON d.cid = cn.cid AND d.sub = cn.sub),
       |a2 AS (
       |  SELECT vec_id, sub, cid, score FROM (
-      |    SELECT d.vec_id, d.sub, d.cid, cn.n2c - 2 * d.dot AS score,
-      |           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.sub
-      |             ORDER BY cn.n2c - 2 * d.dot, d.cid) AS rk
-      |    FROM dot2 d JOIN cn1 cn ON d.cid = cn.cid AND d.sub = cn.sub) WHERE rk = 1),
+      |    SELECT vec_id, sub, cid, score,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY score, cid) AS rk
+      |    FROM scores2) WHERE rk = 1)""".stripMargin
+
+  private val q63Sql =
+    s"""WITH $pqSqlCtes,
       |n2v AS (SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2v FROM quants GROUP BY vec_id, sub)
       |SELECT a.vec_id,
       |       string_agg(a.cid::VARCHAR, '-' ORDER BY a.sub) AS code,
       |       CAST(SUM(n.n2v + a.score) AS BIGINT) AS qerr
       |FROM a2 a JOIN n2v n ON a.vec_id = n.vec_id AND a.sub = n.sub
       |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q64 — ADC SEARCH over the PQ codes (Jégou et al. §IV: asymmetric
+  // distance computation — the query stays UNCOMPRESSED, the corpus is
+  // its 8-nibble codes): each query precomputes a distance TABLE
+  // d(q, sub, cid) = ‖q_s − c_{s,cid}‖² (M·K = 128 integers per query),
+  // then every corpus vector is scored as Σ_s dtab[s][code_s(v)] — 8
+  // table lookups per vector instead of 64 multiplies, and the memory
+  // touched per vector is the 8-byte code, not the 256-byte raw vector.
+  // This is the scan Faiss's IVFPQ runs inside each probed cell; here it
+  // sweeps the whole corpus (the IVF cell restriction is q48's job).
+  //
+  // Plan shape: the distance tables are Q·M·K = 1024 rows — broadcast;
+  // the corpus side joins its (vec, sub, cid) codes to them on
+  // (sub, cid) and partial-aggregates Σd by (qid, vec) — one uniform
+  // shuffle of Q rows per corpus vector, never a Q×corpus×dim blow-up.
+  // All arithmetic is the same int64 as training, so adist is exact and
+  // the top-k boundary is engine-independent (ties break on vec_id).
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val quantS = pqQuant(s, dir)
+    val c0 = pqSeeds(quantS)
+    val cents2 = pqUpdate(quantS, pqAssign(quantS, c0))
+    val scores2 = graft.Caches.track(pqScores(quantS, cents2))
+      // tracked cache: the second-iteration score relation feeds BOTH the
+      // corpus codes (argmin) and the query distance tables (all cids)
+    val codes = scores2
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("score"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "sub", "cid")
+    val n2q = quantS.filter(col("vec_id") < NumQueries)
+      .groupBy("vec_id", "sub").agg(sum(col("q") * col("q")).as("n2q"))
+    val dtab = scores2.filter(col("vec_id") < NumQueries)
+      .join(n2q, Seq("vec_id", "sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        (col("n2q") + col("score")).as("d"))
+    codes.join(broadcast(dtab), Seq("sub", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("qid", "vec_id", "adist", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  private val q64Sql =
+    s"""WITH $pqSqlCtes,
+      |n2q AS (
+      |  SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2q
+      |  FROM quants WHERE vec_id < $NumQueries GROUP BY vec_id, sub),
+      |dtab AS (
+      |  SELECT s.vec_id AS qid, s.sub, s.cid, n.n2q + s.score AS d
+      |  FROM scores2 s JOIN n2q n ON s.vec_id = n.vec_id AND s.sub = n.sub
+      |  WHERE s.vec_id < $NumQueries),
+      |adc AS (
+      |  SELECT t.qid, a.vec_id, CAST(SUM(t.d) AS BIGINT) AS adist
+      |  FROM a2 a JOIN dtab t ON a.sub = t.sub AND a.cid = t.cid
+      |  WHERE t.qid != a.vec_id
+      |  GROUP BY t.qid, a.vec_id),
+      |ranked AS (
+      |  SELECT qid, vec_id, adist,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INT) AS rank
+      |  FROM adc)
+      |SELECT qid, vec_id, adist, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
@@ -664,6 +818,8 @@ object Similarity extends QueryModule {
     "q50_semantic_dedup"   -> (q50 _),
     "q59_kmeans_clusters"  -> (q59 _),
     "q63_pq_codes"         -> (q63 _),
+    "q64_pq_adc"           -> (q64 _),
+    "q68_embed_outliers"   -> (q68 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -675,5 +831,7 @@ object Similarity extends QueryModule {
     "q50_semantic_dedup"   -> q50Sql,
     "q59_kmeans_clusters"  -> q59Sql,
     "q63_pq_codes"         -> q63Sql,
+    "q64_pq_adc"           -> q64Sql,
+    "q68_embed_outliers"   -> q68Sql,
   )
 }

@@ -453,9 +453,225 @@ object TextPipeline extends QueryModule {
       |SELECT doc_id, term, tf, df, score, rank
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q65 — the Gopher quality-rule battery (Rae et al. 2112.11446 §A1.1,
+  // the non-repetition document filters; q55 covers the repetition half):
+  //   bit 0  word count outside [50, 100000]
+  //   bit 1  mean word length outside [3, 10]
+  //   bit 2  symbol-to-word ratio ('#' or '...') above 0.1
+  //   bit 3  more than 90% of lines start with a bullet
+  //   bit 4  more than 30% of lines end with an ellipsis
+  //   bit 5  fewer than 80% of words contain an alphabetic character
+  //   bit 6  fewer than 2 stopword occurrences (catalog stopword set)
+  // A document is kept iff its rule bitmask is 0 — the mask is the
+  // audit artifact (WHY a document was dropped), which a curation
+  // pipeline keeps alongside the verdict. Pure narrow map over the
+  // token/line arrays: no shuffle, whole-stage codegen, scan-speed at
+  // any corpus size. Ratio rules compare ROUNDED values (6 places) so
+  // the pass/fail boundary is the same IEEE double on both engines.
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    Tables.documentsWide(s, dir)
+      .withColumn("ts", split(col("text"), " "))
+      .withColumn("ls", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("ts")))
+      .withColumn("mean_wlen",
+        round((col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"), 6))
+      .withColumn("symbol_ratio", round(
+        size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)")).cast("double")
+          / col("n_words"), 6))
+      .withColumn("bullet_frac", round(
+        size(expr("filter(ls, l -> l LIKE '- %' OR l LIKE '* %')")).cast("double")
+          / size(col("ls")), 6))
+      .withColumn("ellipsis_frac", round(
+        size(expr("filter(ls, l -> l LIKE '%...')")).cast("double") / size(col("ls")), 6))
+      .withColumn("alpha_frac", round(
+        size(expr("filter(ts, t -> t RLIKE '[a-zA-Z]')")).cast("double") / col("n_words"), 6))
+      .withColumn("n_stop", size(expr("filter(ts, t -> t IN ('the', 'a', 'is'))")))
+      .withColumn("rule_mask",
+        when(col("n_words") < 50 || col("n_words") > 100000, 1).otherwise(0)
+          + when(col("mean_wlen") < 3.0 || col("mean_wlen") > 10.0, 2).otherwise(0)
+          + when(col("symbol_ratio") > 0.1, 4).otherwise(0)
+          + when(col("bullet_frac") > 0.9, 8).otherwise(0)
+          + when(col("ellipsis_frac") > 0.3, 16).otherwise(0)
+          + when(col("alpha_frac") < 0.8, 32).otherwise(0)
+          + when(col("n_stop") < 2, 64).otherwise(0))
+      .withColumn("keep", col("rule_mask") === 0)
+      .select("doc_id", "n_words", "mean_wlen", "symbol_ratio", "bullet_frac",
+        "ellipsis_frac", "alpha_frac", "n_stop", "rule_mask", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val q65Sql =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |         string_split(text, ' ') AS ts,
+      |         string_split(text, chr(10)) AS ls,
+      |         len(string_split(text, ' ')) AS n_words,
+      |         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_words,
+      |         ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS mean_wlen,
+      |         ROUND(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
+      |         ROUND(CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(ls), 6) AS bullet_frac,
+      |         ROUND(CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE) / len(ls), 6) AS ellipsis_frac,
+      |         ROUND(CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE) / n_words, 6) AS alpha_frac,
+      |         len(list_filter(ts, t -> t IN ('the', 'a', 'is'))) AS n_stop
+      |  FROM t)
+      |SELECT doc_id, n_words, mean_wlen, symbol_ratio, bullet_frac, ellipsis_frac,
+      |       alpha_frac, n_stop,
+      |       CAST(CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+      |          + CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 2 ELSE 0 END
+      |          + CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END
+      |          + CASE WHEN bullet_frac > 0.9 THEN 8 ELSE 0 END
+      |          + CASE WHEN ellipsis_frac > 0.3 THEN 16 ELSE 0 END
+      |          + CASE WHEN alpha_frac < 0.8 THEN 32 ELSE 0 END
+      |          + CASE WHEN n_stop < 2 THEN 64 ELSE 0 END AS INT) AS rule_mask,
+      |       (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+      |          + CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 2 ELSE 0 END
+      |          + CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END
+      |          + CASE WHEN bullet_frac > 0.9 THEN 8 ELSE 0 END
+      |          + CASE WHEN ellipsis_frac > 0.3 THEN 16 ELSE 0 END
+      |          + CASE WHEN alpha_frac < 0.8 THEN 32 ELSE 0 END
+      |          + CASE WHEN n_stop < 2 THEN 64 ELSE 0 END) = 0 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q67 — unigram surprisal scoring (the CCNet LM-filter shape, Wenzek
+  // et al. 1911.00359: score each document under a language model trained
+  // on the corpus itself; keep the middle of the distribution — too
+  // PREDICTABLE is boilerplate, too SURPRISING is gibberish). The model
+  // here is the corpus unigram table, and the per-token "bits" are the
+  // INTEGER log₂: bits(t) = ⌊log₂(N div freq(t))⌋, computed EXACTLY on
+  // both engines as length(bin(N div freq)) − 1 — a transcendental-free
+  // formulation, since an FP ln differs in the last ulp across libms
+  // while a keep/drop threshold over a hash-compared column cannot
+  // tolerate boundary drift. Plan: one (token) aggregation builds the
+  // model (vocabulary-sized — broadcast), one narrow re-scan scores —
+  // the corpus shuffles its tokens once and is never re-keyed.
+  private val SurpLo = 1000L  // millibits/token — below = too repetitive
+  private val SurpHi = 9000L  // above = out-of-model gibberish
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val total = model.agg(sum(col("freq")).as("total"))
+    val bits = model.crossJoin(broadcast(total))
+      .withColumn("bits", (length(bin(expr("total div freq"))) - 1).cast("long"))
+      .select("tok", "bits")
+    toks.join(broadcast(bits), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+      .withColumn("millibits", expr("(total_bits * 1000) div n_tokens"))
+      .withColumn("keep", col("millibits") >= SurpLo && col("millibits") <= SurpHi)
+      .select("doc_id", "n_tokens", "total_bits", "millibits", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val q67Sql =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |model AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+      |n AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM model),
+      |bits AS (
+      |  SELECT tok, CAST(length(bin(total // freq)) - 1 AS BIGINT) AS bits
+      |  FROM model CROSS JOIN n),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS total_bits
+      |  FROM toks JOIN bits USING (tok) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, total_bits,
+      |       (total_bits * 1000) // n_tokens AS millibits,
+      |       (total_bits * 1000) // n_tokens BETWEEN $SurpLo AND $SurpHi AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q69 — VOCABULARY BUILDER: the count-and-truncate step of tokenizer
+  // training — corpus token frequencies ranked, cumulative corpus
+  // coverage per rank, and the in/out-of-vocabulary verdict at VocabSize.
+  // The coverage curve is what picks a vocab size in practice (where does
+  // cum_share cross 99.9%?), and the OOV mass is 1 − cum_share at the
+  // cap. Plan: one uniform (token) aggregation shuffles the corpus ONCE;
+  // everything after runs on the vocabulary relation, which is orders of
+  // magnitude smaller than the corpus at any scale — the global
+  // rank/cumsum window is a deliberate single-partition pass over THAT
+  // (vocab-sized, bounded), never over corpus rows.
+  private val VocabSize = 16
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("total"))
+    freq
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("token"))).cast("int"))
+      .withColumn("cum_freq", sum(col("freq")).over(
+        Window.orderBy(col("freq").desc, col("token"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_share", round(col("cum_freq").cast("double") / col("total"), 6))
+      .withColumn("in_vocab", col("rank") <= VocabSize)
+      .select("rank", "token", "freq", "cum_freq", "cum_share", "in_vocab")
+      .orderBy("rank")
+  }
+
+  private val q69Sql =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |freq AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+      |n AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq),
+      |ranked AS (
+      |  SELECT token, freq,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT) AS rank,
+      |         CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq
+      |  FROM freq)
+      |SELECT rank, token, freq, cum_freq,
+      |       ROUND(CAST(cum_freq AS DOUBLE) / total, 6) AS cum_share,
+      |       rank <= $VocabSize AS in_vocab
+      |FROM ranked CROSS JOIN n ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q70 — BPE MERGE CANDIDATES: the inner step of byte-pair-encoding
+  // training — count every adjacent character pair across all word
+  // occurrences and rank the merge candidates (the top pair is what BPE
+  // iteration 1 would fuse into a new symbol). Left-to-right pair counts
+  // over each occurrence, exactly the greedy-merge statistics; ranking
+  // ties break lexicographically so the winner is engine-deterministic.
+  // Plan: a narrow per-word explode (no shuffle) into one uniform
+  // (pair) aggregation — the pair space is bounded by |alphabet|², so
+  // the shuffle is tiny regardless of corpus size.
+  private val BpeTopK = 20
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    Tables.documentsWide(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair"))).cast("int"))
+      .filter(col("rank") <= BpeTopK)
+      .select("rank", "pair", "cnt")
+      .orderBy("rank")
+  }
+
+  private val q70Sql =
+    s"""WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |pairs AS (
+      |  SELECT unnest([w[i:i+1] for i in range(1, length(w))]) AS pair
+      |  FROM words WHERE length(w) >= 2),
+      |cnt AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair),
+      |ranked AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank, pair, cnt
+      |  FROM cnt)
+      |SELECT rank, pair, cnt FROM ranked WHERE rank <= $BpeTopK ORDER BY rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats"     -> (q30 _),
     "q55_repetition"     -> (q55 _),
+    "q65_quality_rules"  -> (q65 _),
+    "q67_surprisal"      -> (q67 _),
+    "q69_vocab_coverage" -> (q69 _),
+    "q70_bpe_merges"     -> (q70 _),
     "q56_tfidf_topk"     -> (q56 _),
     "q49_media_features" -> (q49 _),
     "q40_winnow_fingerprints" -> (q40 _),
@@ -468,6 +684,10 @@ object TextPipeline extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "q30_text_stats"     -> q30Sql,
     "q55_repetition"     -> q55Sql,
+    "q65_quality_rules"  -> q65Sql,
+    "q67_surprisal"      -> q67Sql,
+    "q69_vocab_coverage" -> q69Sql,
+    "q70_bpe_merges"     -> q70Sql,
     "q56_tfidf_topk"     -> q56Sql,
     "q40_winnow_fingerprints" -> q40Sql,
     "q41_langid"         -> q41Sql,

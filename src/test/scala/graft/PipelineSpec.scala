@@ -306,4 +306,71 @@ class PipelineSpec extends SparkTestBase {
       assert(got(id) == ((code, qerr)), s"vec $id: got=${got(id)} expect=${(code, qerr)}")
     }
   }
+
+  test("PQ-ADC search matches a plain-Scala distance-table recomputation") {
+    val got = SparkEntry.queries("q64_pq_adc")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // independent reference: retrain the per-subspace codebooks driver-side
+    // (same assign → floor-mean → assign as the q63 spec), then score every
+    // vector per query through the ADC table — Σ_s ‖q_s − c_{code_s(v)}‖².
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(v => math.rint(v.toDouble * 10000).toLong).toArray)
+      .sortBy(_._1)
+    def subv(a: Array[Long], s: Int) = a.slice(s * 8, s * 8 + 8)
+    def dd2(a: Array[Long], b: Array[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val perSub = (0 until 8).map { s =>
+      val data = vecs.map { case (id, a) => id -> subv(a, s) }
+      val byId = data.toMap
+      def assign(cents: Map[Long, Array[Long]]) = data.map { case (id, a) =>
+        cents.toSeq.map { case (c, ca) => (c, dd2(a, ca)) }.minBy { case (c, dd) => (dd, c) }
+      }
+      val c0 = data.filter(_._1 < 16).map { case (id, a) => id -> a }.toMap
+      val c1 = assign(c0).zip(data).groupBy(_._1._1).map { case (c, ms) =>
+        val arrs = ms.map(m => byId(m._2._1))
+        c -> Array.tabulate(8)(p => arrs.map(_(p)).sum / arrs.length)
+      }
+      // final codes against the trained codebook + the codebook itself
+      val codes = data.map { case (id, a) =>
+        id -> c1.toSeq.map { case (c, ca) => (c, dd2(a, ca)) }.minBy { case (c, dd) => (dd, c) }._1
+      }.toMap
+      s -> ((codes, c1))
+    }.toMap
+    val ids = vecs.map(_._1)
+    val expect = ids.filter(_ < 8).flatMap { qid =>
+      val q = vecs.find(_._1 == qid).get._2
+      val scored = ids.filter(_ != qid).map { vid =>
+        val adist = (0 until 8).map { s =>
+          val (codes, c1) = perSub(s)
+          dd2(subv(q, s), c1(codes(vid)))
+        }.sum
+        (vid, adist)
+      }.sortBy { case (vid, adist) => (adist, vid) }.take(3)
+      scored.zipWithIndex.map { case ((vid, adist), i) => (qid, vid, adist, i + 1) }
+    }
+    assert(got.toSeq == expect.toSeq, s"got=${got.toSeq.take(6)}…\nexpect=${expect.take(6)}…")
+  }
+
+  test("embedding outliers: median is a real member distance, verdict is the exact top-3% rank test") {
+    val rows = SparkEntry.queries("q68_embed_outliers")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cid, ms) =>
+      val med = ms.head._4
+      assert(ms.forall(_._4 == med), s"cluster $cid has inconsistent medians")
+      // the median must be an actual member's distance at the discrete rank
+      val sorted = ms.map(_._3).sorted
+      assert(sorted((ms.length - 1) / 2) == med,
+        s"cluster $cid: med=$med is not the rank-selected member distance")
+      // recompute the rank verdict: top 3% by (dist2, vec_id), strictly above median
+      val n = ms.length
+      val ranked = ms.sortBy(m => (m._3, m._1)).zipWithIndex
+      ranked.foreach { case ((vid, _, d2, m, out), i) =>
+        val expect = (i + 1) * 100 > n * 97 && d2 > m
+        assert(out == expect, s"vec $vid verdict mismatch (rank ${i + 1}/$n)")
+      }
+    }
+    // the test must discriminate: some outliers, but never a majority
+    val nOut = rows.count(_._5)
+    assert(nOut > 0 && nOut * 2 < rows.length, s"degenerate outlier rate: $nOut/${rows.length}")
+  }
 }

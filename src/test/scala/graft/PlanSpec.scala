@@ -54,6 +54,22 @@ class PlanSpec extends SparkTestBase {
       s"centroid table not broadcast:\n${p.take(2000)}")
   }
 
+  test("q64 ADC scoring broadcasts the distance tables (corpus never re-shuffled against them)") {
+    val p = plan(graft.queries.Similarity.queries("q64_pq_adc")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"distance-table join not broadcast:\n${p.take(2000)}")
+  }
+
+  test("q65/q67 document scans stay narrow and the q67 model join broadcasts") {
+    val p65 = plan(graft.queries.TextPipeline.queries("q65_quality_rules")(spark, sfDir))
+    val read65 = "ReadSchema:.*".r.findAllIn(p65).toList.mkString("\n")
+    assert(!read65.contains("lang") && !read65.contains("source"),
+      s"q65 scan reads unprojected columns:\n$read65")
+    val p67 = plan(graft.queries.TextPipeline.queries("q67_surprisal")(spark, sfDir))
+    assert(p67.contains("BroadcastHashJoin"),
+      s"q67 per-token model join must broadcast the vocabulary:\n${p67.take(2000)}")
+  }
+
   test("no query plan contains a cartesian product over fact-sized inputs") {
     val exempt = Set("q07_grid") // deliberate small-distinct cross join (R4/J9)
     SparkEntry.queries.foreach { case (name, fn) =>

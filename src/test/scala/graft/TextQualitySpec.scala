@@ -1,0 +1,112 @@
+package graft
+
+import java.security.MessageDigest
+
+/** Driver-side recomputation of the round-6 text operators — the Gopher
+  * rule battery (q65), span-level exact dedup (q66), and unigram
+  * surprisal (q67) — against the raw `documents` table, independent of
+  * both the Spark plans and the DuckDB oracle.
+  */
+class TextQualitySpec extends SparkTestBase {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def docs =
+    Tables.documents(spark, sfDir).select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+
+  test("q65 quality rules match a per-document Scala recomputation") {
+    val got = SparkEntry.queries("q65_quality_rules")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getInt(8), r.getBoolean(9))))
+      .toMap
+    docs.foreach { case (id, text, nChars) =>
+      val ts = text.split(" ", -1)
+      val ls = text.split("\n", -1)
+      val nWords = ts.length
+      val meanWlen = round6((nChars - (nWords - 1)).toDouble / nWords)
+      val nSym = "#|\\.\\.\\.".r.findAllIn(text).length
+      val symbolRatio = round6(nSym.toDouble / nWords)
+      val bulletFrac = round6(ls.count(l => l.startsWith("- ") || l.startsWith("* ")).toDouble / ls.length)
+      val ellipsisFrac = round6(ls.count(_.endsWith("...")).toDouble / ls.length)
+      val alphaFrac = round6(ts.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / nWords)
+      val nStop = ts.count(Set("the", "a", "is"))
+      val mask =
+        (if (nWords < 50 || nWords > 100000) 1 else 0) +
+        (if (meanWlen < 3.0 || meanWlen > 10.0) 2 else 0) +
+        (if (symbolRatio > 0.1) 4 else 0) +
+        (if (bulletFrac > 0.9) 8 else 0) +
+        (if (ellipsisFrac > 0.3) 16 else 0) +
+        (if (alphaFrac < 0.8) 32 else 0) +
+        (if (nStop < 2) 64 else 0)
+      assert(got(id) == ((nWords, meanWlen, mask, mask == 0)),
+        s"doc $id: got=${got(id)} expect=${(nWords, meanWlen, mask, mask == 0)}")
+    }
+    // the battery must actually discriminate on this corpus
+    val kept = got.values.count(_._4)
+    assert(kept > 0 && kept < got.size, s"degenerate rule battery: $kept/${got.size} kept")
+  }
+
+  test("q66 span dedup matches a global first-occurrence sweep") {
+    val got = SparkEntry.queries("q66_span_dedup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val seen = scala.collection.mutable.Set[String]()
+    docs.foreach { case (id, text, _) =>
+      val ts = text.split(" ", -1)
+      val segs = ts.grouped(8).map(_.mkString(" ")).toSeq
+      val keptSegs = segs.filter(seen.add) // add returns false on duplicates
+      val expect = (segs.size, keptSegs.size, md5hex(keptSegs.mkString(" ")))
+      assert(got(id) == expect, s"doc $id: got=${got(id)} expect=$expect")
+    }
+    // duplicates must exist corpus-wide (the planted re-ingests guarantee it)
+    assert(got.values.exists(v => v._2 < v._1), "no duplicate spans found — operator untested")
+  }
+
+  test("q69 vocabulary coverage reaches exactly 1.0 and counts every corpus token") {
+    val rows = SparkEntry.queries("q69_vocab_coverage")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    val nTokens = docs.map(_._2.split(" ", -1).length.toLong).sum
+    assert(rows.last._4 == nTokens, s"cum_freq ${rows.last._4} != corpus tokens $nTokens")
+    assert(rows.last._5 == 1.0)
+    // ranks contiguous, frequencies non-increasing, vocab flag at the cap
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    rows.foreach { case (rank, _, _, _, _, inV) => assert(inV == (rank <= 16)) }
+  }
+
+  test("q70 BPE merge candidates match a per-word pair-count recomputation") {
+    val got = SparkEntry.queries("q70_bpe_merges")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, text, _) =>
+      text.split(" ", -1).filter(_.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach(i => counts(w.substring(i, i + 2)) += 1)
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+      .zipWithIndex.map { case ((p, c), i) => (i + 1, p, c) }
+    assert(got.toSeq == expect, s"got=${got.toSeq.take(5)}…\nexpect=${expect.take(5)}…")
+  }
+
+  test("q67 surprisal matches an integer-log2 Scala recomputation") {
+    val got = SparkEntry.queries("q67_surprisal")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    val allToks = docs.flatMap { case (_, text, _) => text.split(" ", -1) }
+    val freq = allToks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val total = allToks.length.toLong
+    def ilog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    docs.foreach { case (id, text, _) =>
+      val ts = text.split(" ", -1)
+      val bits = ts.map(t => ilog2(total / freq(t))).sum
+      val milli = bits * 1000 / ts.length
+      val expect = (ts.length.toLong, bits, milli, milli >= 1000 && milli <= 9000)
+      assert(got(id) == expect, s"doc $id: got=${got(id)} expect=$expect")
+    }
+  }
+}
