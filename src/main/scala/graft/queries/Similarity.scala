@@ -632,56 +632,66 @@ object Similarity extends QueryModule {
   private val PqDim = 8      // dims per subspace
   private val PqK = 16       // codewords per subspace
 
-  /** PQ coordinate stream (vec_id, sub, p, q) at 1e4 quantization — same
-    * determinism story as q59: every distance and update is int64 on both
-    * engines. Tracked cache: feeds seeds, both assignment joins, both
-    * updates (and, for q64, the query-side distance tables). */
+  /** PQ subvector relation (vec_id, sub, qa[PqDim], n2v) at 1e4
+    * quantization — same determinism story as q59: every distance and
+    * update is int64 on both engines. Rolled into ARRAYS so every Lloyd
+    * pass is a broadcast crossJoin + codegen'd graft_dot instead of a
+    * corpus×K coordinate shuffle (the oracle keeps the relational
+    * (sub, p) join — identical integers, independent plan). Tracked
+    * cache: feeds seeds, both assignment passes, both updates (and, for
+    * q64, the query-side distance tables). */
   private def pqQuant(s: SparkSession, dir: String): DataFrame =
     graft.Caches.track(Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
       .select(col("vec_id"),
         expr(s"pos0 div $PqDim").as("sub"),
         expr(s"pos0 % $PqDim").as("p"),
-        round(col("v").cast("double") * 10000).cast("long").as("q")))
+        round(col("v").cast("double") * 10000).cast("long").as("q"))
+      .groupBy("vec_id", "sub")
+      .agg(expr("transform(array_sort(collect_list(struct(p, q))), x -> x.q) AS qa"),
+           sum(col("q") * col("q")).as("n2v")))
 
   /** All (vec, sub, codeword) scores for one Lloyd step: score =
-    * n2c − 2·dot, keyed (vec_id, sub, cid) — the pre-argmin relation.
-    * ‖v_s − c‖² = n2v_s + score, so the same relation serves assignment
-    * (argmin) and q64's asymmetric distance tables (all cids kept). */
-  private def pqScores(quantS: DataFrame, cents: DataFrame): DataFrame = {
-    val n2c = cents.groupBy("cid", "sub").agg(sum(col("c") * col("c")).as("n2c"))
-    quantS.join(cents, Seq("sub", "p"))
-      .groupBy(col("vec_id"), col("sub"), col("cid"))
-      .agg(sum(col("q") * col("c")).as("dot"))
-      .join(n2c, Seq("cid", "sub"))
+    * n2c − 2·dot, keyed (vec_id, sub, cid) — the pre-argmin relation,
+    * produced by one narrow pass over the subvector rows × the broadcast
+    * codebook (M·K arrays of PqDim longs — broadcastable at any corpus
+    * size). ‖v_s − c‖² = n2v_s + score, so the same relation serves
+    * assignment (argmin) and q64's asymmetric distance tables. */
+  private def pqScores(quantS: DataFrame, cents: DataFrame): DataFrame =
+    quantS.join(broadcast(cents), Seq("sub"))
+      .withColumn("dot", expr("graft_dot(qa, ca)"))
       .withColumn("score", col("n2c") - lit(2L) * col("dot"))
-  }
-
-  /** Lloyd assignment: argmin over (score, cid) per (vec, sub). */
-  private def pqAssign(quantS: DataFrame, cents: DataFrame): DataFrame =
-    pqScores(quantS, cents)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id", "sub").orderBy(col("score"), col("cid"))))
-      .filter(col("rk") === 1)
       .select("vec_id", "sub", "cid", "score")
 
-  /** Lloyd update: elementwise floor-mean per (cid, sub, p). */
+  /** Lloyd assignment: argmin over (score, cid) per (vec, sub) — a
+    * partial-aggregated min(struct), no window sort. */
+  private def pqAssign(quantS: DataFrame, cents: DataFrame): DataFrame =
+    pqScores(quantS, cents)
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("score"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("cid"), col("m.score").as("score"))
+
+  /** Lloyd update: elementwise floor-mean per (cid, sub, p), rolled back
+    * into codebook arrays (cid, sub, ca, n2c). */
   private def pqUpdate(quantS: DataFrame, assigned: DataFrame): DataFrame =
     assigned.select("vec_id", "sub", "cid")
       .join(quantS, Seq("vec_id", "sub"))
-      .groupBy("cid", "sub", "p")
+      .select(col("cid"), col("sub"), posexplode(col("qa")).as(Seq("p0", "q")))
+      .groupBy("cid", "sub", "p0")
       .agg(expr("sum(q) div count(1) AS c"))
+      .groupBy("cid", "sub")
+      .agg(expr("transform(array_sort(collect_list(struct(p0, c))), x -> x.c) AS ca"),
+           sum(col("c") * col("c")).as("n2c"))
 
   private def pqSeeds(quantS: DataFrame): DataFrame =
     quantS.filter(col("vec_id") < PqK)
-      .select(col("vec_id").as("cid"), col("sub"), col("p"), col("q").as("c"))
+      .select(col("vec_id").as("cid"), col("sub"), col("qa").as("ca"), col("n2v").as("n2c"))
 
   private def q63(s: SparkSession, dir: String): DataFrame = {
     val quantS = pqQuant(s, dir)
     val c0 = pqSeeds(quantS)
     val a2 = pqAssign(quantS, pqUpdate(quantS, pqAssign(quantS, c0)))
-    val n2v = quantS.groupBy("vec_id", "sub").agg(sum(col("q") * col("q")).as("n2v"))
-    a2.join(n2v, Seq("vec_id", "sub"))
+    a2.join(quantS.select("vec_id", "sub", "n2v"), Seq("vec_id", "sub"))
       .groupBy("vec_id")
       .agg(
         // code = subspace-ordered codeword ids; deterministic because
@@ -767,12 +777,11 @@ object Similarity extends QueryModule {
       // tracked cache: the second-iteration score relation feeds BOTH the
       // corpus codes (argmin) and the query distance tables (all cids)
     val codes = scores2
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id", "sub").orderBy(col("score"), col("cid"))))
-      .filter(col("rk") === 1)
-      .select("vec_id", "sub", "cid")
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("score"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
     val n2q = quantS.filter(col("vec_id") < NumQueries)
-      .groupBy("vec_id", "sub").agg(sum(col("q") * col("q")).as("n2q"))
+      .select(col("vec_id"), col("sub"), col("n2v").as("n2q"))
     val dtab = scores2.filter(col("vec_id") < NumQueries)
       .join(n2q, Seq("vec_id", "sub"))
       .select(col("vec_id").as("qid"), col("sub"), col("cid"),
