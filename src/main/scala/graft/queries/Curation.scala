@@ -296,8 +296,118 @@ object Curation extends QueryModule {
       |WHERE LEAST($ChunkW, n - (chunk_id * $ChunkS + 1) + 1) > 0
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q72 — the COMPOSED CURATION VERDICT, the end artifact an intake
+  // pipeline materializes per document: one keep/drop decision plus the
+  // FIRST failing stage as a reason code, in the order a production
+  // pipeline applies them (cheapest-first, dedup before model scores):
+  //   exact_dup   — not the lowest doc_id of its md5(text) group (q31)
+  //   rules       — Gopher rule bitmask ≠ 0 (q65, ONE shared definition:
+  //                 TextPipeline.withQualityRules)
+  //   repetition  — dup-bigram/top-bigram fractions above the
+  //                 MassiveText thresholds (q55's exact expressions;
+  //                 documents too short to have bigrams pass)
+  //   surprisal   — unigram millibits outside [1000, 9000] (q67's
+  //                 integer-log2 model)
+  //   kept        — survived everything
+  // The reason column is the audit trail: at 100 TB you retire terabytes
+  // per stage, and "why did this document disappear" must be answerable
+  // without re-running the pipeline. Plan: three uniform-key shuffles
+  // (md5 dedup, per-doc bigrams, token→model join with the vocab-sized
+  // model broadcast) plus the narrow rule map — each stage is exactly
+  // its standalone query's plan, composed.
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsWide(s, dir)
+    val rules = graft.queries.TextPipeline.withQualityRules(docs)
+      .select(col("doc_id"), col("rule_mask"),
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("canon"))
+    val rep = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> cast(conv(substring(md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1))), 1, 15), 16, 10) AS bigint))""".stripMargin))
+        .as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("nb"), count(lit(1)).as("nu"), max(col("c")).as("tc"))
+      .withColumn("rep_fail",
+        round((col("nb") - col("nu")).cast("double") / col("nb").cast("double"), 6) > 0.2
+          || round(col("tc").cast("double") / col("nb").cast("double"), 6) > 0.1)
+      .select("doc_id", "rep_fail")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val total = model.agg(sum(col("freq")).as("total"))
+    val bits = model.crossJoin(broadcast(total))
+      .withColumn("bits", (length(bin(expr("total div freq"))) - 1).cast("long"))
+      .select("tok", "bits")
+    val sur = toks.join(broadcast(bits), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nt"), sum(col("bits")).as("tb"))
+      .withColumn("milli", expr("(tb * 1000) div nt"))
+      .withColumn("sur_fail", col("milli") < 1000 || col("milli") > 9000)
+      .select("doc_id", "sur_fail")
+    rules
+      .join(rep, Seq("doc_id"), "left")
+      .join(sur, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("doc_id") =!= col("canon"), "exact_dup")
+          .when(col("rule_mask") =!= 0, "rules")
+          .when(coalesce(col("rep_fail"), lit(false)), "repetition")
+          .when(coalesce(col("sur_fail"), lit(false)), "surprisal")
+          .otherwise("kept"))
+      .withColumn("keep", col("reason") === "kept")
+      .select("doc_id", "reason", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val q72Sql =
+    s"""WITH ${graft.queries.TextPipeline.rulesSqlCtes},
+      |canon AS (
+      |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+      |  FROM documents),
+      |btoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id,
+      |         unnest([CAST('0x' || substring(md5(ts[i] || ' ' || ts[i + 1]), 1, 15) AS BIGINT)
+      |                 for i in range(1, len(ts))]) AS tok
+      |  FROM btoks),
+      |bcnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM bi GROUP BY doc_id, tok),
+      |rep AS (
+      |  SELECT doc_id,
+      |         (ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) > 0.2
+      |          OR ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) > 0.1) AS rep_fail
+      |  FROM bcnt GROUP BY doc_id),
+      |stoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |smodel AS (SELECT tok, COUNT(*) AS freq FROM stoks GROUP BY tok),
+      |sn AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM smodel),
+      |sbits AS (
+      |  SELECT tok, CAST(length(bin(total // freq)) - 1 AS BIGINT) AS bits
+      |  FROM smodel CROSS JOIN sn),
+      |sur AS (
+      |  SELECT doc_id,
+      |         ((CAST(SUM(bits) AS BIGINT) * 1000) // COUNT(*) < 1000
+      |          OR (CAST(SUM(bits) AS BIGINT) * 1000) // COUNT(*) > 9000) AS sur_fail
+      |  FROM stoks JOIN sbits USING (tok) GROUP BY doc_id),
+      |verdict AS (
+      |  SELECT m.doc_id,
+      |         CASE WHEN c.doc_id != c.canon THEN 'exact_dup'
+      |              WHEN m.rule_mask != 0 THEN 'rules'
+      |              WHEN COALESCE(r.rep_fail, FALSE) THEN 'repetition'
+      |              WHEN COALESCE(s.sur_fail, FALSE) THEN 'surprisal'
+      |              ELSE 'kept' END AS reason
+      |  FROM rqmask m
+      |  JOIN canon c ON m.doc_id = c.doc_id
+      |  LEFT JOIN rep r ON m.doc_id = r.doc_id
+      |  LEFT JOIN sur s ON m.doc_id = s.doc_id)
+      |SELECT doc_id, reason, reason = 'kept' AS keep
+      |FROM verdict ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_decontaminate"     -> (q51 _),
+    "q72_curation_verdict"  -> (q72 _),
     "q52_stratified_sample" -> (q52 _),
     "q53_domain_mix"        -> (q53 _),
     "q54_pii_redact"        -> (q54 _),
@@ -307,6 +417,7 @@ object Curation extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q51_decontaminate"     -> q51Sql,
+    "q72_curation_verdict"  -> q72Sql,
     "q52_stratified_sample" -> q52Sql,
     "q53_domain_mix"        -> q53Sql,
     "q54_pii_redact"        -> q54Sql,

@@ -388,13 +388,17 @@ object Similarity extends QueryModule {
   private val PivotPhase = 3
   private val NProbe = 2
 
-  private def q48(s: SparkSession, dir: String): DataFrame = {
+  /** The IVF coarse layer shared by q48 (exact in-cell ranking) and q71
+    * (in-cell ADC over PQ codes): stride-sampled pivots, the O(N·K)
+    * nearest-centroid assignment as array dots against the broadcast
+    * pivot table, and the queries' nprobe-cell lists. Returns
+    * (assigned(vec_id, cell), probes(qid, cell)); both branch off one
+    * tracked-cached affinity relation so the assignment pass runs once. */
+  private def ivfCells(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
       // tracked cache: assignment + probe + scoring all read it
     val pivots = vecs.filter(col("vec_id") % PivotStride === PivotPhase)
       .select(col("vec_id").as("cell"), col("qa").as("pa"), col("n2").as("pn2"))
-    // 2. nearest-centroid assignment (and, for queries, the nprobe list):
-    // one narrow pass over vectors × broadcast centroids
     val affinity = graft.Caches.track(vecs.crossJoin(broadcast(pivots))
       .withColumn("dot", expr("graft_dot(qa, pa)")) // native codegen'd dot (plans.DotProduct)
       .withColumn("cos", cosine(col("dot"), col("n2"), col("pn2")))
@@ -406,6 +410,13 @@ object Similarity extends QueryModule {
     val assigned = affinity.filter(col("crank") === 1).select("vec_id", "cell")
     val probes = affinity.filter(col("vec_id") < NumQueries && col("crank") <= NProbe)
       .select(col("vec_id").as("qid"), col("cell"))
+    (assigned, probes)
+  }
+
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+      // tracked cache (idempotent with ivfCells' own): scoring reads it
+    val (assigned, probes) = ivfCells(s, dir)
     // 3. rank the probed cells' members with exact integer cosine
     val cand = probes.join(assigned, "cell")
       .filter(col("qid") =!= col("vec_id"))
@@ -422,9 +433,11 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
-  private val q48Sql =
-    s"""WITH $quantSqlCte,
-      |vecs AS (
+  /** Shared oracle CTE suffix for the IVF coarse layer (q48/q71):
+    * expects `$quantSqlCte` upstream; defines cells(vec_id, cell) and
+    * probes(qid, cell). */
+  private val ivfSqlCtes =
+    s"""vecs AS (
       |  SELECT vec_id, list(q ORDER BY pos) AS qa, CAST(SUM(q * q) AS BIGINT) AS n2
       |  FROM quant GROUP BY vec_id),
       |pivots AS (SELECT vec_id AS cell, qa AS pa, n2 AS pn2 FROM vecs WHERE vec_id % $PivotStride = $PivotPhase),
@@ -436,8 +449,13 @@ object Similarity extends QueryModule {
       |ranked_cells AS (
       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS crank
       |  FROM affinity),
-      |assigned AS (SELECT vec_id, cell FROM ranked_cells WHERE crank = 1),
-      |probes AS (SELECT vec_id AS qid, cell FROM ranked_cells WHERE vec_id < $NumQueries AND crank <= $NProbe),
+      |cells AS (SELECT vec_id, cell FROM ranked_cells WHERE crank = 1),
+      |probes AS (SELECT vec_id AS qid, cell FROM ranked_cells WHERE vec_id < $NumQueries AND crank <= $NProbe)""".stripMargin
+
+  private val q48Sql =
+    s"""WITH $quantSqlCte,
+      |$ivfSqlCtes,
+      |assigned AS (SELECT vec_id, cell FROM cells),
       |cand AS (
       |  SELECT DISTINCT p.qid, a.vec_id
       |  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid != a.vec_id),
@@ -818,6 +836,74 @@ object Similarity extends QueryModule {
       |SELECT qid, vec_id, adist, rank
       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q71 — IVF-PQ SEARCH, the two layers composed (the complete Faiss
+  // IVFPQ architecture, Jégou et al. §V): the IVF coarse quantizer
+  // (q48's stride-pivot cells) restricts each query to its nprobe = 2
+  // cells, and the PQ ADC tables (q64's) score ONLY those cells'
+  // members — per-query work is the probed population × 8 table lookups,
+  // independent of corpus size. This is the operator a 100 TB embedding
+  // store actually serves queries from: the IVF list bounds the scan,
+  // the PQ codes bound the memory, and the uncompressed query keeps the
+  // precision. Candidate generation is an equi-join on `cell`; ADC
+  // scoring joins the candidates' 8-nibble codes to the broadcast
+  // distance tables — nothing corpus-sized is ever re-shuffled.
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val (cells, probes) = ivfCells(s, dir)
+    val quantS = pqQuant(s, dir)
+    val cents2 = pqUpdate(quantS, pqAssign(quantS, pqSeeds(quantS)))
+    val scores2 = graft.Caches.track(pqScores(quantS, cents2))
+      // tracked cache: feeds corpus codes AND query distance tables
+    val codes = scores2
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("score"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+    val dtab = scores2.filter(col("vec_id") < NumQueries)
+      .join(quantS.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id"), col("sub"), col("n2v").as("n2q")), Seq("vec_id", "sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        (col("n2q") + col("score")).as("d"))
+    val cand = probes.join(cells, "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct()
+    cand.join(codes, "vec_id")
+      .join(broadcast(dtab), Seq("qid", "sub", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("qid", "vec_id", "adist", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  private val q71Sql =
+    s"""WITH $quantSqlCte,
+      |$ivfSqlCtes,
+      |$pqSqlCtes,
+      |cand AS (
+      |  SELECT DISTINCT p.qid, c.vec_id
+      |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.qid != c.vec_id),
+      |n2q AS (
+      |  SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2q
+      |  FROM quants WHERE vec_id < $NumQueries GROUP BY vec_id, sub),
+      |dtab AS (
+      |  SELECT s.vec_id AS qid, s.sub, s.cid, n.n2q + s.score AS d
+      |  FROM scores2 s JOIN n2q n ON s.vec_id = n.vec_id AND s.sub = n.sub
+      |  WHERE s.vec_id < $NumQueries),
+      |adc AS (
+      |  SELECT x.qid, x.vec_id, CAST(SUM(t.d) AS BIGINT) AS adist
+      |  FROM cand x
+      |  JOIN a2 a ON x.vec_id = a.vec_id
+      |  JOIN dtab t ON t.qid = x.qid AND t.sub = a.sub AND t.cid = a.cid
+      |  GROUP BY x.qid, x.vec_id),
+      |rankedq AS (
+      |  SELECT qid, vec_id, adist,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INT) AS rank
+      |  FROM adc)
+      |SELECT qid, vec_id, adist, rank
+      |FROM rankedq WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
     "q37_ann_lsh"        -> (q37 _),
@@ -829,6 +915,7 @@ object Similarity extends QueryModule {
     "q63_pq_codes"         -> (q63 _),
     "q64_pq_adc"           -> (q64 _),
     "q68_embed_outliers"   -> (q68 _),
+    "q71_ivfpq_search"     -> (q71 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -842,5 +929,6 @@ object Similarity extends QueryModule {
     "q63_pq_codes"         -> q63Sql,
     "q64_pq_adc"           -> q64Sql,
     "q68_embed_outliers"   -> q68Sql,
+    "q71_ivfpq_search"     -> q71Sql,
   )
 }

@@ -469,9 +469,12 @@ object TextPipeline extends QueryModule {
   // token/line arrays: no shuffle, whole-stage codegen, scan-speed at
   // any corpus size. Ratio rules compare ROUNDED values (6 places) so
   // the pass/fail boundary is the same IEEE double on both engines.
-  private def q65(s: SparkSession, dir: String): DataFrame = {
-    Tables.documentsWide(s, dir)
-      .withColumn("ts", split(col("text"), " "))
+  /** Appends the Gopher rule columns (n_words … rule_mask) to a frame
+    * with `text` and `n_chars`. ONE definition shared by q65's scorer and
+    * the composed curation verdict (Curation q72), so the batteries can
+    * never diverge on which documents fail which rule. */
+  def withQualityRules(df: DataFrame): DataFrame =
+    df.withColumn("ts", split(col("text"), " "))
       .withColumn("ls", split(col("text"), "\n"))
       .withColumn("n_words", size(col("ts")))
       .withColumn("mean_wlen",
@@ -495,21 +498,26 @@ object TextPipeline extends QueryModule {
           + when(col("ellipsis_frac") > 0.3, 16).otherwise(0)
           + when(col("alpha_frac") < 0.8, 32).otherwise(0)
           + when(col("n_stop") < 2, 64).otherwise(0))
+
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    withQualityRules(Tables.documentsWide(s, dir))
       .withColumn("keep", col("rule_mask") === 0)
       .select("doc_id", "n_words", "mean_wlen", "symbol_ratio", "bullet_frac",
         "ellipsis_frac", "alpha_frac", "n_stop", "rule_mask", "keep")
       .orderBy("doc_id")
   }
 
-  private val q65Sql =
-    """WITH t AS (
+  /** Shared oracle CTEs for the rule battery: `rqmask(doc_id, …metrics…,
+    * rule_mask)` — used by q65 and by Curation q72's composed verdict. */
+  private[queries] val rulesSqlCtes =
+    """rqt AS (
       |  SELECT doc_id, n_chars,
       |         string_split(text, ' ') AS ts,
       |         string_split(text, chr(10)) AS ls,
       |         len(string_split(text, ' ')) AS n_words,
       |         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
       |  FROM documents),
-      |m AS (
+      |rqm AS (
       |  SELECT doc_id, n_words,
       |         ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS mean_wlen,
       |         ROUND(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
@@ -517,24 +525,24 @@ object TextPipeline extends QueryModule {
       |         ROUND(CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE) / len(ls), 6) AS ellipsis_frac,
       |         ROUND(CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE) / n_words, 6) AS alpha_frac,
       |         len(list_filter(ts, t -> t IN ('the', 'a', 'is'))) AS n_stop
-      |  FROM t)
+      |  FROM rqt),
+      |rqmask AS (
+      |  SELECT doc_id, n_words, mean_wlen, symbol_ratio, bullet_frac, ellipsis_frac,
+      |         alpha_frac, n_stop,
+      |         CAST(CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+      |            + CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 2 ELSE 0 END
+      |            + CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END
+      |            + CASE WHEN bullet_frac > 0.9 THEN 8 ELSE 0 END
+      |            + CASE WHEN ellipsis_frac > 0.3 THEN 16 ELSE 0 END
+      |            + CASE WHEN alpha_frac < 0.8 THEN 32 ELSE 0 END
+      |            + CASE WHEN n_stop < 2 THEN 64 ELSE 0 END AS INT) AS rule_mask
+      |  FROM rqm)""".stripMargin
+
+  private val q65Sql =
+    s"""WITH $rulesSqlCtes
       |SELECT doc_id, n_words, mean_wlen, symbol_ratio, bullet_frac, ellipsis_frac,
-      |       alpha_frac, n_stop,
-      |       CAST(CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
-      |          + CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 2 ELSE 0 END
-      |          + CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END
-      |          + CASE WHEN bullet_frac > 0.9 THEN 8 ELSE 0 END
-      |          + CASE WHEN ellipsis_frac > 0.3 THEN 16 ELSE 0 END
-      |          + CASE WHEN alpha_frac < 0.8 THEN 32 ELSE 0 END
-      |          + CASE WHEN n_stop < 2 THEN 64 ELSE 0 END AS INT) AS rule_mask,
-      |       (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
-      |          + CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 2 ELSE 0 END
-      |          + CASE WHEN symbol_ratio > 0.1 THEN 4 ELSE 0 END
-      |          + CASE WHEN bullet_frac > 0.9 THEN 8 ELSE 0 END
-      |          + CASE WHEN ellipsis_frac > 0.3 THEN 16 ELSE 0 END
-      |          + CASE WHEN alpha_frac < 0.8 THEN 32 ELSE 0 END
-      |          + CASE WHEN n_stop < 2 THEN 64 ELSE 0 END) = 0 AS keep
-      |FROM m ORDER BY doc_id""".stripMargin
+      |       alpha_frac, n_stop, rule_mask, rule_mask = 0 AS keep
+      |FROM rqmask ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q67 — unigram surprisal scoring (the CCNet LM-filter shape, Wenzek

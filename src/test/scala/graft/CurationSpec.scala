@@ -98,4 +98,35 @@ class CurationSpec extends SparkTestBase {
       assert(rows.last.getInt(2) + rows.last.getInt(3) - 1 == n)
     }
   }
+
+  test("q72 composed verdict agrees with its standalone component queries") {
+    val got = SparkEntry.queries("q72_curation_verdict")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    val ruleMask = SparkEntry.queries("q65_quality_rules")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(8)).toMap
+    val repKeep = SparkEntry.queries("q55_repetition")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap // absent = too short = pass
+    val surKeep = SparkEntry.queries("q67_surprisal")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val canon = docs.groupBy(_._2).values.flatMap { g =>
+      val c = g.map(_._1).min; g.map(d => d._1 -> c)
+    }.toMap
+    docs.foreach { case (id, _) =>
+      val expect =
+        if (id != canon(id)) "exact_dup"
+        else if (ruleMask(id) != 0) "rules"
+        else if (!repKeep.getOrElse(id, true)) "repetition"
+        else if (!surKeep(id)) "surprisal"
+        else "kept"
+      assert(got(id) == ((expect, expect == "kept")),
+        s"doc $id: got=${got(id)} expect=$expect")
+    }
+    // the verdict must discriminate (sf0.001 plants no exact dups, so
+    // only rules/kept are guaranteed here; the sf0.01 oracle exercises
+    // the full precedence chain)
+    assert(got.values.map(_._1).toSet.size >= 2,
+      s"verdict reasons degenerate: ${got.values.map(_._1).toSet}")
+  }
 }

@@ -307,12 +307,10 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
-  test("PQ-ADC search matches a plain-Scala distance-table recomputation") {
-    val got = SparkEntry.queries("q64_pq_adc")(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-    // independent reference: retrain the per-subspace codebooks driver-side
-    // (same assign → floor-mean → assign as the q63 spec), then score every
-    // vector per query through the ADC table — Σ_s ‖q_s − c_{code_s(v)}‖².
+  /** Driver-side PQ machinery shared by the q64/q71 specs: quantized
+    * vectors, and per-subspace (codes, trained codebook) — the same
+    * assign → floor-mean → assign as the q63 spec. */
+  private lazy val pqRef: (Array[(Long, Array[Long])], Map[Int, (Map[Long, Long], Map[Long, Array[Long]])]) = {
     val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(v => math.rint(v.toDouble * 10000).toLong).toArray)
       .sortBy(_._1)
@@ -335,17 +333,58 @@ class PipelineSpec extends SparkTestBase {
       }.toMap
       s -> ((codes, c1))
     }.toMap
+    (vecs, perSub)
+  }
+
+  /** ADC distance Σ_s ‖q_s − c_{code_s(v)}‖² from the reference model. */
+  private def adcDist(q: Array[Long], vid: Long): Long = {
+    def subv(a: Array[Long], s: Int) = a.slice(s * 8, s * 8 + 8)
+    def dd2(a: Array[Long], b: Array[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    (0 until 8).map { s =>
+      val (codes, c1) = pqRef._2(s)
+      dd2(subv(q, s), c1(codes(vid)))
+    }.sum
+  }
+
+  test("PQ-ADC search matches a plain-Scala distance-table recomputation") {
+    val got = SparkEntry.queries("q64_pq_adc")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val (vecs, _) = pqRef
     val ids = vecs.map(_._1)
     val expect = ids.filter(_ < 8).flatMap { qid =>
       val q = vecs.find(_._1 == qid).get._2
-      val scored = ids.filter(_ != qid).map { vid =>
-        val adist = (0 until 8).map { s =>
-          val (codes, c1) = perSub(s)
-          dd2(subv(q, s), c1(codes(vid)))
-        }.sum
-        (vid, adist)
-      }.sortBy { case (vid, adist) => (adist, vid) }.take(3)
+      val scored = ids.filter(_ != qid).map(vid => (vid, adcDist(q, vid)))
+        .sortBy { case (vid, adist) => (adist, vid) }.take(3)
       scored.zipWithIndex.map { case ((vid, adist), i) => (qid, vid, adist, i + 1) }
+    }
+    assert(got.toSeq == expect.toSeq, s"got=${got.toSeq.take(6)}…\nexpect=${expect.take(6)}…")
+  }
+
+  test("IVF-PQ search is the ADC ranking restricted to the probed coarse cells") {
+    val got = SparkEntry.queries("q71_ivfpq_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // coarse layer reference: 1e7-quantized cosine against the stride
+    // pivots — same IEEE expression both engines evaluate
+    val vecs7 = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(v => math.rint(v.toDouble * 1e7).toLong).toArray)
+      .sortBy(_._1)
+    val pivots = vecs7.filter { case (id, _) => id % 61 == 3 }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    def rankedCells(a: Array[Long]) =
+      pivots.map { case (cell, pa) => (cell, cos(a, pa)) }
+        .sortBy { case (cell, c) => (-c, cell) }
+    val cellOf = vecs7.map { case (id, a) => id -> rankedCells(a).head._1 }.toMap
+    val (vecs, _) = pqRef
+    val byId = vecs.toMap
+    val expect = vecs7.filter(_._1 < 8).flatMap { case (qid, a7) =>
+      val probed = rankedCells(a7).take(2).map(_._1).toSet
+      val cand = vecs7.map(_._1).filter(v => v != qid && probed(cellOf(v)))
+      cand.map(vid => (vid, adcDist(byId(qid), vid)))
+        .sortBy { case (vid, d) => (d, vid) }.take(3)
+        .zipWithIndex.map { case ((vid, d), i) => (qid, vid, d, i + 1) }
     }
     assert(got.toSeq == expect.toSeq, s"got=${got.toSeq.take(6)}…\nexpect=${expect.take(6)}…")
   }
