@@ -474,22 +474,22 @@ object TextPipeline extends QueryModule {
     * the composed curation verdict (Curation q72), so the batteries can
     * never diverge on which documents fail which rule. */
   def withQualityRules(df: DataFrame): DataFrame =
-    df.withColumn("ts", split(col("text"), " "))
-      .withColumn("ls", split(col("text"), "\n"))
-      .withColumn("n_words", size(col("ts")))
+    df.withColumn("qr_ts", split(col("text"), " "))
+      .withColumn("qr_ls", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("qr_ts")))
       .withColumn("mean_wlen",
         round((col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"), 6))
       .withColumn("symbol_ratio", round(
         size(expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)")).cast("double")
           / col("n_words"), 6))
       .withColumn("bullet_frac", round(
-        size(expr("filter(ls, l -> l LIKE '- %' OR l LIKE '* %')")).cast("double")
-          / size(col("ls")), 6))
+        size(expr("filter(qr_ls, l -> l LIKE '- %' OR l LIKE '* %')")).cast("double")
+          / size(col("qr_ls")), 6))
       .withColumn("ellipsis_frac", round(
-        size(expr("filter(ls, l -> l LIKE '%...')")).cast("double") / size(col("ls")), 6))
+        size(expr("filter(qr_ls, l -> l LIKE '%...')")).cast("double") / size(col("qr_ls")), 6))
       .withColumn("alpha_frac", round(
-        size(expr("filter(ts, t -> t RLIKE '[a-zA-Z]')")).cast("double") / col("n_words"), 6))
-      .withColumn("n_stop", size(expr("filter(ts, t -> t IN ('the', 'a', 'is'))")))
+        size(expr("filter(qr_ts, t -> t RLIKE '[a-zA-Z]')")).cast("double") / col("n_words"), 6))
+      .withColumn("n_stop", size(expr("filter(qr_ts, t -> t IN ('the', 'a', 'is'))")))
       .withColumn("rule_mask",
         when(col("n_words") < 50 || col("n_words") > 100000, 1).otherwise(0)
           + when(col("mean_wlen") < 3.0 || col("mean_wlen") > 10.0, 2).otherwise(0)

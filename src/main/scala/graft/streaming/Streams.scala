@@ -80,13 +80,17 @@ object Streams {
     * that keeps a 100 TB/day intake running indefinitely. */
   def intake(docs: DataFrame, qualityFloor: Double = 0.5): DataFrame = {
     import graft.queries.Curation.{EmailRe, PhoneRe}
-    streamingExactDedup(docs)
+    graft.queries.TextPipeline.withQualityRules(
+      streamingExactDedup(docs).withColumn("n_chars", length(col("text"))))
       .withColumn("quality",
         graft.queries.TextPipeline.qualityCol(split(col("text"), " ")))
       .filter(col("quality") >= qualityFloor)
       .withColumn("clean_text",
         regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
-      .select("doc_id", "ts", "text_hash", "quality", "clean_text")
+      // rule_mask rides along as the batch battery's audit column (q65's
+      // exact definition — TextPipeline.withQualityRules — so batch and
+      // stream can never disagree on WHY a document is suspect)
+      .select("doc_id", "ts", "text_hash", "quality", "rule_mask", "clean_text")
   }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)

@@ -191,6 +191,11 @@ class StreamingSpec extends SparkTestBase {
     assert(out(4L).contains("<EMAIL>") && !out(4L).contains("me2@ex.org"),
       "PII must be scrubbed in the surviving feed")
     assert(out(1L) == good, "clean docs pass through byte-identical")
+    // the streamed rule_mask is the batch battery's verdict (q65's exact
+    // definition): doc 1 = 60 clean words but zero stopwords → bit 6
+    val masks = spark.table("intake").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rule_mask")).toMap
+    assert(masks(1L) == 64, s"doc 1 mask ${masks(1L)}: expected only the stopword-floor bit")
   }
 
   test("batch q25 sessionization agrees with the streaming sessionizer") {
