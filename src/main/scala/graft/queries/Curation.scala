@@ -405,9 +405,64 @@ object Curation extends QueryModule {
       |SELECT doc_id, reason, reason = 'kept' AS keep
       |FROM verdict ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q73 — CORPUS DRIFT MONITOR: token-distribution divergence between
+  // two intake snapshots (here the deterministic halves doc_id % 2 —
+  // in production, yesterday's crawl vs today's). Each token's share of
+  // its snapshot is quantized to integer PARTS PER BILLION before
+  // differencing — shares are ≤ 1e9 regardless of corpus size, so the
+  // arithmetic never overflows at 100 TB token counts (the naive
+  // cross-product |c1·N2 − c2·N1| exceeds int64 once N reaches ~1e12
+  // tokens), and the divergence ranking is bit-identical on any engine
+  // and partitioning. Output: the top-20 drifting tokens; the same
+  // per-token deltas sum to the corpus-level total-variation distance a
+  // monitoring dashboard alerts on. Plan: ONE uniform (token)
+  // aggregation with both snapshot counts as conditional sums — the
+  // corpus shuffles once; ranking runs on the vocab-sized relation.
+  private val DriftTopK = 20
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .select((col("doc_id") % 2).as("snap"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("c1"),
+           sum(when(col("snap") === 1, 1L).otherwise(0L)).as("c2"))
+    val totals = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cnt.crossJoin(broadcast(totals))
+      .withColumn("s1", expr("c1 * 1000000000 div n1"))
+      .withColumn("s2", expr("c2 * 1000000000 div n2"))
+      .withColumn("delta", abs(col("s1") - col("s2")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("delta").desc, col("token"))).cast("int"))
+      .filter(col("rank") <= DriftTopK)
+      .select("rank", "token", "c1", "c2", "s1", "s2", "delta")
+      .orderBy("rank")
+  }
+
+  private val q73Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id % 2 AS snap, unnest(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (
+      |  SELECT token,
+      |         CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |         CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM toks GROUP BY token),
+      |totals AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM cnt),
+      |shares AS (
+      |  SELECT token, c1, c2,
+      |         c1 * 1000000000 // n1 AS s1,
+      |         c2 * 1000000000 // n2 AS s2
+      |  FROM cnt CROSS JOIN totals),
+      |ranked AS (
+      |  SELECT token, c1, c2, s1, s2, ABS(s1 - s2) AS delta,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY ABS(s1 - s2) DESC, token) AS INT) AS rank
+      |  FROM shares)
+      |SELECT rank, token, c1, c2, s1, s2, delta
+      |FROM ranked WHERE rank <= $DriftTopK ORDER BY rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_decontaminate"     -> (q51 _),
     "q72_curation_verdict"  -> (q72 _),
+    "q73_drift_monitor"     -> (q73 _),
     "q52_stratified_sample" -> (q52 _),
     "q53_domain_mix"        -> (q53 _),
     "q54_pii_redact"        -> (q54 _),
@@ -418,6 +473,7 @@ object Curation extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "q51_decontaminate"     -> q51Sql,
     "q72_curation_verdict"  -> q72Sql,
+    "q73_drift_monitor"     -> q73Sql,
     "q52_stratified_sample" -> q52Sql,
     "q53_domain_mix"        -> q53Sql,
     "q54_pii_redact"        -> q54Sql,

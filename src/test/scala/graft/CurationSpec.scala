@@ -129,4 +129,26 @@ class CurationSpec extends SparkTestBase {
     assert(got.values.map(_._1).toSet.size >= 2,
       s"verdict reasons degenerate: ${got.values.map(_._1).toSet}")
   }
+
+  test("q73 drift monitor matches an integer parts-per-billion recomputation") {
+    val got = SparkEntry.queries("q73_drift_monitor")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map[(String, Long), Long]().withDefaultValue(0L)
+    docs.foreach { case (id, text) =>
+      text.split(" ", -1).foreach(t => counts((t, id % 2)) += 1)
+    }
+    val vocab = counts.keys.map(_._1).toSeq.distinct
+    val n1 = counts.collect { case ((_, 0L), c) => c }.sum
+    val n2 = counts.collect { case ((_, 1L), c) => c }.sum
+    val expect = vocab.map { t =>
+      val (c1, c2) = (counts((t, 0L)), counts((t, 1L)))
+      val (s1, s2) = (c1 * 1000000000L / n1, c2 * 1000000000L / n2)
+      (t, c1, c2, s1, s2, math.abs(s1 - s2))
+    }.sortBy { case (t, _, _, _, _, d) => (-d, t) }.take(20)
+      .zipWithIndex.map { case ((t, c1, c2, s1, s2, d), i) => (i + 1, t, c1, c2, s1, s2, d) }
+    assert(got.toSeq == expect, s"got=${got.toSeq.take(4)}…\nexpect=${expect.take(4)}…")
+  }
 }
