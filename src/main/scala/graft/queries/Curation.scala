@@ -459,10 +459,79 @@ object Curation extends QueryModule {
       |SELECT rank, token, c1, c2, s1, s2, delta
       |FROM ranked WHERE rank <= $DriftTopK ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q74 — DETERMINISTIC HYPERLOGLOG distinct-count sketch (Flajolet et
+  // al. 2007), per language over document contents: the cardinality
+  // estimator every 100 TB intake dashboard runs where COUNT(DISTINCT)'s
+  // full shuffle is unaffordable. The register math is EXACT integers —
+  // bucket = top 4 bits of the 60-bit md5 integer, ρ = 57 − bitlength of
+  // the remaining 56 (bin(), the same transcendental-free ⌊log₂⌋ as
+  // q67), register = MAX ρ — so the sketch is identical on both engines
+  // and any partitioning (MAX is order-insensitive and idempotent: no
+  // input dedup needed). The estimate α·m²/Σ2^(−M) is evaluated over an
+  // int64 register sum (Σ 2^(57−M), ≤ 2^61 — never a FP accumulation)
+  // in ONE fixed IEEE expression, so even the double hashes identically.
+  // Exact distinct rides along as the small-scale cross-check; at 100 TB
+  // you drop that column and keep the sketch — registers partial-
+  // aggregate map-side, the shuffle is m rows per group.
+  private val HllM = 16            // registers (b = 4 bits) → σ ≈ 26%
+  private val HllRemPow = 72057594037927936L // 2^56: bucket/remainder split
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val r = docs.select(col("lang"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("hv"))
+      .withColumn("bucket", expr(s"hv div ${HllRemPow}L"))
+      .withColumn("rem", expr(s"hv % ${HllRemPow}L"))
+      .withColumn("mm", when(col("rem") === 0, 57)
+        .otherwise(lit(57) - length(bin(col("rem")))).cast("int"))
+    val rho = r.groupBy("lang", "bucket").agg(max(col("mm")).as("mm"))
+    val spine = docs.select("lang").distinct()
+      .select(col("lang"), explode(expr(s"sequence(0, ${HllM - 1})")).as("bucket"))
+    val regs = spine.join(rho, Seq("lang", "bucket"), "left").na.fill(0, Seq("mm"))
+    val agg = regs.groupBy("lang").agg(
+      sum(expr("shiftleft(cast(1 AS bigint), cast(57 - mm AS int))")).as("s"),
+      sum(when(col("mm") === 0, 1L).otherwise(0L)).as("v_empty"))
+    val ex = docs.groupBy("lang").agg(countDistinct(col("text")).as("n_exact"))
+    ex.join(agg, "lang")
+      // e-notation literals: Spark parses bare decimal literals as
+      // DECIMAL (exact but different rounding); 6.73e-1/1.44e17 are
+      // DOUBLE on both engines, so this is one identical IEEE expression
+      .withColumn("est", expr("round(6.73e-1 * 256 * 1.44115188075855872e17 / s, 3)"))
+      .select("lang", "n_exact", "v_empty", "est")
+      .orderBy("lang")
+  }
+
+  private val q74Sql =
+    s"""WITH h AS (
+      |  SELECT lang, CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS hv
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, hv // $HllRemPow AS bucket, hv % $HllRemPow AS rem FROM h),
+      |rho AS (
+      |  SELECT lang, bucket,
+      |         MAX(CASE WHEN rem = 0 THEN 57 ELSE 57 - length(bin(rem)) END) AS mm
+      |  FROM r GROUP BY lang, bucket),
+      |spine AS (
+      |  SELECT lang, unnest(range(0, $HllM)) AS bucket
+      |  FROM (SELECT DISTINCT lang FROM documents)),
+      |regs AS (
+      |  SELECT sp.lang AS lang, sp.bucket, COALESCE(rho.mm, 0) AS mm
+      |  FROM spine sp LEFT JOIN rho ON sp.lang = rho.lang AND sp.bucket = rho.bucket),
+      |agg AS (
+      |  SELECT lang,
+      |         CAST(SUM(1::BIGINT << (57 - mm)) AS BIGINT) AS s,
+      |         CAST(SUM(CASE WHEN mm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+      |  FROM regs GROUP BY lang),
+      |ex AS (SELECT lang, COUNT(DISTINCT text) AS n_exact FROM documents GROUP BY lang)
+      |SELECT e.lang AS lang, e.n_exact, a.v_empty,
+      |       ROUND(6.73e-1 * 256 * 1.44115188075855872e17 / a.s, 3) AS est
+      |FROM ex e JOIN agg a ON e.lang = a.lang ORDER BY lang""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_decontaminate"     -> (q51 _),
     "q72_curation_verdict"  -> (q72 _),
     "q73_drift_monitor"     -> (q73 _),
+    "q74_hll_distinct"      -> (q74 _),
     "q52_stratified_sample" -> (q52 _),
     "q53_domain_mix"        -> (q53 _),
     "q54_pii_redact"        -> (q54 _),
@@ -474,6 +543,7 @@ object Curation extends QueryModule {
     "q51_decontaminate"     -> q51Sql,
     "q72_curation_verdict"  -> q72Sql,
     "q73_drift_monitor"     -> q73Sql,
+    "q74_hll_distinct"      -> q74Sql,
     "q52_stratified_sample" -> q52Sql,
     "q53_domain_mix"        -> q53Sql,
     "q54_pii_redact"        -> q54Sql,

@@ -151,4 +151,34 @@ class CurationSpec extends SparkTestBase {
       .zipWithIndex.map { case ((t, c1, c2, s1, s2, d), i) => (i + 1, t, c1, c2, s1, s2, d) }
     assert(got.toSeq == expect, s"got=${got.toSeq.take(4)}…\nexpect=${expect.take(4)}…")
   }
+
+  test("q74 HLL sketch matches a driver-side register recomputation and bounds its error") {
+    val got = SparkEntry.queries("q74_hll_distinct")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = Tables.documents(spark, sfDir).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      val regs = Array.fill(16)(0)
+      rows.foreach { case (_, text) =>
+        val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        val hv = java.lang.Long.parseLong(hex, 16)
+        val bucket = (hv >>> 56).toInt
+        val rem = hv & ((1L << 56) - 1)
+        val mm = if (rem == 0) 57 else 57 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+        regs(bucket) = math.max(regs(bucket), mm)
+      }
+      val s = regs.map(m => 1L << (57 - m)).sum
+      val est = BigDecimal(6.73e-1 * 256 * 1.44115188075855872e17 / s)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val nExact = rows.map(_._2).distinct.size.toLong
+      val (gN, gV, gE) = got(lang)
+      assert(gN == nExact, s"$lang exact: $gN != $nExact")
+      assert(gV == regs.count(_ == 0).toLong, s"$lang empty registers")
+      assert(gE == est, s"$lang estimate: $gE != $est")
+      // m=16 gives sigma ~26%; 2.5 sigma is a generous but real bound
+      assert(math.abs(gE - nExact) / nExact < 0.65,
+        s"$lang estimate $gE too far from exact $nExact")
+    }
+  }
 }
