@@ -155,15 +155,66 @@ object Temporal extends QueryModule {
       .orderBy("purchase_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q75 — BANDED RANGE JOIN: every (purchase, click) pair of the same
+  // user within ±1 hour — the proximity join behind attribution windows
+  // and feature lookback. Catalyst plans a per-user inequality join as a
+  // join-then-filter whose intermediate is quadratic in the key's event
+  // count; the banded plan buckets time at the window width δ and
+  // EQUI-joins on (user, bucket), with the purchase side expanded to its
+  // 3 adjacent buckets — any pair within δ lands in adjacent buckets by
+  // construction (|a−b| ≤ δ ⇒ |⌊a/δ⌋−⌊b/δ⌋| ≤ 1), a click lives in
+  // exactly one bucket so no pair is produced twice, and the exact |gap|
+  // filter runs on a candidate set bounded by per-bucket density, not by
+  // per-user history. This is the banding every production range join
+  // (Databricks range-join hints, kdb+ window joins) applies; the DuckDB
+  // oracle runs the plain inequality join — independent algorithm, same
+  // pairs. All time math is integer microseconds.
+  private val RangeDeltaUs = 3600000000L // ±1 hour
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("tsu", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsu").as("click_tsu"),
+        col("event_id").as("click_id"),
+        expr(s"tsu div ${RangeDeltaUs}L").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("purchase_tsu"),
+        col("event_id").as("purchase_id"))
+      .select(col("user_id"), col("purchase_tsu"), col("purchase_id"),
+        explode(expr(
+          s"array(purchase_tsu div ${RangeDeltaUs}L - 1, purchase_tsu div ${RangeDeltaUs}L, purchase_tsu div ${RangeDeltaUs}L + 1)"))
+          .as("bucket"))
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(abs(col("purchase_tsu") - col("click_tsu")) <= RangeDeltaUs)
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (col("purchase_tsu") - col("click_tsu")).as("gap_us"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  private val q75Sql =
+    s"""WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS purchase_tsu, event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts) AS click_tsu, event_id AS click_id
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.purchase_id, c.click_id, p.user_id,
+      |       p.purchase_tsu - c.click_tsu AS gap_us
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND ABS(p.purchase_tsu - c.click_tsu) <= $RangeDeltaUs
+      |ORDER BY p.purchase_id, c.click_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join"         -> (q57 _),
     "q58_grouped_quantiles" -> (q58 _),
     "q62_asof_native"       -> (q62 _),
+    "q75_range_join"        -> (q75 _),
   )
 
   override val oracle: Map[String, String] = Map(
     "q57_asof_join"         -> q57Sql,
     "q58_grouped_quantiles" -> q58Sql,
     "q62_asof_native"       -> q57Sql, // identical contract, third implementation
+    "q75_range_join"        -> q75Sql,
   )
 }

@@ -122,4 +122,30 @@ class TemporalSpec extends SparkTestBase {
     val got1 = rows.filter(r => r.getLong(0) == d0.getLong(0) && r.getInt(5) == 1).head.getLong(4)
     assert(got1 == best)
   }
+
+  test("q75 banded range join equals the brute-force proximity pairs") {
+    val got = q("q75_range_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchases = ev.filter(_._3 == "purchase")
+    val clicks = ev.filter(_._3 == "click").groupBy(_._2)
+    val expect = purchases.flatMap { case (pid, u, _, pt) =>
+      clicks.getOrElse(u, Array.empty[(Long, Long, String, Long)]).collect {
+        case (cid, _, _, ct) if math.abs(pt - ct) <= 3600000000L =>
+          (pid, cid, u, pt - ct)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect.toSeq,
+      s"got ${got.length} pairs, expect ${expect.length}")
+    assert(got.nonEmpty, "no proximity pairs — the operator is untested")
+  }
+
+  test("q75 plan is an equi-join on (user, bucket), never a per-user nested loop") {
+    val p = q("q75_range_join").queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a non-equi plan:\n${p.take(1500)}")
+  }
 }
