@@ -155,6 +155,51 @@ object Curation extends QueryModule {
       |ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q76 — TEMPERATURE-WEIGHTED MIXTURE RESAMPLING: q53's τ=1/2 domain
+  // weights APPLIED — each document keeps with probability equal to its
+  // stratum's weight, via the same deterministic md5-threshold keep as
+  // q52 (u < w·2^60, floor()'d for the cross-engine cast divergence).
+  // This is the step that actually materializes a rebalanced training
+  // mix from the mixture design: dominant domains are down-sampled
+  // toward the τ-damped share, the largest stratum (weight 1) keeps
+  // everything, and the whole draw replays identically on any cluster —
+  // no RNG, no state. Plan: the stratum weight relation is
+  // strata-sized (broadcast); the keep decision is a narrow map.
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val strata = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy("lang", "source")
+      .agg(sum(col("nt")).as("n_tokens"))
+    val mx = strata.select(max(col("n_tokens")).as("max_tokens"))
+    val weights = strata.crossJoin(broadcast(mx))
+      .withColumn("weight",
+        round(sqrt(col("n_tokens").cast("double") / col("max_tokens")), 6))
+      .select("lang", "source", "weight")
+    Tables.documents(s, dir).select("doc_id", "lang", "source")
+      .join(broadcast(weights), Seq("lang", "source"))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .withColumn("keep",
+        col("u") < floor(col("weight") * lit(1152921504606846976.0)).cast("long"))
+      .select("doc_id", "lang", "source", "weight", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val q76Sql =
+    """WITH strata AS (
+      |  SELECT lang, source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang, source),
+      |mx AS (SELECT MAX(n_tokens) AS max_tokens FROM strata),
+      |weights AS (
+      |  SELECT lang, source, ROUND(SQRT(CAST(n_tokens AS DOUBLE) / max_tokens), 6) AS weight
+      |  FROM strata CROSS JOIN mx)
+      |SELECT d.doc_id, d.lang, d.source, w.weight,
+      |       CAST(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 15)) AS BIGINT)
+      |         < CAST(FLOOR(w.weight * 1152921504606846976.0) AS BIGINT) AS keep
+      |FROM documents d JOIN weights w ON d.lang = w.lang AND d.source = w.source
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q54 — PII redaction over an intake feed. The synthetic corpus
   // carries no PII, so the feed INJECTS deterministic contact strings
   // into a slice of documents (labeled fixture, both engines build the
@@ -532,6 +577,7 @@ object Curation extends QueryModule {
     "q72_curation_verdict"  -> (q72 _),
     "q73_drift_monitor"     -> (q73 _),
     "q74_hll_distinct"      -> (q74 _),
+    "q76_mix_resample"      -> (q76 _),
     "q52_stratified_sample" -> (q52 _),
     "q53_domain_mix"        -> (q53 _),
     "q54_pii_redact"        -> (q54 _),
@@ -544,6 +590,7 @@ object Curation extends QueryModule {
     "q72_curation_verdict"  -> q72Sql,
     "q73_drift_monitor"     -> q73Sql,
     "q74_hll_distinct"      -> q74Sql,
+    "q76_mix_resample"      -> q76Sql,
     "q52_stratified_sample" -> q52Sql,
     "q53_domain_mix"        -> q53Sql,
     "q54_pii_redact"        -> q54Sql,

@@ -20,7 +20,12 @@ object ScaleProbe {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 2, 4, 8)
     val queries = Seq("q31_exact_dedup", "q32_ngram_jaccard", "q33_minhash_lsh",
-      "q44_corpus_filter", "q46_neardup_components", "q55_repetition")
+      "q44_corpus_filter", "q46_neardup_components", "q55_repetition",
+      "q66_span_dedup", "q67_surprisal", "q72_curation_verdict")
+    // embedding-side heavies: need a scaled embeddings table (vec_id
+    // offset per copy; vectors unchanged — these ops generate no pairs,
+    // so identical copies are not an artificial shortcut)
+    val embQueries = Seq("q63_pq_codes", "q71_ivfpq_search")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,6 +39,8 @@ object ScaleProbe {
 
     val docs = graft.Tables.documents(spark, base)
     val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val embs = graft.Tables.embeddings(spark, base)
+    val maxVec = embs.agg(max("vec_id")).head.getLong(0) + 1
 
     factors.foreach { k =>
       val dir = s"/tmp/graft_scale/x$k"
@@ -48,8 +55,13 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val scaledEmb = (0 until k).map { i =>
+        embs.select((col("vec_id") + lit(i * maxVec)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      scaledEmb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       // warmup pass then timed pass, mirroring Bench methodology
-      val times = queries.map { q =>
+      val times = (queries ++ embQueries).map { q =>
         val fn = graft.SparkEntry.queries(q)
         val ts = (1 to 2).map { _ =>
           graft.Caches.release(); spark.catalog.clearCache()

@@ -152,6 +152,30 @@ class CurationSpec extends SparkTestBase {
     assert(got.toSeq == expect, s"got=${got.toSeq.take(4)}…\nexpect=${expect.take(4)}…")
   }
 
+  test("q76 resampling keeps the dominant stratum whole and tracks its weights") {
+    val rows = SparkEntry.queries("q76_mix_resample")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3), r.getBoolean(4)))
+    // weights must be exactly q53's
+    val w53 = SparkEntry.queries("q53_domain_mix")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    rows.foreach { case (id, lang, src, w, _) =>
+      assert(w == w53((lang, src)), s"doc $id weight $w != q53 ${w53((lang, src))}")
+    }
+    // the weight-1 stratum keeps every document (u < 2^60 always)
+    val full = rows.filter(_._4 == 1.0)
+    assert(full.nonEmpty && full.forall(_._5), "dominant stratum must keep everything")
+    // down-weighted strata actually shed documents
+    val damped = rows.filter(_._4 < 0.9)
+    assert(damped.nonEmpty && damped.exists(!_._5), "damped strata must drop documents")
+    // per-stratum keep rate is within a loose binomial band of the
+    // weight — only meaningful where the stratum has real mass
+    rows.groupBy(r => (r._2, r._3)).filter(_._2.size >= 20).foreach { case ((lang, src), g) =>
+      val rate = g.count(_._5).toDouble / g.size
+      assert(math.abs(rate - g.head._4) < 0.35,
+        s"stratum ($lang,$src): keep rate $rate vs weight ${g.head._4}")
+    }
+  }
+
   test("q74 HLL sketch matches a driver-side register recomputation and bounds its error") {
     val got = SparkEntry.queries("q74_hll_distinct")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
