@@ -289,8 +289,8 @@ object Curation extends QueryModule {
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
       |c AS (
       |  SELECT doc_id, n_tokens,
-      |         SUM(n_tokens) OVER (ORDER BY doc_id
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
       |  FROM n)
       |SELECT doc_id, n_tokens,
       |       (cum - n_tokens) // $SeqLen AS seq_id,

@@ -401,7 +401,7 @@ object TextPipeline extends QueryModule {
       |  FROM toks),
       |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM bi GROUP BY doc_id, tok),
       |agg AS (
-      |  SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_unique, MAX(c) AS top_count
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, COUNT(*) AS n_unique, MAX(c) AS top_count
       |  FROM cnt GROUP BY doc_id)
       |SELECT doc_id, n_bigrams, n_unique,
       |       ROUND(CAST(n_bigrams - n_unique AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS dup_frac,
