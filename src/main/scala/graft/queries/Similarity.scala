@@ -595,23 +595,123 @@ object Similarity extends QueryModule {
   // median (the strict-median guard keeps tiny clusters from flagging
   // themselves wholesale); the median is the same discrete rank
   // selection as q58 (⌊(n−1)/2⌋+1, an ACTUAL member distance) and is
-  // reported for audit. Plan shape: the Lloyd passes (q59's), plus one
-  // K-key window for rank/median and a broadcast join of K medians back
-  // onto the assignment — nothing new shuffles the corpus.
+  // reported for audit.
+  //
+  // Scale shape: a rank-within-cluster window would sort the WHOLE
+  // corpus into K = 8 partitions — the one anti-pattern the round-6
+  // plan audit flagged. Instead the two order statistics (rank-t value
+  // and median) are found by distributed exact selection: one uniform
+  // partial-agg pass builds a bounded log-bucket histogram per cluster,
+  // the driver walks its cumulative counts (K·~2.3k rows — control-plane
+  // sized, the q46/watermark pattern), and a second pass resolves the
+  // exact values inside just the ≤ 2 target buckets per cluster (~1 %
+  // value bands). The K thresholds re-enter the verdict scan as literal
+  // maps, so corpus rows are touched only by narrow codegen'd passes.
+  // Rows tied AT the threshold value get their (dist2, vec_id) rank from
+  // a window over the tie group alone, prefiltered by dthr > med — when
+  // the threshold equals the median (the constant-distance degenerate)
+  // no tie row can be an outlier, so the tie window never sees a whole
+  // cluster.
   private def q68(s: SparkSession, dir: String): DataFrame = {
     val assigned = graft.Caches.track(kmAssignments(s, dir))
-      // tracked cache: the assignment feeds both the median build and the
-      // final verdict join
-    val ranked = assigned
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("cid").orderBy(col("dist2"), col("vec_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("cid")))
-    val med = ranked
-      .groupBy("cid")
-      .agg(max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("dist2"))).as("med"))
-    ranked.join(broadcast(med), "cid")
-      .withColumn("is_outlier", col("rn") * 100 > col("n") * 97 && col("dist2") > col("med"))
+      // tracked cache: the assignment feeds the two control passes and
+      // the final verdict scan
+
+    // One fixed bucketing, monotonic in dist2 and independent of any
+    // per-cluster range, so a single aggregation yields sizes, ranges,
+    // and the selection histogram together: b = ⌊log2(dist2 + 2)·64⌋ —
+    // ~1.1 % relative value width per bucket, ≤ ~2.3k buckets over the
+    // whole int64 range, and per-bucket min/max double as exact cluster
+    // min/max on the driver.
+    val bktCol = floor(log2(col("dist2") + lit(2)) * lit(64)).cast("long")
+
+    // pass 1 — histogram with per-bucket stats; log2 is monotonic, so
+    // ascending bkt IS ascending value order
+    case class HB(bkt: Long, cnt: Long, bmn: Long, bmx: Long)
+    val hist: Map[Long, Seq[HB]] = assigned
+      .groupBy(col("cid"), bktCol.as("bkt"))
+      .agg(count(lit(1)).as("cnt"), min("dist2").as("bmn"), max("dist2").as("bmx"))
+      .collect()
+      .map(r => r.getLong(0) -> HB(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).map { case (cid, rs) => cid -> rs.map(_._2).sortBy(_.bkt).toSeq }
+    case class CS(cid: Long, n: Long, mn: Long, mx: Long) {
+      val t = n * 97 / 100            // outlier boundary: rank > t ⇔ top 3 %
+      val m = (n - 1) / 2 + 1         // discrete median rank
+    }
+    val cs = hist.map { case (cid, hb) =>
+      CS(cid, hb.map(_.cnt).sum, hb.head.bmn, hb.last.bmx) }.toArray
+
+    // driver: walk each cluster's cumulative histogram to find, for each
+    // wanted rank r (t if ≥ 1, and m), its bucket and within-bucket
+    // rank. Constant-distance clusters (mn == mx) need no selection:
+    // every order statistic is mn.
+    val spread = cs.filter(c => c.mx > c.mn).map(_.cid).toSet
+    case class Tgt(cid: Long, bkt: Long, rib: Long, below: Long, isThr: Boolean)
+    val targets = cs.filter(c => spread(c.cid)).flatMap { c =>
+      Seq((c.t, true), (c.m, false)).filter(_._1 >= 1).map { case (r, isThr) =>
+        var below = 0L
+        var hit: Option[Tgt] = None
+        for (hb <- hist(c.cid) if hit.isEmpty)
+          if (below < r && r <= below + hb.cnt) hit = Some(Tgt(c.cid, hb.bkt, r - below, below, isThr))
+          else below += hb.cnt
+        hit.get
+      }
+    }
+
+    // pass 2 — exact resolution inside only the target buckets: rank
+    // within bucket by (dist2, vec_id); the value at overall rank r is
+    // the (r − below)-th smallest in its bucket. The same window also
+    // yields the strictly-below count that pins the threshold tie
+    // group's overall rank — rank() ordered by dist2 alone is
+    // 1 + (in-bucket rows with a smaller value), so
+    // c_lt = below + rnk − 1 and no extra counting pass is needed.
+    case class Res(value: Long, cLt: Long)
+    val resolved: Map[(Long, Boolean), Res] = if (targets.isEmpty) Map.empty else {
+      val bktPred = targets.map(t => col("cid") === t.cid && col("bkt") === t.bkt).reduce(_ || _)
+      val ribPred = targets.map(t =>
+        col("cid") === t.cid && col("bkt") === t.bkt && col("rib") === t.rib).reduce(_ || _)
+      val w = Window.partitionBy("cid", "bkt")
+      val rows = assigned.withColumn("bkt", bktCol).filter(bktPred)
+        .withColumn("rib", row_number().over(w.orderBy("dist2", "vec_id")))
+        .withColumn("rnk", rank().over(w.orderBy("dist2")))
+        .filter(ribPred).select("cid", "bkt", "rib", "dist2", "rnk").collect()
+      targets.map { t =>
+        val v = rows.find(r => r.getLong(0) == t.cid && r.getLong(1) == t.bkt && r.getInt(2).toLong == t.rib).get
+        (t.cid, t.isThr) -> Res(v.getLong(3), t.below + v.getInt(4).toLong - 1)
+      }.toMap
+    }
+    // dthr: value at rank t (t = 0 ⇒ every row is past the boundary)
+    val dthr = cs.map(c => c.cid -> (
+      if (c.t == 0) c.mn - 1
+      else if (c.mx == c.mn) c.mn
+      else resolved((c.cid, true)).value)).toMap
+    val med = cs.map(c => c.cid -> (
+      if (c.mx == c.mn) c.mn else resolved((c.cid, false)).value)).toMap
+    val dthrCol = element_at(typedLit(dthr), col("cid"))
+    val medCol = element_at(typedLit(med), col("cid"))
+
+    // final verdict: rows strictly past the threshold value are outliers
+    // iff above the median; rows tied AT the threshold get their
+    // (dist2, vec_id) rank from a window over the tie group alone —
+    // prefiltered by dthr > med, so when threshold equals median (the
+    // constant-distance degenerate) the tie window never sees a cluster
+    val tieCids = cs.map(_.cid).filter(c => dthr(c) > med(c))
+    val isTie = if (tieCids.isEmpty) lit(false)
+      else col("cid").isInCollection(tieCids) && col("dist2") === dthrCol
+    val nonTie = assigned.filter(!isTie)
+      .withColumn("is_outlier", col("dist2") > medCol && col("dist2") > dthrCol)
+    // a tie cid always carries a thr target: dthr > med rules out both
+    // the t = 0 and the constant-distance shortcuts
+    val cLtCol = element_at(
+      typedLit(tieCids.map(c => c -> resolved((c, true)).cLt).toMap), col("cid"))
+    val tCol = element_at(typedLit(cs.map(c => c.cid -> c.t).toMap), col("cid"))
+    val tie = assigned.filter(isTie) // dist2 == dthr > med ⇒ median guard holds
+      .withColumn("tr", row_number().over(Window.partitionBy("cid").orderBy("vec_id")))
+      .withColumn("is_outlier", cLtCol + col("tr") > tCol)
+    nonTie.withColumn("med", medCol)
       .select("vec_id", "cid", "dist2", "med", "is_outlier")
+      .union(tie.withColumn("med", medCol)
+        .select("vec_id", "cid", "dist2", "med", "is_outlier"))
       .orderBy("vec_id")
   }
 

@@ -22,10 +22,15 @@ import graft.{QueryModule, Tables}
   *    temporal join, QuestDB) uses.
   *  - Exact quantiles (q58) are rank selection inside a per-group sort —
   *    the honest exact path (exact order statistics are not computable
-  *    without a per-group ordering pass). The approximate scale path for
-  *    wide group counts is `approx_percentile` (t-digest) and loses the
-  *    cross-engine bit-exactness this catalog verifies, so the exact
-  *    variant is what the oracle checks.
+  *    without a per-group ordering pass). Its registered SCALE TWIN
+  *    (q77, the q57/q62 pairing pattern) answers the same p25–p95
+  *    contract through a mergeable bounded-state log-histogram sketch:
+  *    one uniform partial aggregate, windows only over the bucket-count
+  *    relation. Spark's stock `approx_percentile` (t-digest) fills the
+  *    same role but loses the cross-engine bit-exactness this catalog's
+  *    gate verifies, so the sketch is integer-deterministic instead and
+  *    q77 carries a full hash oracle; TemporalSpec bounds its divergence
+  *    from the exact ranks.
   *
   * Timestamps follow the catalog convention: `Tables.events` truncates
   * the parquet nanosecond longs to microseconds exactly like DuckDB 1.0
@@ -131,6 +136,71 @@ object Temporal extends QueryModule {
       |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q77 — grouped quantiles, the SCALE TWIN of q58: same
+  // p25/p50/p75/p95-per-event_type contract, answered by a mergeable
+  // bounded-state sketch instead of a per-group global sort. Values are
+  // quantized to integer micro-units (round(value·1e6), the catalog's
+  // standard determinism trick), then bucketed HDR-histogram style:
+  // values below 128 map to themselves (exact); larger values map to
+  // (bit_length · 64 + top-7-bits) — 64 linear sub-buckets per power of
+  // two, so every bucket spans ≤ 1/64 of its value. The sketch state per
+  // group is ≤ ~64·64 buckets REGARDLESS of group size or value range —
+  // a single uniform partial-agg shuffle at 100 TB — and the quantile is
+  // read off the bucket-count cumulative sum: the reported p(q) is the
+  // MIN actual value in the bucket containing rank k(q) = ⌊(n−1)q⌋+1,
+  // i.e. an understate of the exact quantile by at most one bucket width
+  // (≤ 1.6 % relative; TemporalSpec pins that bound against q58).
+  // Windows here run ONLY over the bucket relation, never the corpus —
+  // the q68 lesson. Everything is integer arithmetic until the final
+  // ÷1e6, so the DuckDB oracle replays it bit-exactly (no t-digest
+  // divergence; see the header note on approx_percentile).
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val quant = Tables.events(s, dir)
+      .select(col("event_type"), round(col("value") * 1e6).cast("long").as("v"))
+      .withColumn("u", col("v") + 2) // ≥ 2: bin() defined, log shape stable
+      .withColumn("bkt", when(col("u") < 128, col("u"))
+        .otherwise((length(bin(col("u"))) - 1) * 64 +
+          expr("u div cast(pow(2.0d, length(bin(u)) - 1 - 6) as bigint)")))
+    val hist = quant.groupBy("event_type", "bkt")
+      .agg(count(lit(1)).as("cnt"), min("v").as("bmn"))
+    val byType = Window.partitionBy("event_type")
+    val cum = hist
+      .withColumn("n", sum("cnt").over(byType))
+      .withColumn("cum", sum("cnt").over(byType.orderBy("bkt")))
+    def pick(q: Int) = (max(when(
+        col("cum") - col("cnt") < expr(s"(n - 1) * $q div 100 + 1") &&
+        expr(s"(n - 1) * $q div 100 + 1") <= col("cum"), col("bmn")))
+      .cast("double") / 1e6).as(s"p$q")
+    cum.groupBy("event_type")
+      .agg(max("n").as("n"), pick(25), pick(50), pick(75), pick(95))
+      .orderBy("event_type")
+  }
+
+  private val q77Sql =
+    """WITH q AS (
+      |  SELECT event_type, CAST(ROUND(value * 1000000.0) AS BIGINT) AS v FROM events),
+      |b AS (SELECT event_type, v, v + 2 AS u FROM q),
+      |h AS (
+      |  SELECT event_type,
+      |         CASE WHEN u < 128 THEN u
+      |              ELSE (length(bin(u)) - 1) * 64 +
+      |                   u // CAST(pow(2.0, length(bin(u)) - 1 - 6) AS BIGINT) END AS bkt,
+      |         COUNT(*) AS cnt, MIN(v) AS bmn
+      |  FROM b GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bkt, cnt, bmn,
+      |         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM h)
+      |SELECT event_type, MAX(n) AS n,
+      |       CAST(MAX(CASE WHEN cum - cnt < (n-1)*25//100 + 1 AND (n-1)*25//100 + 1 <= cum THEN bmn END) AS DOUBLE)/1000000.0 AS p25,
+      |       CAST(MAX(CASE WHEN cum - cnt < (n-1)*50//100 + 1 AND (n-1)*50//100 + 1 <= cum THEN bmn END) AS DOUBLE)/1000000.0 AS p50,
+      |       CAST(MAX(CASE WHEN cum - cnt < (n-1)*75//100 + 1 AND (n-1)*75//100 + 1 <= cum THEN bmn END) AS DOUBLE)/1000000.0 AS p75,
+      |       CAST(MAX(CASE WHEN cum - cnt < (n-1)*95//100 + 1 AND (n-1)*95//100 + 1 <= cum THEN bmn END) AS DOUBLE)/1000000.0 AS p95
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q62 — the SAME as-of semantics through the NATIVE operator
   // (plans.AsofJoin: custom LogicalPlan + injected SparkStrategy +
   // sort-merge AsofJoinExec — SURVEY §7.3 preference order (c)). Three
@@ -209,6 +279,7 @@ object Temporal extends QueryModule {
     "q58_grouped_quantiles" -> (q58 _),
     "q62_asof_native"       -> (q62 _),
     "q75_range_join"        -> (q75 _),
+    "q77_quantile_sketch"   -> (q77 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -216,5 +287,6 @@ object Temporal extends QueryModule {
     "q58_grouped_quantiles" -> q58Sql,
     "q62_asof_native"       -> q57Sql, // identical contract, third implementation
     "q75_range_join"        -> q75Sql,
+    "q77_quantile_sketch"   -> q77Sql,
   )
 }

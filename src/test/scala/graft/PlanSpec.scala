@@ -80,4 +80,16 @@ class PlanSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q68 has no corpus-wide rank window on the K cluster ids") {
+    // the round-6 scale-killer: row_number over partitionBy(cid) ordered
+    // by dist2 funnels the whole corpus into K=8 sort partitions. The
+    // exact-selection rewrite may only window over the bounded histogram
+    // (order bkt), the target buckets (partition cid+bkt), or the tie
+    // group (order vec_id) — never partition [cid] ordered by dist2.
+    val p = plan(graft.queries.Similarity.queries("q68_embed_outliers")(spark, sfDir))
+    assert(!"""windowspecdefinition\(cid#\d+L?, dist2#""".r.findFirstIn(p).isDefined,
+      s"q68 regressed to a corpus rank window partitioned by cid:\n" +
+        p.split("\n").filter(_.contains("windowspecdefinition")).mkString("\n"))
+  }
 }

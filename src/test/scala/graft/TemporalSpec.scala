@@ -148,4 +148,36 @@ class TemporalSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"range join fell back to a non-equi plan:\n${p.take(1500)}")
   }
+
+  test("q77 sketch quantiles bound the exact q58 ranks within one bucket width") {
+    // the sketch reports the MIN value of the bucket holding rank k, so
+    // approx ≤ exact always, and exact − approx is bounded by the bucket
+    // span: ≤ 1/64 of the value (log-linear buckets), exact (0) below
+    // the 128-micro-unit floor
+    val exact = q("q58_grouped_quantiles").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = q("q77_quantile_sketch").collect()
+    assert(approx.nonEmpty)
+    approx.foreach { a =>
+      val e = exact(a.getString(0))
+      assert(a.getLong(1) == e.getLong(1), s"${a.getString(0)}: n mismatch")
+      for (i <- 2 to 5) {
+        val (av, ev) = (a.getDouble(i), e.getDouble(i))
+        assert(av <= ev + 1e-9, s"${a.getString(0)} col $i: approx $av above exact $ev")
+        val width = math.max((av * 1e6 + 2) / 64.0, 1.0) / 1e6
+        assert(ev - av <= width + 1e-9,
+          s"${a.getString(0)} col $i: exact $ev − approx $av exceeds bucket width $width")
+      }
+    }
+  }
+
+  test("q77 plan windows only over the bucket histogram, never the event corpus") {
+    val p = q("q77_quantile_sketch").queryExecution.executedPlan.toString
+    // the corpus-side relation carries `v`; any window over it would
+    // show v in the window child's output. Both windows must sit above
+    // the (event_type, bkt) aggregate instead.
+    assert(!"""windowspecdefinition\(event_type#\d+, (value|v)#""".r.findFirstIn(p).isDefined,
+      s"q77 windows over the raw event relation:\n" +
+        p.split("\n").filter(_.contains("windowspecdefinition")).mkString("\n"))
+  }
 }
