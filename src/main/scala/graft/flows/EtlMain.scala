@@ -69,4 +69,15 @@ object EtlMain {
           wm: Watermarks, toolid: String, rotApp: String, upstream: String,
           out: RotRunner.RotOutputs): Int =
     RotRunner.run(spark, raw, designValues, wm, toolid, rotApp, upstream, out)
+
+  /** The AVM instance (reference `ETL.avm`, nikon_ETL.py:549-590): the
+    * SECOND windowed pipeline over the same raw table and the same
+    * watermark table, trailing the ROT watermark — AVM may only analyze
+    * windows ROT has finished — with its own (avmApp, toolid) row
+    * advancing independently. */
+  def avm(spark: SparkSession, raw: DataFrame,
+          wm: Watermarks, toolid: String, avmApp: String, rotApp: String,
+          out: RotRunner.RotOutputs): Int =
+    RotRunner.runWindowed(spark, raw, wm, toolid, avmApp, rotApp, out,
+      slice => AvmFlow.run(spark, slice))
 }

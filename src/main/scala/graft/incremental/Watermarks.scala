@@ -9,9 +9,19 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * tool × pipeline), so a whole-table overwrite per advance is exact and
   * cheap at any scale; ordering contract per the reference
   * (nikon_ETL.py:327-334): data first, watermark last.
+  *
+  * `virtualRecipe` rides along with the watermark row exactly as the
+  * reference SELECTs it (dbs/nikon.py:25; the test fixture at
+  * tests/test_format.py:20-22 pins it nullable) — flow metadata the
+  * AVM/VM stage reads, never interpreted by the runner itself.
+  * `enabled` mirrors the reference's `WHERE enabled = 'TRUE'`
+  * (dbs/nikon.py:28): a disabled row is invisible to [[Watermarks.get]],
+  * so check_flow fails for that pipeline and it cannot run or advance.
   */
 case class Watermark(apname: String, toolid: String,
-                     lastEndTime: Timestamp, updateTime: Timestamp)
+                     lastEndTime: Timestamp, updateTime: Timestamp,
+                     virtualRecipe: Option[String] = None,
+                     enabled: Boolean = true)
 
 class Watermarks(spark: SparkSession, path: String) {
   import spark.implicits._
@@ -20,10 +30,11 @@ class Watermarks(spark: SparkSession, path: String) {
     if (!SliceStore.exists(spark, path)) Seq.empty
     else spark.read.parquet(path).as[Watermark].collect().toSeq
 
-  /** P14 check_flow: the watermark row must already exist for a flow to
-    * run (reference nikon_ETL.py:148-155). */
+  /** P14 check_flow: the watermark row must already exist AND be enabled
+    * for a flow to run (reference nikon_ETL.py:148-155 over the
+    * enabled='TRUE' SELECT, dbs/nikon.py:24-31). */
   def get(apname: String, toolid: String): Option[Watermark] =
-    all().find(w => w.apname == apname && w.toolid == toolid)
+    all().find(w => w.apname == apname && w.toolid == toolid && w.enabled)
 
   def require(apname: String, toolid: String): Watermark =
     get(apname, toolid).getOrElse(
@@ -36,8 +47,13 @@ class Watermarks(spark: SparkSession, path: String) {
     * (or, worse, nothing). */
   def advance(apname: String, toolid: String, lastEndTime: Timestamp,
               updateTime: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
-    val rows = all().filterNot(w => w.apname == apname && w.toolid == toolid) :+
-      Watermark(apname, toolid, lastEndTime, updateTime)
+    val existing = all()
+    // UPDATE semantics: only the two time columns move; virtual_recipe
+    // and enabled ride along untouched (dbs/nikon.py:169-186)
+    val updated = existing.find(w => w.apname == apname && w.toolid == toolid)
+      .map(_.copy(lastEndTime = lastEndTime, updateTime = updateTime))
+      .getOrElse(Watermark(apname, toolid, lastEndTime, updateTime))
+    val rows = existing.filterNot(w => w.apname == apname && w.toolid == toolid) :+ updated
     SliceStore.replaceTable(spark, path, rows.toDS().repartition(1).toDF())
   }
 

@@ -92,6 +92,26 @@ class IncrementalSpec extends SparkTestBase {
     intercept[IllegalStateException] { wm.require("EDC_Import", "nope") }
   }
 
+  test("watermark row carries virtual_recipe (reference tests/test_format.py:20-22 fixture)") {
+    import java.sql.Timestamp
+    val wm = new Watermarks(spark, tmpDir())
+    // the reference's pinned fixture row: EDC_Import @ 2017-10-26
+    // 23:31:27, virtual_recipe NULL — get_lastendtime must read the time
+    // through it and check_flow must pass
+    val fix = Watermark("EDC_Import", "t01",
+      Timestamp.valueOf("2017-10-26 23:31:27"), Timestamp.valueOf("2017-10-26 23:31:27"))
+    wm.init(Seq(fix))
+    val got = wm.require("EDC_Import", "t01")
+    assert(got.lastEndTime == Timestamp.valueOf("2017-10-26 23:31:27"))
+    assert(got.virtualRecipe.isEmpty && got.enabled)
+    // a non-null recipe round-trips through parquet and survives advance
+    wm.init(Seq(fix.copy(virtualRecipe = Some("TLCD_Nikon_VM_Fcn"))))
+    wm.advance("EDC_Import", "t01", Timestamp.valueOf("2017-10-27 00:00:00"))
+    val after = wm.require("EDC_Import", "t01")
+    assert(after.virtualRecipe.contains("TLCD_Nikon_VM_Fcn"))
+    assert(after.lastEndTime == Timestamp.valueOf("2017-10-27 00:00:00"))
+  }
+
   test("headerDetail: deterministic shared surrogate keys") {
     val header = Seq(("g1", 1.0), ("g2", 2.0), ("g3", 3.0)).toDF("glassid", "fit")
     val detail = Seq(("g1", "p1", 0.1), ("g1", "p2", 0.2), ("g3", "p1", 0.3))

@@ -83,6 +83,89 @@ class RotFlowSpec extends SparkTestBase {
     assert(spark.read.parquet(out.headerPath).count() == before, "replay duplicated headers")
   }
 
+  test("AVM twin trails the ROT watermark; both pipelines advance independently") {
+    import graft.flows.{EtlMain, RotRunner}
+    import graft.incremental.{Watermark, Watermarks}
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_avm").toString + "/t"
+    val raw = rawFrame(Seq(
+      glassRow("g1", "A", 0.5, -0.3, 120.0),
+      glassRow("g2", "A", -1.2, 0.8, -60.0).copy(_3 = "2024-01-02 06:00:00"),
+      glassRow("g9", "A", 0.1, 0.1, 5.0).copy(_3 = "2024-01-04 12:00:00")))
+    val wm = new Watermarks(spark, tmp())
+    // one shared lastendtime table, three pipeline rows (nikon_ETL.py:549-563)
+    wm.init(Seq(
+      Watermark("EDC_Import",    "t01", ts("2024-01-03 00:00:00"), ts("2024-01-03 00:00:00")),
+      Watermark("ROT_Transform", "t01", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00")),
+      Watermark("AVM",           "t01", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"),
+        virtualRecipe = Some("TLCD_Nikon_VM_Fcn"))))
+    val rotOut = RotRunner.RotOutputs(tmp(), tmp(), tmp())
+    val avmOut = RotRunner.RotOutputs(tmp(), tmp(), tmp())
+
+    // AVM may not run ahead of ROT: before ROT has processed anything,
+    // the AVM interval [Jan-1, Jan-1) is empty
+    assert(EtlMain.avm(spark, raw, wm, "t01", "AVM", "ROT_Transform", avmOut) == 0)
+
+    // ROT catches up to replication (2 day-chunks), AVM then trails ROT
+    assert(EtlMain.rot(spark, raw, designValues, wm, "t01", "ROT_Transform", "EDC_Import", rotOut) == 2)
+    assert(EtlMain.avm(spark, raw, wm, "t01", "AVM", "ROT_Transform", avmOut) == 2)
+    assert(wm.require("ROT_Transform", "t01").lastEndTime == ts("2024-01-03 00:00:00"))
+    assert(wm.require("AVM", "t01").lastEndTime == ts("2024-01-03 00:00:00"))
+    val avmGlasses = spark.read.parquet(avmOut.headerPath).select("glassid")
+      .collect().map(_.getString(0)).toSet
+    assert(avmGlasses == Set("g1", "g2"), "g9 is beyond the ROT watermark")
+
+    // replication advances past g9 but ROT has not rerun: AVM must still
+    // hold at ROT's watermark, and the two rows stay independent
+    wm.advance("EDC_Import", "t01", ts("2024-01-05 00:00:00"))
+    assert(EtlMain.avm(spark, raw, wm, "t01", "AVM", "ROT_Transform", avmOut) == 0)
+    assert(EtlMain.rot(spark, raw, designValues, wm, "t01", "ROT_Transform", "EDC_Import", rotOut) == 2)
+    assert(EtlMain.avm(spark, raw, wm, "t01", "AVM", "ROT_Transform", avmOut) == 2)
+    assert(wm.require("AVM", "t01").lastEndTime == ts("2024-01-05 00:00:00"))
+    assert(spark.read.parquet(avmOut.headerPath).select("glassid")
+      .collect().map(_.getString(0)).toSet == Set("g1", "g2", "g9"))
+    // advancing never clobbers flow metadata (dbs/nikon.py:169-186
+    // updates only the time columns)
+    assert(wm.require("AVM", "t01").virtualRecipe.contains("TLCD_Nikon_VM_Fcn"))
+
+    // the VM model itself: mean site offset per axis. glassRow builds
+    // x_i = −sx + dy_i·tan(θµrad·1e-6), so vm_x = −sx + mean(dy)·tanθ
+    val h = spark.read.parquet(avmOut.headerPath).filter(col("glassid") === "g1").collect().head
+    val t = math.tan(120.0 * 1e-6)
+    h.getDouble(h.fieldIndex("vm_x")) shouldBe (-0.5 + 75.0 * t) +- 1e-9
+    h.getDouble(h.fieldIndex("vm_y")) shouldBe (0.3 - 50.0 * t) +- 1e-9
+    assert(h.getLong(h.fieldIndex("n_sites")) == nSites)
+    // residuals per glass must sum to ~0 against the mean model
+    val res = spark.read.parquet(avmOut.detailPath).filter(col("glassid") === "g1")
+      .agg(sum("x_res"), sum("y_res")).collect().head
+    res.getDouble(0) shouldBe 0.0 +- 1e-9
+    res.getDouble(1) shouldBe 0.0 +- 1e-9
+  }
+
+  test("a disabled watermark row fails check_flow for its pipeline only") {
+    import graft.flows.EtlMain
+    import graft.flows.RotRunner
+    import graft.incremental.{Watermark, Watermarks}
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_avm_dis").toString + "/t"
+    val wm = new Watermarks(spark, tmp())
+    wm.init(Seq(
+      Watermark("ROT_Transform", "t01", ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00")),
+      Watermark("AVM", "t01", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"),
+        enabled = false)))
+    val out = RotRunner.RotOutputs(tmp(), tmp(), tmp())
+    val raw = rawFrame(Seq(glassRow("g1", "A", 0.5, -0.3, 120.0)))
+    // WHERE enabled='TRUE' (dbs/nikon.py:28): the disabled AVM row is
+    // invisible, so its check_flow aborts…
+    intercept[IllegalStateException] {
+      EtlMain.avm(spark, raw, wm, "t01", "AVM", "ROT_Transform", out)
+    }
+    // …and the disabled row is still on disk, untouched, for re-enabling
+    assert(wm.all().exists(w => w.apname == "AVM" && !w.enabled))
+  }
+
   test("a glass measured twice in one chunk yields two independent fits") {
     val rows = Seq(
       glassRow("g1", "A", 0.5, -0.3, 120.0),
