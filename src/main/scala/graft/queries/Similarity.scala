@@ -1004,6 +1004,90 @@ object Similarity extends QueryModule {
       |SELECT qid, vec_id, adist, rank
       |FROM rankedq WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q78/q79 — the PERSISTED PQ index: train once, search many. q63/q64/
+  // q71 each retrain the codebook inside the query — correct, but not
+  // how a real index is served: a 100 TB store trains its codebook and
+  // compresses the corpus ONCE (the expensive offline job), then every
+  // query reads only the 8-nibble codes and the K·M codebook from
+  // storage. q78 is that offline build: one Lloyd step, corpus codes,
+  // both persisted as a parquet artifact (codebook + codes + completion
+  // marker, written marker-last so a half-built index is rebuilt, never
+  // served). q79 is the online path: codes and codebook come off the
+  // artifact — NO training, no touch of the raw corpus vectors — only
+  // the 8 query vectors are read uncompressed (that asymmetry is the
+  // whole point of ADC search) and scored against the stored codes via
+  // broadcast distance tables. Same ranking contract as q64, so q79
+  // shares its oracle — the q57/q62 pairing pattern for storage paths.
+  // If the artifact is absent (driver runs entries in any order), q79
+  // builds it first; its own plan still reads only the artifact.
+  private def pqIndexPath(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_pq_index/$key"
+  }
+
+  /** Idempotent offline build: codebook (one Lloyd step, the family's
+    * shared training) + per-vector codes → parquet, marker last. */
+  private def buildPqIndex(s: SparkSession, dir: String): Unit = {
+    val path = pqIndexPath(dir)
+    val marker = new java.io.File(s"$path/_COMPLETE")
+    if (marker.exists()) return
+    val quantS = pqQuant(s, dir)
+    val cents2 = pqUpdate(quantS, pqAssign(quantS, pqSeeds(quantS)))
+    val codes = pqAssign(quantS, cents2).select("vec_id", "sub", "cid")
+    cents2.write.mode("overwrite").parquet(s"$path/codebook")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+  }
+
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    buildPqIndex(s, dir)
+    // the build's checkable artifact view: every vector's stored code
+    s.read.parquet(s"${pqIndexPath(dir)}/codes")
+      .groupBy("vec_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(sub, cid))), x -> x.cid), '-')")
+        .as("code"))
+      .orderBy("vec_id")
+  }
+
+  private val q78Sql =
+    s"""WITH $pqSqlCtes
+      |SELECT vec_id, string_agg(cid::VARCHAR, '-' ORDER BY sub) AS code
+      |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    buildPqIndex(s, dir)
+    val path = pqIndexPath(dir)
+    val codebook = s.read.parquet(s"$path/codebook")  // K·M rows
+    val codes = s.read.parquet(s"$path/codes")        // the 8-nibble corpus
+    // only the query vectors are read raw — the serving asymmetry
+    val qquant = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"),
+        expr(s"pos0 div $PqDim").as("sub"),
+        expr(s"pos0 % $PqDim").as("p"),
+        round(col("v").cast("double") * 10000).cast("long").as("q"))
+      .groupBy("vec_id", "sub")
+      .agg(expr("transform(array_sort(collect_list(struct(p, q))), x -> x.q) AS qa"),
+           sum(col("q") * col("q")).as("n2q"))
+    val dtab = qquant.join(broadcast(codebook), Seq("sub"))
+      .withColumn("dot", expr("graft_dot(qa, ca)"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        (col("n2q") + col("n2c") - lit(2L) * col("dot")).as("d"))
+    codes.join(broadcast(dtab), Seq("sub", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("qid", "vec_id", "adist", "rank")
+      .orderBy("qid", "rank")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
     "q37_ann_lsh"        -> (q37 _),
@@ -1016,6 +1100,8 @@ object Similarity extends QueryModule {
     "q64_pq_adc"           -> (q64 _),
     "q68_embed_outliers"   -> (q68 _),
     "q71_ivfpq_search"     -> (q71 _),
+    "q78_pq_index_build"   -> (q78 _),
+    "q79_pq_index_search"  -> (q79 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -1030,5 +1116,7 @@ object Similarity extends QueryModule {
     "q64_pq_adc"           -> q64Sql,
     "q68_embed_outliers"   -> q68Sql,
     "q71_ivfpq_search"     -> q71Sql,
+    "q78_pq_index_build"   -> q78Sql,
+    "q79_pq_index_search"  -> q64Sql, // identical contract, served from the artifact
   )
 }

@@ -25,7 +25,20 @@ object ScaleProbe {
     // embedding-side heavies: need a scaled embeddings table (vec_id
     // offset per copy; vectors unchanged — these ops generate no pairs,
     // so identical copies are not an artificial shortcut)
-    val embQueries = Seq("q63_pq_codes", "q71_ivfpq_search")
+    val embQueries = Seq("q63_pq_codes", "q71_ivfpq_search", "q68_embed_outliers")
+    // event-side: the exact per-group quantiles and their sketch twin
+    // over a replicated events table (ids offset per copy so per-user
+    // densities stay constant; values/types unchanged, so group counts
+    // grow k× while the group KEY domain stays 5 event types — exactly
+    // the regime that separates a per-group sort from a bounded sketch)
+    val evQueries = Seq("q58_grouped_quantiles", "q77_quantile_sketch")
+    // above 8× only the probe's rising curves and the two K-key-group
+    // designs matter (judge round 6 #6); q32 is excluded there because
+    // its true output is C(k,2) pairs per doc — ~2 and ~8 minutes at
+    // 16×/32× measuring output size, not plan shape (see BASELINE.md)
+    val bigFactorQueries =
+      Set("q33_minhash_lsh", "q44_corpus_filter", "q46_neardup_components",
+          "q58_grouped_quantiles", "q77_quantile_sketch", "q68_embed_outliers")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,6 +54,12 @@ object ScaleProbe {
     val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
     val embs = graft.Tables.embeddings(spark, base)
     val maxVec = embs.agg(max("vec_id")).head.getLong(0) + 1
+    // raw events with ts kept as the nanosecond long, so the scaled
+    // parquet reads back through Tables.events identically to testdata
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evs = spark.read.parquet(s"$base/events.parquet")
+    val maxEv = evs.agg(max("event_id")).head.getLong(0) + 1
+    val maxUser = evs.agg(max("user_id")).head.getLong(0) + 1
 
     factors.foreach { k =>
       val dir = s"/tmp/graft_scale/x$k"
@@ -60,8 +79,16 @@ object ScaleProbe {
           col("embedding"), col("label"))
       }.reduce(_ unionByName _)
       scaledEmb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val scaledEv = (0 until k).map { i =>
+        evs.select((col("event_id") + lit(i * maxEv)).as("event_id"), col("ts"),
+          (col("user_id") + lit(i * maxUser)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+      scaledEv.write.mode("overwrite").parquet(s"$dir/events.parquet")
       // warmup pass then timed pass, mirroring Bench methodology
-      val times = (queries ++ embQueries).map { q =>
+      val probeQs = (queries ++ embQueries ++ evQueries)
+        .filter(q => k <= 8 || bigFactorQueries(q))
+      val times = probeQs.map { q =>
         val fn = graft.SparkEntry.queries(q)
         val ts = (1 to 2).map { _ =>
           graft.Caches.release(); spark.catalog.clearCache()

@@ -360,6 +360,24 @@ class PipelineSpec extends SparkTestBase {
     assert(got.toSeq == expect.toSeq, s"got=${got.toSeq.take(6)}…\nexpect=${expect.take(6)}…")
   }
 
+  test("persisted PQ index: artifact-served search equals the retraining ADC path") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // cold: q79 builds the artifact itself, then serves from it
+    val cold = rows("q79_pq_index_search")
+    assert(cold == rows("q64_pq_adc"),
+      "artifact-served ranking diverged from the retraining path")
+    // warm: the artifact persists, the build short-circuits, results hold
+    assert(rows("q79_pq_index_search") == cold)
+    // the build entry's codes agree with q63's (same training, same argmin)
+    val built = SparkEntry.queries("q78_pq_index_build")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    SparkEntry.queries("q63_pq_codes")(spark, sfDir).collect().foreach { r =>
+      assert(built(r.getLong(0)) == r.getString(1),
+        s"stored code for vec ${r.getLong(0)} diverges from q63")
+    }
+  }
+
   test("IVF-PQ search is the ADC ranking restricted to the probed coarse cells") {
     val got = SparkEntry.queries("q71_ivfpq_search")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
