@@ -154,15 +154,24 @@ object Temporal extends QueryModule {
   // the q68 lesson. Everything is integer arithmetic until the final
   // ÷1e6, so the DuckDB oracle replays it bit-exactly (no t-digest
   // divergence; see the header note on approx_percentile).
-  private def q77(s: SparkSession, dir: String): DataFrame = {
-    val quant = Tables.events(s, dir)
-      .select(col("event_type"), round(col("value") * 1e6).cast("long").as("v"))
+  /** The sketch's histogram maintenance, shared verbatim with the
+    * streaming twin (`Streams.quantileSketch` — one definition, the
+    * q65/intake pattern): micro-unit values in, (event_type, bkt) →
+    * (cnt, bmn) out. As a streaming aggregate its state is the bucket
+    * domain (≤ ~2.3k rows per event_type by construction), NOT the
+    * stream length — a sketch store's continuously-maintained state. */
+  private[graft] def sketchHistogram(quant: DataFrame): DataFrame =
+    quant // (event_type, v: long micro-units)
       .withColumn("u", col("v") + 2) // ≥ 2: bin() defined, log shape stable
       .withColumn("bkt", when(col("u") < 128, col("u"))
         .otherwise((length(bin(col("u"))) - 1) * 64 +
           expr("u div cast(pow(2.0d, length(bin(u)) - 1 - 6) as bigint)")))
-    val hist = quant.groupBy("event_type", "bkt")
+      .groupBy("event_type", "bkt")
       .agg(count(lit(1)).as("cnt"), min("v").as("bmn"))
+
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val hist = sketchHistogram(Tables.events(s, dir)
+      .select(col("event_type"), round(col("value") * 1e6).cast("long").as("v")))
     val byType = Window.partitionBy("event_type")
     val cum = hist
       .withColumn("n", sum("cnt").over(byType))

@@ -673,6 +673,72 @@ object TextPipeline extends QueryModule {
       |  FROM cnt)
       |SELECT rank, pair, cnt FROM ranked WHERE rank <= $BpeTopK ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q80 — COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan): the
+  // third mergeable sketch in the catalog (with q74's HLL and q77's
+  // quantile histogram) — token-frequency estimation whose corpus-side
+  // state is D·W = 4·512 counters REGARDLESS of vocabulary or corpus
+  // size. Each token occurrence increments one cell per hash row
+  // (md5-derived, the catalog's deterministic int64 idiom, so both
+  // engines address identical cells); a token's estimate is the MIN of
+  // its D cells — never an undercount, overcount bounded by cell
+  // collisions (~N/W per row, min across D rows). At 100 TB the sweep
+  // is one narrow pass partial-aggregated map-side into ≤ 2048 keys —
+  // no vocab-sized shuffle — and estimation joins the (much smaller)
+  // candidate vocabulary against the BROADCAST sketch. The exact count
+  // rides along for audit exactly as q74 carries exact distincts; the
+  // top-k window runs on the vocab-sized estimate relation only (q69's
+  // documented bounded-window pattern).
+  private val CmsD = 4
+  private val CmsW = 512
+  private val CmsTopK = 20
+  private def cmsCell(r: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(r.cast("string"), lit(":"), tok)), 1, 15), 16, 10)
+      .cast("long") % CmsW
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val sketch = toks
+      .select(explode(expr(s"sequence(0, ${CmsD - 1})")).as("r"), col("token"))
+      .select(col("r"), cmsCell(col("r"), col("token")).as("cell"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("c"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    freq
+      .select(col("token"), col("freq"),
+        explode(expr(s"sequence(0, ${CmsD - 1})")).as("r"))
+      .withColumn("cell", cmsCell(col("r"), col("token")))
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy("token", "freq").agg(min(col("c")).as("est"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("est").desc, col("token"))).cast("int"))
+      .filter(col("rank") <= CmsTopK)
+      .withColumn("overcount", col("est") - col("freq"))
+      .select("rank", "token", "freq", "est", "overcount")
+      .orderBy("rank")
+  }
+
+  private val q80Sql =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |rs AS (SELECT unnest([${(0 until CmsD).mkString(", ")}]) AS r),
+      |sketch AS (
+      |  SELECT rs.r,
+      |         CAST('0x' || substring(md5(rs.r::VARCHAR || ':' || t.token), 1, 15) AS BIGINT) % $CmsW AS cell,
+      |         COUNT(*) AS c
+      |  FROM toks t CROSS JOIN rs GROUP BY 1, 2),
+      |freq AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+      |est AS (
+      |  SELECT f.token, f.freq, MIN(s.c) AS est
+      |  FROM freq f CROSS JOIN rs
+      |  JOIN sketch s ON s.r = rs.r AND s.cell =
+      |    CAST('0x' || substring(md5(rs.r::VARCHAR || ':' || f.token), 1, 15) AS BIGINT) % $CmsW
+      |  GROUP BY f.token, f.freq),
+      |ranked AS (
+      |  SELECT token, freq, est,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY est DESC, token) AS INT) AS rank
+      |  FROM est)
+      |SELECT rank, token, freq, est, est - freq AS overcount
+      |FROM ranked WHERE rank <= $CmsTopK ORDER BY rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats"     -> (q30 _),
     "q55_repetition"     -> (q55 _),
@@ -687,6 +753,7 @@ object TextPipeline extends QueryModule {
     "q42_multimodal_stub" -> (q42 _),
     "q43_frame_sample"   -> (q43 _),
     "q45_langid_ngram"   -> (q45 _),
+    "q80_cms_heavyhitters" -> (q80 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -703,5 +770,6 @@ object TextPipeline extends QueryModule {
     "q43_frame_sample"   -> q43Sql,
     "q45_langid_ngram"   -> q45Sql,
     "q49_media_features" -> q49Sql,
+    "q80_cms_heavyhitters" -> q80Sql,
   )
 }

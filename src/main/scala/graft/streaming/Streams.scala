@@ -93,6 +93,23 @@ object Streams {
       .select("doc_id", "ts", "text_hash", "quality", "rule_mask", "clean_text")
   }
 
+  /** Streaming twin of q77's grouped-quantile sketch (D3, the q25/q57
+    * batch-stream pairing): the mergeable log-histogram is MAINTAINED as
+    * a continuous streaming aggregate — per (event_type, bucket)
+    * occurrence counts and bucket minima, one shared definition with the
+    * batch path (`Temporal.sketchHistogram`) so the two can never
+    * bucket differently. State is the bucket domain (≤ ~2.3k rows per
+    * event_type BY CONSTRUCTION — the value range maps into boundedly
+    * many log-linear buckets), not the stream length, so the aggregate
+    * runs in complete mode indefinitely without a watermark. The p25–p95
+    * readout is q77's cumulative walk over that tiny state, run on
+    * demand against the sink — the maintain-continuously/query-on-demand
+    * split every sketch store serves. */
+  def quantileSketch(events: DataFrame): DataFrame =
+    graft.queries.Temporal.sketchHistogram(
+      events.select(col("event_type"),
+        round(col("value") * 1e6).cast("long").as("v")))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, value: Double)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int, total_value: Double)

@@ -46,6 +46,43 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == expect)
   }
 
+  test("streaming quantile-sketch histogram readout matches batch q77 exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = Streams.quantileSketch(mem.toDF())
+      .writeStream.format("memory").queryName("qsketch")
+      .outputMode("complete").start()
+    // replay the REAL sf0.001 events through the stream in two batches
+    // (arbitrary split — complete-mode aggregation must not care)
+    val events = Tables.events(spark, sfDir).collect().map(r =>
+      Event(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val (a, b) = events.splitAt(events.length / 3)
+    mem.addData(a.toIndexedSeq: _*); query.processAllAvailable()
+    mem.addData(b.toIndexedSeq: _*); query.processAllAvailable()
+    val hist = spark.table("qsketch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    query.stop()
+
+    // q77's readout, replayed in plain Scala over the STREAMED state
+    val got = hist.groupBy(_._1).map { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      def pick(q: Int): Double = {
+        val k = (n - 1) * q / 100 + 1
+        var below = 0L
+        sorted.collectFirst {
+          case (_, _, cnt, bmn) if { val hit = below < k && k <= below + cnt; if (!hit) below += cnt; hit } =>
+            bmn.toDouble / 1e6
+        }.get
+      }
+      et -> (n, pick(25), pick(50), pick(75), pick(95))
+    }
+    val expect = SparkEntry.queries("q77_quantile_sketch")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got == expect, s"streamed readout diverged:\ngot=$got\nexpect=$expect")
+  }
+
   test("sessionizer closes sessions after the gap and aggregates within") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]

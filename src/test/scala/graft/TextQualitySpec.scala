@@ -109,4 +109,37 @@ class TextQualitySpec extends SparkTestBase {
       assert(got(id) == expect, s"doc $id: got=${got(id)} expect=$expect")
     }
   }
+
+  test("q80 CMS estimates never undercount and match a plain-Scala sketch replay") {
+    val rows = SparkEntry.queries("q80_cms_heavyhitters")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.head._1 == 1)
+    // CMS guarantee: min-of-cells is an upper bound on the true count
+    rows.foreach { case (rk, tok, freq, est, over) =>
+      assert(est >= freq, s"rank $rk '$tok': est $est undercounts freq $freq")
+      assert(over == est - freq)
+    }
+    // independent replay: build the 4×512 sketch in plain Scala over the
+    // same tokens with the same md5 cell addressing
+    val toks = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    def cell(r: Int, tok: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(h, 16) % 512).toInt
+    }
+    val sketch = Array.fill(4, 512)(0L)
+    toks.foreach(t => (0 until 4).foreach(r => sketch(r)(cell(r, t)) += 1))
+    val freq = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    rows.foreach { case (rk, tok, f, est, _) =>
+      assert(freq(tok) == f, s"'$tok' exact count mismatch")
+      val replay = (0 until 4).map(r => sketch(r)(cell(r, tok))).min
+      assert(replay == est, s"rank $rk '$tok': replayed est $replay != $est")
+    }
+    // the heaviest true token must surface at rank 1 (est ranking can
+    // only promote by collisions, never demote the maximum)
+    val maxTok = freq.maxBy { case (t, f) => (f, t) }
+    assert(rows.head._4 >= maxTok._2, "rank-1 estimate below the true maximum")
+  }
 }
