@@ -360,6 +360,51 @@ class PipelineSpec extends SparkTestBase {
     assert(got.toSeq == expect.toSeq, s"got=${got.toSeq.take(6)}…\nexpect=${expect.take(6)}…")
   }
 
+  test("q68 threshold ties resolve by vec_id rank exactly (crafted tie corpus)") {
+    // Engineered Lloyd outcome: seed 0 at the origin, seeds 1..7 far on
+    // distinct axes, and 40 members of cluster 0 placed symmetrically on
+    // dim 0 — 20 at ±0.25 (dist² A) and 20 at ±0.5 (dist² B > A) — so
+    // the centroid floor-mean stays at the origin and distances are
+    // exact. n = 41 ⇒ t = ⌊41·97/100⌋ = 39, ranks 22..41 all hold B:
+    // the threshold value IS a 20-way tie, c_lt = 21, and the outliers
+    // are the tie rows with vec_id rank > 18 — precisely the two
+    // largest vec_ids of the B ring. Clusters 1..7 are singletons,
+    // exercising the t = 0 and constant-distance shortcuts in the same
+    // run.
+    val dim = 64
+    def vec(axis: Int, v: Float): Array[Float] = {
+      val a = Array.fill(dim)(0f); if (axis >= 0) a(axis) = v; a
+    }
+    val rows =
+      Seq((0L, vec(-1, 0f))) ++                      // seed 0: origin
+      (1 to 7).map(k => (k.toLong, vec(k, 8f))) ++   // far seeds
+      (8 to 17).map(i => (i.toLong, vec(0, 0.25f))) ++
+      (18 to 27).map(i => (i.toLong, vec(0, -0.25f))) ++
+      (28 to 37).map(i => (i.toLong, vec(0, 0.5f))) ++
+      (38 to 47).map(i => (i.toLong, vec(0, -0.5f)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q68_tie").toString
+    import spark.implicits._
+    rows.toSeq.map { case (id, e) => (id, e.toSeq, "x") }
+      .toDF("vec_id", "embedding", "label")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = SparkEntry.queries("q68_embed_outliers")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    graft.Caches.release()
+    val A = 2500L * 2500L; val B = 5000L * 5000L
+    // cluster 0: med is the rank-21 value = A; only vec_ids 46, 47 are
+    // outliers (tie ranks 19 and 20 of the B ring, ordered by vec_id)
+    (8 to 47).foreach { i =>
+      val (cid, d2, med, out) = got(i.toLong)
+      assert(cid == 0L && med == A, s"vec $i landed ($cid, med $med)")
+      assert(d2 == (if (i <= 27) A else B), s"vec $i dist $d2")
+      assert(out == (i >= 46), s"vec $i outlier=$out")
+    }
+    // seed 0 sits at the centroid; singleton clusters flag nothing
+    assert(got(0L) == ((0L, 0L, A, false)))
+    (1 to 7).foreach(k => assert(got(k.toLong) == ((k.toLong, 0L, 0L, false)), s"seed $k"))
+  }
+
   test("persisted PQ index: artifact-served search equals the retraining ADC path") {
     def rows(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq

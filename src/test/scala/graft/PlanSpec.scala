@@ -81,6 +81,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q79 serves from the artifact: raw corpus vectors are never scanned") {
+    // the persisted-index claim: the search plan reads the codes and
+    // codebook parquet artifacts, and touches the embeddings table ONLY
+    // for the 8 query vectors (pushed-down vec_id bound) — a scan of
+    // the full raw corpus would defeat the ADC memory story
+    val p = plan(graft.queries.Similarity.queries("q79_pq_index_search")(spark, sfDir))
+    assert(p.contains("graft_pq_index"), "search does not read the index artifact")
+    val corpusScans = p.split("\n").filter(_.contains("embeddings.parquet"))
+    assert(corpusScans.nonEmpty, "query vectors must come from the embeddings table")
+    corpusScans.foreach { l =>
+      assert(l.contains("vec_id") && (l.contains("< 8") || l.contains("LessThan(vec_id,8)")),
+        s"embeddings scan without the query-vector bound:\n$l")
+    }
+  }
+
   test("q68 has no corpus-wide rank window on the K cluster ids") {
     // the round-6 scale-killer: row_number over partitionBy(cid) ordered
     // by dist2 funnels the whole corpus into K=8 sort partitions. The
