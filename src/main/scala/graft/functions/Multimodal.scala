@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, processed per-partition in batches.
   *
-  * The real decode path (image/audio codecs) is STUBBED — this container
-  * ships no media libraries — behind [[decodeStub]], which produces
-  * deterministic pseudo-features from the payload's md5 so the pipeline is
-  * end-to-end testable (and oracle-checkable: the same features are
-  * SQL-expressible). Everything around the stub is the real Spark
-  * plumbing a production decoder needs:
+  * The `image` type has a REAL codec path: payloads are genuine PNG bytes
+  * and [[decodeImages]] recovers width/height and a luma histogram from
+  * the decoded raster via the JDK's built-in javax.imageio reader — no
+  * external libraries. Audio/video decode remains STUBBED behind
+  * [[decodeStub]] (this container ships no audio/video codecs and the JDK
+  * has none), which produces deterministic pseudo-features from the
+  * payload's md5 so those pipelines stay end-to-end testable (and
+  * oracle-checkable: the same features are SQL-expressible). Everything
+  * around the decode is the real Spark plumbing a production decoder
+  * needs:
   *  - payloads travel as `BinaryType` columns (never stringified),
   *  - decoding runs in [[Dataset.mapPartitions]] so a real codec would
   *    amortize per-partition init (model load, decoder context) across
@@ -138,21 +142,128 @@ object Multimodal {
   case class ResizePlan(doc_id: Long, media_type: String, width: Int, height: Int,
                         out_w: Int, out_h: Int)
 
-  /** Resize planning: fit (width, height) into a maxW×maxH box
-    * preserving aspect ratio, never upscaling. The dimension math is
-    * real and INTEGER-exact (rational comparison + integer division, so
-    * the oracle reproduces it bit-for-bit); the pixel resample itself
+  /** Box-fit math shared by [[resizePlan]] and the real image pipeline:
+    * fit (w, h) into maxW×maxH preserving aspect ratio, never upscaling.
+    * INTEGER-exact (rational comparison + integer division) so the
+    * oracle reproduces it bit-for-bit. */
+  def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH >= h.toLong * maxW) // width-bound
+      (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+    else
+      (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+
+  /** Resize planning over decoded dimensions; the pixel resample itself
     * would run where the decode stub sits, consuming these plans. */
   def resizePlan(features: Dataset[MediaFeatures], maxW: Int = 64, maxH: Int = 64): Dataset[ResizePlan] = {
     import features.sparkSession.implicits._
     features.map { f =>
-      val (ow, oh) =
-        if (f.width <= maxW && f.height <= maxH) (f.width, f.height)
-        else if (f.width.toLong * maxH >= f.height.toLong * maxW) // width-bound
-          (maxW, math.max(1, (f.height.toLong * maxW / f.width).toInt))
-        else
-          (math.max(1, (f.width.toLong * maxH / f.height).toInt), maxH)
+      val (ow, oh) = fitBox(f.width, f.height, maxW, maxH)
       ResizePlan(f.doc_id, f.media_type, f.width, f.height, ow, oh)
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // REAL image codec path (no stub): the JDK ships a complete PNG
+  // encoder/decoder in javax.imageio, so the `image` media type gets an
+  // actual pixel decode — bytes in, BufferedImage out, features computed
+  // from real decoded pixels. Payloads are synthesized deterministically
+  // (pixel value = an integer function of (doc_id, x, y)) so the DuckDB
+  // oracle can replay the EXPECTED features from the formula while Spark
+  // recovers them from the compressed PNG bytes: a hash match proves the
+  // codec genuinely round-trips, not that two engines ran the same
+  // arithmetic.
+
+  /** Deterministic image geometry/pixels for doc_id (shared by the
+    * synthesizer, the specs, and — as SQL — the oracle):
+    * W = 8 + id%120, H = 8 + (7·id)%120, luma(x,y) = (31·id+7x+13y)%256. */
+  def imageDims(id: Long): (Int, Int) =
+    (8 + (id % 120).toInt, 8 + ((id * 7) % 120).toInt)
+  def imageLuma(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Encode doc_id's deterministic grayscale image as real PNG bytes. */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = imageLuma(id, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(w * h / 2)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Synthesize the image-typed media rows (doc_id % 3 == 0, matching
+    * [[mediaFromDocuments]]'s type assignment) with REAL PNG payloads.
+    * Runs in mapPartitions: per-partition is where a production loader
+    * would open its blob-store client; ImageIO's disk cache is disabled
+    * once per executor JVM (executors have no guaranteed scratch dir). */
+  def synthesizeImages(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map(id => MediaRow(id, "image", encodePng(id)))
+      }
+  }
+
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           n_px: Long, bins: Array[Long])
+
+  /** REAL decode: ImageIO parses the PNG container and inflates the
+    * pixel data; width/height and the 16-bin luma histogram come from
+    * the decoded raster, not from any function of the input bytes. Same
+    * mapPartitions batch shape as [[decode]] — a partition amortizes
+    * reader init across its rows and never shuffles. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val bins = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            bins(luma >> 4) += 1
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(r.doc_id, w, h, w.toLong * h, bins)
+      }
+    }
+  }
+
+  case class ImagePipelineRow(doc_id: Long, media_type: String, width: Int, height: Int,
+                              out_w: Int, out_h: Int, n_bytes: Long, bins: Array[Long])
+
+  /** The composed real-image pipeline (synthesize → PNG decode → box-fit
+    * plan + luma histogram) as one narrow map chain — q49's image branch.
+    * n_bytes for an image row is the decoded 8-bit luma sample count
+    * (= w·h bytes of pixel data), the decoded-domain analog of the
+    * payload-byte count the stub branch reports. */
+  def imagePipeline(s: SparkSession, dir: String, maxW: Int = 64, maxH: Int = 64): Dataset[ImagePipelineRow] = {
+    import s.implicits._
+    decodeImages(synthesizeImages(s, dir)).map { f =>
+      val (ow, oh) = fitBox(f.width, f.height, maxW, maxH)
+      ImagePipelineRow(f.doc_id, "image", f.width, f.height, ow, oh, f.n_px, f.bins)
     }
   }
 

@@ -302,32 +302,39 @@ object TextPipeline extends QueryModule {
       |FROM feat ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q49 — the remaining multimodal stages composed: decode (stub) →
-  // resize planning (REAL integer box-fit math) + feature extraction
-  // (REAL 16-bin byte histogram — no codec involved, so nothing here is
-  // stubbed except the upstream decode dims). All output columns are
-  // integers: the oracle replays the md5-derived dims, the rational
-  // resize arithmetic, and the per-byte histogram exactly.
+  // q49 — the remaining multimodal stages composed, per media type:
+  //  * image rows take the REAL codec path (Multimodal.imagePipeline):
+  //    genuine PNG payloads decoded by javax.imageio, real width/height
+  //    from the raster, box-fit resize plan on the real dims, and a
+  //    16-bin histogram over DECODED luma samples (n_bytes = the decoded
+  //    8-bit sample count, w·h);
+  //  * audio/video rows keep the stub-decode dims (no JDK codec exists
+  //    for them) with the REAL payload-byte histogram and resize math.
+  // The oracle replays the image branch from the pixel formula — Spark
+  // has to recover the same numbers from compressed PNG bytes, so a hash
+  // match certifies an actual decode — and the stub branch from md5.
   private def q49(s: SparkSession, dir: String): DataFrame = {
+    def binned(df: DataFrame) =
+      df.select(Seq("doc_id", "media_type", "width", "height", "out_w", "out_h", "n_bytes").map(col)
+        ++ (0 until 16).map(i => element_at(col("bins"), i + 1).as(f"b$i%02d")): _*)
+    val img = binned(Multimodal.imagePipeline(s, dir).toDF())
     val media = Multimodal.mediaFromDocuments(s, dir)
+      .filter(col("media_type") =!= "image")
     val rp = Multimodal.resizePlan(Multimodal.decode(media)).toDF()
-    val hist = Multimodal.extractFeatures(media).toDF()
-      .select(col("doc_id") +: col("n_bytes") +: (0 until 16).map(i =>
-        element_at(col("bins"), i + 1).as(f"b$i%02d")): _*)
-    rp.join(hist, "doc_id")
-      .select(Seq("doc_id", "media_type", "width", "height", "out_w", "out_h", "n_bytes").map(col)
-        ++ (0 until 16).map(i => col(f"b$i%02d")): _*)
-      .orderBy("doc_id")
+    val av = binned(rp.join(
+      Multimodal.extractFeatures(media).toDF().select("doc_id", "n_bytes", "bins"), "doc_id"))
+    img.unionByName(av).orderBy("doc_id")
   }
 
   private val q49Sql = {
     val binCols = (0 until 16).map(i =>
       s"COUNT(*) FILTER (bin = $i) AS b${"%02d".format(i)}").mkString(",\n      |         ")
+    val bsel = (0 until 16).map(i => s"b${"%02d".format(i)}").mkString(", ")
     s"""WITH m AS (
       |  SELECT doc_id,
       |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
       |         md5(text) AS h, text
-      |  FROM documents),
+      |  FROM documents WHERE doc_id % 3 <> 0),
       |hx AS (
       |  SELECT doc_id, media_type, text,
       |         CAST(32 + ((strpos('0123456789abcdef', h[1]) - 1) * 16 + (strpos('0123456789abcdef', h[2]) - 1)) % 224 AS INT) AS width,
@@ -342,16 +349,87 @@ object TextPipeline extends QueryModule {
       |                   WHEN width * 64 >= height * 64 THEN GREATEST(1, (height * 64) // width)
       |                   ELSE 64 END AS INT) AS out_h
       |  FROM hx),
-      |chars AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |chars AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents WHERE doc_id % 3 <> 0),
       |bh AS (SELECT doc_id, ord(c) // 16 AS bin FROM chars),
       |hist AS (
       |  SELECT doc_id, COUNT(*) AS n_bytes,
       |         $binCols
-      |  FROM bh GROUP BY doc_id)
-      |SELECT r.doc_id, r.media_type, r.width, r.height, r.out_w, r.out_h, t.n_bytes,
+      |  FROM bh GROUP BY doc_id),
+      |stubrows AS (
+      |  SELECT r.doc_id, r.media_type, r.width, r.height, r.out_w, r.out_h, t.n_bytes,
+      |         ${(0 until 16).map(i => s"t.b${"%02d".format(i)}").mkString(", ")}
+      |  FROM rp r JOIN hist t ON r.doc_id = t.doc_id),
+      |img AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 120 AS INT) AS w,
+      |         CAST(8 + (doc_id * 7) % 120 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |ipx AS (
+      |  SELECT doc_id, w, h, unnest(range(0, CAST(w AS BIGINT) * h)) AS i FROM img),
+      |ilum AS (
+      |  SELECT doc_id, CAST(((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) // 16 AS INT) AS bin
+      |  FROM ipx),
+      |ihist AS (
+      |  SELECT doc_id,
+      |         $binCols
+      |  FROM ilum GROUP BY doc_id),
+      |imgrows AS (
+      |  SELECT i.doc_id, 'image' AS media_type, i.w AS width, i.h AS height,
+      |         CAST(CASE WHEN i.w <= 64 AND i.h <= 64 THEN i.w
+      |                   WHEN i.w * 64 >= i.h * 64 THEN 64
+      |                   ELSE GREATEST(1, (i.w * 64) // i.h) END AS INT) AS out_w,
+      |         CAST(CASE WHEN i.w <= 64 AND i.h <= 64 THEN i.h
+      |                   WHEN i.w * 64 >= i.h * 64 THEN GREATEST(1, (i.h * 64) // i.w)
+      |                   ELSE 64 END AS INT) AS out_h,
+      |         CAST(i.w AS BIGINT) * i.h AS n_bytes,
+      |         ${(0 until 16).map(i => s"t.b${"%02d".format(i)}").mkString(", ")}
+      |  FROM img i JOIN ihist t ON i.doc_id = t.doc_id)
+      |SELECT doc_id, media_type, width, height, out_w, out_h, n_bytes, $bsel
+      |FROM (SELECT * FROM imgrows UNION ALL SELECT * FROM stubrows)
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q81 — REAL image decode (L16 closed): deterministic grayscale images
+  // are encoded to genuine PNG bytes (javax.imageio, JDK-built-in) and
+  // travel the pipeline as a BinaryType payload column; the decode stage
+  // parses the PNG container, inflates the raster, and reads width,
+  // height, and a 16-bin luma histogram from REAL decoded pixels in the
+  // same per-partition batch loop the stub used. The oracle recomputes
+  // the expected features from the pixel FORMULA — it never sees the PNG
+  // bytes — so a hash match proves the codec path round-trips: compress
+  // on one side of the pipeline, decode on the other, identical pixels.
+  // Scale shape: narrow map end-to-end (synthesize → decode → histogram),
+  // zero shuffles; a production variant swaps the synthesizer for a blob
+  // fetch and keeps everything downstream.
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    Multimodal.decodeImages(Multimodal.synthesizeImages(s, dir)).toDF()
+      .select(Seq("doc_id", "width", "height", "n_px").map(col)
+        ++ (0 until 16).map(i => element_at(col("bins"), i + 1).as(f"b$i%02d")): _*)
+      .orderBy("doc_id")
+  }
+
+  private val q81Sql = {
+    val binCols = (0 until 16).map(i =>
+      s"COUNT(*) FILTER (bin = $i) AS b${"%02d".format(i)}").mkString(",\n      |         ")
+    s"""WITH img AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 120 AS INT) AS w,
+      |         CAST(8 + (doc_id * 7) % 120 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(range(0, CAST(w AS BIGINT) * h)) AS i FROM img),
+      |lum AS (
+      |  SELECT doc_id, CAST(((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) // 16 AS INT) AS bin
+      |  FROM px),
+      |hist AS (
+      |  SELECT doc_id,
+      |         $binCols
+      |  FROM lum GROUP BY doc_id)
+      |SELECT i.doc_id, i.w AS width, i.h AS height, CAST(i.w AS BIGINT) * i.h AS n_px,
       |       ${(0 until 16).map(i => s"t.b${"%02d".format(i)}").mkString(", ")}
-      |FROM rp r JOIN hist t ON r.doc_id = t.doc_id
-      |ORDER BY r.doc_id""".stripMargin
+      |FROM img i JOIN hist t ON i.doc_id = t.doc_id
+      |ORDER BY i.doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -754,6 +832,7 @@ object TextPipeline extends QueryModule {
     "q43_frame_sample"   -> (q43 _),
     "q45_langid_ngram"   -> (q45 _),
     "q80_cms_heavyhitters" -> (q80 _),
+    "q81_image_decode"   -> (q81 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -771,5 +850,6 @@ object TextPipeline extends QueryModule {
     "q45_langid_ngram"   -> q45Sql,
     "q49_media_features" -> q49Sql,
     "q80_cms_heavyhitters" -> q80Sql,
+    "q81_image_decode"   -> q81Sql,
   )
 }

@@ -242,6 +242,44 @@ class PipelineSpec extends SparkTestBase {
     out.values.foreach { case (w, h) => assert(w >= 1 && h >= 1 && w <= 64 && h <= 64) }
   }
 
+  test("real image decode: PNG round-trip recovers formula pixels exactly") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    val out = Multimodal.decodeImages(Multimodal.synthesizeImages(spark, sfDir))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { f =>
+      val (w, h) = Multimodal.imageDims(f.doc_id)
+      assert((f.width, f.height) == (w, h), s"decoded dims for doc ${f.doc_id}")
+      assert(f.n_px == w.toLong * h)
+      assert(f.bins.sum == f.n_px, "histogram covers every decoded pixel")
+      // expected histogram straight from the pixel formula — the decode
+      // had to recover these values from compressed PNG bytes
+      val exp = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w) exp(Multimodal.imageLuma(f.doc_id, x, y) >> 4) += 1
+      assert(f.bins.toSeq == exp.toSeq, s"luma histogram for doc ${f.doc_id}")
+    }
+    // payloads are genuine PNG containers, not a re-labeled text column
+    val payload = Multimodal.synthesizeImages(spark, sfDir).head().payload
+    assert(payload.take(8).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+  }
+
+  test("real image decode reads the raster, not the input bytes: independent image decodes correctly") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    // an image built in the test, unknown to the synthesizer: 4x2, two
+    // mid-gray columns then six white pixels
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x == 0) 0x808080 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.decodeImages(
+      Seq(Multimodal.MediaRow(99L, "image", bos.toByteArray)).toDS()).head()
+    assert((out.width, out.height, out.n_px) == (4, 2, 8L))
+    assert(out.bins(8) == 2 && out.bins(15) == 6 && out.bins.sum == 8)
+  }
+
   test("langid marker join predicts a language for marker-bearing docs") {
     val out = TextPipeline.queries("q41_langid")(spark, sfDir)
     assert(out.count() == Tables.documents(spark, sfDir).count())
