@@ -1021,31 +1021,86 @@ object Similarity extends QueryModule {
   // shares its oracle — the q57/q62 pairing pattern for storage paths.
   // If the artifact is absent (driver runs entries in any order), q79
   // builds it first; its own plan still reads only the artifact.
-  private def pqIndexPath(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_pq_index/$key"
+  // The artifact lives on whatever FileSystem the configured root maps
+  // to — HDFS, S3A, or local — through the Hadoop FileSystem API, never
+  // java.io.File: at 100 TB the index is cluster storage, and the
+  // marker-last / atomic-publish guarantees must hold THERE, not just on
+  // a local disk. Root resolution: env (the deployment knob, mirroring
+  // SPARK_GRAFT_SF_DIR) → system property (test override) → local tmp.
+  private def pqIndexRoot: String =
+    sys.env.get("SPARK_GRAFT_INDEX_DIR")
+      .orElse(sys.props.get("graft.index.dir"))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_pq_index")
+
+  private def md5key(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  /** Cheap source fingerprint: names, lengths, and mtimes of the
+    * embeddings table's files. Folded into the index key, so a corpus
+    * regenerated under the SAME path gets a fresh index instead of
+    * silently serving codes built from the old data — the staleness
+    * hazard a path-only key carries. FS metadata only; never reads rows. */
+  private[graft] def pqDataFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p))
+    val sig = stats.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    md5key(s"$dir#$sig")
   }
 
+  private[graft] def pqIndexPath(s: SparkSession, dir: String): String =
+    s"$pqIndexRoot/${pqDataFingerprint(s, dir)}"
+
   /** Idempotent offline build: codebook (one Lloyd step, the family's
-    * shared training) + per-vector codes → parquet, marker last. */
-  private def buildPqIndex(s: SparkSession, dir: String): Unit = {
-    val path = pqIndexPath(dir)
-    val marker = new java.io.File(s"$path/_COMPLETE")
-    if (marker.exists()) return
+    * shared training) + per-vector codes → parquet. Publication is
+    * crash- and race-safe twice over: the artifact is assembled in a
+    * private temp directory and atomically renamed into place (two
+    * concurrent drivers cannot interleave writes — the loser discards
+    * its temp), and the `_COMPLETE` marker is still written LAST inside
+    * the temp, so even on stores where rename is a copy (S3 without a
+    * committer) a half-published index is detected and rebuilt, never
+    * served. */
+  private[graft] def buildPqIndex(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(pqIndexPath(s, dir))
+    val fs = path.getFileSystem(conf)
+    def complete(p: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_COMPLETE"))
+    if (complete(path)) return
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     val quantS = pqQuant(s, dir)
     val cents2 = pqUpdate(quantS, pqAssign(quantS, pqSeeds(quantS)))
     val codes = pqAssign(quantS, cents2).select("vec_id", "sub", "cid")
-    cents2.write.mode("overwrite").parquet(s"$path/codebook")
-    codes.write.mode("overwrite").parquet(s"$path/codes")
-    marker.getParentFile.mkdirs()
-    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    cents2.write.mode("overwrite").parquet(s"$tmp/codebook")
+    codes.write.mode("overwrite").parquet(s"$tmp/codes")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_COMPLETE"), true).close() // marker LAST
+    fs.mkdirs(path.getParent)
+    // Publish. Hadoop rename moves src INTO an existing destination
+    // directory rather than failing, so a half-built squatter (exists,
+    // no marker — a crashed pre-temp-era build or manual damage) must be
+    // evicted first, never renamed into. If a concurrent build wins the
+    // race between these steps, its artifact is complete and equivalent
+    // (same fingerprint ⇒ same data ⇒ same deterministic training):
+    // keep theirs, drop ours; a stray tmp renamed inside is dot-prefixed
+    // and invisible to parquet listings.
+    if (fs.exists(path) && !complete(path)) fs.delete(path, true)
+    if (!fs.exists(path)) {
+      if (!fs.rename(tmp, path) && !complete(path))
+        throw new IllegalStateException(s"could not publish PQ index at $path")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (!complete(path))
+      throw new IllegalStateException(s"PQ index at $path incomplete after publish")
   }
 
   private def q78(s: SparkSession, dir: String): DataFrame = {
     buildPqIndex(s, dir)
     // the build's checkable artifact view: every vector's stored code
-    s.read.parquet(s"${pqIndexPath(dir)}/codes")
+    s.read.parquet(s"${pqIndexPath(s, dir)}/codes")
       .groupBy("vec_id")
       .agg(expr("array_join(transform(array_sort(collect_list(struct(sub, cid))), x -> x.cid), '-')")
         .as("code"))
@@ -1059,7 +1114,7 @@ object Similarity extends QueryModule {
 
   private def q79(s: SparkSession, dir: String): DataFrame = {
     buildPqIndex(s, dir)
-    val path = pqIndexPath(dir)
+    val path = pqIndexPath(s, dir)
     val codebook = s.read.parquet(s"$path/codebook")  // K·M rows
     val codes = s.read.parquet(s"$path/codes")        // the 8-nibble corpus
     // only the query vectors are read raw — the serving asymmetry

@@ -461,6 +461,51 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("persisted PQ index storage contract: half-built index rebuilt, fingerprint keys the data, root configurable") {
+    import graft.queries.Similarity
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_test").toString
+    val prev = sys.props.get("graft.index.dir")
+    try {
+      sys.props("graft.index.dir") = root
+      val want = SparkEntry.queries("q79_pq_index_search")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+      val path = new org.apache.hadoop.fs.Path(Similarity.pqIndexPath(spark, sfDir))
+      // the root knob was honored and the marker published
+      assert(path.toString.startsWith(root), s"index at $path ignores configured root")
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(path, "_COMPLETE")))
+      // sabotage: drop the marker and corrupt the codes — a half-built
+      // (marker-less) artifact must be rebuilt, never served
+      hfs.delete(new org.apache.hadoop.fs.Path(path, "_COMPLETE"), false)
+      hfs.delete(new org.apache.hadoop.fs.Path(path, "codes"), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(path, "codes"))
+      val rebuilt = SparkEntry.queries("q79_pq_index_search")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+      assert(rebuilt == want, "marker-less index was served instead of rebuilt")
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(path, "_COMPLETE")), "rebuild did not republish")
+      // staleness: a regenerated corpus under the SAME dir path must key
+      // to a DIFFERENT index (fingerprint covers file lengths/mtimes)
+      val dataCopy = java.nio.file.Files.createTempDirectory("graft_idx_data").toString
+      val emb = new java.io.File(s"$sfDir/embeddings.parquet")
+      val copyTo = new java.io.File(s"$dataCopy/embeddings.parquet")
+      if (emb.isDirectory) {
+        copyTo.mkdirs()
+        emb.listFiles().foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(copyTo, f.getName).toPath))
+      } else java.nio.file.Files.copy(emb.toPath, copyTo.toPath)
+      val k1 = Similarity.pqDataFingerprint(spark, dataCopy)
+      assert(Similarity.pqDataFingerprint(spark, dataCopy) == k1, "fingerprint not stable")
+      // "regenerate" in place: same dir, same bytes, new mtime
+      val touched = if (copyTo.isDirectory) copyTo.listFiles().head else copyTo
+      assert(touched.setLastModified(touched.lastModified() + 60000))
+      assert(Similarity.pqDataFingerprint(spark, dataCopy) != k1,
+        "fingerprint blind to a regenerated corpus under the same path")
+    } finally {
+      prev match { case Some(v) => sys.props("graft.index.dir") = v
+                   case None    => sys.props.remove("graft.index.dir") }
+    }
+  }
+
   test("IVF-PQ search is the ADC ranking restricted to the probed coarse cells") {
     val got = SparkEntry.queries("q71_ivfpq_search")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
