@@ -30,13 +30,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * side's columns need no null-padded union schema and the merge needs
   * no window state machine.
   *
-  * Key and timestamp are single int64 expressions (ids/epoch-µs — the
-  * catalog's convention); a composite key packs into one int64 upstream.
+  * Keys and timestamp are int64 expressions (ids/epoch-µs — the
+  * catalog's convention); composite keys are first-class — pass N key
+  * expressions per side and the merge compares them lexicographically,
+  * matching DuckDB's multi-key ASOF contract.
   */
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
-                        leftKey: Expression, rightKey: Expression,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTs: Expression, rightTs: Expression,
                         rightTie: Expression) extends BinaryNode {
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    s"as-of join needs matching key lists, got ${leftKeys.length} vs ${rightKeys.length}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
@@ -52,34 +56,38 @@ class AsofJoinStrategy extends SparkStrategy {
 }
 
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
-                        leftKey: Expression, rightKey: Expression,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTs: Expression, rightTs: Expression,
                         rightTie: Expression) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  // cluster both sides on the key; EnsureRequirements inserts the
-  // exchanges, and pinning requiredNumPartitions keeps AQE from
-  // coalescing the two shuffles to different partition counts (the merge
-  // zips partitions pairwise, so the counts must match exactly — SMJ
-  // gets this coordination from AQE's join handling, a custom node must
-  // ask for it)
+  // cluster both sides on the full key list; EnsureRequirements inserts
+  // the exchanges. requireAllClusterKeys pins the partitioning to ALL
+  // keys (a child pre-partitioned on a key PREFIX would technically
+  // satisfy a plain ClusteredDistribution while the other side hashes
+  // every key — misaligned copartitioning, silently wrong merges), and
+  // pinning requiredNumPartitions keeps AQE from coalescing the two
+  // shuffles to different partition counts (the merge zips partitions
+  // pairwise, so the counts must match exactly — SMJ gets this
+  // coordination from AQE's join handling, a custom node must ask)
   private val numParts =
     org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = Some(numParts)) ::
-    ClusteredDistribution(Seq(rightKey), requiredNumPartitions = Some(numParts)) :: Nil
+    ClusteredDistribution(leftKeys, requireAllClusterKeys = true,
+      requiredNumPartitions = Some(numParts)) ::
+    ClusteredDistribution(rightKeys, requireAllClusterKeys = true,
+      requiredNumPartitions = Some(numParts)) :: Nil
 
-  // per-partition merge order: (key, ts) on the left; (key, ts, tie) on
-  // the right so the last-retained row among equal timestamps is the
+  // per-partition merge order: (keys…, ts) on the left; (keys…, ts, tie)
+  // on the right so the last-retained row among equal timestamps is the
   // max-tiebreak one — deterministic on duplicated right timestamps
+  private def asc(e: Expression) =
+    SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-        SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),
-    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-        SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending),
-        SortOrder(rightTie, org.apache.spark.sql.catalyst.expressions.Ascending)))
+    leftKeys.map(asc) :+ asc(leftTs),
+    rightKeys.map(asc) ++ Seq(asc(rightTs), asc(rightTie)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -88,10 +96,11 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
-    val lk = leftKey; val rk = rightKey; val lts = leftTs; val rts = rightTs
+    val lk = leftKeys; val rk = rightKeys; val lts = leftTs; val rts = rightTs
+    val nk = leftKeys.length
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lkEval = UnsafeProjection.create(Seq(lk), leftOut)
-      val rkEval = UnsafeProjection.create(Seq(rk), rightOut)
+      val lkEval = UnsafeProjection.create(lk, leftOut)
+      val rkEval = UnsafeProjection.create(rk, rightOut)
       val ltsEval = UnsafeProjection.create(Seq(lts), leftOut)
       val rtsEval = UnsafeProjection.create(Seq(rts), rightOut)
       val out = UnsafeProjection.create((leftOut ++ rightOut).map(_.dataType).toArray)
@@ -99,30 +108,45 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
 
       val rBuf = rIter.buffered
-      var curKey = Long.MinValue
+      val curKey = new Array[Long](nk)
       var haveKey = false
       var latest: InternalRow = null
 
-      def advanceRight(key: Long, ts: Long): Unit = {
-        // consume every right row with (rKey, rTs) < (key, ts) in the
-        // merge order; the last one matching THIS key is the as-of match
-        // (right is tie-ordered, so equal-ts duplicates resolve to the
-        // max tiebreak). Rows for earlier keys drain — their lefts have
-        // already passed.
+      // lexicographic compare of an evaluated key row against curKey
+      def cmpCur(row: InternalRow): Int = {
+        var i = 0
+        while (i < nk) {
+          val v = row.getLong(i)
+          if (v != curKey(i)) return if (v < curKey(i)) -1 else 1
+          i += 1
+        }
+        0
+      }
+
+      def advanceRight(ts: Long): Unit = {
+        // consume every right row with (rKeys, rTs) < (curKey, ts) in
+        // the merge order; the last one matching THIS key is the as-of
+        // match (right is tie-ordered, so equal-ts duplicates resolve to
+        // the max tiebreak). Rows for earlier keys drain — their lefts
+        // have already passed.
         while (rBuf.hasNext && {
-          val h = rBuf.head
-          val hk = rkEval(h).getLong(0)
-          hk < key || (hk == key && rtsEval(h).getLong(0) < ts)
+          val c = cmpCur(rkEval(rBuf.head))
+          c < 0 || (c == 0 && rtsEval(rBuf.head).getLong(0) < ts)
         }) {
           val row = rBuf.next()
-          if (rkEval(row).getLong(0) == key) latest = row.copy()
+          if (cmpCur(rkEval(row)) == 0) latest = row.copy()
         }
       }
 
       lIter.map { lrow =>
-        val key = lkEval(lrow).getLong(0)
-        if (!haveKey || key != curKey) { curKey = key; haveKey = true; latest = null }
-        advanceRight(key, ltsEval(lrow).getLong(0))
+        val key = lkEval(lrow)
+        if (!haveKey || cmpCur(key) != 0) {
+          var i = 0
+          while (i < nk) { curKey(i) = key.getLong(i); i += 1 }
+          haveKey = true
+          latest = null
+        }
+        advanceRight(ltsEval(lrow).getLong(0))
         out(joined(lrow, if (latest != null) latest else nullRight))
       }
     }
@@ -141,15 +165,23 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   * only literally passing one DataFrame object as both sides would
   * collide, as with any hand-built logical self-join). */
 object AsofJoin {
+  /** Composite-key form: N key columns per side, compared positionally. */
   def apply(spark: SparkSession,
             left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
-            leftKey: String, rightKey: String,
+            leftKeys: Seq[String], rightKeys: Seq[String],
             leftTs: String, rightTs: String, rightTie: String): org.apache.spark.sql.DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def res(p: LogicalPlan, n: String): Expression =
       p.output.find(_.name == n).getOrElse(sys.error(s"column $n not found"))
     org.apache.spark.sql.graftshim.Shim.ofRows(spark, AsofJoinPlan(lp, rp,
-      res(lp, leftKey), res(rp, rightKey), res(lp, leftTs), res(rp, rightTs), res(rp, rightTie)))
+      leftKeys.map(res(lp, _)), rightKeys.map(res(rp, _)),
+      res(lp, leftTs), res(rp, rightTs), res(rp, rightTie)))
   }
+
+  def apply(spark: SparkSession,
+            left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
+            leftKey: String, rightKey: String,
+            leftTs: String, rightTs: String, rightTie: String): org.apache.spark.sql.DataFrame =
+    apply(spark, left, right, Seq(leftKey), Seq(rightKey), leftTs, rightTs, rightTie)
 }

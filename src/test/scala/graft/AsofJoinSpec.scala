@@ -59,6 +59,42 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out.head.getLong(5) == 3L && out.head.getDouble(6) == 3.0)
   }
 
+  test("composite 2-part key: matched on BOTH columns, not a prefix") {
+    val left = Seq((1L, 1L, 100L, 10L), (1L, 2L, 100L, 11L), (2L, 1L, 100L, 12L))
+      .toDF("k1", "k2", "ts", "lid")
+    val right = Seq(
+      (1L, 1L, 50L, 1L, 1.0),
+      (1L, 2L, 60L, 2L, 2.0),
+      (2L, 2L, 40L, 3L, 3.0)) // same k1 as lid 12 but different k2 — no match
+      .toDF("rk1", "rk2", "rts", "rid", "rv")
+    val out = AsofJoin(spark, left, right, Seq("k1", "k2"), Seq("rk1", "rk2"), "ts", "rts", "rid")
+      .collect().map(r => r.getLong(3) -> (if (r.isNullAt(7)) -1L else r.getLong(7))).toMap
+    assert(out == Map(10L -> 1L, 11L -> 2L, 12L -> -1L))
+  }
+
+  test("composite key agrees with the DuckDB multi-key ASOF contract on a randomized feed") {
+    // deterministic pseudo-random feed over a 3x3 composite key domain
+    // with deliberate ts collisions (mod 17)
+    def h(i: Long, salt: Long) = (i * 2654435761L + salt) & 0x7fffffff
+    val left = (0L until 200L).map(i => (h(i, 1) % 3, h(i, 2) % 3, h(i, 3) % 17, i))
+      .toDF("k1", "k2", "ts", "lid")
+    val right = (0L until 150L).map(i => (h(i, 4) % 3, h(i, 5) % 3, h(i, 6) % 17, i))
+      .toDF("rk1", "rk2", "rts", "rid")
+    val got = AsofJoin(spark, left, right, Seq("k1", "k2"), Seq("rk1", "rk2"), "ts", "rts", "rid")
+      .collect().map(r => r.getLong(3) -> (if (r.isNullAt(7)) -1L else r.getLong(7))).toMap
+    // reference: per left row, the right row with max (rts, rid) among
+    // rk1=k1 AND rk2=k2 AND rts < ts — DuckDB's ASOF JOIN ... USING
+    // (k1, k2) with strict inequality and max-tiebreak determinism
+    val rrows = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = left.collect().map { l =>
+      val (k1, k2, ts, lid) = (l.getLong(0), l.getLong(1), l.getLong(2), l.getLong(3))
+      val m = rrows.filter(r => r._1 == k1 && r._2 == k2 && r._3 < ts)
+      lid -> (if (m.isEmpty) -1L else m.maxBy(r => (r._3, r._4))._4)
+    }.toMap
+    assert(got == exp)
+    assert(got.values.exists(_ >= 0) && got.values.exists(_ == -1L), "feed exercises both outcomes")
+  }
+
   test("strictness and missing-match semantics on a constructed feed") {
     val left = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L)).toDF("k", "ts", "lid")
     val right = Seq((1L, 100L, 1L, 1.0), (1L, 60L, 2L, 2.0), (3L, 5L, 4L, 4.0))
