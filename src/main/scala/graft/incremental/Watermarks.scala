@@ -28,7 +28,20 @@ class Watermarks(spark: SparkSession, path: String) {
 
   def all(): Seq[Watermark] =
     if (!SliceStore.exists(spark, path)) Seq.empty
-    else spark.read.parquet(path).as[Watermark].collect().toSeq
+    else {
+      // Schema-tolerant read: the watermark table is the DURABLE control
+      // table, so tables persisted before a column existed must keep
+      // decoding (Dataset encoders require every field's column; case-
+      // class defaults do NOT apply at decode time). Absent columns get
+      // their documented defaults — the upgrade story for K6 metadata.
+      var df = spark.read.parquet(path)
+      if (!df.columns.contains("virtualRecipe"))
+        df = df.withColumn("virtualRecipe",
+          org.apache.spark.sql.functions.lit(null).cast("string"))
+      if (!df.columns.contains("enabled"))
+        df = df.withColumn("enabled", org.apache.spark.sql.functions.lit(true))
+      df.as[Watermark].collect().toSeq
+    }
 
   /** P14 check_flow: the watermark row must already exist AND be enabled
     * for a flow to run (reference nikon_ETL.py:148-155 over the

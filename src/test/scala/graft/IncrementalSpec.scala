@@ -112,6 +112,25 @@ class IncrementalSpec extends SparkTestBase {
     assert(after.lastEndTime == Timestamp.valueOf("2017-10-27 00:00:00"))
   }
 
+  test("watermark table persisted BEFORE the metadata columns existed still decodes (upgrade path)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val path = tmpDir()
+    // a pre-upgrade table: only the original four columns on disk
+    Seq(("EDC_Import", "t01",
+        Timestamp.valueOf("2017-10-26 23:31:27"), Timestamp.valueOf("2017-10-26 23:31:27")))
+      .toDF("apname", "toolid", "lastEndTime", "updateTime")
+      .repartition(1).write.mode("overwrite").parquet(path)
+    val wm = new Watermarks(spark, path)
+    val got = wm.require("EDC_Import", "t01") // decodes; check_flow passes
+    assert(got.lastEndTime == Timestamp.valueOf("2017-10-26 23:31:27"))
+    assert(got.virtualRecipe.isEmpty && got.enabled, "absent columns take documented defaults")
+    // an advance rewrites the table in the CURRENT schema — upgrade complete
+    wm.advance("EDC_Import", "t01", Timestamp.valueOf("2017-10-27 00:00:00"))
+    assert(spark.read.parquet(path).columns.toSet.contains("enabled"))
+    assert(wm.require("EDC_Import", "t01").lastEndTime == Timestamp.valueOf("2017-10-27 00:00:00"))
+  }
+
   test("headerDetail: deterministic shared surrogate keys") {
     val header = Seq(("g1", 1.0), ("g2", 2.0), ("g3", 3.0)).toDF("glassid", "fit")
     val detail = Seq(("g1", "p1", 0.1), ("g1", "p2", 0.2), ("g3", "p1", 0.3))
