@@ -181,8 +181,8 @@ object Dedup extends QueryModule {
   // is skew-free, and the candidate set is ~the true near-dup set rather
   // than all shingle-sharing pairs (at sf0.01: ~25 candidates vs 104k
   // shingle-sharing pairs — a 4000× cut).
-  private val NumHashes = 16
-  private val BandSize = 4
+  private[graft] val NumHashes = 16
+  private[graft] val BandSize = 4
 
   /** Hard cap on LSH bucket size (shared with q35; mirrors
     * Similarity.scala's cosine-LSH cap). A bucket above the cap means
@@ -191,63 +191,58 @@ object Dedup extends QueryModule {
     * first; emitting its O(c²) pairs from one task is the 100 TB
     * scale-killer this cap exists to prevent. Legitimate near-dup
     * buckets on this corpus max out at 5 members (sf0.1). */
-  private val BucketCap = 64
+  private[graft] val BucketCap = 64
 
-  /** Verified near-dup pairs (d1, d2, jaccard) over an arbitrary
-    * (doc_id, text) relation — q33's body, reused (after exact-hash
-    * dedup) by the corpus filter q44 and the component labeling q46. */
-  def minhashPairsOf(docs: DataFrame): DataFrame = {
-    // Signature: one md5 per (shingle, band) yields FOUR independent
-    // 32-bit hash words (disjoint bit ranges of the digest — the
-    // standard way to amortize hashing), so 16 minhashes cost 4 md5
-    // calls per shingle, not 16. Flat codegen'd pipeline, one skew-free
-    // partial-aggregated shuffle on (doc_id, band) with 4 MIN columns.
-    // The shingle SET also travels as an array column so exact
-    // verification of a candidate pair is array_intersect on the two
-    // candidate rows, not a third shingle-level join.
-    val docSh = graft.Caches.track(docs
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 2)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))))"))
-      .select(col("doc_id"), col("sh")))
-      // tracked cache: used three times — signature explode + both
-      // verification sides
-    // The 16 minhashes run as ONE wide aggregate: per (doc, shingle) row
-    // the 4 per-band digests are 4 columns (not a ×4 band fan-out), and
-    // the per-doc groupBy takes 16 MIN columns at once — same trick as
-    // SimHash's 32-sum aggregate. Shuffle rows drop 4×, the second
-    // (doc, band)-keyed aggregation disappears, and the 4 band keys are
-    // recovered with a 4-row-per-doc explode AFTER aggregation. Values
-    // are bit-identical to the oracle's per-band formulation.
+  /** (doc_id, sh) shingle-set relation — the shared upstream of the
+    * signature pipeline and the exact verification sides. */
+  private def shingled(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    .filter(size(col("ts")) >= 2)
+    .withColumn("sh", expr(
+      "array_distinct(transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))))"))
+    .select(col("doc_id"), col("sh"))
+
+  /** The 16 minhashes as ONE wide aggregate: per (doc, shingle) row the
+    * 4 per-band digests are 4 columns (not a ×4 band fan-out — one md5
+    * per (shingle, band) yields FOUR independent 32-bit words from
+    * disjoint digest bit ranges, the standard hashing amortization), and
+    * the per-doc groupBy takes 16 MIN columns at once — same trick as
+    * SimHash's 32-sum aggregate. Shuffle rows drop 4×, the second
+    * (doc, band)-keyed aggregation disappears, and the 4 band keys are
+    * recovered with a 4-row-per-doc explode AFTER aggregation. Values
+    * are bit-identical to the oracle's per-band formulation (and to the
+    * stateless streaming form [[minhashBandKeysOf]] — spec-pinned). */
+  private def bandsOfShingled(docSh: DataFrame): DataFrame = {
     val nBands = NumHashes / BandSize
     val hashed = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id") +: (0 until nBands).map(b =>
         md5(concat(lit(s"$b:"), col("shingle"))).as(s"h$b")): _*)
     val minCols = for { b <- 0 until nBands; w <- 0 until BandSize }
       yield min(substring(col(s"h$b"), w * 8 + 1, 8)).as(s"w${b}_$w")
-    val bands = hashed.groupBy("doc_id")
+    hashed.groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|", (0 until BandSize).map(w => col(s"w${b}_$w")): _*)).as("bandkey"))
       }: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bandkey").as("bandkey"))
-    // Bucket docs by (band, bandkey) and emit in-bucket pairs with array
-    // combinatorics — the signature pipeline runs ONCE (no self-join that
-    // would recompute it per side). Buckets above BucketCap are DROPPED
-    // (q31's exact pass owns identical texts): the pair blowup is bounded
-    // by cap² per bucket, never by the count of copies of one document.
-    val cand = bands
-      .groupBy("band", "bandkey")
-      .agg(expr("array_sort(collect_list(doc_id)) AS ids"))
-      .filter(size(col("ids")).between(2, BucketCap))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1), i ->
-          |  transform(slice(ids, i + 1, size(ids) - i), y ->
-          |    struct(element_at(ids, i) AS d1, y AS d2))))""".stripMargin)).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .distinct()
+  }
+
+  /** Batch band keys (doc_id, band, bandkey) over a (doc_id, text)
+    * relation — the bucketing stage the streaming intake twin mirrors. */
+  def minhashBandsOf(docs: DataFrame): DataFrame = bandsOfShingled(shingled(docs))
+
+  /** Verified near-dup pairs (d1, d2, jaccard) over an arbitrary
+    * (doc_id, text) relation — q33's body, reused (after exact-hash
+    * dedup) by the corpus filter q44 and the component labeling q46. */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
+    // The shingle SET travels as an array column so exact verification
+    // of a candidate pair is array_intersect on the two candidate rows,
+    // not a third shingle-level join.
+    val docSh = graft.Caches.track(shingled(docs))
+      // tracked cache: used three times — signature explode + both
+      // verification sides
+    val cand = minhashCandidatesOf(bandsOfShingled(docSh))
     // no broadcast hint: the shingle-array relation is corpus-sized and a
     // forced broadcast would hit the 8 GB limit / driver OOM at scale —
     // Catalyst/AQE broadcasts it automatically while it is small
@@ -258,6 +253,53 @@ object Dedup extends QueryModule {
       .withColumn("jaccard", round(col("inter").cast("double")
         / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
       .select("d1", "d2", "jaccard")
+  }
+
+  /** The candidate stage alone: bucket (doc_id, band, bandkey) rows by
+    * band key and emit in-bucket pairs with array combinatorics — the
+    * signature pipeline runs ONCE (no self-join that would recompute it
+    * per side). Buckets above BucketCap are DROPPED (q31's exact pass
+    * owns identical texts): the pair blowup is bounded by cap² per
+    * bucket, never by the count of copies of one document. Factored out
+    * so the streaming intake twin cross-checks against exactly this set. */
+  def minhashCandidatesOf(bands: DataFrame): DataFrame = bands
+    .groupBy("band", "bandkey")
+    .agg(expr("array_sort(collect_list(doc_id)) AS ids"))
+    .filter(size(col("ids")).between(2, BucketCap))
+    .select(explode(expr(
+      """flatten(transform(sequence(1, size(ids) - 1), i ->
+        |  transform(slice(ids, i + 1, size(ids) - i), y ->
+        |    struct(element_at(ids, i) AS d1, y AS d2))))""".stripMargin)).as("p"))
+    .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    .distinct()
+
+  /** Stateless per-ROW band keys — the same signature definition as
+    * [[minhashPairsOf]]'s wide aggregate (same md5 slices, same
+    * lexicographic minima over the same distinct shingle set; a spec
+    * pins the two bit-identical) computed with array expressions so it
+    * runs inside a streaming micro-batch with NO shuffle: the minima
+    * fold over the document's own shingle array instead of a groupBy.
+    * Every non-`text` input column (doc_id, ts, …) rides through, so a
+    * watermark declared upstream survives to the stateful stage.
+    * Output: input columns minus text, plus (band, bandkey). */
+  def minhashBandKeysOf(docs: DataFrame): DataFrame = {
+    val nBands = NumHashes / BandSize
+    var df = docs
+      .withColumn("__toks", split(col("text"), " "))
+      .filter(size(col("__toks")) >= 2)
+      .withColumn("__sh", expr(
+        "array_distinct(transform(sequence(1, size(__toks) - 1), i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))))"))
+    for (b <- 0 until nBands) // one md5 per shingle per band, as in batch
+      df = df.withColumn(s"__h$b", expr(s"transform(__sh, s -> md5(concat('$b:', s)))"))
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until BandSize).map(w =>
+          expr(s"array_min(transform(__h$b, x -> substring(x, ${w * 8 + 1}, 8)))")): _*))
+          .as("bandkey"))
+    }
+    df.withColumn("__x", explode(array(bandStructs: _*)))
+      .select(docs.columns.filter(_ != "text").map(col)
+        :+ col("__x.band").as("band") :+ col("__x.bandkey").as("bandkey"): _*)
   }
 
   /** q33's pair set over the raw documents table. */

@@ -77,7 +77,13 @@ object Streams {
     * patterns, shared constants so batch and stream redact identically).
     * Everything after the dedup state is a stateless narrow map, so the
     * flow's only state is the watermark-bounded hash set — the shape
-    * that keeps a 100 TB/day intake running indefinitely. */
+    * that keeps a 100 TB/day intake running indefinitely.
+    *
+    * The intake's NEAR-dup stage is [[minhashCandidates]], run as the
+    * companion query over this flow's sink (Spark restricts
+    * flatMapGroupsWithState from chaining behind another stateful
+    * operator in one query; a two-query pipeline over the landed feed is
+    * the supported composition, and checkpointed exactly-once either way). */
   def intake(docs: DataFrame, qualityFloor: Double = 0.5): DataFrame = {
     import graft.queries.Curation.{EmailRe, PhoneRe}
     graft.queries.TextPipeline.withQualityRules(
@@ -91,6 +97,73 @@ object Streams {
       // exact definition — TextPipeline.withQualityRules — so batch and
       // stream can never disagree on WHY a document is suspect)
       .select("doc_id", "ts", "text_hash", "quality", "rule_mask", "clean_text")
+  }
+
+  case class BandedDoc(doc_id: Long, ts: Timestamp, band: Int, bandkey: String)
+  case class BandCandidate(band: Int, bandkey: String, d1: Long, d2: Long)
+  case class BucketState(ids: Seq[Long], lastTs: Long)
+
+  private val BucketHorizonMs = 86400000L // 1 day, the intake's dedup horizon
+
+  /** Streaming twin of q33's MinHash-band bucketing — the near-dup
+    * candidate stage of the intake flow. Band keys come from the SAME
+    * signature definition as the batch operator
+    * (queries.Dedup.minhashBandKeysOf — a spec pins the stateless
+    * per-row form bit-identical to the batch aggregate), computed as a
+    * stateless narrow map inside the micro-batch; the only state is the
+    * per-(band, bandkey) member list, capped at Dedup.BucketCap ids and
+    * cleared by an event-time timeout one dedup horizon after the
+    * bucket's last arrival — so state is (≤64 longs) × live buckets,
+    * watermark-bounded, never corpus-sized.
+    *
+    * Emission contract: a document arriving in a bucket pairs with every
+    * member already there — on an in-order replay of a corpus whose
+    * buckets stay under the cap, the emitted (d1, d2) set equals the
+    * batch candidate set exactly (StreamingSpec asserts this). The one
+    * honest divergence from batch at the cap: batch retroactively drops
+    * an over-cap bucket's pairs, a stream cannot retract what it already
+    * emitted — it stops ADMITTING members past the cap instead. Both
+    * bound the blowup at cap² pairs per bucket; the downstream exact
+    * verify (batch q33's jaccard stage) filters either way. */
+  def minhashCandidates(docs: DataFrame): Dataset[BandCandidate] = {
+    import docs.sparkSession.implicits._
+    val banded = graft.queries.Dedup.minhashBandKeysOf(docs)
+      .withWatermark("ts", "1 day")
+      .select("doc_id", "ts", "band", "bandkey").as[BandedDoc]
+
+    // local copies: referencing the object's fields from the closure
+    // would capture (and try to serialize) the whole Streams module
+    val horizonMs = BucketHorizonMs
+    val cap = graft.queries.Dedup.BucketCap
+
+    def emit(key: (Int, String), rows: Iterator[BandedDoc],
+             state: GroupState[BucketState]): Iterator[BandCandidate] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var st = state.getOption.getOrElse(BucketState(Vector.empty, Long.MinValue))
+        val out = Seq.newBuilder[BandCandidate]
+        // (ts, doc_id) order inside the batch: arrival order is the
+        // contract, and the tie-break keeps replays deterministic
+        rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+          if (!st.ids.contains(r.doc_id) && st.ids.size < cap) {
+            st.ids.foreach { e =>
+              out += BandCandidate(key._1, key._2, math.min(e, r.doc_id), math.max(e, r.doc_id))
+            }
+            st = BucketState(st.ids :+ r.doc_id, math.max(st.lastTs, r.ts.getTime))
+          } else st = st.copy(lastTs = math.max(st.lastTs, r.ts.getTime))
+        }
+        state.update(st)
+        // clear the bucket one horizon after its last arrival; clamp
+        // above the current watermark (a bucket fed only by late-but-
+        // admissible rows could otherwise ask for a timeout in the past)
+        state.setTimeoutTimestamp(
+          math.max(st.lastTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+        out.result().iterator
+      }
+    }
+
+    banded.groupByKey(r => (r.band, r.bandkey))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(emit)
   }
 
   /** Streaming twin of q77's grouped-quantile sketch (D3, the q25/q57

@@ -83,6 +83,55 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expect, s"streamed readout diverged:\ngot=$got\nexpect=$expect")
   }
 
+  test("stateless streaming band keys are bit-identical to the batch wide aggregate") {
+    val docs = Tables.documentsWide(spark, sfDir).select("doc_id", "text")
+    val stateless = graft.queries.Dedup.minhashBandKeysOf(
+        docs.withColumn("ts", lit(ts("2024-01-01 00:00:00"))))
+      .select("doc_id", "band", "bandkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val agg = graft.queries.Dedup.minhashBandsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(stateless.nonEmpty && stateless == agg,
+      "streaming and batch signature definitions diverged")
+  }
+
+  test("streaming MinHash-band candidates equal the batch bucketing on a replayed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // replay the REAL sf0.001 documents in doc_id (= event-time) order
+    // across three arbitrary micro-batch splits
+    val docs = Tables.documentsWide(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => Streams.Doc(r.getLong(0),
+        new Timestamp(ts("2024-01-01 00:00:00").getTime + r.getLong(0) * 1000L), r.getString(1)))
+      .sortBy(_.doc_id)
+    val mem = MemoryStream[Streams.Doc]
+    val query = Streams.minhashCandidates(mem.toDF())
+      .writeStream.format("memory").queryName("mh_cand")
+      .outputMode("append").start()
+    val (a, rest) = docs.splitAt(docs.length / 3)
+    val (b, c) = rest.splitAt(rest.length / 2)
+    Seq(a, b, c).foreach { batch =>
+      mem.addData(batch.toIndexedSeq: _*)
+      query.processAllAvailable()
+    }
+    val streamed = spark.table("mh_cand").select("d1", "d2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // push the watermark a horizon past the last arrival: idle buckets
+    // time out and their state is dropped (the bounded-state contract)
+    mem.addData(Streams.Doc(999999L, ts("2024-06-01 00:00:00"), "zz zz"))
+    query.processAllAvailable()
+    mem.addData(Streams.Doc(999998L, ts("2024-07-01 00:00:00"), "yy yy"))
+    query.processAllAvailable()
+    val cleaned = query.lastProgress.stateOperators
+    query.stop()
+    val batchCand = graft.queries.Dedup.minhashCandidatesOf(
+        graft.queries.Dedup.minhashBandsOf(Tables.documentsWide(spark, sfDir).select("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == batchCand,
+      s"stream/batch candidate sets diverged: only-stream=${(streamed -- batchCand).take(5)} only-batch=${(batchCand -- streamed).take(5)}")
+    assert(cleaned.exists(_.numRowsTotal < docs.length.toLong * 4),
+      "bucket state was never cleaned up by the event-time timeout")
+  }
+
   test("sessionizer closes sessions after the gap and aggregates within") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
