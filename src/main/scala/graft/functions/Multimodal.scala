@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, processed per-partition in batches.
   *
-  * The `image` type has a REAL codec path: payloads are genuine PNG bytes
-  * and [[decodeImages]] recovers width/height and a luma histogram from
-  * the decoded raster via the JDK's built-in javax.imageio reader — no
-  * external libraries. Audio/video decode remains STUBBED behind
-  * [[decodeStub]] (this container ships no audio/video codecs and the JDK
-  * has none), which produces deterministic pseudo-features from the
-  * payload's md5 so those pipelines stay end-to-end testable (and
+  * The `image` and `audio` types have REAL codec paths: image payloads
+  * are genuine PNG bytes and [[decodeImages]] recovers width/height and a
+  * luma histogram from the decoded raster via the JDK's built-in
+  * javax.imageio reader; audio payloads are genuine RIFF/WAVE bytes and
+  * [[decodeAudio]] recovers rate/samples/signal statistics through the
+  * JDK's javax.sound.sampled WAV parser — no external libraries either
+  * way. Only VIDEO decode remains stubbed behind [[decodeStub]] (the JDK
+  * ships no video codec), which produces deterministic pseudo-features
+  * from the payload's md5 so that pipeline stays end-to-end testable (and
   * oracle-checkable: the same features are SQL-expressible). Everything
   * around the decode is the real Spark plumbing a production decoder
   * needs:
@@ -264,6 +266,106 @@ object Multimodal {
     decodeImages(synthesizeImages(s, dir)).map { f =>
       val (ow, oh) = fitBox(f.width, f.height, maxW, maxH)
       ImagePipelineRow(f.doc_id, "image", f.width, f.height, ow, oh, f.n_px, f.bins)
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // REAL audio codec path (no stub): WAV/PCM is the one audio container
+  // the JDK decodes natively (javax.sound.sampled reads RIFF/WAVE with
+  // no external codecs), so the `audio` media type gets an actual sample
+  // decode. The ENCODER is a hand-written RIFF container (so encode and
+  // decode are independent implementations — a header bug on either side
+  // breaks the round-trip instead of cancelling out); the DECODER is the
+  // JDK's own WAV parser. Samples are a deterministic integer function
+  // of (doc_id, i) and every reported feature is integer arithmetic, so
+  // the DuckDB oracle replays the EXPECTED features from the formula
+  // while Spark recovers them from the container bytes.
+
+  /** Deterministic audio parameters/samples for doc_id (shared by the
+    * synthesizer, the specs, and — as SQL — the oracle):
+    * rate = 8000·(1+id%3) Hz, n = 256 + (13·id)%1024 samples,
+    * s(i) = (31·id + 7919·i) % 65536 − 32768 (mono 16-bit PCM). */
+  def audioRate(id: Long): Int = 8000 * (1 + (id % 3).toInt)
+  def audioLen(id: Long): Int = 256 + ((id * 13) % 1024).toInt
+  def audioSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+
+  /** Encode doc_id's deterministic PCM signal as a genuine RIFF/WAVE
+    * byte stream: 44-byte canonical header + little-endian 16-bit mono
+    * samples. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = audioLen(id)
+    val rate = audioRate(id)
+    val dataBytes = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)             // PCM
+      .putShort(1)             // mono
+      .putInt(rate)
+      .putInt(rate * 2)        // byte rate
+      .putShort(2)             // block align
+      .putShort(16)            // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { buf.putShort(audioSample(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Synthesize the audio-typed media rows (doc_id % 3 == 1, matching
+    * [[mediaFromDocuments]]'s type assignment) with REAL WAV payloads. */
+  def synthesizeAudio(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions(ids => ids.map(id => MediaRow(id, "audio", encodeWav(id))))
+  }
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+                           duration_us: Long, peak: Int, sum_sq: Long,
+                           zero_crossings: Long)
+
+  /** REAL decode: the JDK's WAV reader parses the RIFF container
+    * (format chunk → rate/channels/bits, data chunk → frames) and every
+    * feature is computed from the DECODED samples — all integer math
+    * (sum of squares, peak magnitude, sign-change count, integer-division
+    * microsecond duration) so the oracle's replay is bit-exact. Same
+    * mapPartitions batch shape as [[decodeImages]]; no shuffle. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16,
+          s"unexpected audio format for doc ${r.doc_id}: $fmt")
+        val rate = math.round(fmt.getSampleRate)
+        val data = ais.readAllBytes()
+        ais.close()
+        val n = data.length / 2
+        var i = 0
+        var peak = 0
+        var sumSq = 0L
+        var zc = 0L
+        var prevNeg = false
+        while (i < n) {
+          // little-endian 16-bit signed, as declared by the format chunk
+          val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumSq += s.toLong * s
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          i += 1
+        }
+        AudioFeatures(r.doc_id, rate, n.toLong,
+          n.toLong * 1000000L / rate, peak, sumSq, zc)
+      }
     }
   }
 

@@ -433,6 +433,47 @@ object TextPipeline extends QueryModule {
   }
 
   // ---------------------------------------------------------------------
+  // q82 — REAL audio decode (the audio half of L16): deterministic mono
+  // 16-bit PCM signals are wrapped in genuine RIFF/WAVE containers by a
+  // hand-written encoder and travel as BinaryType payloads; the decode
+  // stage recovers rate/samples through the JDK's own javax.sound.sampled
+  // WAV parser and computes integer signal statistics (peak magnitude,
+  // energy as a sum of squares, zero-crossing count, integer-µs duration)
+  // from the DECODED samples. The oracle replays the sample FORMULA — it
+  // never sees the container bytes — so a hash match proves the header
+  // and sample layout round-trip through an independent decoder.
+  // Scale shape: narrow map end-to-end, zero shuffles (the oracle's lag
+  // window is oracle-side only; Spark's loop is per-row sequential).
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudio(Multimodal.synthesizeAudio(s, dir)).toDF()
+      .orderBy("doc_id")
+
+  private val q82Sql =
+    """WITH aud AS (
+      |  SELECT doc_id,
+      |         CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+      |         CAST(256 + (doc_id * 13) % 1024 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |smp AS (
+      |  SELECT doc_id, sample_rate, n, unnest(range(0, n)) AS i FROM aud),
+      |v AS (
+      |  SELECT doc_id, i, CAST((doc_id * 31 + i * 7919) % 65536 - 32768 AS INT) AS s
+      |  FROM smp),
+      |lagged AS (
+      |  SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps FROM v),
+      |agg AS (
+      |  SELECT doc_id,
+      |         CAST(MAX(ABS(s)) AS INT) AS peak,
+      |         CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+      |         CAST(COUNT(*) FILTER (ps IS NOT NULL AND ((s < 0) <> (ps < 0))) AS BIGINT) AS zero_crossings
+      |  FROM lagged GROUP BY doc_id)
+      |SELECT a.doc_id, a.sample_rate, a.n AS n_samples,
+      |       CAST(a.n * 1000000 // a.sample_rate AS BIGINT) AS duration_us,
+      |       g.peak, g.sum_sq, g.zero_crossings
+      |FROM aud a JOIN agg g ON a.doc_id = g.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q55 — within-document repetition quality (the Gopher/MassiveText
   // repetition rules, §A1.1 of Rae et al. 2112.11446): fraction of bigram
   // OCCURRENCES that are repeats of an earlier occurrence in the same
@@ -833,6 +874,7 @@ object TextPipeline extends QueryModule {
     "q45_langid_ngram"   -> (q45 _),
     "q80_cms_heavyhitters" -> (q80 _),
     "q81_image_decode"   -> (q81 _),
+    "q82_audio_decode"   -> (q82 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -851,5 +893,6 @@ object TextPipeline extends QueryModule {
     "q49_media_features" -> q49Sql,
     "q80_cms_heavyhitters" -> q80Sql,
     "q81_image_decode"   -> q81Sql,
+    "q82_audio_decode"   -> q82Sql,
   )
 }

@@ -280,6 +280,51 @@ class PipelineSpec extends SparkTestBase {
     assert(out.bins(8) == 2 && out.bins(15) == 6 && out.bins.sum == 8)
   }
 
+  test("real audio decode: WAV round-trip recovers formula samples exactly") {
+    import graft.functions.Multimodal
+    val out = Multimodal.decodeAudio(Multimodal.synthesizeAudio(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.foreach { f =>
+      val n = Multimodal.audioLen(f.doc_id)
+      val rate = Multimodal.audioRate(f.doc_id)
+      assert(f.sample_rate == rate && f.n_samples == n.toLong, s"header for doc ${f.doc_id}")
+      assert(f.duration_us == n.toLong * 1000000L / rate)
+      // expected statistics straight from the sample formula — the decode
+      // had to recover these values through the JDK's WAV parser
+      val samples = (0 until n).map(Multimodal.audioSample(f.doc_id, _))
+      assert(f.peak == samples.map(math.abs).max, s"peak for doc ${f.doc_id}")
+      assert(f.sum_sq == samples.map(s => s.toLong * s).sum, s"energy for doc ${f.doc_id}")
+      assert(f.zero_crossings == samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)),
+        s"zero crossings for doc ${f.doc_id}")
+    }
+    // payloads are genuine RIFF/WAVE containers, not re-labeled text
+    val payload = Multimodal.synthesizeAudio(spark, sfDir).head().payload
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+  }
+
+  test("real audio decode reads the container, not the input bytes: independent WAV decodes correctly") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    // a WAV written by the JDK's OWN encoder (not encodeWav): 4 samples
+    // at 8 kHz — [100, -200, 300, 0]
+    val samples = Array[Short](100, -200, 300, 0)
+    val bytes = new Array[Byte](8)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(samples)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = Multimodal.decodeAudio(
+      Seq(Multimodal.MediaRow(99L, "audio", bos.toByteArray)).toDS()).head()
+    assert((out.sample_rate, out.n_samples) == (8000, 4L))
+    assert(out.peak == 300 && out.sum_sq == 100L * 100 + 200L * 200 + 300L * 300)
+    assert(out.zero_crossings == 2) // 100→-200 and -200→300; 300→0 is not a crossing
+  }
+
   test("langid marker join predicts a language for marker-bearing docs") {
     val out = TextPipeline.queries("q41_langid")(spark, sfDir)
     assert(out.count() == Tables.documents(spark, sfDir).count())
