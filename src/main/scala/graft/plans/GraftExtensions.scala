@@ -33,5 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_dot(a, b) takes two arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_collect_capped"),
+      new ExpressionInfo(classOf[CappedCollect].getName, "graft_collect_capped"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_collect_capped(x, cap) takes two arguments")
+        CappedCollect(children.head, children(1))
+      }))
   }
 }

@@ -262,30 +262,25 @@ object Dedup extends QueryModule {
     * owns identical texts): the pair blowup is bounded by cap² per
     * bucket, never by the count of copies of one document. Factored out
     * so the streaming intake twin cross-checks against exactly this set. */
-  def minhashCandidatesOf(bands: DataFrame): DataFrame = {
-    // Count-FIRST cap check: bucket sizes come from a partial-aggregated
-    // COUNT (map-side combined — the hottest key receives one row per
-    // map task, never its members), and only surviving buckets are
-    // collected, so no aggregation buffer ever holds more than cap ids.
-    // The collect_list-then-filter formulation this replaces materializes
-    // an over-cap bucket's ENTIRE member array in one task before the
-    // filter can drop it — with 90% of a corpus in one band key (the
-    // skew probe's adversarial corpus) that is the one task that OOMs at
-    // 100 TB while every cap in the logical plan still "holds".
-    val b = graft.Caches.track(bands)
-    val small = b.groupBy("band", "bandkey").agg(count(lit(1)).as("c"))
-      .filter(col("c").between(2, BucketCap))
-      .select("band", "bandkey")
-    b.join(small, Seq("band", "bandkey"))
-      .groupBy("band", "bandkey")
-      .agg(expr("array_sort(collect_list(doc_id)) AS ids"))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1), i ->
-          |  transform(slice(ids, i + 1, size(ids) - i), y ->
-          |    struct(element_at(ids, i) AS d1, y AS d2))))""".stripMargin)).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .distinct()
-  }
+  def minhashCandidatesOf(bands: DataFrame): DataFrame = bands
+    // graft_collect_capped (plans.CappedCollect): the aggregation buffer
+    // never exceeds cap+1 ids, map-side partials included, so a
+    // skew-saturated band key (90% of the corpus on one signature — the
+    // adversarial probe in BASELINE.md) costs O(cap) per task instead of
+    // materializing its ENTIRE membership in one buffer before the size
+    // filter can drop it. Over-cap buckets surface as cap+1 elements and
+    // the between() drops them; surviving buckets are complete sets, so
+    // results are identical to the plain collect_list plan — with one
+    // shuffle and no auxiliary count pass.
+    .groupBy("band", "bandkey")
+    .agg(expr(s"array_sort(graft_collect_capped(doc_id, $BucketCap)) AS ids"))
+    .filter(size(col("ids")).between(2, BucketCap))
+    .select(explode(expr(
+      """flatten(transform(sequence(1, size(ids) - 1), i ->
+        |  transform(slice(ids, i + 1, size(ids) - i), y ->
+        |    struct(element_at(ids, i) AS d1, y AS d2))))""".stripMargin)).as("p"))
+    .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    .distinct()
 
   /** Stateless per-ROW band keys — the same signature definition as
     * [[minhashPairsOf]]'s wide aggregate (same md5 slices, same
@@ -426,18 +421,15 @@ object Dedup extends QueryModule {
     // shared-vocabulary corpus). Pairs come from in-bucket combinatorics
     // (signature computed once, no self-join recompute).
     val sh = simhashDf(s, dir)
-    // count-first cap check (see minhashCandidatesOf): size buckets with
-    // a map-side-combined COUNT before collecting members, so a
-    // boilerplate-saturated half never materializes in one buffer
-    val keyed = graft.Caches.track(sh.select(col("doc_id"), col("simhash"),
+    // graft_collect_capped (see minhashCandidatesOf): bounded-buffer
+    // collection, so a boilerplate-saturated half never materializes a
+    // corpus-sized member array in one aggregation buffer
+    val buckets = sh.select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 1), b -> struct(b AS band, substring(simhash, b * 16 + 1, 16) AS bk))")).as("x"))
-      .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk")))
-    val small = keyed.groupBy("band", "bk").agg(count(lit(1)).as("c"))
-      .filter(col("c").between(2, BucketCap))
-      .select("band", "bk")
-    val buckets = keyed.join(small, Seq("band", "bk"))
+      .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
       .groupBy("band", "bk")
-      .agg(expr("array_sort(collect_list(struct(doc_id, simhash))) AS mem"))
+      .agg(expr(s"array_sort(graft_collect_capped(struct(doc_id, simhash), $BucketCap)) AS mem"))
+      .filter(size(col("mem")).between(2, BucketCap))
     buckets
       .select(explode(expr(
         """flatten(transform(sequence(1, size(mem) - 1), i ->

@@ -268,18 +268,16 @@ object Similarity extends QueryModule {
     // pairs with random-pair cosine statistics; standard LSH practice is
     // to skip them (vectors keep their other L−1 tables' votes). The cap
     // is part of the operator's definition (the oracle applies it too).
-    // count-first cap check (see Dedup.minhashCandidatesOf): bucket
-    // sizes from a map-side-combined COUNT, members collected only for
-    // survivors — a saturated table key (90% of the corpus on one plane
-    // signature, the skew probe's corpus) costs one counter per map
-    // task, not one corpus-sized array in one reducer
-    val keysC = graft.Caches.track(keys)
-    val smallBk = keysC.groupBy("tbl", "bk").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2 && col("c") <= 64)
-      .select("tbl", "bk")
-    val cand = keysC.join(smallBk, Seq("tbl", "bk"))
+    // graft_collect_capped (plans.CappedCollect, see
+    // Dedup.minhashCandidatesOf): bounded-buffer collection — a saturated
+    // table key (90% of the corpus on one plane signature, the skew
+    // probe's corpus) costs O(cap) per task everywhere, never one
+    // corpus-sized array in one reducer; over-cap buckets surface as 65
+    // elements and the size filter drops them
+    val cand = keys
       .groupBy("tbl", "bk")
-      .agg(expr("array_sort(collect_list(vec_id)) AS ids"))
+      .agg(expr("array_sort(graft_collect_capped(vec_id, 64)) AS ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= 64)
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1), i ->
           |  transform(slice(ids, i + 1, size(ids) - i), y ->

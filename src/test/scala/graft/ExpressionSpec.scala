@@ -89,6 +89,57 @@ class ExpressionSpec extends SparkTestBase {
       == Seq(2L, 0L, null))
   }
 
+  test("graft_collect_capped equals collect_list-then-filter on surviving buckets") {
+    // many partitions so merges of partial buffers are exercised
+    val rows = (0 until 2000).map(i => (s"k${i % 37}", i.toLong))
+    val df = spark.createDataFrame(rows).toDF("k", "v").repartition(16)
+    val capped = df.groupBy("k")
+      .agg(expr("array_sort(graft_collect_capped(v, 64)) AS ids"))
+      .filter(size(col("ids")).between(2, 64))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val plain = df.groupBy("k")
+      .agg(expr("array_sort(collect_list(v)) AS ids"))
+      .filter(size(col("ids")).between(2, 64))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // 2000 rows over 37 keys: every bucket has 54-55 members — under the
+    // cap, so all survive and the capped plan must reproduce the full
+    // membership of every one (partials from 16 partitions merged)
+    assert(capped.size == 37)
+    assert(capped == plain)
+  }
+
+  test("graft_collect_capped drops over-cap buckets and keeps under-cap ones complete") {
+    // one hot key with 1000 members, several cold keys under the cap
+    val rows = (0 until 1000).map(i => ("hot", i.toLong)) ++
+      (0 until 10).map(i => (s"cold${i % 2}", i.toLong))
+    val df = spark.createDataFrame(rows).toDF("k", "v").repartition(8)
+    val out = df.groupBy("k")
+      .agg(expr("array_sort(graft_collect_capped(v, 64)) AS ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // the hot bucket's buffer is truncated at cap+1 — overflow is visible
+    // but its membership never grew to 1000
+    assert(out("hot").length == 65)
+    // under-cap buckets are complete and exact
+    assert(out("cold0") == Seq(0L, 2L, 4L, 6L, 8L))
+    assert(out("cold1") == Seq(1L, 3L, 5L, 7L, 9L))
+    // and the standard size filter removes the hot bucket
+    val kept = df.groupBy("k")
+      .agg(expr("graft_collect_capped(v, 64) AS ids"))
+      .filter(size(col("ids")).between(2, 64))
+      .select("k").as[String].collect().toSet
+    assert(kept == Set("cold0", "cold1"))
+  }
+
+  test("graft_collect_capped collects struct elements (the SimHash member shape)") {
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"))
+      .toDF("id", "sig").withColumn("k", lit("all"))
+    val out = df.groupBy("k")
+      .agg(expr("array_sort(graft_collect_capped(struct(id, sig), 64)) AS mem"))
+      .selectExpr("transform(mem, m -> concat(m.id, ':', m.sig)) AS flat")
+      .head().getSeq[String](0)
+    assert(out == Seq("1:aa", "2:bb", "3:cc"))
+  }
+
   test("graft_dot stays in codegen on an array-backed frame") {
     val plan = Tables.embeddings(spark, sfDir)
       .selectExpr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS q")
