@@ -369,6 +369,183 @@ object Multimodal {
     }
   }
 
+  // -----------------------------------------------------------------
+  // REAL video container path (no stub): a hand-written RIFF/AVI
+  // container holding uncompressed DIB (24-bit BMP raster) frames — the
+  // classic codec-less AVI — plus the standard `idx1` frame index. The
+  // decoder walks the RIFF structure, reads the index, and decodes ONLY
+  // the sampled frames' bytes through ImageIO's BMP reader (each frame's
+  // DIB bits rewrapped with the 14-byte BMP file header + the stream's
+  // own BITMAPINFOHEADER from `strf`). Sample-before-decode is
+  // structural here: the index is what lets a production sampler seek
+  // N frames out of a million without touching the rest. DIB is
+  // lossless, so the oracle replays the pixel formula bit-exactly.
+
+  /** Deterministic video geometry/pixels for doc_id:
+    * W = 16 + id%16, H = 16 + (3·id)%16, frames = 4 + (7·id)%12,
+    * luma(f,x,y) = (31·id + 17·f + 7·x + 13·y) % 256. */
+  def videoDims(id: Long): (Int, Int) =
+    (16 + (id % 16).toInt, 16 + ((id * 3) % 16).toInt)
+  def videoFrames(id: Long): Int = 4 + ((id * 7) % 12).toInt
+  def videoLuma(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Encode doc_id's deterministic frame sequence as a genuine AVI byte
+    * stream: RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh('vids'/
+    * 'DIB '), strf(BITMAPINFOHEADER)}} → LIST(movi){'00db' DIB frames,
+    * bottom-up rows, 4-byte row padding} → idx1. */
+  def encodeAvi(id: Long): Array[Byte] = {
+    val (w, h) = videoDims(id)
+    val n = videoFrames(id)
+    val rowBytes = (w * 3 + 3) & ~3
+    val frameBytes = rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 64 + 8 + 4 + 64 + 48 +
+      8 + 4 + n * (8 + frameBytes) + 8 + n * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(fourcc("RIFF")).putInt(0).put(fourcc("AVI ")) // size patched last
+    // hdrl list: avih + one strl
+    b.put(fourcc("LIST")).putInt(4 + 64 + 8 + 4 + 64 + 48).put(fourcc("hdrl"))
+    b.put(fourcc("avih")).putInt(56)
+      .putInt(100000)        // µs per frame (10 fps)
+      .putInt(frameBytes * 10).putInt(0)
+      .putInt(0x10)          // AVIF_HASINDEX
+      .putInt(n).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    b.put(fourcc("LIST")).putInt(4 + 64 + 48).put(fourcc("strl"))
+    b.put(fourcc("strh")).putInt(56)
+      .put(fourcc("vids")).put(fourcc("DIB "))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(10)  // scale/rate = 10 fps
+      .putInt(0).putInt(n).putInt(frameBytes).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    b.put(fourcc("strf")).putInt(40)
+      .putInt(40).putInt(w).putInt(h)      // biSize, biWidth, biHeight (+: bottom-up)
+      .putShort(1).putShort(24)            // planes, 24 bpp
+      .putInt(0)                           // BI_RGB (uncompressed)
+      .putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    // movi list: '00db' (stream 0, uncompressed DIB) per frame
+    b.put(fourcc("LIST")).putInt(4 + n * (8 + frameBytes)).put(fourcc("movi"))
+    val moviStart = b.position() - 4 // offset convention: from the 'movi' fourcc
+    val offsets = new Array[Int](n)
+    var f = 0
+    while (f < n) {
+      offsets(f) = b.position() - moviStart
+      b.put(fourcc("00db")).putInt(frameBytes)
+      var y = h - 1 // DIB rows are bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = videoLuma(id, f, x, y).toByte
+          b.put(v).put(v).put(v) // BGR gray
+          x += 1
+        }
+        var pad = rowBytes - w * 3
+        while (pad > 0) { b.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    b.put(fourcc("idx1")).putInt(n * 16)
+    f = 0
+    while (f < n) {
+      b.put(fourcc("00db")).putInt(0x10).putInt(offsets(f)).putInt(frameBytes)
+      f += 1
+    }
+    val total = b.position()
+    b.putInt(4, total - 8) // patch the RIFF size
+    java.util.Arrays.copyOf(b.array(), total)
+  }
+
+  /** Synthesize the video-typed media rows (doc_id % 3 == 2, matching
+    * [[mediaFromDocuments]]'s type assignment) with REAL AVI payloads. */
+  def synthesizeVideos(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .as[Long]
+      .mapPartitions(ids => ids.map(id => MediaRow(id, "video", encodeAvi(id))))
+  }
+
+  case class VideoFrameFeatures(doc_id: Long, n_frames: Int, frame_idx: Int,
+                                width: Int, height: Int, sum_luma: Long,
+                                min_luma: Int, max_luma: Int)
+
+  /** REAL frame sampling + decode: parse the RIFF/AVI container (strf →
+    * the stream's BITMAPINFOHEADER, idx1 → frame offsets), pick up to
+    * `maxSamples` evenly spaced frames ([[sampleFrames]]'s schedule),
+    * and run ONLY those frames' DIB bits through ImageIO's BMP decoder.
+    * Luma statistics come from the decoded raster. */
+  def decodeVideoFrames(media: Dataset[MediaRow], maxSamples: Int = 4): Dataset[VideoFrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val buf = java.nio.ByteBuffer.wrap(r.payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(buf.getInt(0) == 0x46464952 && buf.getInt(8) == 0x20495641, // 'RIFF', 'AVI '
+        s"not an AVI payload for doc ${r.doc_id}")
+      // walk top-level chunks for LIST(hdrl)→…→strf, LIST(movi), idx1
+      var strf: Array[Byte] = null
+      var moviStart = -1
+      var idx1: (Int, Int) = null // (pos, size)
+      var p = 12
+      while (p + 8 <= buf.limit()) {
+        val ck = buf.getInt(p); val sz = buf.getInt(p + 4)
+        if (ck == 0x5453494c) { // 'LIST'
+          val kind = buf.getInt(p + 8)
+          if (kind == 0x6c726468) { // 'hdrl' — scan inside for 'strf'
+            var q = p + 12
+            val end = p + 8 + sz
+            while (q + 8 <= end && strf == null) {
+              val c = buf.getInt(q); val s2 = buf.getInt(q + 4)
+              if (c == 0x5453494c) q += 12 // descend into sub-LIST (strl)
+              else {
+                if (c == 0x66727473) { // 'strf'
+                  strf = new Array[Byte](s2)
+                  java.lang.System.arraycopy(r.payload, q + 8, strf, 0, s2)
+                }
+                q += 8 + s2 + (s2 & 1)
+              }
+            }
+          } else if (kind == 0x69766f6d) moviStart = p + 8 // the 'movi' fourcc
+        } else if (ck == 0x31786469) idx1 = (p + 8, sz) // 'idx1'
+        p += 8 + sz + (sz & 1)
+      }
+      require(strf != null && moviStart >= 0 && idx1 != null,
+        s"missing strf/movi/idx1 in AVI for doc ${r.doc_id}")
+      val n = idx1._2 / 16
+      val step = math.max(1, n / maxSamples)
+      (0 until n by step).take(maxSamples).map { f =>
+        val off = buf.getInt(idx1._1 + f * 16 + 8) // from the 'movi' fourcc
+        val size = buf.getInt(idx1._1 + f * 16 + 12)
+        // rewrap the DIB bits as a BMP file: 'BM' header + strf + bits
+        val bmp = java.nio.ByteBuffer.allocate(14 + strf.length + size)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bmp.put('B'.toByte).put('M'.toByte).putInt(14 + strf.length + size)
+          .putInt(0).putInt(14 + strf.length)
+          .put(strf).put(r.payload, moviStart + off + 8, size)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp.array()))
+        require(img != null, s"undecodable frame $f for doc ${r.doc_id}")
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L; var mn = 255; var mx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            sum += luma
+            if (luma < mn) mn = luma
+            if (luma > mx) mx = luma
+            x += 1
+          }
+          y += 1
+        }
+        VideoFrameFeatures(r.doc_id, n, f, w, h, sum, mn, mx)
+      }
+    }
+  }
+
   /** Build a media table from documents: payload = utf-8 bytes of text
     * (stand-in for real image/audio bytes), media_type by doc_id. */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {

@@ -474,6 +474,50 @@ object TextPipeline extends QueryModule {
       |ORDER BY a.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q83 — REAL video frame sampling + decode (the video third of L16):
+  // deterministic frame sequences are wrapped in genuine RIFF/AVI
+  // containers (uncompressed DIB frames + the standard idx1 index) by a
+  // hand-written encoder; the decode stage walks the RIFF structure,
+  // reads the frame index, samples up to 4 evenly-spaced frames, and
+  // decodes ONLY those frames' DIB bits through ImageIO's BMP reader —
+  // sample-before-decode made structural by the index, exactly how a
+  // production sampler avoids decoding frames it won't keep. DIB is
+  // lossless, so the oracle replays the pixel formula from first
+  // principles without ever seeing the container. Narrow map, zero
+  // shuffles.
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoFrames(Multimodal.synthesizeVideos(s, dir)).toDF()
+      .orderBy("doc_id", "frame_idx")
+
+  private val q83Sql =
+    """WITH vid AS (
+      |  SELECT doc_id,
+      |         CAST(16 + doc_id % 16 AS INT) AS w,
+      |         CAST(16 + (doc_id * 3) % 16 AS INT) AS h,
+      |         CAST(4 + (doc_id * 7) % 12 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |picked AS (
+      |  SELECT doc_id, w, h, n,
+      |         unnest(range(0, CAST(n AS BIGINT), CAST(GREATEST(1, n // 4) AS BIGINT))[1:4]) AS f
+      |  FROM vid),
+      |px AS (
+      |  SELECT doc_id, w, h, n, f, x.x AS x, y.y AS y
+      |  FROM picked,
+      |       LATERAL (SELECT unnest(range(0, w)) AS x) x,
+      |       LATERAL (SELECT unnest(range(0, h)) AS y) y),
+      |lum AS (
+      |  SELECT doc_id, w, h, n, f,
+      |         (doc_id * 31 + f * 17 + x * 7 + y * 13) % 256 AS luma
+      |  FROM px)
+      |SELECT doc_id, CAST(n AS INT) AS n_frames, CAST(f AS INT) AS frame_idx,
+      |       w AS width, h AS height,
+      |       CAST(SUM(luma) AS BIGINT) AS sum_luma,
+      |       CAST(MIN(luma) AS INT) AS min_luma,
+      |       CAST(MAX(luma) AS INT) AS max_luma
+      |FROM lum GROUP BY doc_id, n, f, w, h
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q55 — within-document repetition quality (the Gopher/MassiveText
   // repetition rules, §A1.1 of Rae et al. 2112.11446): fraction of bigram
   // OCCURRENCES that are repeats of an earlier occurrence in the same
@@ -875,6 +919,7 @@ object TextPipeline extends QueryModule {
     "q80_cms_heavyhitters" -> (q80 _),
     "q81_image_decode"   -> (q81 _),
     "q82_audio_decode"   -> (q82 _),
+    "q83_video_frames"   -> (q83 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -894,5 +939,6 @@ object TextPipeline extends QueryModule {
     "q80_cms_heavyhitters" -> q80Sql,
     "q81_image_decode"   -> q81Sql,
     "q82_audio_decode"   -> q82Sql,
+    "q83_video_frames"   -> q83Sql,
   )
 }

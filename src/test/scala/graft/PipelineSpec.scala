@@ -325,6 +325,68 @@ class PipelineSpec extends SparkTestBase {
     assert(out.zero_crossings == 2) // 100→-200 and -200→300; 300→0 is not a crossing
   }
 
+  test("real video decode: AVI round-trip samples the right frames and recovers formula pixels") {
+    import graft.functions.Multimodal
+    val out = Multimodal.decodeVideoFrames(Multimodal.synthesizeVideos(spark, sfDir))
+      .collect().groupBy(_.doc_id)
+    assert(out.nonEmpty)
+    out.foreach { case (id, frames) =>
+      val (w, h) = Multimodal.videoDims(id)
+      val n = Multimodal.videoFrames(id)
+      val step = math.max(1, n / 4)
+      val want = (0 until n by step).take(4)
+      assert(frames.map(_.frame_idx).toSeq.sorted == want, s"sampled schedule for doc $id")
+      frames.foreach { fr =>
+        assert((fr.width, fr.height, fr.n_frames) == (w, h, n))
+        val lumas = for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.videoLuma(id, fr.frame_idx, x, y)
+        assert(fr.sum_luma == lumas.map(_.toLong).sum, s"doc $id frame ${fr.frame_idx}")
+        assert(fr.min_luma == lumas.min && fr.max_luma == lumas.max)
+      }
+    }
+    // payloads are genuine RIFF/AVI containers
+    val payload = Multimodal.synthesizeVideos(spark, sfDir).head().payload
+    assert(new String(payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(payload.slice(8, 12), "US-ASCII") == "AVI ")
+  }
+
+  test("real video decode follows the idx1 index, not physical chunk order") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    // a 2x2 2-frame AVI built in the test with frames stored in REVERSE
+    // physical order: logical frame 0 (all-luma-10) is the SECOND chunk
+    // in movi, frame 1 (all-luma-200) the first; idx1 points each logical
+    // frame at its actual chunk. A decoder that walks movi sequentially
+    // reports 200 for frame 0 — following the index reports 10.
+    def le(i: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    def cc(s: String) = s.getBytes("US-ASCII")
+    val frameBytes = 16 // 2 rows of (2*3 padded to 8) bytes
+    def dib(luma: Int): Array[Byte] =
+      (0 until 2).flatMap(_ => Seq.fill(6)(luma.toByte) ++ Seq(0.toByte, 0.toByte)).toArray
+    val strf = le(40) ++ le(2) ++ le(2) ++
+      Array[Byte](1, 0, 24, 0) ++ le(0) ++ le(frameBytes) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val hdrl = cc("avih") ++ le(56) ++ Array.fill(56)(0.toByte) ++
+      (cc("LIST") ++ le(4 + 8 + 56 + 8 + strf.length) ++ cc("strl") ++
+        cc("strh") ++ le(56) ++ cc("vids") ++ cc("DIB ") ++ Array.fill(48)(0.toByte) ++
+        cc("strf") ++ le(strf.length) ++ strf)
+    val movi = cc("movi") ++
+      cc("00db") ++ le(frameBytes) ++ dib(200) ++ // physically first: logical frame 1
+      cc("00db") ++ le(frameBytes) ++ dib(10)     // physically second: logical frame 0
+    val idx = cc("00db") ++ le(0x10) ++ le(4 + 8 + frameBytes) ++ le(frameBytes) ++ // frame 0 -> 2nd chunk
+      cc("00db") ++ le(0x10) ++ le(4) ++ le(frameBytes)                             // frame 1 -> 1st chunk
+    val body = cc("AVI ") ++
+      cc("LIST") ++ le(4 + hdrl.length) ++ cc("hdrl") ++ hdrl ++
+      cc("LIST") ++ le(movi.length) ++ movi ++
+      cc("idx1") ++ le(idx.length) ++ idx
+    val avi = cc("RIFF") ++ le(body.length) ++ body
+    val out = Multimodal.decodeVideoFrames(
+      Seq(Multimodal.MediaRow(7L, "video", avi)).toDS()).collect().sortBy(_.frame_idx)
+    assert(out.length == 2 && out.forall(f => f.width == 2 && f.height == 2))
+    assert(out(0).min_luma == 10 && out(0).max_luma == 10, "frame 0 must come from the indexed chunk")
+    assert(out(1).min_luma == 200 && out(1).max_luma == 200)
+  }
+
   test("langid marker join predicts a language for marker-bearing docs") {
     val out = TextPipeline.queries("q41_langid")(spark, sfDir)
     assert(out.count() == Tables.documents(spark, sfDir).count())
