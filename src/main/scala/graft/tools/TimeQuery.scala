@@ -2,12 +2,16 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: time a subset of SparkEntry queries without running the
-  * whole bench. Usage: runMain graft.tools.TimeQuery <sfDir> q32 q33 ... */
+/** Time named catalog queries on a data dir — best-of-2 through the noop
+  * sink, cold caches, the Bench methodology. For targeted plan
+  * experiments where running the whole catalog would drown the signal.
+  *
+  * Usage: runMain graft.tools.TimeQuery <dir> <query>...
+  */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.head
-    val names = args.tail
+    val dir = args.head
+    val names = args.tail.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,19 +21,19 @@ object TimeQuery {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
-    names.foreach { prefix =>
-      val matches = graft.SparkEntry.queries.filter(_._1.startsWith(prefix))
-      require(matches.size == 1,
-        s"prefix '$prefix' matches ${matches.size} queries: ${matches.keys.toSeq.sorted.mkString(", ")}")
-      val (name, fn) = matches.head
-      (1 to 2).foreach { i =>
-        spark.catalog.clearCache()
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val times = names.map { q =>
+      val fn = graft.SparkEntry.queries(q)
+      val ts = (1 to 2).map { _ =>
+        graft.Caches.release(); spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        println(f"[time] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
+      q -> ts.min
     }
+    val qs = times.map { case (q, t) => s""""$q":${math.round(t * 1000) / 1000.0}""" }.mkString(",")
+    println(s"""[time] {"dir":"$dir",$qs}""")
     spark.stop()
   }
 }
