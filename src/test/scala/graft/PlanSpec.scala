@@ -96,6 +96,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q33 bucket membership is count-pruned and collected with the capped aggregate") {
+    // the round-8 shape: a codegen'd count aggregation prunes singleton/
+    // over-cap band keys BEFORE any member buffer is built, and the
+    // surviving buckets collect through graft_collect_capped (bounded
+    // buffers via ObjectHashAggregate). A regression to a bare
+    // collect_list over all band keys shuffles a buffer per singleton —
+    // the sf1-measured 3x — and loses the skew memory bound.
+    val p = plan(graft.queries.Dedup.queries("q33_minhash_lsh")(spark, sfDir))
+    assert(p.contains("graft_collect_capped"), "capped collect missing from the physical plan")
+    assert(!p.contains("collect_list"), "bucket membership regressed to unbounded collect_list")
+    assert(p.contains("ObjectHashAggregate"), "capped collect not running under ObjectHashAggregate")
+    // the count-prune pass survives as a codegen'd count over (band, bandkey)
+    assert("""(?s)HashAggregate.*count\(1\)""".r.findFirstIn(p).isDefined,
+      "count-prune pass missing before the member collect")
+  }
+
   test("q68 has no corpus-wide rank window on the K cluster ids") {
     // the round-6 scale-killer: row_number over partitionBy(cid) ordered
     // by dist2 funnels the whole corpus into K=8 sort partitions. The
