@@ -463,7 +463,12 @@ object Curation extends QueryModule {
   // per-token deltas sum to the corpus-level total-variation distance a
   // monitoring dashboard alerts on. Plan: ONE uniform (token)
   // aggregation with both snapshot counts as conditional sums — the
-  // corpus shuffles once; ranking runs on the vocab-sized relation.
+  // corpus shuffles once; the top-20 is orderBy+limit, which compiles
+  // to TakeOrderedAndProject (per-partition partial top-K, driver
+  // merges 20 rows/partition) — the Heaps-law-unbounded vocabulary is
+  // never sorted on one partition. `rank` comes from TopK.ranked's
+  // bounded sort_array aggregate over the ≤20 surviving rows (no
+  // WindowExec anywhere in the plan).
   private val DriftTopK = 20
   private def q73(s: SparkSession, dir: String): DataFrame = {
     val cnt = Tables.documents(s, dir)
@@ -472,15 +477,14 @@ object Curation extends QueryModule {
       .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("c1"),
            sum(when(col("snap") === 1, 1L).otherwise(0L)).as("c2"))
     val totals = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    cnt.crossJoin(broadcast(totals))
+    val shares = cnt.crossJoin(broadcast(totals))
       .withColumn("s1", expr("c1 * 1000000000 div n1"))
       .withColumn("s2", expr("c2 * 1000000000 div n2"))
       .withColumn("delta", abs(col("s1") - col("s2")))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("delta").desc, col("token"))).cast("int"))
-      .filter(col("rank") <= DriftTopK)
-      .select("rank", "token", "c1", "c2", "s1", "s2", "delta")
-      .orderBy("rank")
+    graft.functions.TopK.ranked(shares, DriftTopK,
+      order = Seq(col("delta").desc, col("token")),
+      ascKeys = Seq(-col("delta"), col("token")),
+      cols = Seq("token", "c1", "c2", "s1", "s2", "delta"))
   }
 
   private val q73Sql =

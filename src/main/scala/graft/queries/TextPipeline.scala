@@ -760,23 +760,49 @@ object TextPipeline extends QueryModule {
   // coverage per rank, and the in/out-of-vocabulary verdict at VocabSize.
   // The coverage curve is what picks a vocab size in practice (where does
   // cum_share cross 99.9%?), and the OOV mass is 1 − cum_share at the
-  // cap. Plan: one uniform (token) aggregation shuffles the corpus ONCE;
-  // everything after runs on the vocabulary relation, which is orders of
-  // magnitude smaller than the corpus at any scale — the global
-  // rank/cumsum window is a deliberate single-partition pass over THAT
-  // (vocab-sized, bounded), never over corpus rows.
+  // cap. Plan: one uniform (token) aggregation shuffles the corpus ONCE
+  // (the exchange is reused by both consumers below); the rank/cumsum
+  // over the vocabulary then runs as the q60 TWO-PHASE prefix sum, not a
+  // single-partition global window — the vocabulary is Heaps-law
+  // unbounded at 100 TB, so "vocab-sized" is not "bounded". Buckets
+  // follow the ranking order (freq DESC, token): the low-frequency tail
+  // (freq < HeadFreq), which under Zipf holds most of the vocabulary and
+  // would make plain log2 bands skew onto the freq=1 partition, buckets
+  // by EXACT freq × first-token-character (same freq inside a bucket, so
+  // prefix order == token order); the head (freq ≥ HeadFreq, few tokens)
+  // buckets by log2 band. Bucket ordering (blo DESC, bpre ASC) is a
+  // refinement of the global order, and the bucket relation is
+  // constant-bounded (≤ HeadFreq·|alphabet| + 63 rows), so the
+  // bucket-offset window is the only partition-less window and runs over
+  // a provably constant input.
   private val VocabSize = 16
+  private val HeadFreq = 16L
   private def q69(s: SparkSession, dir: String): DataFrame = {
     val freq = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
     val total = freq.agg(sum(col("freq")).as("total"))
-    freq
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("freq").desc, col("token"))).cast("int"))
-      .withColumn("cum_freq", sum(col("freq")).over(
-        Window.orderBy(col("freq").desc, col("token"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val keyed = freq
+      .withColumn("blo", expr(s"CASE WHEN freq < $HeadFreq THEN freq " +
+        "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(freq)) - 1) END"))
+      .withColumn("bpre",
+        when(col("freq") < HeadFreq, substring(col("token"), 1, 1)).otherwise(lit("")))
+    val wIn = Window.partitionBy("blo", "bpre").orderBy(col("freq").desc, col("token"))
+    val inBucket = keyed
+      .withColumn("rk_in", row_number().over(wIn).cast("long"))
+      .withColumn("cum_in", sum(col("freq")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wOff = Window.orderBy(col("blo").desc, col("bpre"))
+    val offsets = keyed.groupBy("blo", "bpre")
+      .agg(count(lit(1)).as("bcnt"), sum(col("freq")).as("bsum"))
+      .withColumn("rk_off", coalesce(sum(col("bcnt")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_off", coalesce(sum(col("bsum")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blo", "bpre", "rk_off", "cum_off")
+    inBucket.join(broadcast(offsets), Seq("blo", "bpre"))
+      .withColumn("rank", (col("rk_off") + col("rk_in")).cast("int"))
+      .withColumn("cum_freq", col("cum_off") + col("cum_in"))
       .crossJoin(broadcast(total))
       .withColumn("cum_share", round(col("cum_freq").cast("double") / col("total"), 6))
       .withColumn("in_vocab", col("rank") <= VocabSize)
@@ -808,20 +834,22 @@ object TextPipeline extends QueryModule {
   // ties break lexicographically so the winner is engine-deterministic.
   // Plan: a narrow per-word explode (no shuffle) into one uniform
   // (pair) aggregation — the pair space is bounded by |alphabet|², so
-  // the shuffle is tiny regardless of corpus size.
+  // the shuffle is tiny regardless of corpus size. The top-20 is
+  // orderBy+limit → TakeOrderedAndProject + TopK.ranked anyway (same
+  // catalog-wide standard as q73/q80: no partition-less window over any
+  // relation that grows with the corpus, even a bounded one).
   private val BpeTopK = 20
   private def q70(s: SparkSession, dir: String): DataFrame = {
-    Tables.documentsWide(s, dir)
+    val pairs = Tables.documentsWide(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("pair"))).cast("int"))
-      .filter(col("rank") <= BpeTopK)
-      .select("rank", "pair", "cnt")
-      .orderBy("rank")
+    graft.functions.TopK.ranked(pairs, BpeTopK,
+      order = Seq(col("cnt").desc, col("pair")),
+      ascKeys = Seq(-col("cnt"), col("pair")),
+      cols = Seq("pair", "cnt"))
   }
 
   private val q70Sql =
@@ -850,8 +878,10 @@ object TextPipeline extends QueryModule {
   // no vocab-sized shuffle — and estimation joins the (much smaller)
   // candidate vocabulary against the BROADCAST sketch. The exact count
   // rides along for audit exactly as q74 carries exact distincts; the
-  // top-k window runs on the vocab-sized estimate relation only (q69's
-  // documented bounded-window pattern).
+  // top-20 is orderBy+limit → TakeOrderedAndProject (per-partition
+  // partial top-K), never a single-partition sort of the Heaps-law
+  // unbounded vocabulary; `rank` comes from TopK.ranked's bounded
+  // sort_array aggregate over the ≤20 surviving rows (no WindowExec).
   private val CmsD = 4
   private val CmsW = 512
   private val CmsTopK = 20
@@ -866,18 +896,17 @@ object TextPipeline extends QueryModule {
       .select(col("r"), cmsCell(col("r"), col("token")).as("cell"))
       .groupBy("r", "cell").agg(count(lit(1)).as("c"))
     val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-    freq
+    val est = freq
       .select(col("token"), col("freq"),
         explode(expr(s"sequence(0, ${CmsD - 1})")).as("r"))
       .withColumn("cell", cmsCell(col("r"), col("token")))
       .join(broadcast(sketch), Seq("r", "cell"))
       .groupBy("token", "freq").agg(min(col("c")).as("est"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("est").desc, col("token"))).cast("int"))
-      .filter(col("rank") <= CmsTopK)
       .withColumn("overcount", col("est") - col("freq"))
-      .select("rank", "token", "freq", "est", "overcount")
-      .orderBy("rank")
+    graft.functions.TopK.ranked(est, CmsTopK,
+      order = Seq(col("est").desc, col("token")),
+      ascKeys = Seq(-col("est"), col("token")),
+      cols = Seq("token", "freq", "est", "overcount"))
   }
 
   private val q80Sql =

@@ -81,6 +81,40 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("no query plan contains a partition-less window over an unbounded input") {
+    // The window analog of the cartesian sweep: a WindowExec with no
+    // partitionSpec funnels its whole input through ONE sort partition,
+    // which is a scale-killer whenever the input grows with the corpus
+    // (token vocabularies are Heaps-law unbounded — "vocab-sized" is not
+    // "bounded"). A partition-less window is legal only
+    //   (a) above a constant LIMIT — the ≤top-K rank derivation in
+    //       q70/q73/q80 (detected structurally: GlobalLimit below), or
+    //   (b) over a bucket relation of a two-phase prefix sum, exempted
+    //       by name: q60's bucket offsets (|buckets| = corpus/PackBucket,
+    //       three orders of magnitude below the data; the pattern nests
+    //       if another level is ever needed) and q69's bucket offsets
+    //       (≤ HeadFreq·|alphabet| + 63 rows, constant by construction).
+    // The top-K rank windows themselves were removed outright
+    // (TopK.ranked derives rank from a bounded sort_array aggregate), so
+    // (a) exists for defense in depth. Foldable partition keys count as
+    // partition-less here too: Spark 4's EliminateWindowPartitions
+    // strips constant keys anyway (partitionBy(lit(0)) degenerates to an
+    // empty spec), so the ban cannot be dodged with a literal key.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LogicalWindow}
+    val exempt = Map("q60_sequence_packing" -> 1, "q69_vocab_coverage" -> 1)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      val unbounded = plan.collect {
+        case w: LogicalWindow if w.partitionSpec.forall(_.foldable) &&
+          w.child.collectFirst { case g: GlobalLimit => g }.isEmpty => w
+      }
+      assert(unbounded.size <= exempt.getOrElse(name, 0),
+        s"$name has ${unbounded.size} partition-less window(s) over an un-limited input " +
+          s"(allowed: ${exempt.getOrElse(name, 0)}):\n" +
+          unbounded.map(_.windowExpressions.mkString(", ")).mkString("\n"))
+    }
+  }
+
   test("q79 serves from the artifact: raw corpus vectors are never scanned") {
     // the persisted-index claim: the search plan reads the codes and
     // codebook parquet artifacts, and touches the embeddings table ONLY

@@ -79,6 +79,26 @@ class TextQualitySpec extends SparkTestBase {
     rows.foreach { case (rank, _, _, _, _, inV) => assert(inV == (rank <= 16)) }
   }
 
+  test("q69 two-phase prefix sum equals the single-window global rank/cumsum") {
+    // the r9 rewrite: bucketed rank/cumsum + bucket offsets must be
+    // row-identical to the plain global window it replaced — recomputed
+    // here exactly (one ordered Scala pass, the single-window semantics)
+    val got = SparkEntry.queries("q69_vocab_coverage")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    val freq = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, text, _) => text.split(" ", -1).foreach(t => freq(t) += 1) }
+    val total = freq.values.sum
+    var cum = 0L
+    val expect = freq.toSeq.sortBy { case (t, f) => (-f, t) }.zipWithIndex.map {
+      case ((t, f), i) =>
+        cum += f
+        (i + 1, t, f, cum, round6(cum.toDouble / total), i + 1 <= 16)
+    }
+    assert(got.toSeq == expect,
+      s"got=${got.toSeq.take(5)}…\nexpect=${expect.take(5)}…")
+  }
+
   test("q70 BPE merge candidates match a per-word pair-count recomputation") {
     val got = SparkEntry.queries("q70_bpe_merges")(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
