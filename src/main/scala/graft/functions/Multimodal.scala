@@ -7,16 +7,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, processed per-partition in batches.
   *
-  * The `image` and `audio` types have REAL codec paths: image payloads
+  * ALL THREE media types have REAL codec paths, JDK-only: image payloads
   * are genuine PNG bytes and [[decodeImages]] recovers width/height and a
   * luma histogram from the decoded raster via the JDK's built-in
   * javax.imageio reader; audio payloads are genuine RIFF/WAVE bytes and
   * [[decodeAudio]] recovers rate/samples/signal statistics through the
-  * JDK's javax.sound.sampled WAV parser — no external libraries either
-  * way. Only VIDEO decode remains stubbed behind [[decodeStub]] (the JDK
-  * ships no video codec), which produces deterministic pseudo-features
-  * from the payload's md5 so that pipeline stays end-to-end testable (and
-  * oracle-checkable: the same features are SQL-expressible). Everything
+  * JDK's javax.sound.sampled WAV parser; video payloads are genuine
+  * RIFF/AVI containers with uncompressed DIB frames and
+  * [[decodeVideoFrames]] index-seeks the sampled frames and decodes them
+  * through ImageIO's BMP reader. [[decodeStub]] remains ONLY as the
+  * documented stand-in for payloads that are not decodable containers
+  * (q42/q43's text-byte media rows): deterministic md5 pseudo-features
+  * keep that plumbing end-to-end testable (and oracle-checkable: the
+  * same features are SQL-expressible). Everything
   * around the decode is the real Spark plumbing a production decoder
   * needs:
   *  - payloads travel as `BinaryType` columns (never stringified),
@@ -253,7 +256,10 @@ object Multimodal {
     }
   }
 
-  case class ImagePipelineRow(doc_id: Long, media_type: String, width: Int, height: Int,
+  /** The common decoded-media row all three q49 branches emit: real
+    * decoded dims, the box-fit plan on them, the decoded 8-bit sample
+    * count, and a 16-bin histogram over decoded samples. */
+  case class MediaPipelineRow(doc_id: Long, media_type: String, width: Int, height: Int,
                               out_w: Int, out_h: Int, n_bytes: Long, bins: Array[Long])
 
   /** The composed real-image pipeline (synthesize → PNG decode → box-fit
@@ -261,11 +267,11 @@ object Multimodal {
     * n_bytes for an image row is the decoded 8-bit luma sample count
     * (= w·h bytes of pixel data), the decoded-domain analog of the
     * payload-byte count the stub branch reports. */
-  def imagePipeline(s: SparkSession, dir: String, maxW: Int = 64, maxH: Int = 64): Dataset[ImagePipelineRow] = {
+  def imagePipeline(s: SparkSession, dir: String, maxW: Int = 64, maxH: Int = 64): Dataset[MediaPipelineRow] = {
     import s.implicits._
     decodeImages(synthesizeImages(s, dir)).map { f =>
       val (ow, oh) = fitBox(f.width, f.height, maxW, maxH)
-      ImagePipelineRow(f.doc_id, "image", f.width, f.height, ow, oh, f.n_px, f.bins)
+      MediaPipelineRow(f.doc_id, "image", f.width, f.height, ow, oh, f.n_px, f.bins)
     }
   }
 
@@ -334,27 +340,43 @@ object Multimodal {
     * (sum of squares, peak magnitude, sign-change count, integer-division
     * microsecond duration) so the oracle's replay is bit-exact. Same
     * mapPartitions batch shape as [[decodeImages]]; no shuffle. */
+  /** JDK WAV decode shared by [[decodeAudio]] and [[audioPipeline]]: the
+    * RIFF container parsed by javax.sound.sampled (format chunk →
+    * rate/channels/bits, data chunk → frames), samples materialized as
+    * signed 16-bit ints. */
+  private def wavSamples(payload: Array[Byte], docId: Long): (Int, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16,
+      s"unexpected audio format for doc $docId: $fmt")
+    val rate = math.round(fmt.getSampleRate)
+    val data = ais.readAllBytes()
+    ais.close()
+    val n = data.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      // little-endian 16-bit signed, as declared by the format chunk
+      out(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    (rate, out)
+  }
+
   def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        val fmt = ais.getFormat
-        require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16,
-          s"unexpected audio format for doc ${r.doc_id}: $fmt")
-        val rate = math.round(fmt.getSampleRate)
-        val data = ais.readAllBytes()
-        ais.close()
-        val n = data.length / 2
+        val (rate, samples) = wavSamples(r.payload, r.doc_id)
+        val n = samples.length
         var i = 0
         var peak = 0
         var sumSq = 0L
         var zc = 0L
         var prevNeg = false
         while (i < n) {
-          // little-endian 16-bit signed, as declared by the format chunk
-          val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+          val s = samples(i)
           val a = math.abs(s)
           if (a > peak) peak = a
           sumSq += s.toLong * s
@@ -365,6 +387,32 @@ object Multimodal {
         }
         AudioFeatures(r.doc_id, rate, n.toLong,
           n.toLong * 1000000L / rate, peak, sumSq, zc)
+      }
+    }
+  }
+
+  /** q49's audio branch — REAL WAV payloads through the JDK decoder,
+    * shaped as decoded media: a mono signal is 1×n media, so width = the
+    * decoded sample count, height = 1, the box-fit plan runs on those
+    * dims, n_bytes = the decoded PCM data bytes (2·n), and the 16-bin
+    * histogram buckets the decoded UNSIGNED 16-bit samples
+    * (bin = (s + 32768) div 4096 — integer-exact, so the oracle replays
+    * it from the sample formula while Spark recovers it from container
+    * bytes). */
+  def audioPipeline(s: SparkSession, dir: String, maxW: Int = 64, maxH: Int = 64): Dataset[MediaPipelineRow] = {
+    import s.implicits._
+    synthesizeAudio(s, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val (_, samples) = wavSamples(r.payload, r.doc_id)
+        val n = samples.length
+        val bins = new Array[Long](16)
+        var i = 0
+        while (i < n) {
+          bins((samples(i) + 32768) >> 12) += 1
+          i += 1
+        }
+        val (ow, oh) = fitBox(n, 1, maxW, maxH)
+        MediaPipelineRow(r.doc_id, "audio", n, 1, ow, oh, 2L * n, bins)
       }
     }
   }
@@ -477,71 +525,125 @@ object Multimodal {
     * `maxSamples` evenly spaced frames ([[sampleFrames]]'s schedule),
     * and run ONLY those frames' DIB bits through ImageIO's BMP decoder.
     * Luma statistics come from the decoded raster. */
+  /** RIFF/AVI parse + sampled-frame decode shared by [[decodeVideoFrames]]
+    * and [[videoPipeline]]: walk the container (hdrl→strf for the
+    * stream's BITMAPINFOHEADER, idx1 for frame offsets), pick up to
+    * `maxSamples` evenly spaced frames, and run ONLY those frames' DIB
+    * bits through ImageIO's BMP reader. Returns (total frame count,
+    * decoded (frame_idx, raster) pairs). Callers do per-partition init
+    * (ImageIO.setUseCache) before the row loop. */
+  private def sampledAviFrames(payload: Array[Byte], docId: Long,
+                               maxSamples: Int): (Int, Seq[(Int, java.awt.image.BufferedImage)]) = {
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt(0) == 0x46464952 && buf.getInt(8) == 0x20495641, // 'RIFF', 'AVI '
+      s"not an AVI payload for doc $docId")
+    // walk top-level chunks for LIST(hdrl)→…→strf, LIST(movi), idx1
+    var strf: Array[Byte] = null
+    var moviStart = -1
+    var idx1: (Int, Int) = null // (pos, size)
+    var p = 12
+    while (p + 8 <= buf.limit()) {
+      val ck = buf.getInt(p); val sz = buf.getInt(p + 4)
+      if (ck == 0x5453494c) { // 'LIST'
+        val kind = buf.getInt(p + 8)
+        if (kind == 0x6c726468) { // 'hdrl' — scan inside for 'strf'
+          var q = p + 12
+          val end = p + 8 + sz
+          while (q + 8 <= end && strf == null) {
+            val c = buf.getInt(q); val s2 = buf.getInt(q + 4)
+            if (c == 0x5453494c) q += 12 // descend into sub-LIST (strl)
+            else {
+              if (c == 0x66727473) { // 'strf'
+                strf = new Array[Byte](s2)
+                java.lang.System.arraycopy(payload, q + 8, strf, 0, s2)
+              }
+              q += 8 + s2 + (s2 & 1)
+            }
+          }
+        } else if (kind == 0x69766f6d) moviStart = p + 8 // the 'movi' fourcc
+      } else if (ck == 0x31786469) idx1 = (p + 8, sz) // 'idx1'
+      p += 8 + sz + (sz & 1)
+    }
+    require(strf != null && moviStart >= 0 && idx1 != null,
+      s"missing strf/movi/idx1 in AVI for doc $docId")
+    val n = idx1._2 / 16
+    val step = math.max(1, n / maxSamples)
+    val frames = (0 until n by step).take(maxSamples).map { f =>
+      val off = buf.getInt(idx1._1 + f * 16 + 8) // from the 'movi' fourcc
+      val size = buf.getInt(idx1._1 + f * 16 + 12)
+      // rewrap the DIB bits as a BMP file: 'BM' header + strf + bits
+      val bmp = java.nio.ByteBuffer.allocate(14 + strf.length + size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bmp.put('B'.toByte).put('M'.toByte).putInt(14 + strf.length + size)
+        .putInt(0).putInt(14 + strf.length)
+        .put(strf).put(payload, moviStart + off + 8, size)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp.array()))
+      require(img != null, s"undecodable frame $f for doc $docId")
+      (f, img)
+    }
+    (n, frames)
+  }
+
   def decodeVideoFrames(media: Dataset[MediaRow], maxSamples: Int = 4): Dataset[VideoFrameFeatures] = {
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      javax.imageio.ImageIO.setUseCache(false)
-      val buf = java.nio.ByteBuffer.wrap(r.payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      require(buf.getInt(0) == 0x46464952 && buf.getInt(8) == 0x20495641, // 'RIFF', 'AVI '
-        s"not an AVI payload for doc ${r.doc_id}")
-      // walk top-level chunks for LIST(hdrl)→…→strf, LIST(movi), idx1
-      var strf: Array[Byte] = null
-      var moviStart = -1
-      var idx1: (Int, Int) = null // (pos, size)
-      var p = 12
-      while (p + 8 <= buf.limit()) {
-        val ck = buf.getInt(p); val sz = buf.getInt(p + 4)
-        if (ck == 0x5453494c) { // 'LIST'
-          val kind = buf.getInt(p + 8)
-          if (kind == 0x6c726468) { // 'hdrl' — scan inside for 'strf'
-            var q = p + 12
-            val end = p + 8 + sz
-            while (q + 8 <= end && strf == null) {
-              val c = buf.getInt(q); val s2 = buf.getInt(q + 4)
-              if (c == 0x5453494c) q += 12 // descend into sub-LIST (strl)
-              else {
-                if (c == 0x66727473) { // 'strf'
-                  strf = new Array[Byte](s2)
-                  java.lang.System.arraycopy(r.payload, q + 8, strf, 0, s2)
-                }
-                q += 8 + s2 + (s2 & 1)
-              }
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition, not per row
+      rows.flatMap { r =>
+        val (n, frames) = sampledAviFrames(r.payload, r.doc_id, maxSamples)
+        frames.map { case (f, img) =>
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L; var mn = 255; var mx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              sum += luma
+              if (luma < mn) mn = luma
+              if (luma > mx) mx = luma
+              x += 1
             }
-          } else if (kind == 0x69766f6d) moviStart = p + 8 // the 'movi' fourcc
-        } else if (ck == 0x31786469) idx1 = (p + 8, sz) // 'idx1'
-        p += 8 + sz + (sz & 1)
-      }
-      require(strf != null && moviStart >= 0 && idx1 != null,
-        s"missing strf/movi/idx1 in AVI for doc ${r.doc_id}")
-      val n = idx1._2 / 16
-      val step = math.max(1, n / maxSamples)
-      (0 until n by step).take(maxSamples).map { f =>
-        val off = buf.getInt(idx1._1 + f * 16 + 8) // from the 'movi' fourcc
-        val size = buf.getInt(idx1._1 + f * 16 + 12)
-        // rewrap the DIB bits as a BMP file: 'BM' header + strf + bits
-        val bmp = java.nio.ByteBuffer.allocate(14 + strf.length + size)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        bmp.put('B'.toByte).put('M'.toByte).putInt(14 + strf.length + size)
-          .putInt(0).putInt(14 + strf.length)
-          .put(strf).put(r.payload, moviStart + off + 8, size)
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp.array()))
-        require(img != null, s"undecodable frame $f for doc ${r.doc_id}")
-        val w = img.getWidth; val h = img.getHeight
-        var sum = 0L; var mn = 255; var mx = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-            sum += luma
-            if (luma < mn) mn = luma
-            if (luma > mx) mx = luma
-            x += 1
+            y += 1
           }
-          y += 1
+          VideoFrameFeatures(r.doc_id, n, f, w, h, sum, mn, mx)
         }
-        VideoFrameFeatures(r.doc_id, n, f, w, h, sum, mn, mx)
+      }
+    }
+  }
+
+  /** q49's video branch — REAL AVI payloads, index-seek frame sampling,
+    * per-frame BMP decode: width/height are the decoded frame dims, the
+    * box-fit plan runs on them, n_bytes = the decoded 8-bit luma sample
+    * count across the sampled frames (|sampled|·w·h), and the 16-bin
+    * histogram buckets decoded luma over those frames. */
+  def videoPipeline(s: SparkSession, dir: String, maxSamples: Int = 4,
+                    maxW: Int = 64, maxH: Int = 64): Dataset[MediaPipelineRow] = {
+    import s.implicits._
+    synthesizeVideos(s, dir).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val (_, frames) = sampledAviFrames(r.payload, r.doc_id, maxSamples)
+        val bins = new Array[Long](16)
+        var w = 0; var h = 0
+        var nPx = 0L
+        frames.foreach { case (_, img) =>
+          w = img.getWidth; h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              bins(luma >> 4) += 1
+              x += 1
+            }
+            y += 1
+          }
+          nPx += w.toLong * h
+        }
+        val (ow, oh) = fitBox(w, h, maxW, maxH)
+        MediaPipelineRow(r.doc_id, "video", w, h, ow, oh, nPx, bins)
       }
     }
   }

@@ -302,64 +302,42 @@ object TextPipeline extends QueryModule {
       |FROM feat ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q49 — the remaining multimodal stages composed, per media type:
-  //  * image rows take the REAL codec path (Multimodal.imagePipeline):
-  //    genuine PNG payloads decoded by javax.imageio, real width/height
-  //    from the raster, box-fit resize plan on the real dims, and a
-  //    16-bin histogram over DECODED luma samples (n_bytes = the decoded
-  //    8-bit sample count, w·h);
-  //  * audio/video rows keep the stub-decode dims (no JDK codec exists
-  //    for them) with the REAL payload-byte histogram and resize math.
-  // The oracle replays the image branch from the pixel formula — Spark
-  // has to recover the same numbers from compressed PNG bytes, so a hash
-  // match certifies an actual decode — and the stub branch from md5.
+  // q49 — the composed multimodal feature pipeline, EVERY branch on the
+  // real codec path (the r8 stub dims for audio/video are gone):
+  //  * image rows (doc_id%3=0, Multimodal.imagePipeline): genuine PNG
+  //    payloads decoded by javax.imageio — real width/height from the
+  //    raster, box-fit plan on them, 16-bin histogram over decoded luma,
+  //    n_bytes = decoded sample count w·h;
+  //  * audio rows (doc_id%3=1, Multimodal.audioPipeline): genuine
+  //    RIFF/WAVE payloads decoded by javax.sound.sampled — the mono
+  //    signal as 1×n media (width = decoded sample count, height = 1),
+  //    n_bytes = decoded PCM bytes, histogram over the decoded unsigned
+  //    16-bit samples;
+  //  * video rows (doc_id%3=2, Multimodal.videoPipeline): genuine
+  //    RIFF/AVI payloads, idx1 index-seek frame sampling, per-frame BMP
+  //    decode — real frame dims, n_bytes = decoded luma samples across
+  //    the sampled frames, histogram over those frames' pixels.
+  // The oracle replays all three branches from the integer pixel/sample
+  // FORMULAS — it never sees the container bytes — so a hash match
+  // certifies three actual decodes. All branches are narrow no-shuffle
+  // mapPartitions chains; the union is bucket-free and the only sort is
+  // the presentation orderBy.
   private def q49(s: SparkSession, dir: String): DataFrame = {
     def binned(df: DataFrame) =
       df.select(Seq("doc_id", "media_type", "width", "height", "out_w", "out_h", "n_bytes").map(col)
         ++ (0 until 16).map(i => element_at(col("bins"), i + 1).as(f"b$i%02d")): _*)
-    val img = binned(Multimodal.imagePipeline(s, dir).toDF())
-    val media = Multimodal.mediaFromDocuments(s, dir)
-      .filter(col("media_type") =!= "image")
-    val rp = Multimodal.resizePlan(Multimodal.decode(media)).toDF()
-    val av = binned(rp.join(
-      Multimodal.extractFeatures(media).toDF().select("doc_id", "n_bytes", "bins"), "doc_id"))
-    img.unionByName(av).orderBy("doc_id")
+    binned(Multimodal.imagePipeline(s, dir).toDF())
+      .unionByName(binned(Multimodal.audioPipeline(s, dir).toDF()))
+      .unionByName(binned(Multimodal.videoPipeline(s, dir).toDF()))
+      .orderBy("doc_id")
   }
 
   private val q49Sql = {
     val binCols = (0 until 16).map(i =>
       s"COUNT(*) FILTER (bin = $i) AS b${"%02d".format(i)}").mkString(",\n      |         ")
     val bsel = (0 until 16).map(i => s"b${"%02d".format(i)}").mkString(", ")
-    s"""WITH m AS (
-      |  SELECT doc_id,
-      |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-      |         md5(text) AS h, text
-      |  FROM documents WHERE doc_id % 3 <> 0),
-      |hx AS (
-      |  SELECT doc_id, media_type, text,
-      |         CAST(32 + ((strpos('0123456789abcdef', h[1]) - 1) * 16 + (strpos('0123456789abcdef', h[2]) - 1)) % 224 AS INT) AS width,
-      |         CAST(32 + ((strpos('0123456789abcdef', h[3]) - 1) * 16 + (strpos('0123456789abcdef', h[4]) - 1)) % 224 AS INT) AS height
-      |  FROM m),
-      |rp AS (
-      |  SELECT doc_id, media_type, width, height,
-      |         CAST(CASE WHEN width <= 64 AND height <= 64 THEN width
-      |                   WHEN width * 64 >= height * 64 THEN 64
-      |                   ELSE GREATEST(1, (width * 64) // height) END AS INT) AS out_w,
-      |         CAST(CASE WHEN width <= 64 AND height <= 64 THEN height
-      |                   WHEN width * 64 >= height * 64 THEN GREATEST(1, (height * 64) // width)
-      |                   ELSE 64 END AS INT) AS out_h
-      |  FROM hx),
-      |chars AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents WHERE doc_id % 3 <> 0),
-      |bh AS (SELECT doc_id, ord(c) // 16 AS bin FROM chars),
-      |hist AS (
-      |  SELECT doc_id, COUNT(*) AS n_bytes,
-      |         $binCols
-      |  FROM bh GROUP BY doc_id),
-      |stubrows AS (
-      |  SELECT r.doc_id, r.media_type, r.width, r.height, r.out_w, r.out_h, t.n_bytes,
-      |         ${(0 until 16).map(i => s"t.b${"%02d".format(i)}").mkString(", ")}
-      |  FROM rp r JOIN hist t ON r.doc_id = t.doc_id),
-      |img AS (
+    val tcols = (0 until 16).map(i => s"t.b${"%02d".format(i)}").mkString(", ")
+    s"""WITH img AS (
       |  SELECT doc_id,
       |         CAST(8 + doc_id % 120 AS INT) AS w,
       |         CAST(8 + (doc_id * 7) % 120 AS INT) AS h
@@ -382,10 +360,62 @@ object TextPipeline extends QueryModule {
       |                   WHEN i.w * 64 >= i.h * 64 THEN GREATEST(1, (i.h * 64) // i.w)
       |                   ELSE 64 END AS INT) AS out_h,
       |         CAST(i.w AS BIGINT) * i.h AS n_bytes,
-      |         ${(0 until 16).map(i => s"t.b${"%02d".format(i)}").mkString(", ")}
-      |  FROM img i JOIN ihist t ON i.doc_id = t.doc_id)
+      |         $tcols
+      |  FROM img i JOIN ihist t ON i.doc_id = t.doc_id),
+      |aud AS (
+      |  SELECT doc_id, CAST(256 + (doc_id * 13) % 1024 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |apx AS (
+      |  SELECT doc_id, n, unnest(range(0, CAST(n AS BIGINT))) AS i FROM aud),
+      |abin AS (
+      |  SELECT doc_id, CAST(((doc_id * 31 + i * 7919) % 65536) // 4096 AS INT) AS bin FROM apx),
+      |ahist AS (
+      |  SELECT doc_id,
+      |         $binCols
+      |  FROM abin GROUP BY doc_id),
+      |audrows AS (
+      |  SELECT a.doc_id, 'audio' AS media_type, a.n AS width, CAST(1 AS INT) AS height,
+      |         CAST(CASE WHEN a.n <= 64 THEN a.n
+      |                   WHEN a.n * 64 >= 1 * 64 THEN 64
+      |                   ELSE GREATEST(1, (a.n * 64) // 1) END AS INT) AS out_w,
+      |         CAST(CASE WHEN a.n <= 64 THEN 1
+      |                   WHEN a.n * 64 >= 1 * 64 THEN GREATEST(1, (1 * 64) // a.n)
+      |                   ELSE 64 END AS INT) AS out_h,
+      |         CAST(2 * a.n AS BIGINT) AS n_bytes,
+      |         $tcols
+      |  FROM aud a JOIN ahist t ON a.doc_id = t.doc_id),
+      |vid AS (
+      |  SELECT doc_id,
+      |         CAST(16 + doc_id % 16 AS INT) AS w,
+      |         CAST(16 + (doc_id * 3) % 16 AS INT) AS h,
+      |         CAST(4 + (doc_id * 7) % 12 AS INT) AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |vfr AS (
+      |  SELECT doc_id, w, h, unnest(range(0, CAST(nf AS BIGINT), CAST(greatest(1, nf // 4) AS BIGINT))[1:4]) AS f
+      |  FROM vid),
+      |vpx AS (
+      |  SELECT doc_id, w, h, f, unnest(range(0, CAST(w AS BIGINT) * h)) AS i FROM vfr),
+      |vbin AS (
+      |  SELECT doc_id,
+      |         CAST(((doc_id * 31 + f * 17 + (i % w) * 7 + (i // w) * 13) % 256) // 16 AS INT) AS bin
+      |  FROM vpx),
+      |vhist AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS npx,
+      |         $binCols
+      |  FROM vbin GROUP BY doc_id),
+      |vidrows AS (
+      |  SELECT v.doc_id, 'video' AS media_type, v.w AS width, v.h AS height,
+      |         CAST(CASE WHEN v.w <= 64 AND v.h <= 64 THEN v.w
+      |                   WHEN v.w * 64 >= v.h * 64 THEN 64
+      |                   ELSE GREATEST(1, (v.w * 64) // v.h) END AS INT) AS out_w,
+      |         CAST(CASE WHEN v.w <= 64 AND v.h <= 64 THEN v.h
+      |                   WHEN v.w * 64 >= v.h * 64 THEN GREATEST(1, (v.h * 64) // v.w)
+      |                   ELSE 64 END AS INT) AS out_h,
+      |         t.npx AS n_bytes,
+      |         $tcols
+      |  FROM vid v JOIN vhist t ON v.doc_id = t.doc_id)
       |SELECT doc_id, media_type, width, height, out_w, out_h, n_bytes, $bsel
-      |FROM (SELECT * FROM imgrows UNION ALL SELECT * FROM stubrows)
+      |FROM (SELECT * FROM imgrows UNION ALL SELECT * FROM audrows UNION ALL SELECT * FROM vidrows)
       |ORDER BY doc_id""".stripMargin
   }
 

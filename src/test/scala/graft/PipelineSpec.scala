@@ -350,6 +350,33 @@ class PipelineSpec extends SparkTestBase {
     assert(new String(payload.slice(8, 12), "US-ASCII") == "AVI ")
   }
 
+  test("q49 audio/video pipelines: decoded histograms match the sample/pixel formulas") {
+    import graft.functions.Multimodal
+    val aud = Multimodal.audioPipeline(spark, sfDir).collect()
+    assert(aud.nonEmpty)
+    aud.foreach { r =>
+      val n = Multimodal.audioLen(r.doc_id)
+      assert((r.width, r.height) == (n, 1) && r.n_bytes == 2L * n)
+      assert((r.out_w, r.out_h) == Multimodal.fitBox(n, 1, 64, 64))
+      val bins = new Array[Long](16)
+      (0 until n).foreach(i => bins((Multimodal.audioSample(r.doc_id, i) + 32768) >> 12) += 1)
+      assert(r.bins.toSeq == bins.toSeq, s"audio bins for doc ${r.doc_id}")
+    }
+    val vid = Multimodal.videoPipeline(spark, sfDir).collect()
+    assert(vid.nonEmpty)
+    vid.foreach { r =>
+      val (w, h) = Multimodal.videoDims(r.doc_id)
+      val nf = Multimodal.videoFrames(r.doc_id)
+      val fs = (0 until nf by math.max(1, nf / 4)).take(4)
+      assert((r.width, r.height) == (w, h))
+      assert(r.n_bytes == fs.size.toLong * w * h)
+      val bins = new Array[Long](16)
+      for (f <- fs; y <- 0 until h; x <- 0 until w)
+        bins(Multimodal.videoLuma(r.doc_id, f, x, y) >> 4) += 1
+      assert(r.bins.toSeq == bins.toSeq, s"video bins for doc ${r.doc_id}")
+    }
+  }
+
   test("real video decode follows the idx1 index, not physical chunk order") {
     import spark.implicits._
     import graft.functions.Multimodal
