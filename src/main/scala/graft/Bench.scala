@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
@@ -93,6 +94,11 @@ object Bench {
     // trip earns one more CALM run (the contended first pass often ran
     // inside another query's spill) — flag only if the best of three
     // still breaches. A real plan regression re-trips; noise doesn't.
+    // Trip-and-recovered cases stay visible: the published time is
+    // min(original, calm rerun), but the original is reported in a
+    // `rechecked` map so a flaky real regression can't hide behind one
+    // fast rerun round-over-round.
+    val recheckedOrig = mutable.LinkedHashMap[String, Double]()
     val rechecked = results.map { case (name, t) =>
       if (t > 0 && trips(name, t)) {
         Caches.release(); spark.catalog.clearCache()
@@ -101,6 +107,7 @@ object Bench {
           SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => t }
+        recheckedOrig(name) = t
         name -> math.min(t, t2)
       } else name -> t
     }
@@ -111,11 +118,12 @@ object Bench {
       System.err.println(f"[bench] BUDGET: $name is $ratio%.1f× its recorded baseline")
     }
     val qs = rechecked.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val rechk = recheckedOrig.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val over = overBudget.map { case (k, r) => s"${q(k)}:${math.round(r * 10) / 10.0}" }
       .mkString("{", ",", "}")
     val total = rechecked.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},"failed":${failed.size},"over_budget":$over}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},"failed":${failed.size},"over_budget":$over,"rechecked":$rechk}"""
     println(line)
     // Robust copy for the driver in case stdout is swallowed by sbt
     // logging — next to the build the bench ran from (overridable).

@@ -81,18 +81,21 @@ case class CappedCollect(
     new GenericArrayData(buffer.toArray)
 
   // Shuffle format: one UnsafeRow holding the buffer as an array column —
-  // the same scheme Spark's own Collect aggregates use. Projections are
-  // created per call; serialize/deserialize run once per key per
-  // exchange, not per input row.
-  override def serialize(obj: mutable.ArrayBuffer[Any]): Array[Byte] = {
-    val projection = UnsafeProjection.create(
-      Array[DataType](ArrayType(elementType = child.dataType, containsNull = false)))
-    projection.apply(InternalRow.apply(new GenericArrayData(obj.toArray))).getBytes
-  }
+  // the same scheme Spark's own Collect aggregates use, including the
+  // cached projection/row: serialize runs once per KEY per exchange, and
+  // in the prune-less plans (q35/q39) every band key — millions of
+  // singletons at scale — pays it, so a per-call UnsafeProjection.create
+  // (a codegen-cache lookup) would sit on that path.
+  @transient private lazy val serializeProjection = UnsafeProjection.create(
+    Array[DataType](ArrayType(elementType = child.dataType, containsNull = false)))
+  @transient private lazy val deserializeRow = new UnsafeRow(1)
+
+  override def serialize(obj: mutable.ArrayBuffer[Any]): Array[Byte] =
+    serializeProjection.apply(InternalRow.apply(new GenericArrayData(obj.toArray))).getBytes
 
   override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Any] = {
     val buffer = createAggregationBuffer()
-    val row = new UnsafeRow(1)
+    val row = deserializeRow
     row.pointTo(bytes, bytes.length)
     row.getArray(0).foreach(child.dataType, (_, x: Any) => buffer += x)
     buffer

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *  - embeddings: 90% of vectors are replaced by vector 0's embedding —
   *    every cosine-LSH table gets one saturated plane-signature bucket.
   *
-  * What must hold (the caps' construction): q33/q35/q39 size buckets
-  * with a map-side-combined COUNT before collecting members (the hot
-  * key costs one counter per map task, never a corpus-sized array in
-  * one reducer) and drop over-cap buckets; q51 excludes trigrams with
+  * What must hold (the caps' construction): q33 sizes buckets with a
+  * map-side-combined COUNT before collecting members (the hot key costs
+  * one counter per map task, never a corpus-sized array in one reducer)
+  * and drops over-cap buckets; q35/q39 have no count-prune pass and are
+  * bounded by graft_collect_capped alone (every buffer stops at cap+1
+  * in partials, merges, and the final); q51 excludes trigrams with
   * df > max(2, N/20) BY DEFINITION. So skew changes which buckets
   * survive, not how much any single task buffers.
   *
