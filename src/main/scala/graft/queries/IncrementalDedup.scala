@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** q84 — INCREMENTAL DEDUP AGAINST A PERSISTED CORPUS INDEX: the
+  * production intake shape. A 100 TB corpus is deduped ONCE (q31/q33's
+  * offline passes); every following day only a small shard arrives, and
+  * rescanning the corpus to admit it would cost a full corpus pass per
+  * day. Instead the corpus's dedup STATE is persisted as a fingerprinted
+  * artifact — the q78/q79 train-once/serve-many split applied to the
+  * dedup family (reference anchor: the watermark-driven incremental
+  * contract of /root/reference/nikon_ETL.py:425-499, where only new
+  * slices are processed against persisted state):
+  *
+  *  - `exact/`  — (h, keeper): md5 content hash of every DISTINCT corpus
+  *    text with its canonical doc (q31's exact-dedup state). One row per
+  *    distinct text, not per doc.
+  *  - `bands/`  — DISTINCT (band, bandkey) MinHash/LSH band keys of the
+  *    corpus ([[Dedup.minhashBandsOf]], the q33 signature definition).
+  *    Membership-only: no bucket member lists, so no caps are needed and
+  *    a boilerplate mega-bucket costs ONE index row.
+  *
+  * Serving (q84) touches the ARTIFACT and the staged shard ONLY — the
+  * corpus documents table is never rescanned (PlanSpec-asserted). Each
+  * shard doc gets a verdict with first-match precedence:
+  *    exact_dup_corpus (hash hits the index; keeper reported) >
+  *    exact_dup_batch  (hash duplicated within the shard; min doc_id
+  *                      keeps) >
+  *    neardup_corpus   (shares ≥1 LSH band key with the corpus — the
+  *                      standard candidate criterion served from
+  *                      membership alone; a production pipeline wanting
+  *                      exact-Jaccard confirmation would fetch the ≤
+  *                      cap-bounded candidate signatures, which is
+  *                      shard-proportional, never corpus-proportional) >
+  *    kept.
+  *
+  * Scale shape: the shard relation is small by definition (a day's
+  * intake); the two index relations are corpus-scale but BOTH joins
+  * against them are single equi-/semi-joins on uniform md5-derived keys
+  * — one pass over the index, no windows, no member buffers. On a real
+  * deployment the artifact would be written as a bucketed table on `h` /
+  * `(band, bandkey)` so daily serving co-locates without reshuffling the
+  * index; parquet-without-metastore cannot express bucketing, so the
+  * join-side exchange stands in for it here.
+  *
+  * [[ingest]] closes the loop: kept shard docs are folded into a NEW
+  * artifact generation (temp + atomic rename, marker-last — the q78
+  * publication contract), after which replaying the SAME shard keeps
+  * nothing and a re-ingest reproduces a content-identical index
+  * (IncrementalDedupSpec's idempotency contract).
+  *
+  * The staged shard simulates a real intake mix on the deterministic
+  * doc_id split: the day's genuinely new pages (doc_id % 5 = 4), a
+  * re-crawl of corpus pages (doc_id % 10 = 0, re-keyed +1e6 and again
+  * +2e6 — exact corpus dups), and a double-submitted slice of the new
+  * pages (doc_id % 20 = 4, re-keyed +3e6 — within-shard dups).
+  */
+object IncrementalDedup extends QueryModule {
+
+  private def indexRoot: String =
+    sys.env.get("SPARK_GRAFT_INDEX_DIR")
+      .orElse(sys.props.get("graft.index.dir"))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index")
+
+  private def md5key(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  /** Same staleness contract as the PQ index: the artifact key folds in
+    * the documents table's file names/lengths/mtimes, so a regenerated
+    * corpus under the same path keys to a fresh index. Metadata only. */
+  private[graft] def dataFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p))
+    val sig = stats.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    md5key(s"$dir#dedup#$sig")
+  }
+
+  private[graft] def indexPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/dedup-${dataFingerprint(s, dir)}"
+  private[graft] def shardPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/dedup-shard-${dataFingerprint(s, dir)}"
+
+  private def fsFor(s: SparkSession, path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def complete(fs: org.apache.hadoop.fs.FileSystem,
+                       p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_COMPLETE"))
+
+  /** The q78 publication contract: assemble under a private temp, marker
+    * LAST inside the temp, atomic rename into place, concurrent winner
+    * kept (same fingerprint ⇒ same deterministic content). */
+  private def publish(s: SparkSession, path: org.apache.hadoop.fs.Path)
+                     (write: org.apache.hadoop.fs.Path => Unit): Unit = {
+    val fs = fsFor(s, path)
+    if (complete(fs, path)) return
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, s".${path.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    write(tmp)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_COMPLETE"), true).close() // marker LAST
+    fs.mkdirs(path.getParent)
+    if (fs.exists(path) && !complete(fs, path)) fs.delete(path, true) // evict half-built squatter
+    if (!fs.exists(path)) {
+      if (!fs.rename(tmp, path) && !complete(fs, path))
+        throw new IllegalStateException(s"could not publish dedup artifact at $path")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (!complete(fs, path))
+      throw new IllegalStateException(s"dedup artifact at $path incomplete after publish")
+  }
+
+  private def corpusDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text").filter(col("doc_id") % 5 =!= 4)
+
+  private def shardDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    docs.filter(col("doc_id") % 5 === 4)
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 20 === 4)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+  }
+
+  /** Offline: persist the corpus's exact-hash state and LSH band-key set. */
+  private[graft] def buildIndex(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(indexPath(s, dir))
+    publish(s, path) { tmp =>
+      val corpus = corpusDocs(s, dir)
+      corpus.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"))
+        .write.mode("overwrite").parquet(s"$tmp/exact")
+      Dedup.minhashBandsOf(corpus)
+        .select("band", "bandkey").distinct()
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+    }
+    path.toString
+  }
+
+  /** Stage the day's intake shard as its own artifact (in production the
+    * shard ARRIVES as files; staging it keeps q84's serving plan free of
+    * any documents-table scan, which PlanSpec asserts). */
+  private[graft] def stageShard(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(shardPath(s, dir))
+    publish(s, path) { tmp =>
+      shardDocs(s, dir).write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+    path.toString
+  }
+
+  /** Online: verdict every shard doc against the index ONLY. */
+  private[graft] def verdictsAgainst(s: SparkSession, shard: DataFrame,
+                                     idxPath: String): DataFrame = {
+    val exactIdx = s.read.parquet(s"$idxPath/exact")
+      .withColumnRenamed("keeper", "corpus_keeper")
+    val bandsIdx = s.read.parquet(s"$idxPath/bands")
+    val hashed = shard.withColumn("h", md5(col("text")))
+    val shardKeep = hashed.groupBy("h").agg(min(col("doc_id")).as("bkeeper"))
+    val near = Dedup.minhashBandsOf(shard)
+      .join(bandsIdx, Seq("band", "bandkey"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("near", lit(true))
+    hashed
+      .join(exactIdx, Seq("h"), "left")
+      .join(shardKeep, "h")
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("corpus_keeper").isNotNull, "exact_dup_corpus")
+          .when(col("doc_id") =!= col("bkeeper"), "exact_dup_batch")
+          .when(col("near").isNotNull, "neardup_corpus")
+          .otherwise("kept"))
+      .withColumn("keep", col("verdict") === "kept")
+      .select("doc_id", "verdict", "keep", "corpus_keeper")
+      .orderBy("doc_id")
+  }
+
+  /** Fold the shard's kept docs into a new index generation at `outPath`.
+    * Kept docs' hashes are disjoint from the index (else they would be
+    * exact_dup_corpus) and unique within the shard (else exact_dup_batch),
+    * so the union is conflict-free; replaying the same shard against the
+    * new generation keeps nothing, making re-ingest a content no-op. */
+  private[graft] def ingest(s: SparkSession, shard: DataFrame,
+                            idxPath: String, outPath: String): String = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
+    publish(s, path) { tmp =>
+      val kept = shard.join(
+        verdictsAgainst(s, shard, idxPath).filter(col("keep")).select("doc_id"), "doc_id")
+      s.read.parquet(s"$idxPath/exact")
+        .unionByName(kept.select(md5(col("text")).as("h"), col("doc_id").as("keeper")))
+        .write.mode("overwrite").parquet(s"$tmp/exact")
+      s.read.parquet(s"$idxPath/bands")
+        .unionByName(Dedup.minhashBandsOf(kept.select("doc_id", "text"))
+          .select("band", "bandkey"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+    }
+    path.toString
+  }
+
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildIndex(s, dir)       // offline, cached by fingerprint
+    val shard = stageShard(s, dir)     // the day's intake, as files
+    verdictsAgainst(s, s.read.parquet(s"$shard/docs"), idx)
+  }
+
+  // The oracle recomputes the COMPOSED (corpus ∪ shard) ground truth from
+  // the raw documents table — it never sees the artifact, so a hash match
+  // proves the index-only serving path reproduces exactly what a full
+  // corpus rescan would conclude. Band keys replay the q33 signature SQL.
+  private val q84Sql =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+      |shard AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 20 = 4),
+      |alldocs AS (SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM shard),
+      |mh_toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM alldocs WHERE len(string_split(text, ' ')) >= 2),
+      |mh_sh AS (SELECT DISTINCT doc_id, unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS shingle FROM mh_toks),
+      |grps AS (SELECT CAST(unnest(range(${Dedup.NumHashes / Dedup.BandSize})) AS INT) AS band),
+      |sig AS (
+      |  SELECT doc_id, band,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 1, 8)) AS w0,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 9, 8)) AS w1,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 17, 8)) AS w2,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 25, 8)) AS w3
+      |  FROM mh_sh CROSS JOIN grps GROUP BY doc_id, band),
+      |bands AS (
+      |  SELECT doc_id, band, md5(w0 || '|' || w1 || '|' || w2 || '|' || w3) AS bandkey
+      |  FROM sig),
+      |cb AS (SELECT DISTINCT b.band, b.bandkey FROM bands b JOIN corpus c ON b.doc_id = c.doc_id),
+      |bb AS (SELECT b.doc_id, b.band, b.bandkey FROM bands b JOIN shard x ON b.doc_id = x.doc_id),
+      |near AS (SELECT DISTINCT bb.doc_id FROM bb JOIN cb ON bb.band = cb.band AND bb.bandkey = cb.bandkey),
+      |ch AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM corpus GROUP BY 1),
+      |sh AS (SELECT doc_id, md5(text) AS h FROM shard),
+      |skeep AS (SELECT h, MIN(doc_id) AS bkeeper FROM sh GROUP BY h),
+      |verdicts AS (
+      |  SELECT s.doc_id,
+      |         CASE WHEN c.keeper IS NOT NULL THEN 'exact_dup_corpus'
+      |              WHEN s.doc_id <> k.bkeeper THEN 'exact_dup_batch'
+      |              WHEN n.doc_id IS NOT NULL THEN 'neardup_corpus'
+      |              ELSE 'kept' END AS verdict,
+      |         c.keeper AS corpus_keeper
+      |  FROM sh s
+      |  LEFT JOIN ch c ON s.h = c.h
+      |  JOIN skeep k ON s.h = k.h
+      |  LEFT JOIN near n ON s.doc_id = n.doc_id)
+      |SELECT doc_id, verdict, verdict = 'kept' AS keep, corpus_keeper
+      |FROM verdicts ORDER BY doc_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_incremental_dedup" -> ((s, dir) => q84(s, dir)),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q84_incremental_dedup" -> q84Sql,
+  )
+}

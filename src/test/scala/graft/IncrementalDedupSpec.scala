@@ -1,0 +1,94 @@
+package graft
+
+import graft.queries.IncrementalDedup
+
+/** The q84 contracts that the DuckDB oracle cannot see: artifact storage
+  * (root knob, marker-last rebuild, fingerprint staleness) and the
+  * ingest/replay idempotency of the incremental intake loop. */
+class IncrementalDedupSpec extends SparkTestBase {
+
+  private def withTempRoot[A](f: String => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_test").toString
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = root
+    try f(root)
+    finally prev match {
+      case Some(v) => sys.props("graft.index.dir") = v
+      case None    => sys.props.remove("graft.index.dir")
+    }
+  }
+
+  private def verdictRows(idx: String): Seq[(Long, String, Boolean, Any)] = {
+    val shard = spark.read.parquet(s"${IncrementalDedup.stageShard(spark, sfDir)}/docs")
+    IncrementalDedup.verdictsAgainst(spark, shard, idx).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.get(3))).toSeq
+  }
+
+  test("dedup index storage contract: root honored, half-built rebuilt, fingerprint keys the data") {
+    withTempRoot { root =>
+      val want = SparkEntry.queries("q84_incremental_dedup")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.get(3))).toSeq
+      assert(want.nonEmpty)
+      val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      val path = new org.apache.hadoop.fs.Path(IncrementalDedup.indexPath(spark, sfDir))
+      assert(path.toString.startsWith(root), s"index at $path ignores configured root")
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(path, "_COMPLETE")))
+      // sabotage: drop the marker and the exact table — a marker-less
+      // artifact must be rebuilt, never served
+      hfs.delete(new org.apache.hadoop.fs.Path(path, "_COMPLETE"), false)
+      hfs.delete(new org.apache.hadoop.fs.Path(path, "exact"), true)
+      val rebuilt = SparkEntry.queries("q84_incremental_dedup")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.get(3))).toSeq
+      assert(rebuilt == want, "marker-less index was served instead of rebuilt")
+      assert(hfs.exists(new org.apache.hadoop.fs.Path(path, "_COMPLETE")), "rebuild did not republish")
+      // staleness: same dir path, same bytes, new mtime ⇒ different key
+      val dataCopy = java.nio.file.Files.createTempDirectory("graft_dedup_data").toString
+      val src = new java.io.File(s"$sfDir/documents.parquet")
+      val dst = new java.io.File(s"$dataCopy/documents.parquet")
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dst, f.getName).toPath))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+      val k1 = IncrementalDedup.dataFingerprint(spark, dataCopy)
+      assert(IncrementalDedup.dataFingerprint(spark, dataCopy) == k1, "fingerprint not stable")
+      val touched = if (dst.isDirectory) dst.listFiles().head else dst
+      assert(touched.setLastModified(touched.lastModified() + 60000))
+      assert(IncrementalDedup.dataFingerprint(spark, dataCopy) != k1,
+        "fingerprint blind to a regenerated corpus under the same path")
+    }
+  }
+
+  test("ingest is idempotent: replay keeps nothing, re-ingest is a content no-op") {
+    withTempRoot { root =>
+      val idx = IncrementalDedup.buildIndex(spark, sfDir)
+      val shard = spark.read.parquet(s"${IncrementalDedup.stageShard(spark, sfDir)}/docs")
+      val v1 = verdictRows(idx)
+      val kept1 = v1.filter(_._3).map(_._1).toSet
+      assert(kept1.nonEmpty, "fixture produced no kept docs — contract untestable")
+      val g2 = IncrementalDedup.ingest(spark, shard, idx, s"$root/gen2")
+      // replay of the SAME shard against the post-ingest index: nothing
+      // is kept, and every formerly-kept doc is an exact dup of its own
+      // ingested copy (keeper = itself)
+      val v2 = verdictRows(g2)
+      assert(v2.forall(!_._3), "replayed shard kept documents")
+      v2.filter(r => kept1.contains(r._1)).foreach { case (id, verdict, _, keeper) =>
+        assert(verdict == "exact_dup_corpus" && keeper == id,
+          s"kept doc $id not recognized as its own ingest ($verdict, keeper=$keeper)")
+      }
+      // re-ingest: a content-identical index (no growth on replay)
+      val g3 = IncrementalDedup.ingest(spark, shard, g2, s"$root/gen3")
+      def content(p: String) = (
+        spark.read.parquet(s"$p/exact").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet,
+        spark.read.parquet(s"$p/bands").collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSet)
+      assert(content(g2) == content(g3), "re-ingest of the same shard changed the index")
+      // the ingested generation is exactly the base plus the kept docs
+      val (e1, _) = content(idx)
+      val (e2, _) = content(g2)
+      assert(e2.size == e1.size + kept1.size,
+        s"exact table grew by ${e2.size - e1.size}, expected ${kept1.size}")
+    }
+  }
+}

@@ -130,6 +130,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q84 serves from the dedup index + staged shard: the corpus is never rescanned") {
+    // the incremental-intake claim: after the offline build, a day's
+    // shard is verdicted by joining the ARTIFACT (exact hashes + band
+    // keys) and the staged shard files only — a documents-table scan in
+    // the serving plan would mean the 100 TB corpus is re-read per batch
+    val p = plan(graft.queries.IncrementalDedup.queries("q84_incremental_dedup")(spark, sfDir))
+    assert(p.contains("dedup-"), "plan does not read the dedup index artifact")
+    assert(!p.contains("documents.parquet"),
+      "q84 rescans the documents table:\n" +
+        p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
+  }
+
   test("q33 bucket membership is count-pruned and collected with the capped aggregate") {
     // the round-8 shape: a codegen'd count aggregation prunes singleton/
     // over-cap band keys BEFORE any member buffer is built, and the
