@@ -357,29 +357,18 @@ object Curation extends QueryModule {
   //   kept        — survived everything
   // The reason column is the audit trail: at 100 TB you retire terabytes
   // per stage, and "why did this document disappear" must be answerable
-  // without re-running the pipeline. Plan: three uniform-key shuffles
-  // (md5 dedup, per-doc bigrams, token→model join with the vocab-sized
-  // model broadcast) plus the narrow rule map — each stage is exactly
-  // its standalone query's plan, composed.
+  // without re-running the pipeline. Plan: ONE narrow document pass
+  // computes the rule battery, the content hash, AND the repetition
+  // verdict (withRepetitionFail's sorted-bigram runs — the standalone
+  // q55's (doc, bigram)+(doc) exchanges disappear into the shared scan);
+  // the only shuffles left are the md5 canon window and the two the
+  // surprisal model genuinely needs (token model build + per-doc sum).
   private def q72(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsWide(s, dir)
-    val rules = graft.queries.TextPipeline.withQualityRules(docs)
-      .select(col("doc_id"), col("rule_mask"),
+    val rules = graft.queries.TextPipeline.withRepetitionFail(
+        graft.queries.TextPipeline.withQualityRules(docs))
+      .select(col("doc_id"), col("rule_mask"), col("rep_fail"),
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("canon"))
-    val rep = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(ts) - 1),
-          |  i -> cast(conv(substring(md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1))), 1, 15), 16, 10) AS bigint))""".stripMargin))
-        .as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("nb"), count(lit(1)).as("nu"), max(col("c")).as("tc"))
-      .withColumn("rep_fail",
-        round((col("nb") - col("nu")).cast("double") / col("nb").cast("double"), 6) > 0.2
-          || round(col("tc").cast("double") / col("nb").cast("double"), 6) > 0.1)
-      .select("doc_id", "rep_fail")
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val model = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
     val total = model.agg(sum(col("freq")).as("total"))
@@ -393,12 +382,11 @@ object Curation extends QueryModule {
       .withColumn("sur_fail", col("milli") < 1000 || col("milli") > 9000)
       .select("doc_id", "sur_fail")
     rules
-      .join(rep, Seq("doc_id"), "left")
       .join(sur, Seq("doc_id"), "left")
       .withColumn("reason",
         when(col("doc_id") =!= col("canon"), "exact_dup")
           .when(col("rule_mask") =!= 0, "rules")
-          .when(coalesce(col("rep_fail"), lit(false)), "repetition")
+          .when(col("rep_fail"), "repetition")
           .when(coalesce(col("sur_fail"), lit(false)), "surprisal")
           .otherwise("kept"))
       .withColumn("keep", col("reason") === "kept")

@@ -692,6 +692,36 @@ object TextPipeline extends QueryModule {
           + when(col("alpha_frac") < 0.8, 32).otherwise(0)
           + when(col("n_stop") < 2, 64).otherwise(0))
 
+  /** Appends q55's repetition VERDICT as a narrow column (`rep_fail`) —
+    * the same dup-bigram / top-bigram thresholds, computed per row from
+    * the sorted int64-bigram array instead of the (doc, bigram)
+    * aggregation: nb = array size, nu = distinct count, tc = longest run
+    * of equal elements in the sorted array (= the max multiplicity).
+    * Requires `qr_ts` (call after [[withQualityRules]]). Used by q72's
+    * composed verdict so the repetition stage costs a map inside the
+    * shared document scan, not two extra exchanges; q55 itself keeps the
+    * aggregation plan because the full statistics ARE its output. A
+    * TextQualitySpec test pins the two formulations to the same verdict
+    * on every document. */
+  def withRepetitionFail(df: DataFrame): DataFrame =
+    df.withColumn("rp_bg", expr(
+      """CASE WHEN size(qr_ts) >= 2 THEN sort_array(transform(sequence(1, size(qr_ts) - 1),
+        |  i -> cast(conv(substring(md5(concat(element_at(qr_ts, i), ' ', element_at(qr_ts, i + 1))), 1, 15), 16, 10) AS bigint)))
+        |ELSE cast(array() as array<bigint>) END""".stripMargin))
+      .withColumn("rp_nb", size(col("rp_bg")).cast("long"))
+      .withColumn("rp_nu", size(array_distinct(col("rp_bg"))).cast("long"))
+      .withColumn("rp_tc", expr(
+        """aggregate(rp_bg,
+          |  named_struct('prev', -1L, 'run', 0L, 'best', 0L),
+          |  (a, x) -> named_struct('prev', x,
+          |    'run', IF(x = a.prev, a.run + 1L, 1L),
+          |    'best', greatest(a.best, IF(x = a.prev, a.run + 1L, 1L))),
+          |  a -> a.best)""".stripMargin))
+      .withColumn("rep_fail", col("rp_nb") >= 1 && (
+        round((col("rp_nb") - col("rp_nu")).cast("double") / col("rp_nb").cast("double"), 6) > 0.2 ||
+        round(col("rp_tc").cast("double") / col("rp_nb").cast("double"), 6) > 0.1))
+      .drop("rp_bg", "rp_nb", "rp_nu", "rp_tc")
+
   private def q65(s: SparkSession, dir: String): DataFrame = {
     withQualityRules(Tables.documentsWide(s, dir))
       .withColumn("keep", col("rule_mask") === 0)

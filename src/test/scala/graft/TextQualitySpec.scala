@@ -113,6 +113,23 @@ class TextQualitySpec extends SparkTestBase {
     assert(got.toSeq == expect, s"got=${got.toSeq.take(5)}…\nexpect=${expect.take(5)}…")
   }
 
+  test("q72's narrow repetition column matches q55's aggregation verdict on every doc") {
+    import graft.queries.TextPipeline
+    val agg = SparkEntry.queries("q55_repetition")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap // doc_id -> keep
+    val narrow = TextPipeline.withRepetitionFail(
+        TextPipeline.withQualityRules(Tables.documentsWide(spark, sfDir)))
+      .select("doc_id", "rep_fail").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+    assert(narrow.nonEmpty)
+    narrow.foreach { case (id, rf) =>
+      // q55 emits rows only for docs with >= 2 tokens; shorter docs must
+      // not fail the repetition stage in either formulation
+      assert(rf == agg.get(id).map(!_).getOrElse(false),
+        s"doc $id: narrow rep_fail=$rf, q55 keep=${agg.get(id)}")
+    }
+  }
+
   test("q67 surprisal matches an integer-log2 Scala recomputation") {
     val got = SparkEntry.queries("q67_surprisal")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
