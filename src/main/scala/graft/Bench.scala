@@ -87,9 +87,16 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
     // Sub-2s queries are scheduler-floor noise on a loaded host — a 2×
-    // swing there is not a plan regression, so only flag material times.
+    // swing there is not a plan regression, so the factor-2 rule only
+    // fires on material times. But the floor must not hide a real creep
+    // forever (r8's q37 ran 3× its recorded 0.62 s in both driver passes
+    // — adjudicated as host contention after a calm full-methodology run
+    // reproduced the baseline): ANY query at >3× its recorded time trips
+    // regardless of the floor, earns the calm re-run, and lands in
+    // over_budget only if the re-run still breaches.
     def trips(name: String, t: Double): Boolean =
-      t > 2.0 && baseline.get(name).exists(b => b > 0 && t > b * budgetFactor)
+      baseline.get(name).exists(b => b > 0 &&
+        ((t > 2.0 && t > b * budgetFactor) || t > b * 3))
     // Factor 2 is tight against this host's characterized variance, so a
     // trip earns one more CALM run (the contended first pass often ran
     // inside another query's spill) — flag only if the best of three
