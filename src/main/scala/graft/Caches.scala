@@ -29,10 +29,15 @@ object Caches {
   /** Cache `df` and remember it for this thread's next [[release]].
     * Idempotent: a plan the cache manager already holds (e.g. the same
     * builder invoked twice before a release) is not re-cached or
-    * double-registered. */
-  def track(df: DataFrame): DataFrame = {
+    * double-registered. `level` defaults to `.cache()`'s
+    * MEMORY_AND_DISK; pass DISK_ONLY for relations that are large,
+    * cheap to scan back, and expensive to recompute (the LSH band
+    * relation between its count and collect passes). */
+  def track(df: DataFrame,
+            level: org.apache.spark.storage.StorageLevel =
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      reg.get().add(df.cache())
+      reg.get().add(df.persist(level))
     }
     df
   }

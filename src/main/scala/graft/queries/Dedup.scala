@@ -279,10 +279,25 @@ object Dedup extends QueryModule {
     // graft_collect_capped (plans.CappedCollect) still guards the
     // survivor collect: every aggregation buffer is ≤ cap+1 elements by
     // construction even if the count filter is ever loosened.
-    val small = bands.groupBy("band", "bandkey").agg(count(lit(1)).as("c"))
+    // The band relation feeds BOTH passes, so it is persisted (DISK_ONLY:
+    // large, trivially rescannable, expensive to recompute) instead of
+    // recomputed — measured win on every corpus (BASELINE.md shoot-out:
+    // sf1 q33 3.9→3.3, q44 10.1→7.5, q46 8.1→5.9; 90%-boilerplate skew
+    // q33 10.9→9.5). The residual skew gap vs the single-pass plan is a
+    // materialization RACE, not recompute-by-design: AQE runs the count
+    // pass's exchange and the join's probe-side exchange concurrently,
+    // so partitions of the cache can be computed twice before either
+    // finishes. An eager `banded.count()` barrier removes the race
+    // (skew q33 9.5→4.5) but costs an un-fused extra cache pass that
+    // loses ~1-2 s/query on the representative sf1 corpus (4.5/10.1/8.3
+    // vs lazy's 3.3/7.5/5.9) — and sf1, not the adversarial replica, is
+    // what the bucket plans are judged on, so lazy ships.
+    val banded = graft.Caches.track(bands,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val small = banded.groupBy("band", "bandkey").agg(count(lit(1)).as("c"))
       .filter(col("c").between(2, BucketCap))
       .select("band", "bandkey")
-    bands.join(small, Seq("band", "bandkey"))
+    banded.join(small, Seq("band", "bandkey"))
     .groupBy("band", "bandkey")
     .agg(expr(s"array_sort(graft_collect_capped(doc_id, $BucketCap)) AS ids"))
     .filter(size(col("ids")).between(2, BucketCap))
