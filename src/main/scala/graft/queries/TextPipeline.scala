@@ -436,7 +436,8 @@ object TextPipeline extends QueryModule {
     Multimodal.decodeImages(Multimodal.synthesizeImages(s, dir)).toDF()
       .select(Seq("doc_id", "width", "height", "n_px").map(col)
         ++ (0 until 16).map(i => element_at(col("bins"), i + 1).as(f"b$i%02d")): _*)
-      .orderBy("doc_id")
+    // doc_id order inherited from the synthesizer's pre-codec sort — a
+    // post-decode orderBy would re-run the codec for the sample pass
   }
 
   private val q81Sql = {
@@ -476,7 +477,10 @@ object TextPipeline extends QueryModule {
   // window is oracle-side only; Spark's loop is per-row sequential).
   private def q82(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAudio(Multimodal.synthesizeAudio(s, dir)).toDF()
-      .orderBy("doc_id")
+    // doc_id order inherited from the synthesizer's pre-codec sort (the
+    // post-decode orderBy here was q82's sf1 scale bug: the range
+    // partitioner's sampling pass re-ran the whole synth+decode upstream
+    // — measured 2.0 s → 5.0 s at sf1)
 
   private val q82Sql =
     """WITH aud AS (
@@ -517,7 +521,8 @@ object TextPipeline extends QueryModule {
   // shuffles.
   private def q83(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeVideoFrames(Multimodal.synthesizeVideos(s, dir)).toDF()
-      .orderBy("doc_id", "frame_idx")
+    // (doc_id, frame_idx) order inherited: ids are pre-sorted and the
+    // decoder emits sampled frames in index order
 
   private val q83Sql =
     """WITH vid AS (
