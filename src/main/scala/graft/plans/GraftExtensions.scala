@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedInterCount(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_overlap_reaches"),
+      new ExpressionInfo(classOf[OverlapReaches].getName, "graft_overlap_reaches"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_overlap_reaches(a, b, alpha) takes three arguments")
+        OverlapReaches(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => {

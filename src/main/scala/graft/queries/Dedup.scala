@@ -105,7 +105,12 @@ object Dedup extends QueryModule {
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "tok")))
       .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-      .select("doc_id", "tok", "rk", "n"))
+      .select("doc_id", "tok", "rk", "n")
+      // the full sorted set rides along INTO the self-join so the
+      // early-exit overlap test can kill candidates inside the join
+      // loop (below); attached AFTER the rank pipeline so the exploded
+      // token relation and the window shuffle stay narrow
+      .join(docSets.select(col("doc_id"), col("set")), "doc_id"))
       // tracked cache: self-joined below — without it the rank pipeline
       // runs twice
     // Positional + length filters (PPJoin), applied PER MATCHED ROW
@@ -122,11 +127,26 @@ object Dedup extends QueryModule {
     // with no rare shingles (worst case for prefix selectivity) this is
     // the difference between aggregating all raw matches and
     // aggregating the filtered few.
+    // The last conjunct is the round-9 scale fix: on this corpus family
+    // the shingle universe is TINY (the driver's generator draws from a
+    // 31-token vocabulary at every SF → ~1k distinct bigrams), so prefix
+    // tokens are all common and the filtered candidate set still grows
+    // ~quadratically (measured: 6.0M raw prefix pairs at sf0.1 →
+    // 612.7M at sf1 — a 102× step for 10× data; a pigeonhole segment
+    // join measures no better, 686M — see BASELINE.md). Instead of
+    // shuffling those pairs into a distinct + two verification joins,
+    // graft_overlap_reaches (native codegen'd two-pointer merge with an
+    // exact upper-bound early exit) runs INSIDE the join condition:
+    // a dissimilar pair dies after ~12 merge steps, and only true
+    // near-dup pairs ever leave the join. Exactness is untouched — the
+    // predicate is precisely (|s1∩s2| ≥ α), the same α the Jaccard
+    // threshold implies.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
           && least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 4
           && least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1
-             >= expr("((a.n + b.n) * 4 + 8) div 9")) // integer div: must match the oracle's // exactly
+             >= expr("((a.n + b.n) * 4 + 8) div 9") // integer div: must match the oracle's // exactly
+          && expr("graft_overlap_reaches(a.set, b.set, cast(((a.n + b.n) * 4 + 8) div 9 AS bigint))"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cand

@@ -89,6 +89,31 @@ class ExpressionSpec extends SparkTestBase {
       == Seq(2L, 0L, null))
   }
 
+  test("graft_overlap_reaches equals (graft_inter_count >= alpha) on random sorted sets") {
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(400) {
+      def set() = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      (set(), set(), rnd.nextInt(30).toLong)  // alphas straddle the early exits both ways
+    }
+    val df = rows.toDF("a", "b", "alpha")
+      .withColumn("fast", expr("graft_overlap_reaches(a, b, alpha)"))
+      .withColumn("slow", expr("graft_inter_count(a, b) >= alpha"))
+    assert(df.filter(col("fast") =!= col("slow")).isEmpty)
+    assert(df.filter(col("fast").isNull).isEmpty)
+  }
+
+  test("graft_overlap_reaches boundary and null semantics") {
+    val df = Seq(
+      (Seq(1L, 3L, 7L), Seq(3L, 7L, 9L), 2L),   // inter=2, alpha=2 -> true (exact boundary)
+      (Seq(1L, 3L, 7L), Seq(3L, 7L, 9L), 3L),   // inter=2, alpha=3 -> false (upper-bound exit)
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 0L),   // alpha=0 -> true without touching elements
+      (Seq.empty[Long], Seq(1L, 2L), 1L),        // empty side -> false
+      (null, Seq(1L), 1L))                       // null input -> null
+      .toDF("a", "b", "alpha").selectExpr("graft_overlap_reaches(a, b, alpha) AS v")
+    assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0)).toSeq
+      == Seq(true, false, true, false, null))
+  }
+
   test("graft_collect_capped equals collect_list-then-filter on surviving buckets") {
     // many partitions so merges of partial buffers are exercised
     val rows = (0 until 2000).map(i => (s"k${i % 37}", i.toLong))

@@ -158,6 +158,23 @@ class PlanSpec extends SparkTestBase {
       "count-prune pass missing before the member collect")
   }
 
+  test("q32 kills candidates inside the prefix join, not in a downstream shuffle") {
+    // the round-9 shape: on a small-shingle-universe corpus the prefix
+    // filter's candidate pairs grow ~quadratically (measured 6.0M at
+    // sf0.1 -> 612.7M at sf1), so the exact early-exit overlap test must
+    // run INSIDE the self-join's condition — dropping it to a
+    // post-join filter re-materializes the quadratic pair stream into
+    // the distinct and the verification joins (the sf1-measured 5.7x).
+    val p = plan(graft.queries.Dedup.queries("q32_ngram_jaccard")(spark, sfDir))
+    // join strategy varies with what the planner knows (SMJ cold; BHJ
+    // once the cached prefix relation's true size is available), so
+    // assert placement, not strategy: the predicate must sit on a Join
+    // line and never on a post-join Filter line
+    val lines = p.split("\n").filter(_.contains("graft_overlap_reaches"))
+    assert(lines.nonEmpty && lines.forall(_.contains("Join")),
+      "graft_overlap_reaches is not (only) in a join condition:\n" + lines.mkString("\n"))
+  }
+
   test("q68 has no corpus-wide rank window on the K cluster ids") {
     // the round-6 scale-killer: row_number over partitionBy(cid) ordered
     // by dist2 funnels the whole corpus into K=8 sort partitions. The
