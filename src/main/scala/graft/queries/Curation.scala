@@ -44,7 +44,12 @@ object Curation extends QueryModule {
   private val EvalPhase = 5
   private val MinShared = 4
 
-  private def q51(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, tok) relation of RARE trigram keys — the shared
+    * contamination DEFINITION of q51 (exact one-shot) and q85 (bloom
+    * serving twin). Tracked caches: the trigram relation feeds total,
+    * dfreq, and the rare filter; the rare relation feeds both sides of
+    * the train/eval join. */
+  private def rareTrigrams(s: SparkSession, dir: String): DataFrame = {
     val tri = graft.Caches.track(Tables.documentsWide(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
@@ -53,14 +58,17 @@ object Curation extends QueryModule {
       )).as("g"))
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("tok"))
-      .distinct()) // tracked cache: feeds total, dfreq, AND the rare filter
+      .distinct())
     val total = tri.select(countDistinct(col("doc_id")).as("total"))
     val dfreq = tri.groupBy("tok").agg(count(lit(1)).as("df"))
-    val rare = graft.Caches.track(tri.join(dfreq, "tok")
+    graft.Caches.track(tri.join(dfreq, "tok")
       .crossJoin(broadcast(total))
       .filter(col("df") <= greatest(lit(2), expr("total div 20")))
       .select("doc_id", "tok"))
-      // tracked cache: both sides of the train/eval join slice it
+  }
+
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val rare = rareTrigrams(s, dir)
     val ev = rare.filter(col("doc_id") % EvalMod === EvalPhase)
       .select(col("doc_id").as("eval_doc"), col("tok"))
     val tr = rare.filter(col("doc_id") % EvalMod =!= EvalPhase)
@@ -89,6 +97,67 @@ object Curation extends QueryModule {
       |FROM tr JOIN ev USING (tok)
       |GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared
       |ORDER BY train_doc, eval_doc""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q85 — Bloom-prefiltered decontamination: q51's exact contamination
+  // report through the SERVING-SHAPED plan. At 100 TB the training
+  // side's rare-trigram stream is the dominant exchange of q51's join;
+  // the eval benchmark's key set, while too large to broadcast as a
+  // hash relation at ~10 M keys × 8 B + map overhead, fits a Bloom
+  // filter at ~2 bytes/key. So: build the filter over the eval keys
+  // with ONE aggregation (4 xxhash64 bit positions per key, bit_or
+  // word packing), ship it as a one-row broadcast array, and kill the
+  // training stream MAP-SIDE with four codegen'd bit probes before any
+  // exchange. No false negatives by construction (every probed bit of
+  // a true eval key is set), and false positives (~0.2 % at 16
+  // bits/key) die in the exact join that follows — so the output is
+  // bit-identical to q51 and shares its oracle; CurationSpec asserts
+  // the row identity, PlanSpec pins the probe below the join. This is
+  // the explicit form of the bloom semi-join reduction Spark's own
+  // InjectRuntimeFilter applies when statistics let it; here it is an
+  // operator, deterministic and always-on. The two driver actions
+  // (count to size the filter, word-collect bounded by mBits/64 rows)
+  // are control-plane, the q68-audited pattern.
+  private val BloomK = 4
+
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rare = rareTrigrams(s, dir)
+    val ev = rare.filter(col("doc_id") % EvalMod === EvalPhase)
+      .select(col("doc_id").as("eval_doc"), col("tok"))
+    val tr = rare.filter(col("doc_id") % EvalMod =!= EvalPhase)
+
+    // offline half: the filter over the eval side's distinct keys
+    val evKeys = ev.select("tok").distinct()
+    val nEval = evKeys.count() // control-plane scalar: sizes the filter
+    val mBits = math.max(16384L, 16L * nEval) // 16 bits/key, K=4 -> fpr ~0.2%
+    val nWords = ((mBits + 63) / 64).toInt
+    val packed = evKeys.select(explode(expr(
+        s"transform(sequence(0, ${BloomK - 1}), k -> pmod(xxhash64(tok, k), ${mBits}L))")).as("pos"))
+      .groupBy(expr("cast(pos div 64 AS int)").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 AS int)))").as("bits"))
+      .collect() // control plane: ≤ mBits/64 rows by construction
+    val words = new Array[Long](nWords)
+    packed.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val bloom = Seq(Tuple1(words.toSeq)).toDF("bloom")
+
+    // online half: four bit probes, all built-in codegen'd expressions,
+    // evaluated before the training stream reaches any exchange
+    val hit = (0 until BloomK).map { k =>
+      val pos = s"pmod(xxhash64(tok, $k), ${mBits}L)"
+      expr(s"(element_at(bloom, cast(($pos) div 64 AS int) + 1) & shiftleft(1L, cast(($pos) % 64 AS int))) <> 0")
+    }.reduce(_ && _)
+
+    tr.crossJoin(broadcast(bloom))
+      .filter(hit)
+      .drop("bloom")
+      .join(ev, "tok")
+      .groupBy(col("doc_id").as("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy("train_doc", "eval_doc")
+      .select("train_doc", "eval_doc", "n_shared")
+  }
 
   // ---------------------------------------------------------------------
   // q52 — deterministic stratified sampling: strata are (lang, source);
@@ -566,6 +635,7 @@ object Curation extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_decontaminate"     -> (q51 _),
+    "q85_bloom_decontaminate" -> (q85 _),
     "q72_curation_verdict"  -> (q72 _),
     "q73_drift_monitor"     -> (q73 _),
     "q74_hll_distinct"      -> (q74 _),
@@ -579,6 +649,10 @@ object Curation extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q51_decontaminate"     -> q51Sql,
+    // q85 is q51's serving twin: same exact output, different physical
+    // plan — the bloom admits no false negatives and its false
+    // positives die in the exact join, so the one oracle covers both
+    "q85_bloom_decontaminate" -> q51Sql,
     "q72_curation_verdict"  -> q72Sql,
     "q73_drift_monitor"     -> q73Sql,
     "q74_hll_distinct"      -> q74Sql,

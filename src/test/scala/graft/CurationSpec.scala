@@ -17,6 +17,18 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q85 bloom twin is row-identical to q51's exact contamination report") {
+    // the serving-twin contract: the bloom prefilter may only REORDER
+    // work (map-side kill before the exchange), never change the
+    // answer — no false negatives by construction, false positives
+    // dead in the exact join
+    val exact = Curation.queries("q51_decontaminate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Curation.queries("q85_bloom_decontaminate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
   test("q52 sampling keeps whole strata at or under the target and is deterministic") {
     val out = Curation.queries("q52_stratified_sample")(spark, sfDir)
     // a stratum at or below the target has rate 1.0 — every doc kept

@@ -175,6 +175,34 @@ class PlanSpec extends SparkTestBase {
       "graft_overlap_reaches is not (only) in a join condition:\n" + lines.mkString("\n"))
   }
 
+  test("q85 probes the bloom below the contamination join, not after it") {
+    // the serving-twin contract's plan half: the four bit probes must
+    // sit in a Filter UPSTREAM of the train/eval equi-join, so at scale
+    // the training trigram stream dies map-side before its exchange. A
+    // regression that evaluates the probe above the join (or drops it)
+    // re-shuffles the full stream and q85 degenerates to q51 plus
+    // overhead.
+    val p = graft.queries.Curation.queries("q85_bloom_decontaminate")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    def isProbe(n: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      n.expressions.exists(e =>
+        e.toString.contains("xxhash64") && e.toString.contains("element_at"))
+    // topmost INNER join = the train/eval tok join (the bloom ships on a
+    // broadcast CROSS join below it)
+    val joinFound = p.collectFirst { case j: Join if j.joinType == Inner => j }
+    assert(joinFound.isDefined, "train/eval join missing from the plan")
+    assert(joinFound.get.children.exists(_.collectFirst {
+        case n if isProbe(n) => n }.isDefined),
+      "bloom bit probe is not below the contamination join:\n" + p.treeString.take(4000))
+    // and nothing above the join re-evaluates it (the probe must not
+    // migrate to a post-join position)
+    assert(!isProbe(p) && p.collect { case n if isProbe(n) => n }
+      .forall(n => joinFound.get.collectFirst { case m if m eq n => m }.isDefined),
+      "bloom probe found above the contamination join")
+  }
+
   test("q68 has no corpus-wide rank window on the K cluster ids") {
     // the round-6 scale-killer: row_number over partitionBy(cid) ordered
     // by dist2 funnels the whole corpus into K=8 sort partitions. The
