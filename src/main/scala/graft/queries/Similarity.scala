@@ -1011,6 +1011,91 @@ object Similarity extends QueryModule {
       |FROM rankedq WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q86 — ANN RECALL@K: the eval-loop operator the index family is
+  // served under. An approximate index is never deployed on faith — the
+  // production loop is train → measure recall@k on a held-out query set
+  // against exact search → tune (nprobe, K, M) → re-measure. This
+  // operator IS that measurement: per query vector, |exact top-k ∩
+  // IVF-PQ-served top-k| / k, with exact truth from the engine's own
+  // brute-force contract (q36's broadcast + codegen'd integer dot shape,
+  // cut at k = 3) and the served side from q71's composed IVF-PQ path.
+  // Scale stance: recall eval runs offline over a SAMPLED query set, so
+  // the brute-force arm is queries × corpus with zero corpus shuffle
+  // (the q36 plan — one narrow corpus pass against a broadcast query
+  // set), the served arm is the index's own bounded-probe plan, and the
+  // comparison join is k rows per query — the whole operator adds
+  // nothing corpus-shaped beyond the two arms it measures. Determinism:
+  // both arms are the already-deterministic integer pipelines; hits is
+  // an integer; recall = round(hits/k, 6) is one IEEE division of
+  // small integers (never a rounding tie at k = 3).
+  private val RecallK = 3
+
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsOf(quant(s, dir)).select("vec_id", "qa", "n2")
+    val queriesV = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    val exact = vecs.crossJoin(broadcast(queriesV))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= RecallK)
+      .select("qid", "vec_id")
+    val served = q71(s, dir).select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    exact.join(served, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .withColumn("recall", round(col("hits") / lit(RecallK.toDouble), 6))
+      .orderBy("qid")
+      .select("qid", "hits", "recall")
+  }
+
+  private val q86Sql =
+    s"""WITH $quantSqlCte,
+      |$ivfSqlCtes,
+      |$pqSqlCtes,
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      |  FROM quant a JOIN quant b ON a.pos = b.pos AND a.vec_id < $NumQueries AND a.vec_id != b.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.qid, d.vec_id,
+      |         CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))) AS cos
+      |  FROM dots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nd ON d.vec_id = nd.vec_id),
+      |rankedex AS (
+      |  SELECT qid, vec_id,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored),
+      |exact3 AS (SELECT qid, vec_id FROM rankedex WHERE rank <= $RecallK),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, c.vec_id
+      |  FROM probes p JOIN cells c ON p.cell = c.cell AND p.qid != c.vec_id),
+      |n2q AS (
+      |  SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2q
+      |  FROM quants WHERE vec_id < $NumQueries GROUP BY vec_id, sub),
+      |dtab AS (
+      |  SELECT s.vec_id AS qid, s.sub, s.cid, n.n2q + s.score AS d
+      |  FROM scores2 s JOIN n2q n ON s.vec_id = n.vec_id AND s.sub = n.sub
+      |  WHERE s.vec_id < $NumQueries),
+      |adc AS (
+      |  SELECT x.qid, x.vec_id, CAST(SUM(t.d) AS BIGINT) AS adist
+      |  FROM cand x
+      |  JOIN a2 a ON x.vec_id = a.vec_id
+      |  JOIN dtab t ON t.qid = x.qid AND t.sub = a.sub AND t.cid = a.cid
+      |  GROUP BY x.qid, x.vec_id),
+      |rankedq AS (
+      |  SELECT qid, vec_id,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+      |  FROM adc),
+      |served AS (SELECT qid, vec_id FROM rankedq WHERE rank <= $RecallK)
+      |SELECT e.qid AS qid,
+      |       CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |       ROUND(CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $RecallK.0, 6) AS recall
+      |FROM exact3 e LEFT JOIN served s ON e.qid = s.qid AND e.vec_id = s.vec_id
+      |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q78/q79 — the PERSISTED PQ index: train once, search many. q63/q64/
   // q71 each retrain the codebook inside the query — correct, but not
   // how a real index is served: a 100 TB store trains its codebook and
@@ -1161,6 +1246,7 @@ object Similarity extends QueryModule {
     "q64_pq_adc"           -> (q64 _),
     "q68_embed_outliers"   -> (q68 _),
     "q71_ivfpq_search"     -> (q71 _),
+    "q86_ann_recall"       -> (q86 _),
     "q78_pq_index_build"   -> (q78 _),
     "q79_pq_index_search"  -> (q79 _),
   )
@@ -1177,6 +1263,7 @@ object Similarity extends QueryModule {
     "q64_pq_adc"           -> q64Sql,
     "q68_embed_outliers"   -> q68Sql,
     "q71_ivfpq_search"     -> q71Sql,
+    "q86_ann_recall"       -> q86Sql,
     "q78_pq_index_build"   -> q78Sql,
     "q79_pq_index_search"  -> q64Sql, // identical contract, served from the artifact
   )

@@ -65,6 +65,27 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("recall@k eval: q86 equals the q36/q71 intersection computed independently") {
+    // the eval operator's contract, recomputed through the registered
+    // public surface: hits(q) = |top-3 of the exact ranking ∩ the
+    // IVF-PQ-served top-3| — q86 must agree row for row.
+    val exact3 = Similarity.queries("q36_ann_bruteforce")(spark, sfDir)
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = Similarity.queries("q71_ivfpq_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = Similarity.queries("q86_ann_recall")(spark, sfDir).collect()
+    assert(recall.length == exact3.map(_._1).size, "one row per query vector")
+    recall.foreach { r =>
+      val qid = r.getLong(0)
+      val expected = exact3.collect { case (q, v) if q == qid => v }
+        .intersect(served.collect { case (q, v) if q == qid => v }).size
+      assert(r.getLong(1) == expected, s"query $qid hits")
+      assert(math.abs(r.getDouble(2) - math.round(expected / 3.0 * 1e6) / 1e6) < 1e-12,
+        s"query $qid recall")
+    }
+  }
+
   test("ANN: bucketed results are consistent with brute-force cosine order") {
     val bf = Similarity.queries("q36_ann_bruteforce")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
