@@ -764,16 +764,18 @@ object Similarity extends QueryModule {
     * (sub, p) join — identical integers, independent plan). Tracked
     * cache: feeds seeds, both assignment passes, both updates (and, for
     * q64, the query-side distance tables). */
-  private def pqQuant(s: SparkSession, dir: String): DataFrame =
-    graft.Caches.track(Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+  private def pqQuantRows(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
       .select(col("vec_id"),
         expr(s"pos0 div $PqDim").as("sub"),
         expr(s"pos0 % $PqDim").as("p"),
         round(col("v").cast("double") * 10000).cast("long").as("q"))
       .groupBy("vec_id", "sub")
       .agg(expr("transform(array_sort(collect_list(struct(p, q))), x -> x.q) AS qa"),
-           sum(col("q") * col("q")).as("n2v")))
+           sum(col("q") * col("q")).as("n2v"))
+
+  private def pqQuant(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.track(pqQuantRows(Tables.embeddings(s, dir)))
 
   /** All (vec, sub, codeword) scores for one Lloyd step: score =
     * n2c − 2·dot, keyed (vec_id, sub, cid) — the pre-argmin relation,
@@ -830,17 +832,24 @@ object Similarity extends QueryModule {
     * quantization, seed codebook, one full Lloyd step (assignment dot1/a1
     * + floor-mean update c1), and the second-iteration scores dot2/a2 —
     * a2 carries both the winning codeword (the CODE) and its score. */
-  private val pqSqlCtes =
+  /** The PQ CTE stack with the TRAINING side restricted by `trainWhere`
+    * (seeds, Lloyd assignment, and centroid update read only the
+    * restricted relation) while the final encode (dot2/scores2/a2) still
+    * covers EVERY vector — with `TRUE` this is exactly the classic
+    * whole-corpus stack; with a batch predicate negated it replays q87's
+    * train-on-yesterday / encode-everything contract. */
+  private def pqSqlCtesFor(trainWhere: String) =
     s"""quants AS (
       |  SELECT vec_id, (pos - 1) // $PqDim AS sub, (pos - 1) % $PqDim AS p, q
       |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
       |               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS q
       |        FROM embeddings)),
-      |c0 AS (SELECT vec_id AS cid, sub, p, q AS c FROM quants WHERE vec_id < $PqK),
+      |qtrain AS (SELECT * FROM quants WHERE $trainWhere),
+      |c0 AS (SELECT vec_id AS cid, sub, p, q AS c FROM qtrain WHERE vec_id < $PqK),
       |cn0 AS (SELECT cid, sub, CAST(SUM(c * c) AS BIGINT) AS n2c FROM c0 GROUP BY cid, sub),
       |dot1 AS (
       |  SELECT v.vec_id, v.sub, c.cid, CAST(SUM(v.q * c.c) AS BIGINT) AS dot
-      |  FROM quants v JOIN c0 c ON v.sub = c.sub AND v.p = c.p
+      |  FROM qtrain v JOIN c0 c ON v.sub = c.sub AND v.p = c.p
       |  GROUP BY v.vec_id, v.sub, c.cid),
       |a1 AS (
       |  SELECT vec_id, sub, cid FROM (
@@ -850,7 +859,7 @@ object Similarity extends QueryModule {
       |    FROM dot1 d JOIN cn0 cn ON d.cid = cn.cid AND d.sub = cn.sub) WHERE rk = 1),
       |c1 AS (
       |  SELECT a.cid, q.sub, q.p, CAST(SUM(q.q) AS BIGINT) // COUNT(*) AS c
-      |  FROM a1 a JOIN quants q ON a.vec_id = q.vec_id AND a.sub = q.sub
+      |  FROM a1 a JOIN qtrain q ON a.vec_id = q.vec_id AND a.sub = q.sub
       |  GROUP BY a.cid, q.sub, q.p),
       |cn1 AS (SELECT cid, sub, CAST(SUM(c * c) AS BIGINT) AS n2c FROM c1 GROUP BY cid, sub),
       |dot2 AS (
@@ -866,6 +875,8 @@ object Similarity extends QueryModule {
       |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
       |             ORDER BY score, cid) AS rk
       |    FROM scores2) WHERE rk = 1)""".stripMargin
+
+  private val pqSqlCtes = pqSqlCtesFor("TRUE")
 
   private val q63Sql =
     s"""WITH $pqSqlCtes,
@@ -921,9 +932,12 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
-  private val q64Sql =
-    s"""WITH $pqSqlCtes,
-      |n2q AS (
+  /** q64's ADC search stack over whatever pq CTE prefix precedes it —
+    * shared verbatim by q64 (train = encode = whole corpus), q79 (same
+    * contract served from the artifact), and q87 (train = yesterday's
+    * corpus, encode = everything). */
+  private val adcSqlStack =
+    s"""n2q AS (
       |  SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2q
       |  FROM quants WHERE vec_id < $NumQueries GROUP BY vec_id, sub),
       |dtab AS (
@@ -941,6 +955,8 @@ object Similarity extends QueryModule {
       |  FROM adc)
       |SELECT qid, vec_id, adist, rank
       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private val q64Sql = s"WITH $pqSqlCtes,\n$adcSqlStack"
 
   // ---------------------------------------------------------------------
   // q71 — IVF-PQ SEARCH, the two layers composed (the complete Faiss
@@ -1154,38 +1170,49 @@ object Similarity extends QueryModule {
     * the temp, so even on stores where rename is a copy (S3 without a
     * committer) a half-published index is detected and rebuilt, never
     * served. */
-  private[graft] def buildPqIndex(s: SparkSession, dir: String): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val path = new org.apache.hadoop.fs.Path(pqIndexPath(s, dir))
-    val fs = path.getFileSystem(conf)
+  /** Shared atomic-publish machinery for every index artifact (q78's
+    * full index, q87's generational one): assemble under a dot-prefixed
+    * private temp, write the `_COMPLETE` marker LAST inside the temp,
+    * then atomically rename into place. Hadoop rename moves src INTO an
+    * existing destination directory rather than failing, so a
+    * half-built squatter (exists, no marker — a crashed pre-temp-era
+    * build or manual damage) is evicted first, never renamed into. If a
+    * concurrent build wins the race between these steps, its artifact
+    * is complete and equivalent (same fingerprint ⇒ same data ⇒ same
+    * deterministic training): keep theirs, drop ours; a stray tmp
+    * renamed inside is dot-prefixed and invisible to parquet listings.
+    * No-op if the destination already carries its marker. */
+  private def publishArtifact(fs: org.apache.hadoop.fs.FileSystem,
+                              path: org.apache.hadoop.fs.Path)
+                             (write: org.apache.hadoop.fs.Path => Unit): Unit = {
     def complete(p: org.apache.hadoop.fs.Path) =
       fs.exists(new org.apache.hadoop.fs.Path(p, "_COMPLETE"))
     if (complete(path)) return
     val tmp = new org.apache.hadoop.fs.Path(
       path.getParent, s".${path.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    val quantS = pqQuant(s, dir)
-    val cents2 = pqUpdate(quantS, pqAssign(quantS, pqSeeds(quantS)))
-    val codes = pqAssign(quantS, cents2).select("vec_id", "sub", "cid")
-    cents2.write.mode("overwrite").parquet(s"$tmp/codebook")
-    codes.write.mode("overwrite").parquet(s"$tmp/codes")
+    write(tmp)
     fs.create(new org.apache.hadoop.fs.Path(tmp, "_COMPLETE"), true).close() // marker LAST
     fs.mkdirs(path.getParent)
-    // Publish. Hadoop rename moves src INTO an existing destination
-    // directory rather than failing, so a half-built squatter (exists,
-    // no marker — a crashed pre-temp-era build or manual damage) must be
-    // evicted first, never renamed into. If a concurrent build wins the
-    // race between these steps, its artifact is complete and equivalent
-    // (same fingerprint ⇒ same data ⇒ same deterministic training):
-    // keep theirs, drop ours; a stray tmp renamed inside is dot-prefixed
-    // and invisible to parquet listings.
     if (fs.exists(path) && !complete(path)) fs.delete(path, true)
     if (!fs.exists(path)) {
       if (!fs.rename(tmp, path) && !complete(path))
-        throw new IllegalStateException(s"could not publish PQ index at $path")
+        throw new IllegalStateException(s"could not publish artifact at $path")
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (!complete(path))
-      throw new IllegalStateException(s"PQ index at $path incomplete after publish")
+      throw new IllegalStateException(s"artifact at $path incomplete after publish")
+  }
+
+  private[graft] def buildPqIndex(s: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(pqIndexPath(s, dir))
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    publishArtifact(fs, path) { tmp =>
+      val quantS = pqQuant(s, dir)
+      val cents2 = pqUpdate(quantS, pqAssign(quantS, pqSeeds(quantS)))
+      val codes = pqAssign(quantS, cents2).select("vec_id", "sub", "cid")
+      cents2.write.mode("overwrite").parquet(s"$tmp/codebook")
+      codes.write.mode("overwrite").parquet(s"$tmp/codes")
+    }
   }
 
   private def q78(s: SparkSession, dir: String): DataFrame = {
@@ -1203,22 +1230,15 @@ object Similarity extends QueryModule {
       |SELECT vec_id, string_agg(cid::VARCHAR, '-' ORDER BY sub) AS code
       |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-  private def q79(s: SparkSession, dir: String): DataFrame = {
-    buildPqIndex(s, dir)
-    val path = pqIndexPath(s, dir)
-    val codebook = s.read.parquet(s"$path/codebook")  // K·M rows
-    val codes = s.read.parquet(s"$path/codes")        // the 8-nibble corpus
-    // only the query vectors are read raw — the serving asymmetry
-    val qquant = Tables.embeddings(s, dir)
-      .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-      .select(col("vec_id"),
-        expr(s"pos0 div $PqDim").as("sub"),
-        expr(s"pos0 % $PqDim").as("p"),
-        round(col("v").cast("double") * 10000).cast("long").as("q"))
-      .groupBy("vec_id", "sub")
-      .agg(expr("transform(array_sort(collect_list(struct(p, q))), x -> x.q) AS qa"),
-           sum(col("q") * col("q")).as("n2q"))
+  /** The ADC serving plan shared by q79 and q87: only the query vectors
+    * are read raw (the serving asymmetry) — the corpus arrives as
+    * stored 8-nibble codes, scored against broadcast per-query distance
+    * tables built from the stored codebook. */
+  private def serveAdc(s: SparkSession, dir: String,
+                       codebook: DataFrame, codes: DataFrame): DataFrame = {
+    val qquant = pqQuantRows(Tables.embeddings(s, dir)
+        .filter(col("vec_id") < NumQueries))
+      .withColumnRenamed("n2v", "n2q")
     val dtab = qquant.join(broadcast(codebook), Seq("sub"))
       .withColumn("dot", expr("graft_dot(qa, ca)"))
       .select(col("vec_id").as("qid"), col("sub"), col("cid"),
@@ -1233,6 +1253,84 @@ object Similarity extends QueryModule {
       .select("qid", "vec_id", "adist", "rank")
       .orderBy("qid", "rank")
   }
+
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    buildPqIndex(s, dir)
+    val path = pqIndexPath(s, dir)
+    serveAdc(s, dir,
+      s.read.parquet(s"$path/codebook"),  // K·M rows
+      s.read.parquet(s"$path/codes"))     // the 8-nibble corpus
+  }
+
+  // ---------------------------------------------------------------------
+  // q87 — INCREMENTAL PQ INDEX INGEST: q84's intake contract applied to
+  // the vector store. A 100 TB embedding index is not retrained when
+  // today's shard arrives — the codebook is FROZEN at its last training
+  // generation and the new vectors are ENCODED with it (Faiss add()
+  // after train(), Jégou et al. §V.A), because retraining would both
+  // rescan yesterday's corpus and silently shift every stored code's
+  // meaning. The operator: gen0 holds the codebook trained on
+  // yesterday's corpus plus yesterday's codes (one offline build);
+  // ingest encodes the incoming batch against gen0's STORED codebook —
+  // the batch scan is the only raw-vector read, yesterday's vectors are
+  // never touched — and publishes the codes as gen1 (marker-last,
+  // atomic, idempotent: a replayed batch is a no-op because gen1's
+  // marker already exists). Serving is q64's exact ADC contract over
+  // codes(gen0) ∪ codes(gen1) with gen0's codebook. Each generation is
+  // its own atomically-published directory, so a crash between ingest
+  // and serve leaves gen0 fully servable and gen1 invisible — the
+  // generational layout every production index store uses. The batch
+  // is the fixture's "today": vectors with vec_id ≥ PqK and
+  // vec_id % 10 = 7 (disjoint from the seed ids by construction, so
+  // gen0's training is seed-complete). The oracle replays
+  // train-on-yesterday / encode-everything relationally via
+  // pqSqlCtesFor and shares q64's ADC stack.
+  private val IncBatchSql = s"vec_id >= $PqK AND vec_id % 10 = 7"
+
+  private[graft] def incIndexRoot(s: SparkSession, dir: String): String =
+    s"$pqIndexRoot/${pqDataFingerprint(s, dir)}-inc"
+
+  /** gen0: codebook trained on yesterday's corpus (everything outside
+    * the batch) + yesterday's codes. */
+  private[graft] def buildIncBase(s: SparkSession, dir: String): String = {
+    val gen0 = new org.apache.hadoop.fs.Path(s"${incIndexRoot(s, dir)}/gen0")
+    val fs = gen0.getFileSystem(s.sparkContext.hadoopConfiguration)
+    publishArtifact(fs, gen0) { tmp =>
+      val train = pqQuant(s, dir).filter(!expr(IncBatchSql))
+      val cents = pqUpdate(train, pqAssign(train, pqSeeds(train)))
+      cents.write.mode("overwrite").parquet(s"$tmp/codebook")
+      pqAssign(train, cents).select("vec_id", "sub", "cid")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+    }
+    gen0.toString
+  }
+
+  /** gen1: the incoming batch encoded with gen0's STORED codebook — no
+    * retraining, no scan of yesterday's vectors (the embeddings read
+    * carries the batch predicate down to the scan). Idempotent: replay
+    * sees gen1's marker and returns without a job. */
+  private[graft] def ingestIncBatch(s: SparkSession, dir: String): String = {
+    val gen0 = buildIncBase(s, dir)
+    val gen1 = new org.apache.hadoop.fs.Path(s"${incIndexRoot(s, dir)}/gen1")
+    val fs = gen1.getFileSystem(s.sparkContext.hadoopConfiguration)
+    publishArtifact(fs, gen1) { tmp =>
+      val codebook = s.read.parquet(s"$gen0/codebook")
+      val batch = pqQuantRows(Tables.embeddings(s, dir).filter(expr(IncBatchSql)))
+      pqAssign(batch, codebook).select("vec_id", "sub", "cid")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+    }
+    gen1.toString
+  }
+
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val gen1 = ingestIncBatch(s, dir)
+    val gen0 = s"${incIndexRoot(s, dir)}/gen0"
+    serveAdc(s, dir,
+      s.read.parquet(s"$gen0/codebook"),
+      s.read.parquet(s"$gen0/codes").union(s.read.parquet(s"$gen1/codes")))
+  }
+
+  private val q87Sql = s"WITH ${pqSqlCtesFor(s"NOT ($IncBatchSql)")},\n$adcSqlStack"
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
@@ -1249,6 +1347,7 @@ object Similarity extends QueryModule {
     "q86_ann_recall"       -> (q86 _),
     "q78_pq_index_build"   -> (q78 _),
     "q79_pq_index_search"  -> (q79 _),
+    "q87_pq_index_ingest"  -> (q87 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -1266,5 +1365,6 @@ object Similarity extends QueryModule {
     "q86_ann_recall"       -> q86Sql,
     "q78_pq_index_build"   -> q78Sql,
     "q79_pq_index_search"  -> q64Sql, // identical contract, served from the artifact
+    "q87_pq_index_ingest"  -> q87Sql,
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.queries.Similarity
+import org.apache.hadoop.fs.Path
+
+/** q87's contracts the DuckDB oracle cannot see: the generational
+  * artifact layout (root knob, marker-last publish per generation),
+  * ingest idempotency (a replayed batch is a storage no-op), and the
+  * no-retrain guarantee (rebuilding gen1 never touches gen0). */
+class IncrementalIndexSpec extends SparkTestBase {
+
+  private def withTempRoot[A](f: String => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft_incidx_test").toString
+    val prev = sys.props.get("graft.index.dir")
+    sys.props("graft.index.dir") = root
+    try f(root)
+    finally prev match {
+      case Some(v) => sys.props("graft.index.dir") = v
+      case None    => sys.props.remove("graft.index.dir")
+    }
+  }
+
+  test("incremental index: generations partition the corpus, replay is a storage no-op") {
+    withTempRoot { root =>
+      val want = SparkEntry.queries("q87_pq_index_ingest")(spark, sfDir).collect().toSeq
+      assert(want.nonEmpty)
+      val gen0 = s"${Similarity.incIndexRoot(spark, sfDir)}/gen0"
+      val gen1 = s"${Similarity.incIndexRoot(spark, sfDir)}/gen1"
+      assert(gen0.startsWith(root), s"index at $gen0 ignores configured root")
+      val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      def marker(g: String) = hfs.getFileStatus(new Path(s"$g/_COMPLETE")).getModificationTime
+      val (m0, m1) = (marker(gen0), marker(gen1))
+      // the two generations are disjoint and together cover the corpus
+      def vecIds(g: String) = spark.read.parquet(s"$g/codes")
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      val (v0, v1) = (vecIds(gen0), vecIds(gen1))
+      assert(v1.nonEmpty, "fixture batch is empty — contract untestable")
+      assert(v0.intersect(v1).isEmpty, "a vector is coded in both generations")
+      val all = Tables.embeddings(spark, sfDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(v0.union(v1) == all, "generations do not cover the corpus")
+      // replay: same rows, no artifact rewrite (markers untouched)
+      val again = SparkEntry.queries("q87_pq_index_ingest")(spark, sfDir).collect().toSeq
+      assert(again == want, "replayed ingest changed the served result")
+      assert(marker(gen0) == m0 && marker(gen1) == m1,
+        "replay republished an already-complete generation")
+    }
+  }
+
+  test("incremental index: a damaged gen1 is rebuilt identically without touching gen0") {
+    withTempRoot { _ =>
+      val want = SparkEntry.queries("q87_pq_index_ingest")(spark, sfDir).collect().toSeq
+      val gen0 = s"${Similarity.incIndexRoot(spark, sfDir)}/gen0"
+      val gen1 = s"${Similarity.incIndexRoot(spark, sfDir)}/gen1"
+      val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      def codes(g: String) = spark.read.parquet(s"$g/codes").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val c1 = codes(gen1)
+      val m0 = hfs.getFileStatus(new Path(s"$gen0/_COMPLETE")).getModificationTime
+      // sabotage: marker-less gen1 must be rebuilt, never served
+      hfs.delete(new Path(s"$gen1/_COMPLETE"), false)
+      val rebuilt = SparkEntry.queries("q87_pq_index_ingest")(spark, sfDir).collect().toSeq
+      assert(rebuilt == want, "marker-less gen1 was served instead of rebuilt")
+      assert(hfs.exists(new Path(s"$gen1/_COMPLETE")), "rebuild did not republish gen1")
+      assert(codes(gen1) == c1, "rebuilt gen1 codes differ — encoding is not deterministic")
+      assert(hfs.getFileStatus(new Path(s"$gen0/_COMPLETE")).getModificationTime == m0,
+        "rebuilding gen1 republished gen0 — ingest retrained the base generation")
+    }
+  }
+}

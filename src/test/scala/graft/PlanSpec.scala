@@ -130,6 +130,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q87 serves the generation union: only query vectors come from the raw table") {
+    // the incremental-index claim: after gen0 (train) and gen1 (ingest)
+    // are published, SERVING reads stored codes + the stored codebook;
+    // the embeddings table appears only for the 8 query vectors. A raw
+    // corpus scan here would mean ingest quietly re-reads yesterday.
+    val p = plan(graft.queries.Similarity.queries("q87_pq_index_ingest")(spark, sfDir))
+    assert(p.contains("-inc"), "plan does not read the generational index artifact")
+    val corpusScans = p.split("\n").filter(_.contains("embeddings.parquet"))
+    assert(corpusScans.nonEmpty, "query vectors must come from the embeddings table")
+    corpusScans.foreach { l =>
+      assert(l.contains("vec_id") && (l.contains("< 8") || l.contains("LessThan(vec_id,8)")),
+        s"embeddings scan without the query-vector bound:\n$l")
+    }
+  }
+
   test("q84 serves from the dedup index + staged shard: the corpus is never rescanned") {
     // the incremental-intake claim: after the offline build, a day's
     // shard is verdicted by joining the ARTIFACT (exact hashes + band
