@@ -633,9 +633,105 @@ object Curation extends QueryModule {
       |       ROUND(6.73e-1 * 256 * 1.44115188075855872e17 / a.s, 3) AS est
       |FROM ex e JOIN agg a ON e.lang = a.lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q88 — trained quality classifier (the GPT-3 curated-similarity
+  // filter, Brown et al. 2005.14165 appendix A: score every raw
+  // document with a classifier trained to separate a trusted curated
+  // corpus from the raw crawl, keep the curated-like). Training is
+  // closed-form Bayesian token posteriors (the Graham spam-filter
+  // lineage): per token, P(curated | tok) with add-one smoothing,
+  // INTEGER-QUANTIZED to ppm — w = (10⁶·(c_cur+1)) div (c_all+2) — so
+  // train and serve are pure int64 arithmetic, bit-identical across
+  // engines and partitionings (the q56/q67 discipline: no
+  // transcendental FP in a hash-compared column). The MODEL is bounded
+  // by construction: tokens need corpus count ≥ MinDf to be eligible
+  // (kills the Heaps-law singleton tail, which is unbounded at 100 TB)
+  // and only the ClsVocab most class-divergent survive — ranked by
+  // |w − prior| through orderBy+limit, i.e. a DISTRIBUTED partial
+  // top-K (TakeOrderedAndProject), never a one-partition sort; ties
+  // break on the md5-int64 of the token (numeric, collation-free).
+  // A document scores the MEAN posterior over its modeled token
+  // occurrences (the prior if none are modeled), keep = score ≥ prior:
+  // "at least as curated-like as the base rate". Plan: one vocab-keyed
+  // shuffle with map-side combine builds the counts, the ≤ClsVocab-row
+  // model broadcasts, and scoring re-reads the cached projection once,
+  // shuffling ≤1 row per (doc, partition) after partial aggregation.
+  // On a vocabulary-uniform corpus (this fixture) the classifier
+  // correctly finds only sampling noise, so scores cluster at the
+  // prior and nothing is dropped; CurationSpec plants a
+  // source-correlated corpus to assert the discrimination path.
+  private val CuratedSrcs = Seq("src0", "src1", "src2", "src3")
+  private val ClsMinDf = 5
+  private val ClsVocab = 256
+
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Caches.track(Tables.documentsWide(s, dir)
+      .select(col("doc_id"),
+        col("source").isin(CuratedSrcs: _*).as("is_cur"), col("text")))
+    val toks = docs.select(col("doc_id"), col("is_cur"),
+      explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(
+      sum(when(col("is_cur"), 1L).otherwise(0L)).as("c_cur"),
+      count(lit(1)).as("c_all"))
+    val prior = docs.agg(expr(
+      "(1000000 * sum(case when is_cur then 1 else 0 end)) div count(1)")
+      .as("prior_ppm"))
+    val model = counts.filter(col("c_all") >= ClsMinDf)
+      .crossJoin(broadcast(prior))
+      .withColumn("w_ppm", expr("(1000000 * (c_cur + 1)) div (c_all + 2)"))
+      .orderBy(abs(col("w_ppm") - col("prior_ppm")).desc,
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .limit(ClsVocab)
+      .select("tok", "w_ppm")
+    val scored = toks.join(broadcast(model), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_modeled"), sum(col("w_ppm")).as("w_sum"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("n_modeled", coalesce(col("n_modeled"), lit(0L)))
+      .withColumn("score_ppm", when(col("n_modeled") > 0,
+        expr("w_sum div n_modeled")).otherwise(col("prior_ppm")))
+      .withColumn("keep", col("score_ppm") >= col("prior_ppm"))
+      .select("doc_id", "n_modeled", "score_ppm", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val q88Sql = {
+    val srcs = CuratedSrcs.map(x => s"'$x'").mkString(", ")
+    s"""WITH docs AS (
+      |  SELECT doc_id, source IN ($srcs) AS is_cur, text FROM documents),
+      |toks AS (
+      |  SELECT doc_id, is_cur, unnest(string_split(text, ' ')) AS tok FROM docs),
+      |counts AS (
+      |  SELECT tok, CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+      |         count(*) AS c_all
+      |  FROM toks GROUP BY tok),
+      |prior AS (
+      |  SELECT (1000000 * CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS prior_ppm
+      |  FROM docs),
+      |model AS (
+      |  SELECT tok, (1000000 * (c_cur + 1)) // (c_all + 2) AS w_ppm
+      |  FROM counts CROSS JOIN prior
+      |  WHERE c_all >= $ClsMinDf
+      |  ORDER BY abs((1000000 * (c_cur + 1)) // (c_all + 2) - prior_ppm) DESC,
+      |           CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+      |  LIMIT $ClsVocab),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_modeled, CAST(sum(w_ppm) AS BIGINT) AS w_sum
+      |  FROM toks JOIN model USING (tok) GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(s.n_modeled, 0) AS n_modeled,
+      |       CASE WHEN COALESCE(s.n_modeled, 0) > 0 THEN s.w_sum // s.n_modeled
+      |            ELSE p.prior_ppm END AS score_ppm,
+      |       (CASE WHEN COALESCE(s.n_modeled, 0) > 0 THEN s.w_sum // s.n_modeled
+      |             ELSE p.prior_ppm END) >= p.prior_ppm AS keep
+      |FROM docs d LEFT JOIN scored s USING (doc_id) CROSS JOIN prior p
+      |ORDER BY doc_id""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_decontaminate"     -> (q51 _),
     "q85_bloom_decontaminate" -> (q85 _),
+    "q88_quality_classifier" -> (q88 _),
     "q72_curation_verdict"  -> (q72 _),
     "q73_drift_monitor"     -> (q73 _),
     "q74_hll_distinct"      -> (q74 _),
@@ -653,6 +749,7 @@ object Curation extends QueryModule {
     // plan — the bloom admits no false negatives and its false
     // positives die in the exact join, so the one oracle covers both
     "q85_bloom_decontaminate" -> q51Sql,
+    "q88_quality_classifier" -> q88Sql,
     "q72_curation_verdict"  -> q72Sql,
     "q73_drift_monitor"     -> q73Sql,
     "q74_hll_distinct"      -> q74Sql,

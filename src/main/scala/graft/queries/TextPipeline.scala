@@ -930,6 +930,63 @@ object TextPipeline extends QueryModule {
       |SELECT rank, pair, cnt FROM ranked WHERE rank <= $BpeTopK ORDER BY rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q89 — FULL BPE: iterative tokenizer training + frozen-merge encode
+  // (Sennrich et al. 1508.07909; the GPT-2 recipe). q70 ranks round-1's
+  // candidate statistics; this runs the actual loop — MergeRounds rounds
+  // of count-fuse-recount over the word-TYPE relation (types weighted by
+  // occurrence count, so every round's shuffle is vocabulary-sized, not
+  // corpus-sized), trained on the deterministic doc_id % TrainMod == 0
+  // sample (the 100 TB shape: fit the tokenizer on a sample, encode
+  // everything). Encoding broadcasts the ≤MergeRounds merge list and
+  // applies it in rank order per word in one narrow typed map — zero
+  // shuffle. Per doc: word/char/symbol counts, compression in ppm
+  // (integer div), and an md5-int64 fingerprint of the encoded symbol
+  // stream, so the rows-only gate still pins the exact encoding.
+  // NO SQL ORACLE BY DESIGN (the q47 arrangement): training is an
+  // iterative argmax-and-rewrite loop, not relationally expressible;
+  // BpeSpec covers it with a hand-computed golden merge list, the
+  // detokenize round-trip invariant, monotone symbol counts, and
+  // round-1 agreement with q70's top pair.
+  private val BpeMergeRounds = 8
+  private val BpeTrainMod = 3
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val trainTypes = Tables.documentsWide(s, dir)
+      .filter(col("doc_id") % BpeTrainMod === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("cnt"))
+    val merges = graft.functions.Bpe.train(s, trainTypes, BpeMergeRounds)
+    val bc = s.sparkContext.broadcast(merges)
+    Tables.documentsWide(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ms = bc.value
+        val words = text.split(" ", -1).filter(_.nonEmpty)
+        var nSyms = 0L
+        var nChars = 0L
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        words.foreach { w =>
+          val enc = graft.functions.Bpe.encodeWord(w, ms)
+          nSyms += enc.length
+          nChars += w.length
+          enc.foreach { sym =>
+            digest.update(sym.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            digest.update(1.toByte) // symbol separator: "ab"+"c" != "a"+"bc"
+          }
+        }
+        val hex = digest.digest().map("%02x".format(_)).mkString.substring(0, 15)
+        (id, words.length.toLong, nChars, nSyms,
+          if (nChars > 0) 1000000L * nSyms / nChars else 1000000L,
+          java.lang.Long.parseLong(hex, 16))
+      }
+      .toDF("doc_id", "n_words", "n_chars", "n_symbols", "sym_per_char_ppm", "enc_hash")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // q80 — COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan): the
   // third mergeable sketch in the catalog (with q74's HLL and q77's
   // quantile histogram) — token-frequency estimation whose corpus-side
@@ -1003,6 +1060,7 @@ object TextPipeline extends QueryModule {
     "q67_surprisal"      -> (q67 _),
     "q69_vocab_coverage" -> (q69 _),
     "q70_bpe_merges"     -> (q70 _),
+    "q89_bpe_encode"     -> (q89 _),
     "q56_tfidf_topk"     -> (q56 _),
     "q49_media_features" -> (q49 _),
     "q40_winnow_fingerprints" -> (q40 _),

@@ -217,4 +217,32 @@ class CurationSpec extends SparkTestBase {
         s"$lang estimate $gE too far from exact $nExact")
     }
   }
+
+  test("q88 classifier keeps curated-like docs, drops junk, and falls back to the prior") {
+    // the stock corpus is vocabulary-uniform (no token correlates with
+    // source), so the catalog run only proves exactness; discrimination
+    // needs a planted source-correlated corpus: curated docs speak
+    // "good/signal", junk docs "junk/noise", both share stopwords, and
+    // one doc is all below-MinDf singletons (must fall back to the prior)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cls_test").toString
+    val rows =
+      (0L until 10L).map(i => (i, "good good good signal the a", "en", "src0")) ++
+      (10L until 20L).map(i => (i, "junk junk junk noise the a", "en", "src9")) ++
+      Seq((20L, "zzz1 zzz2 zzz3", "en", "src9"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = Curation.queries("q88_quality_classifier")(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      val prior = 10L * 1000000L / 21L
+      (0L until 10L).foreach { i =>
+        assert(out(i)._3 && out(i)._2 > prior, s"curated doc $i: ${out(i)}") }
+      (10L until 20L).foreach { i =>
+        assert(!out(i)._3 && out(i)._2 < prior, s"junk doc $i: ${out(i)}") }
+      assert(out(20L) == ((0L, prior, true)),
+        s"all-singleton doc must score the prior: ${out(20L)}")
+    } finally graft.Caches.release()
+  }
 }

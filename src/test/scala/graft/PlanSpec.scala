@@ -70,6 +70,18 @@ class PlanSpec extends SparkTestBase {
       s"q67 per-token model join must broadcast the vocabulary:\n${p67.take(2000)}")
   }
 
+  test("q88 trains through a distributed top-K and serves through a broadcast model") {
+    // the bounded-model contract: vocabulary selection must compile to
+    // TakeOrderedAndProject (partial per-partition top-K, no global
+    // sort of the unbounded token relation), and the scoring join must
+    // broadcast the ≤ClsVocab-row model, never shuffle the corpus on tok
+    val p = plan(graft.queries.Curation.queries("q88_quality_classifier")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"model selection is not a distributed top-K:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"scoring join does not broadcast the model:\n${p.take(2000)}")
+  }
+
   test("no query plan contains a cartesian product over fact-sized inputs") {
     val exempt = Set("q07_grid") // deliberate small-distinct cross join (R4/J9)
     SparkEntry.queries.foreach { case (name, fn) =>
