@@ -27,21 +27,31 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a long and truncate to microseconds (`div`, not
-    * `/`: ns-since-epoch exceeds 2^53 so double division would corrupt).
-    * The DuckDB oracle reads the same parquet and ALSO floor-truncates
-    * ns→µs (its TIMESTAMP is µs; verified on the shared testdata, which
-    * does carry sub-µs components: …778549829 ns reads back as 778549 µs
-    * on both engines) — so interval boundaries agree exactly by
-    * construction, not by luck of the data. The matching floor (`div`,
-    * never rounding) is pinned by IncrementalSpec "events truncation is
-    * floor to microseconds". */
+  /** events.ts arrives in either of two physical encodings, depending on
+    * the generator vintage — the read adapts to the FILE's schema, since a
+    * library cannot dictate what an upstream writer produced:
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+    *    it is read as a long and floor-truncated to microseconds (`div`,
+    *    not `/`: ns-since-epoch exceeds 2^53 so double division would
+    *    corrupt). DuckDB reads the same file with the same floor ns→µs
+    *    (its TIMESTAMP is µs), so interval boundaries agree exactly by
+    *    construction. The matching floor (`div`, never rounding) is pinned
+    *    by IncrementalSpec "events truncation is floor to microseconds".
+    *  - parquet TIMESTAMP(MICROS) (isAdjustedToUTC=false): reads natively
+    *    as TIMESTAMP_NTZ; cast to the session type under the catalog's
+    *    fixed UTC session zone — a lossless reinterpretation that lands on
+    *    the identical µs value DuckDB's naive TIMESTAMP carries. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
 
   /** Interval-pruned events scan. Because `ts` is DERIVED from the raw
@@ -60,10 +70,21 @@ object Tables {
       val i = t.toInstant
       i.getEpochSecond * 1000000000L + i.getNano
     }
-    apply(s, d, "events")
-      .filter(col("ts") >= ns(lo) - 1000L && col("ts") <= ns(hi) + 1000L) // pushed to scan
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .filter(convention.contains(col("ts"), lo, hi)) // exact residual
+    // NTZ literal for the µs encoding: the instant's UTC wall clock, so the
+    // pushed NTZ-vs-NTZ comparison means the same µs value the session-zone
+    // (UTC) cast produces downstream.
+    def ntz(t: java.sql.Timestamp): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+    val raw = apply(s, d, "events")
+    val coarse = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        raw.filter(col("ts") >= ns(lo) - 1000L && col("ts") <= ns(hi) + 1000L) // pushed
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP(MICROS) → TIMESTAMP_NTZ: push on the raw column
+        raw.filter(col("ts") >= lit(ntz(lo)) && col("ts") <= lit(ntz(hi))) // pushed
+          .withColumn("ts", col("ts").cast("timestamp"))
+    }
+    coarse.filter(convention.contains(col("ts"), lo, hi)) // exact residual
   }
   /** Redistribute a scan whose split count is below the cluster's
     * parallelism — called by the CPU-heavy narrow builders (md5

@@ -163,18 +163,44 @@ class IncrementalSpec extends SparkTestBase {
     assert(sClean.count() + sBad.count() == sdf.count(), "split must partition the input")
   }
   test("events truncation is floor to microseconds (matches the DuckDB oracle's read)") {
-    // The testdata's nanosecond timestamps DO carry sub-µs components.
-    // Boundary equality with the oracle holds because BOTH engines
-    // floor-truncate ns→µs on read (DuckDB's TIMESTAMP is µs). Pin the
-    // Spark side: Tables.events must floor (integer div), never round —
-    // a round-half-up here would disagree with the oracle on ~half the
-    // sub-µs rows.
+    // Boundary equality with the oracle holds because BOTH engines read
+    // the same µs value: for the TIMESTAMP(NANOS) vintage both engines
+    // floor-truncate ns→µs on read (DuckDB's TIMESTAMP is µs); for the
+    // TIMESTAMP(MICROS) vintage the read is the identity. Pin the Spark
+    // side of BOTH branches of Tables.events: the ns branch must floor
+    // (integer div), never round — a round-half-up would disagree with
+    // the oracle on ~half the sub-µs rows — and the µs branch must not
+    // shift the value (the UTC session-zone cast is a reinterpretation).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val rawDf = spark.read.parquet(s"$sfDir/events.parquet")
+    val nsDir = rawDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => sfDir // ns vintage as-is
+      case _ =>
+        // µs vintage: first pin the identity read on the real testdata…
+        val us = rawDf.select(col("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("us_raw"))
+        val idMismatch = Tables.events(spark, sfDir)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+          .join(us, "event_id").filter(col("us") =!= col("us_raw")).count()
+        assert(idMismatch == 0, s"$idMismatch events shifted by the µs-vintage read")
+        // …then synthesize a ns-long fixture (sub-µs components planted)
+        // so the floor branch stays exercised whatever the driver ships.
+        val dir = java.nio.file.Files.createTempDirectory("graft_ns_events").toFile
+        dir.deleteOnExit()
+        spark.range(500).selectExpr(
+            "id as event_id",
+            // ns-since-epoch with a nonzero sub-µs residue on most rows
+            "1700000000000000000L + id * 1000000007L as ts",
+            "id % 7 as user_id", "'click' as event_type",
+            "cast(id as double) / 10 as value", "'{}' as props")
+          .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+        dir.getAbsolutePath
+    }
+    val raw = spark.read.parquet(s"$nsDir/events.parquet")
       .select(col("event_id"), col("ts").as("ns"))
     assert(raw.filter(col("ns") % 1000 =!= 0).count() > 0,
-      "testdata lost its sub-µs components — this test no longer exercises the boundary")
-    val derived = Tables.events(spark, sfDir)
+      "fixture lost its sub-µs components — this test no longer exercises the boundary")
+    val derived = Tables.events(spark, nsDir)
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
     val mismatch = derived.join(raw, "event_id")
       .filter(col("us") =!= expr("ns div 1000")).count()
