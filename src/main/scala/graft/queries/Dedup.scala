@@ -419,17 +419,20 @@ object Dedup extends QueryModule {
     * partial-aggregated pass — 32 integer sum columns over the token
     * relation — instead of fanning every token row out 32× and shuffling
     * the blow-up (same values, 1/32nd of the shuffled rows, and the
-    * second per-doc aggregation disappears entirely). */
+    * second per-doc aggregation disappears entirely). The 32 bits come
+    * from ONE radix conversion of the md5's first 8 hex digits into a
+    * 32-bit integer (bit b of the signature = bit 31−b of that value —
+    * same big-endian hex-digit/nibble order the per-digit formulation
+    * used, so values are unchanged and the DuckDB oracle still agrees),
+    * then 32 shift-and-mask terms — integer ops the whole way instead
+    * of 32 substring/instr string probes per distinct (doc, token). */
   private def simhashDf(s: SparkSession, dir: String): DataFrame = {
     val tc = Tables.documentsWide(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5(col("tok")))
+      .withColumn("h32", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val bitSums = (0 until 32).map { b =>
-      val nib = b / 4 + 1            // hex digit holding bit b
-      val mask = Seq(8, 4, 2, 1)(b % 4)
-      sum(col("cnt") *
-        (expr(s"((instr('0123456789abcdef', substring(h, $nib, 1)) - 1) div $mask) % 2") * 2 - 1))
+      sum(col("cnt") * (expr(s"shiftright(h32, ${31 - b}) % 2") * 2 - 1))
         .as(s"s$b")
     }
     tc.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)

@@ -1007,21 +1007,27 @@ object TextPipeline extends QueryModule {
   private val CmsD = 4
   private val CmsW = 512
   private val CmsTopK = 20
-  private def cmsCell(r: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(r.cast("string"), lit(":"), tok)), 1, 15), 16, 10)
-      .cast("long") % CmsW
+  /** Cell address for hash row r: a disjoint 3-hex-digit (12-bit) slice
+    * of ONE md5 of the token, reduced mod W (4096 % 512 = 0, so the
+    * reduction is exactly uniform). One digest per occurrence feeds all
+    * D rows — the previous per-row `md5(r || ':' || token)` recomputed
+    * the digest D times per occurrence for the same heuristic
+    * independence md5's nibble slices already provide. */
+  private def cmsCell = s"CAST(conv(substring(h, r * 3 + 1, 3), 16, 10) AS BIGINT) % $CmsW"
   private def q80(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
     val sketch = toks
-      .select(explode(expr(s"sequence(0, ${CmsD - 1})")).as("r"), col("token"))
-      .select(col("r"), cmsCell(col("r"), col("token")).as("cell"))
+      .select(md5(col("token")).as("h"))
+      .select(explode(expr(s"sequence(0, ${CmsD - 1})")).as("r"), col("h"))
+      .select(col("r"), expr(cmsCell).as("cell"))
       .groupBy("r", "cell").agg(count(lit(1)).as("c"))
     val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
     val est = freq
-      .select(col("token"), col("freq"),
+      .withColumn("h", md5(col("token")))
+      .select(col("token"), col("freq"), col("h"),
         explode(expr(s"sequence(0, ${CmsD - 1})")).as("r"))
-      .withColumn("cell", cmsCell(col("r"), col("token")))
+      .withColumn("cell", expr(cmsCell))
       .join(broadcast(sketch), Seq("r", "cell"))
       .groupBy("token", "freq").agg(min(col("c")).as("est"))
       .withColumn("overcount", col("est") - col("freq"))
@@ -1036,7 +1042,7 @@ object TextPipeline extends QueryModule {
       |rs AS (SELECT unnest([${(0 until CmsD).mkString(", ")}]) AS r),
       |sketch AS (
       |  SELECT rs.r,
-      |         CAST('0x' || substring(md5(rs.r::VARCHAR || ':' || t.token), 1, 15) AS BIGINT) % $CmsW AS cell,
+      |         CAST('0x' || substring(md5(t.token), rs.r * 3 + 1, 3) AS BIGINT) % $CmsW AS cell,
       |         COUNT(*) AS c
       |  FROM toks t CROSS JOIN rs GROUP BY 1, 2),
       |freq AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
@@ -1044,7 +1050,7 @@ object TextPipeline extends QueryModule {
       |  SELECT f.token, f.freq, MIN(s.c) AS est
       |  FROM freq f CROSS JOIN rs
       |  JOIN sketch s ON s.r = rs.r AND s.cell =
-      |    CAST('0x' || substring(md5(rs.r::VARCHAR || ':' || f.token), 1, 15) AS BIGINT) % $CmsW
+      |    CAST('0x' || substring(md5(f.token), rs.r * 3 + 1, 3) AS BIGINT) % $CmsW
       |  GROUP BY f.token, f.freq),
       |ranked AS (
       |  SELECT token, freq, est,

@@ -161,10 +161,11 @@ class TextQualitySpec extends SparkTestBase {
     val toks = Tables.documents(spark, sfDir).select("text").collect()
       .flatMap(_.getString(0).split(" ", -1))
     def cell(r: Int, tok: String): Int = {
+      // row r reads its own disjoint 12-bit slice of ONE digest
       val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$r:$tok".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      (java.lang.Long.parseLong(h, 16) % 512).toInt
+        .digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(r * 3, r * 3 + 3), 16) % 512).toInt
     }
     val sketch = Array.fill(4, 512)(0L)
     toks.foreach(t => (0 until 4).foreach(r => sketch(r)(cell(r, t)) += 1))
