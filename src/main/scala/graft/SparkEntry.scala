@@ -19,6 +19,7 @@ object SparkEntry {
     _root_.graft.queries.TextPipeline,
     _root_.graft.queries.Curation,
     _root_.graft.queries.Temporal,
+    _root_.graft.queries.Corpus,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Corpus-preparation operators: the steps between "filtered documents"
+  * and "training shards" that the curation family (Curation.scala) stops
+  * short of — boilerplate stripping, retrieval over the corpus, the
+  * global pre-training shuffle, and context-model quality scoring.
+  *
+  * Reference anchor: the reference's pipeline ends at per-document
+  * filter/score relations (eda_query.py's scan→filter→aggregate shape);
+  * these four are the beyond-reference extensions a 100 TB training-data
+  * pipeline layers on top, built from the same catalog idioms — md5-int64
+  * keys, integer log₂ bits (q67), two-phase prefix sums (q60), bounded
+  * per-query windows (q36).
+  */
+object Corpus extends QueryModule {
+
+  // ---------------------------------------------------------------------
+  // q90 — PER-SOURCE BOILERPLATE STRIP (the CCNet/C4 recipe, Wenzek et
+  // al. 1911.00359 §3: lines repeated across documents of one domain are
+  // navigation chrome, cookie banners, templates — drop every copy).
+  // Differs from q66 span-dedup in both key and policy: q66 keys spans
+  // GLOBALLY and keeps the FIRST occurrence; boilerplate is scoped to
+  // (source, segment) and removes ALL occurrences once the segment's
+  // document frequency within its source reaches BoilerMinDf.
+  //
+  // Scale shape: segmenting is a narrow explode; document frequency is
+  // one uniform-key aggregation on (source, seg-md5) — fixed-width key,
+  // and the df count per key is capped by the source's doc count. The
+  // boilerplate relation (df >= threshold) is a small fraction of the
+  // segment relation, but NOT broadcastable by contract (a 100 TB crawl
+  // of one pathological template site can make it large), so marking is
+  // a shuffle join on the same (source, skey) key the df aggregation
+  // already hashed — AQE reuses the exchange. Reassembly is the q66
+  // per-document sorted fold.
+  private val BoilerSegLen = 8
+  private val BoilerMinDf = 2
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documentsWide(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .select(col("doc_id"), col("source"), col("ts"),
+        explode(expr(s"sequence(0, (n - 1) div $BoilerSegLen)")).as("seg_id0"))
+      .withColumn("seg_id", col("seg_id0").cast("int"))
+      .withColumn("seg", concat_ws(" ",
+        slice(col("ts"), col("seg_id") * BoilerSegLen + 1, lit(BoilerSegLen))))
+      .select(col("doc_id"), col("source"), col("seg_id"), col("seg"),
+        conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long").as("skey"))
+    val boiler = segs
+      .groupBy("source", "skey")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerMinDf)
+    segs.join(boiler, Seq("source", "skey"), "left")
+      .withColumn("kept", col("df").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_segs"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        md5(expr(
+          "array_join(transform(filter(array_sort(collect_list(struct(seg_id, kept, seg))), x -> x.kept), x -> x.seg), ' ')"))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val q90Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, source, CAST(seg_id AS INT) AS seg_id,
+      |         array_to_string(ts[(seg_id * $BoilerSegLen + 1):(seg_id * $BoilerSegLen + $BoilerSegLen)], ' ') AS seg
+      |  FROM (SELECT doc_id, source, ts, unnest(range(0, (n - 1) // $BoilerSegLen + 1)) AS seg_id FROM t)),
+      |boiler AS (
+      |  SELECT source, seg FROM segs
+      |  GROUP BY source, seg HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDf),
+      |marked AS (
+      |  SELECT s.doc_id, s.seg_id, s.seg, b.seg IS NULL AS kept
+      |  FROM segs s LEFT JOIN boiler b ON s.source = b.source AND s.seg = b.seg)
+      |SELECT doc_id,
+      |       CAST(COUNT(*) AS INT) AS n_segs,
+      |       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+      |       md5(COALESCE(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_id), '')) AS clean_hash
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q91 — BM25 TOP-K RETRIEVAL (Robertson & Spärck Jones; the Okapi
+  // k1/b formulation): rank documents for a fixed query workload — the
+  // serving shape of hard-negative mining and retrieval-augmented
+  // pretraining. Scoring is the standard
+  //   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+  //   idf(t) = ln(1 + (N−df+0.5)/(df+0.5))
+  // over the terms of each query.
+  //
+  // Scale shape: the query workload is TINY by contract and broadcast
+  // twice (term match, then per-term df). Candidate generation is the
+  // broadcast semi-match on the token relation — the corpus is scanned
+  // once and never re-keyed except the per-(doc, term) tf aggregation
+  // (uniform md5-free key: term strings are bounded by the workload).
+  // Per-term document frequency aggregates to ≤|workload| rows. The
+  // per-query top-k window ranks only docs matching ≥1 term of that
+  // query, the q36-audited bounded-Q window pattern.
+  //
+  // Determinism: idf/score are doubles with ln — each engine evaluates
+  // the IDENTICAL expression tree on identical integer inputs, ranks
+  // with a doc_id tiebreak, and the emitted score is rounded to 4
+  // decimals (the catalog's order-sensitive-float rule); ranks cannot
+  // drift because mathematically-equal scores compute equal within each
+  // engine and unequal scores differ by far more than one ulp.
+  private val Bm25K1Num = 12 // k1 = 1.2
+  private val Bm25BNum = 3   // b = 0.75 (as 3/4)
+  private val Bm25TopK = 5
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark table join",
+    2 -> "window agg stream",
+    3 -> "dup merge scan",
+    4 -> "customer order line",
+    5 -> "key value sort big")
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Bm25Queries
+      .flatMap { case (q, txt) => txt.split(" ").map(t => (q, t)) }
+      .toDF("qid", "term")
+    val toks = Tables.documentsWide(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("tok"))
+    val stats = toks.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_toks"))
+    val tf = toks
+      .join(broadcast(terms.select("term").distinct()), col("tok") === col("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf
+      .join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(terms), "term")
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      // tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with avgdl = n_toks/n_docs,
+      // cleared to one division: k1 = Bm25K1Num/10, b = Bm25BNum/4.
+      .withColumn("w",
+        (col("tf") * (Bm25K1Num + 10) * col("n_toks")).cast("double") /
+          (lit(10) * col("n_toks") * col("tf") +
+            lit(Bm25K1Num * (4 - Bm25BNum) / 4.0) * col("n_toks") +
+            lit(Bm25K1Num * Bm25BNum / 4.0) * col("dl") * col("n_docs")))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("idf") * col("w")).as("score"),
+        count(lit(1)).cast("int").as("n_hit"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"), col("n_hit"))
+      .orderBy("qid", "rank")
+  }
+
+  private val q91Sql = {
+    val qvals = Bm25Queries
+      .flatMap { case (q, txt) => txt.split(" ").map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH qt(qid, term) AS (VALUES $qvals),
+      |toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |         unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |stats AS (
+      |  SELECT COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_toks FROM toks),
+      |tf AS (
+      |  SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
+      |  FROM toks WHERE tok IN (SELECT DISTINCT term FROM qt)
+      |  GROUP BY doc_id, dl, tok),
+      |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT q.qid, t.doc_id,
+      |         SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |             (CAST(t.tf * ${Bm25K1Num + 10} * s.n_toks AS DOUBLE) /
+      |              (10 * s.n_toks * t.tf +
+      |               ${Bm25K1Num * (4 - Bm25BNum) / 4.0} * s.n_toks +
+      |               ${Bm25K1Num * Bm25BNum / 4.0} * t.dl * s.n_docs))) AS score,
+      |         CAST(COUNT(*) AS INT) AS n_hit
+      |  FROM tf t JOIN dfr d USING (term) CROSS JOIN stats s JOIN qt q USING (term)
+      |  GROUP BY q.qid, t.doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, score, n_hit,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT qid, rank, doc_id, ROUND(score, 4) AS score, n_hit
+      |FROM ranked WHERE rank <= $Bm25TopK ORDER BY qid, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q92 — DETERMINISTIC CORPUS SHUFFLE + SHARDING: the global permutation
+  // every pre-training run applies before writing shards (GPT-3 / The
+  // Pile data prep). The permutation key is the md5-int64 of the doc id
+  // (seeded), the shard is the key's LOW 4 bits, and the within-shard
+  // position is the rank of the key's remaining bits — reproducible on
+  // any engine and any partitioning, no RNG state.
+  //
+  // Scale shape: positions within a shard are a corpus-sized total
+  // order, so they are materialized with the q60 TWO-PHASE prefix sum,
+  // never a per-shard global sort: the key's HIGH 6 bits form 64 range
+  // buckets per shard (bucket order ≡ key order by construction);
+  // per-(shard, bucket) counts (bounded relation: 16×64 rows) produce
+  // bucket offsets with a window over the tiny counts relation, and the
+  // within-bucket rank is a window over (shard, bucket) — 1024 uniform
+  // partitions whose size is corpus/1024, the audited pattern. At 1000
+  // executors the plan is two corpus shuffles (bucket agg + rank
+  // window), both on uniform fixed-width keys.
+  private val NumShards = 16
+  private val ShardBuckets = 64 // high-order key bits => bucket order ≡ key order
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        conv(substring(md5(concat(lit("shard:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long").as("key"))
+      .withColumn("shard", (col("key") % NumShards).cast("int"))
+      // key < 16^15 = 2^60; high 6 bits: div 2^54
+      .withColumn("bucket", (col("key") / lit(1L << 54)).cast("int"))
+    val offsets = keyed
+      .groupBy("shard", "bucket").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.partitionBy("shard").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "bucket", "off")
+    keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("shard", "bucket").orderBy("key", "doc_id")))
+      .join(broadcast(offsets), Seq("shard", "bucket"))
+      .select(col("doc_id"), col("shard"),
+        (col("off") + col("rn")).cast("long").as("pos"), col("n_chars"))
+      .orderBy("shard", "pos")
+  }
+
+  private val q92Sql =
+    s"""WITH keyed AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST('0x' || substring(md5('shard:' || doc_id), 1, 15) AS BIGINT) AS key
+      |  FROM documents)
+      |SELECT doc_id, CAST(key % $NumShards AS INT) AS shard,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY key % $NumShards ORDER BY key, doc_id) AS BIGINT) AS pos,
+      |       n_chars
+      |FROM keyed ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q93 — BIGRAM LM SURPRISAL (the KenLM-perplexity quality filter,
+  // CCNet §4.2 / Laurençon et al. ROOTS): train a bigram model on a
+  // deterministic corpus sample, score EVERY document by its mean
+  // per-bigram surprisal, keep the middle band (q67's unigram verdict,
+  // upgraded to a context model: repeated templates score near 0 bits,
+  // shuffled-word gibberish scores near the context entropy ceiling —
+  // a unigram model cannot tell those apart when the token HISTOGRAM
+  // matches). Bits are the catalog's exact integer log₂ —
+  // bits(w1,w2) = ⌊log₂(c1(w1) div c2(w1,w2))⌋ via length(bin(·))−1 —
+  // and unseen bigrams (or contexts) pay a flat OovBits: transcendental-
+  // free, so the keep/drop boundary cannot drift between engines.
+  //
+  // Scale shape: the sample's bigram relation aggregates on a uniform
+  // (w1,w2) key; context counts derive from it by a second small
+  // aggregation (bigram-vocab-sized, NOT corpus-sized). Scoring joins
+  // the corpus bigram stream against the model on the same uniform key
+  // — a Heaps-law-bounded-vocabulary shuffle join, NOT broadcast by
+  // contract (a 100 TB crawl's bigram vocabulary outgrows an executor)
+  // — then one per-doc aggregation. The corpus is never re-keyed
+  // beyond those two shuffles.
+  private val LmTrainMod = 3
+  private val LmOovBits = 20L
+  private val LmLo = 1000L // millibits/bigram — below = template boilerplate
+  private val LmHi = 8000L // above = out-of-model gibberish
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val sample = bigrams(
+      Tables.documentsWide(s, dir).filter(col("doc_id") % LmTrainMod === 0))
+    val model2 = sample.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val model1 = model2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val model = model2.join(model1, "w1")
+      .withColumn("bits", (length(bin(expr("c1 div c2"))) - 1).cast("long"))
+      .select("w1", "w2", "bits")
+    bigrams(Tables.documentsWide(s, dir))
+      .join(model, Seq("w1", "w2"), "left")
+      .withColumn("b", coalesce(col("bits"), lit(LmOovBits)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("b")).as("total_bits"))
+      .withColumn("millibits", expr("(total_bits * 1000) div n_bigrams"))
+      .withColumn("keep", col("millibits") >= LmLo && col("millibits") <= LmHi)
+      .select("doc_id", "n_bigrams", "total_bits", "millibits", "keep")
+      .orderBy("doc_id")
+  }
+
+  private val q93Sql =
+    s"""WITH big AS (
+      |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+      |  WHERE len(ts) >= 2),
+      |m2 AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM big
+      |  WHERE doc_id % $LmTrainMod = 0 GROUP BY w1, w2),
+      |m1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM m2 GROUP BY w1),
+      |model AS (
+      |  SELECT m2.w1, m2.w2, CAST(length(bin(c1 // c2)) - 1 AS BIGINT) AS bits
+      |  FROM m2 JOIN m1 USING (w1)),
+      |scored AS (
+      |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |         CAST(SUM(COALESCE(m.bits, $LmOovBits)) AS BIGINT) AS total_bits
+      |  FROM big b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      |  GROUP BY b.doc_id)
+      |SELECT doc_id, n_bigrams, total_bits,
+      |       (total_bits * 1000) // n_bigrams AS millibits,
+      |       (total_bits * 1000) // n_bigrams BETWEEN $LmLo AND $LmHi AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_boilerplate_strip" -> (q90 _),
+    "q91_bm25_topk"         -> (q91 _),
+    "q92_corpus_shard"      -> (q92 _),
+    "q93_bigram_surprisal"  -> (q93 _),
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q90_boilerplate_strip" -> q90Sql,
+    "q91_bm25_topk"         -> q91Sql,
+    "q92_corpus_shard"      -> q92Sql,
+    "q93_bigram_surprisal"  -> q93Sql,
+  )
+}

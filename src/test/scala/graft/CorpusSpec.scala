@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-preparation module (q90–q93): hand-checkable
+  * synthetic fixtures for the policy branches the uniform testdata
+  * cannot reach (per-source scoping, OOV gibberish, template collapse),
+  * plus plain-Scala replays against the real testdata.
+  */
+class CorpusSpec extends SparkTestBase {
+
+  /** Write a documents.parquet fixture and return its directory. */
+  private def docsFixture(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toFile
+    dir.deleteOnExit()
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    dir.getAbsolutePath
+  }
+
+  test("q90 strips a repeated segment only within its source, all copies") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8" // one exact 8-word segment
+    val dir = docsFixture(Seq(
+      (0L, s"$boiler u1 u2 u3 u4 u5 u6 u7 u8", "srcA"),  // boiler df=2 in srcA
+      (1L, s"$boiler v1 v2 v3 v4 v5 v6 v7 v8", "srcA"),  // -> stripped from BOTH
+      (2L, s"$boiler w1 w2 w3 w4 w5 w6 w7 w8", "srcB"))) // df=1 in srcB -> kept
+    val got = SparkEntry.queries("q90_boilerplate_strip")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(0L) == ((2, 1)), "doc 0 must lose the shared segment")
+    assert(got(1L) == ((2, 1)), "doc 1 must lose the shared segment too (no first-keeper)")
+    assert(got(2L) == ((2, 2)), "same segment in another source is NOT boilerplate")
+    // clean_hash is the md5 of the reassembled kept text
+    val h = SparkEntry.queries("q90_boilerplate_strip")(spark, dir)
+      .filter(col("doc_id") === 0).select("clean_hash").head().getString(0)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("u1 u2 u3 u4 u5 u6 u7 u8".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h == expect, "clean_hash must hash exactly the surviving segments")
+  }
+
+  test("q91 matches a plain-Scala BM25 replay on the testdata") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty))
+    val nDocs = docs.length.toLong
+    val nToks = docs.map(_._2.length.toLong).sum
+    val queries = Seq(
+      1 -> "spark table join", 2 -> "window agg stream", 3 -> "dup merge scan",
+      4 -> "customer order line", 5 -> "key value sort big")
+    val expect = queries.flatMap { case (qid, qtext) =>
+      val terms = qtext.split(" ").toSeq
+      val dfOf = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+      docs.flatMap { case (id, ts) =>
+        val hits = terms.filter(t => ts.contains(t))
+        if (hits.isEmpty) None else {
+          val dl = ts.length.toLong
+          val score = hits.map { t =>
+            val tf = ts.count(_ == t).toLong
+            val idf = math.log(1.0 + (nDocs - dfOf(t) + 0.5) / (dfOf(t) + 0.5))
+            val w = (tf * 22 * nToks).toDouble /
+              (10.0 * nToks * tf + 3.0 * nToks + 9.0 * dl * nDocs)
+            idf * w
+          }.sum
+          Some((qid, id, score, hits.length))
+        }
+      }.sortBy { case (_, id, sc, _) => (-sc, id) }.take(5).zipWithIndex
+        .map { case ((q, id, sc, nh), i) =>
+          (q, i + 1, id, math.rint(sc * 10000) / 10000, nh) }
+    }.toSet
+    val got = SparkEntry.queries("q91_bm25_topk")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    assert(got == expect, s"BM25 top-5 mismatch:\n got=$got\n exp=$expect")
+  }
+
+  test("q92 positions replay the md5 permutation and tile each shard 1..n") {
+    val got = SparkEntry.queries("q92_corpus_shard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def key(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shard:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(15), 16)
+    }
+    val expect = got.map(_._1).sorted.map(id => (id, key(id))).toSeq
+      .groupBy { case (_, k) => (k % 16).toInt }.toSeq
+      .flatMap { case (shard, ids) =>
+        ids.sortBy { case (id, k) => (k, id) }.zipWithIndex
+          .map { case ((id, _), i) => (id, shard, (i + 1).toLong) }
+      }.toSet
+    assert(got.toSet == expect, "shard/pos must equal the md5-order replay")
+    // per-shard positions are exactly 1..count — a true permutation
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions are not contiguous")
+    }
+  }
+
+  test("q93 verdicts: template collapses low, OOV gibberish spikes high, normal text keeps") {
+    // doc 0 trains the template bigram (a,a); doc 3 trains the x/y/z/w
+    // context model; docs 1/2/4 are scored only. The normal text is a
+    // repeated de Bruijn-style cycle where every context is followed by
+    // all 4 symbols near-uniformly, so per-bigram surprisal sits at
+    // ~log2(4) = 2 bits — squarely inside the keep band.
+    val normal = ("x x y x z x w y y z y w z z w w x " * 8).trim
+    val dir = docsFixture(Seq(
+      (0L, ("a " * 32).trim, "s"),          // model: c2(a,a)=31, c1(a)=31
+      (3L, normal, "s"),                    // model: balanced contexts
+      (1L, ("a " * 9).trim, "s"),           // template: all bits 0 -> millibits 0
+      (2L, "zz qq ww ee rr tt yy uu", "s"), // gibberish: all OOV -> 20000
+      (4L, normal, "s")))                   // in-model mixed text
+    val got = SparkEntry.queries("q93_bigram_surprisal")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(1L)._1 == 0L && !got(1L)._2, s"template doc: ${got(1L)}")
+    assert(got(2L)._1 == 20000L && !got(2L)._2, s"gibberish doc: ${got(2L)}")
+    assert(got(4L)._2, s"normal doc must land in the keep band: ${got(4L)}")
+    // replay doc 4 exactly against the model trained on doc 0 + doc 3
+    // (doc 0 contributes only (a,a), which doc 4 never uses)
+    val ts = normal.split(" ").toSeq
+    val bg = ts.zip(ts.tail)
+    val c2 = bg.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bg.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val bits = bg.map(b => java.lang.Long.toBinaryString(c1(b._1) / c2(b)).length - 1L)
+    val millibits = bits.sum * 1000 / bg.length
+    assert(got(4L)._1 == millibits, s"doc 4 millibits ${got(4L)._1} != replay $millibits")
+  }
+}
