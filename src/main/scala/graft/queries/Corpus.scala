@@ -130,9 +130,11 @@ object Corpus extends QueryModule {
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
         explode(col("ts")).as("tok"))
-    val stats = toks.agg(
-      countDistinct(col("doc_id")).as("n_docs"),
-      count(lit(1)).as("n_toks"))
+    // corpus stats from the per-doc length relation — a narrow scan, not
+    // a second token explode (dl counts every token, split keeps empties)
+    val stats = Tables.documents(s, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
     val tf = toks
       .join(broadcast(terms.select("term").distinct()), col("tok") === col("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
