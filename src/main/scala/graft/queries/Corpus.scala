@@ -273,24 +273,31 @@ object Corpus extends QueryModule {
   // — then one per-doc aggregation. The corpus is never re-keyed
   // beyond those two shuffles.
   private val LmTrainMod = 3
-  private val LmOovBits = 20L
-  private val LmLo = 1000L // millibits/bigram — below = template boilerplate
-  private val LmHi = 8000L // above = out-of-model gibberish
-  private def q93(s: SparkSession, dir: String): DataFrame = {
-    def bigrams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
-        .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  private[graft] val LmOovBits = 20L
+  private[graft] val LmLo = 1000L // millibits/bigram — below = template boilerplate
+  private[graft] val LmHi = 8000L // above = out-of-model gibberish
+  private def bigrams(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    .filter(size(col("ts")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
+      .as("b"))
+    .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  /** q93's trained model as a relation (w1, w2, bits) — also the frozen
+    * serving artifact `streaming.Streams.bigramScore` ships (collected
+    * after pruning at serving time; here whole, the vocabulary being
+    * bounded at test scale). */
+  private[graft] def bigramModel(s: SparkSession, dir: String): DataFrame = {
     val sample = bigrams(
       Tables.documentsWide(s, dir).filter(col("doc_id") % LmTrainMod === 0))
     val model2 = sample.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val model1 = model2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-    val model = model2.join(model1, "w1")
+    model2.join(model1, "w1")
       .withColumn("bits", (length(bin(expr("c1 div c2"))) - 1).cast("long"))
       .select("w1", "w2", "bits")
+  }
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val model = bigramModel(s, dir)
     bigrams(Tables.documentsWide(s, dir))
       .join(model, Seq("w1", "w2"), "left")
       .withColumn("b", coalesce(col("bits"), lit(LmOovBits)))

@@ -295,4 +295,39 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  /** Stateless streaming twin of q93's SCORING half: bigram-LM surprisal
+    * over an arriving document feed under a FROZEN serving model — the
+    * online quality gate a training-data intake runs while the batch
+    * q93 retrains offline (the Bpe train/encode and q78/q79 offline/
+    * online split applied to the LM filter). The model ships as a plain
+    * broadcast map keyed "w1 w2" (a SERVING model is pruned to a
+    * bounded top-M + OOV penalty before shipping — q93's training
+    * relation is Heaps-law unbounded, its serving artifact is not);
+    * scoring is one narrow typed map per document, zero shuffle and
+    * zero streaming state, so the gate runs in append mode at any feed
+    * rate. Bits/band constants are q93's own — batch and stream cannot
+    * disagree on a verdict.
+    */
+  def bigramScore(docs: Dataset[Doc], model: Map[String, Long]): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.queries.Corpus.{LmHi, LmLo, LmOovBits}
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.flatMap { d =>
+      val ts = d.text.split(" ", -1)
+      if (ts.length < 2) None
+      else {
+        val m = bc.value
+        var total = 0L
+        var i = 0
+        while (i < ts.length - 1) {
+          total += m.getOrElse(ts(i) + " " + ts(i + 1), LmOovBits)
+          i += 1
+        }
+        val n = (ts.length - 1).toLong
+        val milli = total * 1000 / n
+        Some((d.doc_id, d.ts, n, total, milli, milli >= LmLo && milli <= LmHi))
+      }
+    }.toDF("doc_id", "ts", "n_bigrams", "total_bits", "millibits", "keep")
+  }
 }

@@ -284,6 +284,31 @@ class StreamingSpec extends SparkTestBase {
     assert(masks(1L) == 64, s"doc 1 mask ${masks(1L)}: expected only the stopword-floor bit")
   }
 
+  test("streaming bigram scorer under the frozen model equals batch q93 on a replayed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // freeze q93's trained model as the serving artifact
+    val model = graft.queries.Corpus.bigramModel(spark, sfDir).collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}" -> r.getLong(2)).toMap
+    assert(model.nonEmpty, "frozen model must not be empty")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => Streams.Doc(r.getLong(0), ts("2024-01-01 10:00:00"), r.getString(1)))
+    val mem = MemoryStream[Streams.Doc]
+    val query = Streams.bigramScore(mem.toDS(), model)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").start()
+    mem.addData(docs.toIndexedSeq: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("lm_stream")
+      .select("doc_id", "n_bigrams", "total_bits", "millibits", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    query.stop()
+    val batch = SparkEntry.queries("q93_bigram_surprisal")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(streamed == batch, "frozen-model stream scoring must equal the batch relation")
+  }
+
   test("batch q25 sessionization agrees with the streaming sessionizer") {
     // same events, two execution models (D3 applied to batch vs stream):
     // session (user, n_events, total_value) multisets must match.
