@@ -35,7 +35,12 @@ object SkewProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 2, 4)
-    val docQs = Seq("q33_minhash_lsh", "q35_simhash_pairs", "q44_corpus_filter", "q51_decontaminate")
+    // q90/q93 (round 10): the boilerplate plant is exactly q90's subject
+    // matter (its (source, seg-md5) df keys go hot), and it floods q93's
+    // (w1, w2) model-join keys with ~200 dominant boiler bigrams — the
+    // two new shuffle surfaces worth probing
+    val docQs = Seq("q33_minhash_lsh", "q35_simhash_pairs", "q44_corpus_filter",
+      "q51_decontaminate", "q90_boilerplate_strip", "q93_bigram_surprisal")
     val embQs = Seq("q39_cosine_neardup")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
