@@ -275,6 +275,56 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(doc_id: Long, width: Int, height: Int, ahash: String)
+
+  /** Average-hash (aHash) from the DECODED raster: the 8×8 block-mean
+    * threshold fingerprint perceptual image dedup keys on. Blocks are
+    * the integer tiling bx = x·8 div w (so any w, h ≥ 8 yields exactly
+    * 64 non-empty blocks), and the threshold is the global mean made
+    * integer-exact by cross-multiplying — bit = 1 iff
+    * blockSum·(w·h) ≥ totalSum·blockCount — no division anywhere, so
+    * the oracle's relational replay of the pixel formula lands on the
+    * identical 64-bit string (emitted as a bitstring, the q34 simhash
+    * convention). Bounds: blockSum ≤ 255·16², total ≤ 255·128²,
+    * products ≤ ~1.1e9 — int64 headroom at any supported geometry. */
+  def imageAHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val bx = x * 8 / w
+            sums(by * 8 + bx) += (img.getRGB(x, y) & 0xff) // gray: channels equal
+            cnts(by * 8 + bx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var tot = 0L
+        var i = 0
+        while (i < 64) { tot += sums(i); i += 1 }
+        val n = w.toLong * h
+        val sb = new java.lang.StringBuilder(64)
+        i = 0
+        while (i < 64) {
+          sb.append(if (sums(i) * n >= tot * cnts(i)) '1' else '0')
+          i += 1
+        }
+        ImageHash(r.doc_id, w, h, sb.toString)
+      }
+    }
+  }
+
   /** The common decoded-media row all three q49 branches emit: real
     * decoded dims, the box-fit plan on them, the decoded 8-bit sample
     * count, and a 16-bin histogram over decoded samples. */

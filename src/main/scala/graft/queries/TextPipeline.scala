@@ -987,6 +987,80 @@ object TextPipeline extends QueryModule {
   }
 
   // ---------------------------------------------------------------------
+  // q94 — PERCEPTUAL IMAGE DEDUP (aHash): the image-side twin of the
+  // text near-dup family — 8×8 block-mean average hash from REAL decoded
+  // PNG rasters (Multimodal.imageAHashes; integer-exact threshold, no
+  // division), then exactly q35's candidate machinery: 8×8-bit bands
+  // (pigeonhole: any pair within Hamming 7 shares a clean band — full
+  // recall at the ≤6 threshold), graft_collect_capped buckets at
+  // Dedup.BucketCap, in-bucket pairs, codegen'd graft_hamming verify.
+  // The oracle replays the pixel FORMULA relationally (it never sees
+  // PNG bytes) through the same banding SQL — a hash match certifies
+  // the decode round-trip AND the dedup semantics in one gate.
+  // Scale shape: the codec is a narrow per-partition map; the only
+  // shuffled relation is ONE 64-char hash per image (corpus bytes never
+  // shuffle), buckets are capped, verification is per-candidate.
+  private val AHashHamMax = 6
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.imageAHashes(Multimodal.synthesizeImages(s, dir)).toDF()
+    val buckets = hashes.select(col("doc_id"), col("ahash"),
+        explode(expr("transform(sequence(0, 7), b -> struct(b AS band, substring(ahash, b * 8 + 1, 8) AS bk))")).as("x"))
+      .select(col("doc_id"), col("ahash"), col("x.band").as("band"), col("x.bk").as("bk"))
+      .groupBy("band", "bk")
+      .agg(expr(s"array_sort(graft_collect_capped(struct(doc_id, ahash), ${Dedup.BucketCap})) AS mem"))
+      .filter(size(col("mem")).between(2, Dedup.BucketCap))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(mem) - 1), i ->
+          |  transform(slice(mem, i + 1, size(mem) - i), y ->
+          |    struct(element_at(mem, i).doc_id AS d1, element_at(mem, i).ahash AS h1,
+          |           y.doc_id AS d2, y.ahash AS h2))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.h1").as("h1"), col("p.h2").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("graft_hamming(h1, h2)"))
+      .filter(col("hamming") <= AHashHamMax)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  private val q94Sql =
+    s"""WITH img AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 120 AS INT) AS w,
+      |         CAST(8 + (doc_id * 7) % 120 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(range(0, CAST(w AS BIGINT) * h)) AS i FROM img),
+      |blk AS (
+      |  SELECT doc_id, w, h,
+      |         ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b,
+      |         (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS v
+      |  FROM px),
+      |bsum AS (
+      |  SELECT doc_id, w, h, b, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM blk GROUP BY doc_id, w, h, b),
+      |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t FROM bsum GROUP BY doc_id),
+      |ah AS (
+      |  SELECT doc_id,
+      |         string_agg(CASE WHEN s * (CAST(w AS BIGINT) * h) >= t * c
+      |                    THEN '1' ELSE '0' END, '' ORDER BY b) AS ahash
+      |  FROM bsum JOIN tot USING (doc_id) GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, ahash, b AS band, substring(ahash, b * 8 + 1, 8) AS bk
+      |  FROM ah CROSS JOIN (SELECT unnest(range(8)) AS b)),
+      |bsz AS (SELECT band, bk, COUNT(*) AS c FROM bands GROUP BY band, bk),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.ahash AS h1, b.ahash AS h2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      |  JOIN bsz k ON k.band = a.band AND k.bk = a.bk
+      |  WHERE k.c <= ${Dedup.BucketCap})
+      |SELECT d1, d2,
+      |       len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 65)], x -> x)) AS hamming
+      |FROM cand
+      |WHERE len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 65)], x -> x)) <= $AHashHamMax
+      |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q80 — COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan): the
   // third mergeable sketch in the catalog (with q74's HLL and q77's
   // quantile histogram) — token-frequency estimation whose corpus-side
@@ -1076,6 +1150,7 @@ object TextPipeline extends QueryModule {
     "q45_langid_ngram"   -> (q45 _),
     "q80_cms_heavyhitters" -> (q80 _),
     "q81_image_decode"   -> (q81 _),
+    "q94_image_phash_dedup" -> (q94 _),
     "q82_audio_decode"   -> (q82 _),
     "q83_video_frames"   -> (q83 _),
   )
@@ -1096,6 +1171,7 @@ object TextPipeline extends QueryModule {
     "q49_media_features" -> q49Sql,
     "q80_cms_heavyhitters" -> q80Sql,
     "q81_image_decode"   -> q81Sql,
+    "q94_image_phash_dedup" -> q94Sql,
     "q82_audio_decode"   -> q82Sql,
     "q83_video_frames"   -> q83Sql,
   )

@@ -713,4 +713,42 @@ class PipelineSpec extends SparkTestBase {
     val nOut = rows.count(_._5)
     assert(nOut > 0 && nOut * 2 < rows.length, s"degenerate outlier rate: $nOut/${rows.length}")
   }
+
+  test("q94 aHash pairs match a formula-side replay (decode round-trip + dedup semantics)") {
+    // Independent path: the replay computes every aHash from the PIXEL
+    // FORMULA (never decoding a PNG), the query computes them from real
+    // decoded rasters — agreement certifies the codec round-trip and the
+    // band/cap/hamming pipeline at once.
+    def dims(id: Long) = (8 + (id % 120).toInt, 8 + ((id * 7) % 120).toInt)
+    def ahash(id: Long): String = {
+      val (w, h) = dims(id)
+      val sums = new Array[Long](64); val cnts = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(b) += (id * 31 + x * 7 + y * 13) % 256
+        cnts(b) += 1
+      }
+      val tot = sums.sum; val n = w.toLong * h
+      (0 until 64).map(i => if (sums(i) * n >= tot * cnts(i)) '1' else '0').mkString
+    }
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 3 == 0).sorted
+    val hs = ids.map(id => id -> ahash(id)).toMap
+    val buckets = scala.collection.mutable.Map.empty[(Int, String), Vector[Long]]
+    for (id <- ids; b <- 0 until 8) {
+      val k = (b, hs(id).substring(b * 8, b * 8 + 8))
+      buckets(k) = buckets.getOrElse(k, Vector.empty) :+ id
+    }
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val candPairs: Set[(Long, Long)] = buckets.values.toSeq
+      .filter(v => v.length >= 2 && v.length <= 64)
+      .flatMap(v => v.sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    val expect: Set[(Long, Long, Int)] = candPairs
+      .filter { case (a, b) => ham(hs(a), hs(b)) <= 6 }
+      .map { case (a, b) => (a, b, ham(hs(a), hs(b))) }
+    val got = SparkEntry.queries("q94_image_phash_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect, s"aHash pair mismatch: got=${got.size} expect=${expect.size}")
+  }
 }
