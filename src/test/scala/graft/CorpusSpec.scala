@@ -42,6 +42,37 @@ class CorpusSpec extends SparkTestBase {
     assert(h == expect, "clean_hash must hash exactly the surviving segments")
   }
 
+  test("q90 agrees with a per-doc replay on a seeded collision-heavy corpus") {
+    // 60 docs / 3 sources, segments drawn from a pool of 12 so the
+    // (source, segment) df spectrum covers 1..~15 — the policy's whole
+    // decision range, not just the testdata's df ∈ {1, 2}.
+    val rnd = new scala.util.Random(42)
+    val pool = (0 until 12).map(p => (0 until 8).map(w => s"p${p}w$w").mkString(" "))
+    val rows = (0 until 60).map { i =>
+      val nSegs = 1 + rnd.nextInt(4)
+      val text = (0 until nSegs).map(_ => pool(rnd.nextInt(pool.length))).mkString(" ")
+      (i.toLong, text, s"src${i % 3}")
+    }
+    val dir = docsFixture(rows)
+    val got = SparkEntry.queries("q90_boilerplate_strip")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // replay: df per (source, segment) over DISTINCT docs; kept iff df < 2
+    val segsOf = rows.map { case (id, text, src) =>
+      (id, src, text.split(" ").grouped(8).map(_.mkString(" ")).toSeq)
+    }
+    val df = segsOf.flatMap { case (id, src, segs) => segs.distinct.map(s => (src, s, id)) }
+      .groupBy { case (src, s, _) => (src, s) }
+      .map { case (k, v) => k -> v.map(_._3).distinct.size }
+    segsOf.foreach { case (id, src, segs) =>
+      val kept = segs.count(s => df((src, s)) < 2)
+      assert(got(id) == ((segs.length, kept)),
+        s"doc $id: got ${got(id)}, expect (${segs.length}, $kept)")
+    }
+    // the spectrum must actually exercise both policy branches heavily
+    assert(df.values.exists(_ >= 3) && df.values.exists(_ == 1),
+      "seeded corpus lost its df spread — regenerate")
+  }
+
   test("q91 matches a plain-Scala BM25 replay on the testdata") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
