@@ -487,6 +487,45 @@ object Multimodal {
     }
   }
 
+  case class AudioHash(doc_id: Long, n_samples: Int, ehash: String)
+
+  /** Energy-envelope hash from DECODED PCM samples — the 1-D analog of
+    * [[imageAHashes]]'s block-mean aHash, and the shape audio near-dup
+    * keys on when no spectral transform is available: 32 integer-tiled
+    * frames (f = i·32 div n), frame energy = Σ|s|, bit = 1 iff
+    * frameEnergy·n ≥ totalEnergy·frameLen (cross-multiplied, no
+    * division). Bounds: |s| ≤ 32768, n ≤ 1280 → every product well
+    * under int64. Emitted as a 32-char bitstring (the q34/q94
+    * convention) so the oracle's formula replay lands bit-identically. */
+  def audioEnvelopeHashes(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, samples) = wavSamples(r.payload, r.doc_id)
+        val n = samples.length
+        val sums = new Array[Long](32)
+        val cnts = new Array[Long](32)
+        var i = 0
+        while (i < n) {
+          val f = i * 32 / n
+          sums(f) += math.abs(samples(i).toLong)
+          cnts(f) += 1
+          i += 1
+        }
+        var tot = 0L
+        var f = 0
+        while (f < 32) { tot += sums(f); f += 1 }
+        val sb = new java.lang.StringBuilder(32)
+        f = 0
+        while (f < 32) {
+          sb.append(if (sums(f) * n >= tot * cnts(f)) '1' else '0')
+          f += 1
+        }
+        AudioHash(r.doc_id, n, sb.toString)
+      }
+    }
+  }
+
   /** q49's audio branch — REAL WAV payloads through the JDK decoder,
     * shaped as decoded media: a mono signal is 1×n media, so width = the
     * decoded sample count, height = 1, the box-fit plan runs on those

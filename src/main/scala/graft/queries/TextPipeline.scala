@@ -1061,6 +1061,72 @@ object TextPipeline extends QueryModule {
       |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q95 — AUDIO NEAR-DUP (energy-envelope hash): q94's recipe on the
+  // audio modality — the 32-frame |sample| envelope from REAL decoded
+  // WAV PCM (Multimodal.audioEnvelopeHashes, integer-exact threshold),
+  // banded 4×8 bits (pigeonhole-complete at Hamming ≤ 3), capped
+  // buckets, codegen'd graft_hamming verify. The envelope is what
+  // non-spectral audio dedup keys on (re-encoded / re-leveled copies
+  // keep their energy shape); the oracle replays the PCM FORMULA
+  // relationally through the same banding SQL — decode round-trip and
+  // dedup semantics certified by one hash gate. Scale shape identical
+  // to q94: codec in the narrow map, one 32-char hash per clip shuffles.
+  private val EnvHamMax = 3
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.audioEnvelopeHashes(Multimodal.synthesizeAudio(s, dir)).toDF()
+    val buckets = hashes.select(col("doc_id"), col("ehash"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, substring(ehash, b * 8 + 1, 8) AS bk))")).as("x"))
+      .select(col("doc_id"), col("ehash"), col("x.band").as("band"), col("x.bk").as("bk"))
+      .groupBy("band", "bk")
+      .agg(expr(s"array_sort(graft_collect_capped(struct(doc_id, ehash), ${Dedup.BucketCap})) AS mem"))
+      .filter(size(col("mem")).between(2, Dedup.BucketCap))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(mem) - 1), i ->
+          |  transform(slice(mem, i + 1, size(mem) - i), y ->
+          |    struct(element_at(mem, i).doc_id AS d1, element_at(mem, i).ehash AS h1,
+          |           y.doc_id AS d2, y.ehash AS h2))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.h1").as("h1"), col("p.h2").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("graft_hamming(h1, h2)"))
+      .filter(col("hamming") <= EnvHamMax)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  private val q95Sql =
+    s"""WITH aud AS (
+      |  SELECT doc_id, CAST(256 + (doc_id * 13) % 1024 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud),
+      |fr AS (
+      |  SELECT doc_id, n, (i * 32) // n AS f,
+      |         abs((doc_id * 31 + i * 7919) % 65536 - 32768) AS a
+      |  FROM sm),
+      |fs AS (
+      |  SELECT doc_id, n, f, CAST(SUM(a) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM fr GROUP BY doc_id, n, f),
+      |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t FROM fs GROUP BY doc_id),
+      |ah AS (
+      |  SELECT doc_id,
+      |         string_agg(CASE WHEN s * n >= t * c THEN '1' ELSE '0' END, '' ORDER BY f) AS ehash
+      |  FROM fs JOIN tot USING (doc_id) GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, ehash, b AS band, substring(ehash, b * 8 + 1, 8) AS bk
+      |  FROM ah CROSS JOIN (SELECT unnest(range(4)) AS b)),
+      |bsz AS (SELECT band, bk, COUNT(*) AS c FROM bands GROUP BY band, bk),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.ehash AS h1, b.ehash AS h2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      |  JOIN bsz k ON k.band = a.band AND k.bk = a.bk
+      |  WHERE k.c <= ${Dedup.BucketCap})
+      |SELECT d1, d2,
+      |       len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 33)], x -> x)) AS hamming
+      |FROM cand
+      |WHERE len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 33)], x -> x)) <= $EnvHamMax
+      |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q80 — COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan): the
   // third mergeable sketch in the catalog (with q74's HLL and q77's
   // quantile histogram) — token-frequency estimation whose corpus-side
@@ -1151,6 +1217,7 @@ object TextPipeline extends QueryModule {
     "q80_cms_heavyhitters" -> (q80 _),
     "q81_image_decode"   -> (q81 _),
     "q94_image_phash_dedup" -> (q94 _),
+    "q95_audio_envelope_dedup" -> (q95 _),
     "q82_audio_decode"   -> (q82 _),
     "q83_video_frames"   -> (q83 _),
   )
@@ -1172,6 +1239,7 @@ object TextPipeline extends QueryModule {
     "q80_cms_heavyhitters" -> q80Sql,
     "q81_image_decode"   -> q81Sql,
     "q94_image_phash_dedup" -> q94Sql,
+    "q95_audio_envelope_dedup" -> q95Sql,
     "q82_audio_decode"   -> q82Sql,
     "q83_video_frames"   -> q83Sql,
   )

@@ -751,4 +751,37 @@ class PipelineSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == expect, s"aHash pair mismatch: got=${got.size} expect=${expect.size}")
   }
+
+  test("q95 envelope pairs match a formula-side replay (WAV round-trip + dedup semantics)") {
+    def ehash(id: Long): String = {
+      val n = 256 + ((id * 13) % 1024).toInt
+      val sums = new Array[Long](32); val cnts = new Array[Long](32)
+      for (i <- 0 until n) {
+        val s = ((id * 31 + i.toLong * 7919) % 65536) - 32768
+        val f = i * 32 / n
+        sums(f) += math.abs(s); cnts(f) += 1
+      }
+      val tot = sums.sum
+      (0 until 32).map(f => if (sums(f) * n >= tot * cnts(f)) '1' else '0').mkString
+    }
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 3 == 1).sorted
+    val hs = ids.map(id => id -> ehash(id)).toMap
+    val buckets = scala.collection.mutable.Map.empty[(Int, String), Vector[Long]]
+    for (id <- ids; b <- 0 until 4) {
+      val k = (b, hs(id).substring(b * 8, b * 8 + 8))
+      buckets(k) = buckets.getOrElse(k, Vector.empty) :+ id
+    }
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val candPairs: Set[(Long, Long)] = buckets.values.toSeq
+      .filter(v => v.length >= 2 && v.length <= 64)
+      .flatMap(v => v.sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    val expect: Set[(Long, Long, Int)] = candPairs
+      .filter { case (a, b) => ham(hs(a), hs(b)) <= 3 }
+      .map { case (a, b) => (a, b, ham(hs(a), hs(b))) }
+    val got = SparkEntry.queries("q95_audio_envelope_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect, s"envelope pair mismatch: got=${got.size} expect=${expect.size}")
+  }
 }
