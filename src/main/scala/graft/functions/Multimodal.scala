@@ -487,6 +487,63 @@ object Multimodal {
     }
   }
 
+  case class CheckedImageHash(doc_id: Long, width: Int, height: Int,
+                              ahash: String, decode_ok: Boolean, err: String)
+
+  /** [[imageAHashes]] with the K8 dead-letter contract instead of a
+    * stage-killing `require`: at 100 TB one truncated blob must route to
+    * the error sink (`incremental.Sinks.deadLetter`, the reference's
+    * flag taxonomy), not fail the job. Undecodable payloads (ImageIO
+    * returns null or throws) come back as `decode_ok = false` rows with
+    * the failure reason and zeroed features; the caller splits on the
+    * flag — one pass, no second decode, no cache. */
+  def imageAHashesChecked(media: Dataset[MediaRow]): Dataset[CheckedImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null)
+            CheckedImageHash(r.doc_id, 0, 0, "", decode_ok = false, "unrecognized container")
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val sums = new Array[Long](64)
+            val cnts = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              val by = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val bx = x * 8 / w
+                sums(by * 8 + bx) += (img.getRGB(x, y) & 0xff)
+                cnts(by * 8 + bx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var tot = 0L
+            var i = 0
+            while (i < 64) { tot += sums(i); i += 1 }
+            val n = w.toLong * h
+            val sb = new java.lang.StringBuilder(64)
+            i = 0
+            while (i < 64) {
+              sb.append(if (sums(i) * n >= tot * cnts(i)) '1' else '0')
+              i += 1
+            }
+            CheckedImageHash(r.doc_id, w, h, sb.toString, decode_ok = true, "")
+          }
+        } catch {
+          case e: Exception =>
+            CheckedImageHash(r.doc_id, 0, 0, "", decode_ok = false,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+        }
+      }
+    }
+  }
+
   case class AudioHash(doc_id: Long, n_samples: Int, ehash: String)
 
   /** Energy-envelope hash from DECODED PCM samples — the 1-D analog of

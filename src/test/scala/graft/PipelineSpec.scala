@@ -784,4 +784,34 @@ class PipelineSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == expect, s"envelope pair mismatch: got=${got.size} expect=${expect.size}")
   }
+
+  test("checked image decode routes corrupt payloads to the dead letter, not a stage failure") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    val goodPng = Multimodal.encodePng(9L)
+    val rows = Seq(
+      Multimodal.MediaRow(9L, "image", goodPng),
+      Multimodal.MediaRow(10L, "image", goodPng.take(20)),          // truncated container
+      Multimodal.MediaRow(11L, "image", Array[Byte](1, 2, 3, 4)),   // junk bytes
+      Multimodal.MediaRow(12L, "image", Array.empty[Byte]))         // empty blob
+    val out = Multimodal.imageAHashesChecked(spark.createDataset(rows)).collect()
+      .map(r => r.doc_id -> r).toMap
+    // the good row hashes exactly as the unchecked path would
+    val plain = Multimodal.imageAHashes(
+      spark.createDataset(Seq(Multimodal.MediaRow(9L, "image", goodPng)))).head()
+    assert(out(9L).decode_ok && out(9L).ahash == plain.ahash
+      && out(9L).width == plain.width && out(9L).height == plain.height)
+    // every corrupt payload is flagged with a reason, none kills the stage
+    Seq(10L, 11L, 12L).foreach { id =>
+      assert(!out(id).decode_ok && out(id).ahash.isEmpty && out(id).err.nonEmpty,
+        s"doc $id: ${out(id)}")
+    }
+    // and the flagged half rides the K8 dead-letter taxonomy
+    val dead = graft.incremental.Sinks.deadLetter(
+      Multimodal.imageAHashesChecked(spark.createDataset(rows)).toDF()
+        .filter(!col("decode_ok")).select("doc_id", "err"),
+      flag = -2, description = "undecodable media payload")
+    val deadRows = dead.collect()
+    assert(deadRows.length == 3 && deadRows.forall(_.getAs[Int]("flag") == -2))
+  }
 }
