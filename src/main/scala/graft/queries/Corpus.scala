@@ -332,11 +332,139 @@ object Corpus extends QueryModule {
       |       (total_bits * 1000) // n_bigrams BETWEEN $LmLo AND $LmHi AS keep
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q96 — COMPOSED CORPUS PREPARE: the module's end artifact, q72's
+  // first-failing-stage verdict pattern applied to corpus preparation.
+  // Pipeline order (each doc reports the FIRST stage that drops it):
+  //   1. per-source boilerplate strip (q90's marking),
+  //   2. empty_after_strip — everything the doc had was boilerplate,
+  //   3. exact_dup — first-seen-wins on the md5 of the CLEANED text
+  //      (dedup after stripping: two docs differing only in boilerplate
+  //      ARE duplicates — the composition order is the semantics),
+  //   4. too_short — cleaned token count below MinCleanToks,
+  //   5. kept — assigned a training shard + position by q92's
+  //      permutation over exactly the surviving set.
+  // Scale shape: q90's uniform-key df aggregation + mark join; one
+  // (clean_hash) window — md5-uniform keys, the q66 shape; the shard
+  // positions run the q60 two-phase prefix sum over the kept set. No
+  // stage rescans the corpus: cleaning, hashing, and the verdict ride
+  // one reassembly aggregation.
+  private val MinCleanToks = 16
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documentsWide(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .select(col("doc_id"), col("source"), col("ts"),
+        explode(expr(s"sequence(0, (n - 1) div $BoilerSegLen)")).as("seg_id0"))
+      .withColumn("seg_id", col("seg_id0").cast("int"))
+      .withColumn("seg", concat_ws(" ",
+        slice(col("ts"), col("seg_id") * BoilerSegLen + 1, lit(BoilerSegLen))))
+      .select(col("doc_id"), col("source"), col("seg_id"), col("seg"),
+        conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long").as("skey"))
+    val boiler = segs
+      .groupBy("source", "skey")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerMinDf)
+    val cleaned = segs.join(boiler, Seq("source", "skey"), "left")
+      .withColumn("kept", col("df").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_segs"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        expr(
+          "array_join(transform(filter(array_sort(collect_list(struct(seg_id, kept, seg))), x -> x.kept), x -> x.seg), ' ')")
+          .as("clean_text"))
+      .withColumn("n_clean_toks",
+        when(col("clean_text") === "", lit(0))
+          .otherwise(size(split(col("clean_text"), " "))).cast("int"))
+      .withColumn("clean_hash", md5(col("clean_text")))
+    val ranked = cleaned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("clean_hash").orderBy("doc_id")))
+      .withColumn("verdict",
+        when(col("n_clean_toks") === 0, lit("empty_after_strip"))
+          .when(col("rk") > 1, lit("exact_dup"))
+          .when(col("n_clean_toks") < MinCleanToks, lit("too_short"))
+          .otherwise(lit("kept")))
+    val kept = ranked.filter(col("verdict") === "kept")
+      .select(col("doc_id"),
+        conv(substring(md5(concat(lit("shard:"), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long").as("key"))
+      .withColumn("shard", (col("key") % NumShards).cast("int"))
+      .withColumn("bucket", (col("key") / lit(1L << 54)).cast("int"))
+    val offsets = kept
+      .groupBy("shard", "bucket").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.partitionBy("shard").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "bucket", "off")
+    val placed = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("shard", "bucket").orderBy("key", "doc_id")))
+      .join(broadcast(offsets), Seq("shard", "bucket"))
+      .select(col("doc_id"), col("shard"), (col("off") + col("rn")).cast("long").as("pos"))
+    ranked.select("doc_id", "n_segs", "n_kept", "n_clean_toks", "verdict")
+      .join(placed, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_kept", "n_clean_toks", "verdict", "shard", "pos")
+  }
+
+  private val q96Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, source, CAST(seg_id AS INT) AS seg_id,
+      |         array_to_string(ts[(seg_id * $BoilerSegLen + 1):(seg_id * $BoilerSegLen + $BoilerSegLen)], ' ') AS seg
+      |  FROM (SELECT doc_id, source, ts, unnest(range(0, (n - 1) // $BoilerSegLen + 1)) AS seg_id FROM t)),
+      |boiler AS (
+      |  SELECT source, seg FROM segs
+      |  GROUP BY source, seg HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDf),
+      |marked AS (
+      |  SELECT s.doc_id, s.seg_id, s.seg, b.seg IS NULL AS kept
+      |  FROM segs s LEFT JOIN boiler b ON s.source = b.source AND s.seg = b.seg),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |         CAST(COUNT(*) AS INT) AS n_segs,
+      |         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+      |         COALESCE(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_id), '') AS clean_text
+      |  FROM marked GROUP BY doc_id),
+      |scored AS (
+      |  SELECT doc_id, n_segs, n_kept,
+      |         CAST(CASE WHEN clean_text = '' THEN 0
+      |              ELSE len(string_split(clean_text, ' ')) END AS INT) AS n_clean_toks,
+      |         md5(clean_text) AS clean_hash
+      |  FROM cleaned),
+      |ranked AS (
+      |  SELECT *,
+      |         ROW_NUMBER() OVER (PARTITION BY clean_hash ORDER BY doc_id) AS rk
+      |  FROM scored),
+      |verdicts AS (
+      |  SELECT doc_id, n_segs, n_kept, n_clean_toks,
+      |         CASE WHEN n_clean_toks = 0 THEN 'empty_after_strip'
+      |              WHEN rk > 1 THEN 'exact_dup'
+      |              WHEN n_clean_toks < $MinCleanToks THEN 'too_short'
+      |              ELSE 'kept' END AS verdict
+      |  FROM ranked),
+      |keyed AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substring(md5('shard:' || doc_id), 1, 15) AS BIGINT) AS key
+      |  FROM verdicts WHERE verdict = 'kept'),
+      |placed AS (
+      |  SELECT doc_id, CAST(key % $NumShards AS INT) AS shard,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY key % $NumShards ORDER BY key, doc_id) AS BIGINT) AS pos
+      |  FROM keyed)
+      |SELECT v.doc_id, v.n_segs, v.n_kept, v.n_clean_toks, v.verdict, p.shard, p.pos
+      |FROM verdicts v LEFT JOIN placed p ON v.doc_id = p.doc_id
+      |ORDER BY v.doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_boilerplate_strip" -> (q90 _),
     "q91_bm25_topk"         -> (q91 _),
     "q92_corpus_shard"      -> (q92 _),
     "q93_bigram_surprisal"  -> (q93 _),
+    "q96_corpus_prepare"    -> (q96 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -344,5 +472,6 @@ object Corpus extends QueryModule {
     "q91_bm25_topk"         -> q91Sql,
     "q92_corpus_shard"      -> q92Sql,
     "q93_bigram_surprisal"  -> q93Sql,
+    "q96_corpus_prepare"    -> q96Sql,
   )
 }

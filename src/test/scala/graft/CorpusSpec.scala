@@ -130,6 +130,40 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("q96 composes: strip -> empty -> dup -> short -> shard, first failing stage wins") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val longText = (1 to 24).map(i => s"t$i").mkString(" ") // 3 segments, 24 toks
+    val dir = docsFixture(Seq(
+      (0L, boiler, "srcA"),                 // df=2 in srcA -> fully stripped
+      (1L, boiler, "srcA"),                 // -> BOTH empty_after_strip
+      // the dup pair spans two sources: same-source identical docs would
+      // be eaten by the boilerplate stage first (every segment df=2) —
+      // composition order is the semantics, and the empty_after_strip
+      // docs 0/1 pin exactly that case
+      (2L, longText, "srcB"),               // first occurrence -> kept
+      (3L, longText, "srcC"),               // identical clean text -> exact_dup
+      (4L, "s1 s2 s3 s4 s5", "srcB"),       // 5 toks < 16 -> too_short
+      (5L, longText + " u1 u2", "srcA")))   // kept (distinct text)
+    val got = SparkEntry.queries("q96_corpus_prepare")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(4),
+        Option(r.get(5)).map(_.asInstanceOf[Int]), Option(r.get(6)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(got(0L)._1 == "empty_after_strip" && got(1L)._1 == "empty_after_strip",
+      s"all-boilerplate docs: ${got(0L)}, ${got(1L)}")
+    assert(got(2L)._1 == "kept", s"first occurrence keeps: ${got(2L)}")
+    assert(got(3L)._1 == "exact_dup", s"post-strip duplicate: ${got(3L)}")
+    assert(got(4L)._1 == "too_short", s"short doc: ${got(4L)}")
+    assert(got(5L)._1 == "kept", s"distinct doc keeps: ${got(5L)}")
+    // only kept docs carry a shard/pos, and positions tile each shard 1..n
+    val keptRows = got.filter(_._2._1 == "kept").values
+    assert(keptRows.forall(v => v._2.isDefined && v._3.isDefined))
+    assert(got.filter(_._2._1 != "kept").values.forall(v => v._2.isEmpty && v._3.isEmpty),
+      "dropped docs must not be sharded")
+    keptRows.groupBy(_._2.get).foreach { case (_, rows) =>
+      assert(rows.map(_._3.get).toSeq.sorted == (1L to rows.size).toSeq)
+    }
+  }
+
   test("q93 verdicts: template collapses low, OOV gibberish spikes high, normal text keeps") {
     // doc 0 trains the template bigram (a,a); doc 3 trains the x/y/z/w
     // context model; docs 1/2/4 are scored only. The normal text is a
