@@ -805,6 +805,58 @@ object Multimodal {
     }
   }
 
+  case class VideoSignature(doc_id: Long, n_frames: Int, width: Int,
+                            height: Int, sig: String)
+
+  /** Sampled-keyframe fingerprint from REAL decoded AVI frames: the
+    * q83 sample-before-decode contract (index-seek, `maxSamples` frames
+    * at stride n div maxSamples), each sampled frame reduced to the 8×8
+    * block-mean aHash ([[imageAHashes]]'s integer-exact threshold), and
+    * the per-frame hashes concatenated in frame order — a 64·maxSamples
+    * bit signature. Signature-identical videos are re-encoded /
+    * re-containered copies; the relation groups them downstream. */
+  def videoSignatures(media: Dataset[MediaRow], maxSamples: Int = 2): Dataset[VideoSignature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val (n, frames) = sampledAviFrames(r.payload, r.doc_id, maxSamples)
+        var w = 0
+        var h = 0
+        val sb = new java.lang.StringBuilder(64 * maxSamples)
+        frames.foreach { case (_, img) =>
+          w = img.getWidth
+          h = img.getHeight
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val bx = x * 8 / w
+              val rgb = img.getRGB(x, y)
+              sums(by * 8 + bx) += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              cnts(by * 8 + bx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var tot = 0L
+          var i = 0
+          while (i < 64) { tot += sums(i); i += 1 }
+          val np = w.toLong * h
+          i = 0
+          while (i < 64) {
+            sb.append(if (sums(i) * np >= tot * cnts(i)) '1' else '0')
+            i += 1
+          }
+        }
+        VideoSignature(r.doc_id, n, w, h, sb.toString)
+      }
+    }
+  }
+
   /** q49's video branch — REAL AVI payloads, index-seek frame sampling,
     * per-frame BMP decode: width/height are the decoded frame dims, the
     * box-fit plan runs on them, n_bytes = the decoded 8-bit luma sample

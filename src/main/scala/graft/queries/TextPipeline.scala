@@ -1127,6 +1127,65 @@ object TextPipeline extends QueryModule {
       |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q97 — VIDEO FINGERPRINT + DUP GROUPS: the third modality of the
+  // perceptual-dedup family (q94 image, q95 audio). Each video's
+  // signature is the concatenation of two sampled keyframes' 8×8
+  // aHashes, computed from REAL index-seek-decoded AVI frames (the q83
+  // sample-before-decode contract: frames {0, n div 2} — never a full
+  // decode); signature-identical videos group under the minimum doc_id.
+  // Unlike q94/q95 this emits the GROUPED FINGERPRINT relation rather
+  // than hamming pairs: at small scale the corpus has no near-identical
+  // videos (the synthetic signature repeat period exceeds the id range)
+  // and an empty pair relation would gate nothing, while the signature
+  // relation is dense at every scale and the group columns activate
+  // exactly when collisions exist (4620 signature-identical pairs at
+  // sf0.1). Scale shape: codec in the narrow map; ONE 128-char row per
+  // video shuffles for the signature-keyed group window (md5-uniform
+  // cardinality); nothing corpus-sized is re-keyed.
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Multimodal.videoSignatures(Multimodal.synthesizeVideos(s, dir)).toDF()
+    val w = Window.partitionBy("sig")
+    sigs
+      .withColumn("group_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w).cast("int"))
+      .select("doc_id", "n_frames", "width", "height", "sig", "group_id", "group_size")
+      .orderBy("doc_id")
+  }
+
+  private val q97Sql =
+    s"""WITH vid AS (
+      |  SELECT doc_id,
+      |         CAST(16 + doc_id % 16 AS INT) AS w,
+      |         CAST(16 + (doc_id * 3) % 16 AS INT) AS h,
+      |         CAST(4 + (doc_id * 7) % 12 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fsel AS (
+      |  SELECT doc_id, w, h, n, unnest([0, n // 2]) AS f FROM vid),
+      |px AS (
+      |  SELECT doc_id, w, h, n, f, unnest(range(0, CAST(w AS BIGINT) * h)) AS i
+      |  FROM fsel),
+      |blk AS (
+      |  SELECT doc_id, w, h, n, f,
+      |         ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b,
+      |         (doc_id * 31 + f * 17 + (i % w) * 7 + (i // w) * 13) % 256 AS v
+      |  FROM px),
+      |bsum AS (
+      |  SELECT doc_id, w, h, n, f, b, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM blk GROUP BY doc_id, w, h, n, f, b),
+      |ftot AS (
+      |  SELECT doc_id, f, CAST(SUM(s) AS BIGINT) AS t
+      |  FROM bsum GROUP BY doc_id, f),
+      |sig AS (
+      |  SELECT doc_id, any_value(n) AS n_frames, any_value(w) AS width, any_value(h) AS height,
+      |         string_agg(CASE WHEN s * (CAST(w AS BIGINT) * h) >= t * c
+      |                    THEN '1' ELSE '0' END, '' ORDER BY f, b) AS sig
+      |  FROM bsum JOIN ftot USING (doc_id, f) GROUP BY doc_id)
+      |SELECT doc_id, n_frames, width, height, sig,
+      |       MIN(doc_id) OVER (PARTITION BY sig) AS group_id,
+      |       CAST(COUNT(*) OVER (PARTITION BY sig) AS INT) AS group_size
+      |FROM sig ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q80 — COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan): the
   // third mergeable sketch in the catalog (with q74's HLL and q77's
   // quantile histogram) — token-frequency estimation whose corpus-side
@@ -1218,6 +1277,7 @@ object TextPipeline extends QueryModule {
     "q81_image_decode"   -> (q81 _),
     "q94_image_phash_dedup" -> (q94 _),
     "q95_audio_envelope_dedup" -> (q95 _),
+    "q97_video_fingerprint" -> (q97 _),
     "q82_audio_decode"   -> (q82 _),
     "q83_video_frames"   -> (q83 _),
   )
@@ -1240,6 +1300,7 @@ object TextPipeline extends QueryModule {
     "q81_image_decode"   -> q81Sql,
     "q94_image_phash_dedup" -> q94Sql,
     "q95_audio_envelope_dedup" -> q95Sql,
+    "q97_video_fingerprint" -> q97Sql,
     "q82_audio_decode"   -> q82Sql,
     "q83_video_frames"   -> q83Sql,
   )

@@ -785,6 +785,43 @@ class PipelineSpec extends SparkTestBase {
     assert(got == expect, s"envelope pair mismatch: got=${got.size} expect=${expect.size}")
   }
 
+  test("q97 signatures match a formula replay; period-aligned videos group together") {
+    import spark.implicits._
+    def vdims(id: Long) = (16 + (id % 16).toInt, 16 + ((id * 3) % 16).toInt)
+    def sig(id: Long): String = {
+      val (w, h) = vdims(id)
+      val n = 4 + ((id * 7) % 12).toInt
+      Seq(0, n / 2).map { f =>
+        val sums = new Array[Long](64); val cnts = new Array[Long](64)
+        for (y <- 0 until h; x <- 0 until w) {
+          val b = (y * 8 / h) * 8 + (x * 8 / w)
+          sums(b) += ((id * 31 + f * 17 + x * 7 + y * 13) % 256)
+          cnts(b) += 1
+        }
+        val tot = sums.sum; val np = w.toLong * h
+        (0 until 64).map(i => if (sums(i) * np >= tot * cnts(i)) '1' else '0').mkString
+      }.mkString
+    }
+    val got = SparkEntry.queries("q97_video_fingerprint")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    got.foreach { case (id, s) =>
+      assert(s == sig(id), s"video $id signature diverges from the formula replay")
+    }
+    // planted period-aligned pair (31·3840 ≡ 0 mod 256, dims/frames cycle
+    // at 16 and 12 — same signature by construction) must share a group
+    val dir = java.nio.file.Files.createTempDirectory("graft_vid").toFile
+    dir.deleteOnExit()
+    Seq((2L, "x", "s"), (3842L, "y", "s"), (5L, "z", "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", lit(1L))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val grouped = SparkEntry.queries("q97_video_fingerprint")(spark, dir.getAbsolutePath)
+      .collect().map(r => r.getLong(0) -> (r.getLong(5), r.getInt(6))).toMap
+    assert(grouped(2L) == ((2L, 2)) && grouped(3842L) == ((2L, 2)),
+      s"period pair must group under min doc_id: $grouped")
+    assert(grouped(5L)._2 == 1, "unrelated video must stay a singleton")
+  }
+
   test("checked image decode routes corrupt payloads to the dead letter, not a stage failure") {
     import spark.implicits._
     import graft.functions.Multimodal
