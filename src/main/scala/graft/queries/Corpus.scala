@@ -459,12 +459,59 @@ object Corpus extends QueryModule {
       |FROM verdicts v LEFT JOIN placed p ON v.doc_id = p.doc_id
       |ORDER BY v.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q98 — RENDEZVOUS (HRW) SHARD REBALANCE: the minimal-movement
+  // resharding plan for growing a sharded corpus store (Thaler &
+  // Ravishankar's highest-random-weight hashing — the scheme behind
+  // consistent cache/shard assignment). Each doc's shard is the argmax
+  // of md5('hrw:'||doc||':'||shard) over the shard set; growing 16 → 20
+  // shards moves a document IFF one of the four NEW shards wins its
+  // argmax — expected 4/20 = 20% movement, and every move lands on a
+  // new shard (old shards never exchange docs — the property mod-N
+  // sharding lacks, where 16 → 20 relocates ~80%). The plan is a PURE
+  // NARROW MAP: per doc, 20 md5s + argmax via array_max/array_position
+  // (no struct-ordering dependence across engines), zero shuffle at any
+  // corpus size; the output sort is the only exchange.
+  private val OldShards = 16
+  private val NewShards = 20
+  private def hrwArr(n: Int) =
+    s"transform(sequence(0, ${n - 1}), s -> CAST(conv(substring(md5(concat('hrw:', CAST(doc_id AS STRING), ':', CAST(s AS STRING))), 1, 15), 16, 10) AS BIGINT))"
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .withColumn("h_old", expr(hrwArr(OldShards)))
+      .withColumn("h_new", expr(hrwArr(NewShards)))
+      .withColumn("shard_old",
+        (expr("array_position(h_old, array_max(h_old))") - 1).cast("int"))
+      .withColumn("shard_new",
+        (expr("array_position(h_new, array_max(h_new))") - 1).cast("int"))
+      .withColumn("moved", col("shard_old") =!= col("shard_new"))
+      .select("doc_id", "shard_old", "shard_new", "moved")
+      .orderBy("doc_id")
+  }
+
+  private val q98Sql = {
+    def arr(n: Int) =
+      s"[CAST(('0x' || substring(md5('hrw:' || doc_id || ':' || s), 1, 15)) AS BIGINT) for s in range(0, $n)]"
+    s"""WITH hs AS (
+      |  SELECT doc_id, ${arr(OldShards)} AS h_old, ${arr(NewShards)} AS h_new
+      |  FROM documents),
+      |pick AS (
+      |  SELECT doc_id,
+      |         CAST(list_position(h_old, list_max(h_old)) - 1 AS INT) AS shard_old,
+      |         CAST(list_position(h_new, list_max(h_new)) - 1 AS INT) AS shard_new
+      |  FROM hs)
+      |SELECT doc_id, shard_old, shard_new, shard_old != shard_new AS moved
+      |FROM pick ORDER BY doc_id""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_boilerplate_strip" -> (q90 _),
     "q91_bm25_topk"         -> (q91 _),
     "q92_corpus_shard"      -> (q92 _),
     "q93_bigram_surprisal"  -> (q93 _),
     "q96_corpus_prepare"    -> (q96 _),
+    "q98_shard_rebalance"   -> (q98 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -473,5 +520,6 @@ object Corpus extends QueryModule {
     "q92_corpus_shard"      -> q92Sql,
     "q93_bigram_surprisal"  -> q93Sql,
     "q96_corpus_prepare"    -> q96Sql,
+    "q98_shard_rebalance"   -> q98Sql,
   )
 }

@@ -164,6 +164,28 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("q98 replays the HRW argmax and moves docs ONLY onto new shards") {
+    def hrw(id: Long, s: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hrw:$id:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(15), 16)
+    }
+    def pick(id: Long, n: Int): Int = (0 until n).maxBy(s => (hrw(id, s), -s))
+    val got = SparkEntry.queries("q98_shard_rebalance")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    got.foreach { case (id, o, n, m) =>
+      assert(o == pick(id, 16) && n == pick(id, 20) && m == (o != n),
+        s"doc $id: ($o, $n, $m) vs replay (${pick(id, 16)}, ${pick(id, 20)})")
+    }
+    // rendezvous invariant: growth never shuffles docs BETWEEN old shards
+    got.filter(_._4).foreach { case (id, _, n, _) =>
+      assert(n >= 16, s"doc $id moved onto OLD shard $n — HRW property violated")
+    }
+    // expected movement = 4/20; allow a generous band on the small corpus
+    val frac = got.count(_._4).toDouble / got.length
+    assert(frac > 0.10 && frac < 0.30, s"moved fraction $frac outside the 20% band")
+  }
+
   test("q93 verdicts: template collapses low, OOV gibberish spikes high, normal text keeps") {
     // doc 0 trains the template bigram (a,a); doc 3 trains the x/y/z/w
     // context model; docs 1/2/4 are scored only. The normal text is a
