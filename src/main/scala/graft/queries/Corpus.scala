@@ -505,6 +505,49 @@ object Corpus extends QueryModule {
       |FROM pick ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q99 — DATASET CARD: the per-source release report (dataset-card
+  // tables à la The Pile / ROOTS documentation): document and token
+  // volume, language spread, global exact-dup count attributed to the
+  // source holding the LATER copy, and the short-document rate in
+  // integer ppm. Scale shape: one (text-md5) first-seen window —
+  // md5-uniform keys, the q66 shape — then one (source) aggregation
+  // whose key cardinality is the source list; everything else rides the
+  // same pass. The ppm rate is integer div (the catalog's
+  // transcendental-free discipline).
+  private val CardShortToks = 16
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        md5(col("text")).as("th"))
+      .withColumn("is_dup", row_number().over(
+        Window.partitionBy("th").orderBy("doc_id")) > 1)
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+        expr(s"(1000000 * sum(CASE WHEN n_toks < $CardShortToks THEN 1 ELSE 0 END)) div count(1)")
+          .as("short_ppm"))
+      .orderBy("source")
+  }
+
+  private val q99Sql =
+    s"""WITH d AS (
+      |  SELECT doc_id, source, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+      |  FROM documents)
+      |SELECT source,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      |       CAST((1000000 * SUM(CASE WHEN n_toks < $CardShortToks THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS short_ppm
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_boilerplate_strip" -> (q90 _),
     "q91_bm25_topk"         -> (q91 _),
@@ -512,6 +555,7 @@ object Corpus extends QueryModule {
     "q93_bigram_surprisal"  -> (q93 _),
     "q96_corpus_prepare"    -> (q96 _),
     "q98_shard_rebalance"   -> (q98 _),
+    "q99_dataset_card"      -> (q99 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -521,5 +565,6 @@ object Corpus extends QueryModule {
     "q93_bigram_surprisal"  -> q93Sql,
     "q96_corpus_prepare"    -> q96Sql,
     "q98_shard_rebalance"   -> q98Sql,
+    "q99_dataset_card"      -> q99Sql,
   )
 }

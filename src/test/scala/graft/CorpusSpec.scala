@@ -186,6 +186,28 @@ class CorpusSpec extends SparkTestBase {
     assert(frac > 0.10 && frac < 0.30, s"moved fraction $frac outside the 20% band")
   }
 
+  test("q99 dataset card replays per-source, dups attributed to the later copy") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    val dupIds = docs.sortBy(_._1).flatMap { case (id, _, _, t) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (firstSeen.contains(h)) Some(id) else { firstSeen(h) = id; None }
+    }.toSet
+    val expect = docs.groupBy(_._2).map { case (src, rows) =>
+      val toks = rows.map(_._4.split(" ", -1).length.toLong)
+      src -> (rows.length.toLong, toks.sum, rows.map(_._3).distinct.length.toLong,
+        rows.count(r => dupIds(r._1)).toLong,
+        1000000L * toks.count(_ < 16) / rows.length)
+    }
+    val got = SparkEntry.queries("q99_dataset_card")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect, s"card mismatch:\n got=$got\n exp=$expect")
+  }
+
   test("q93 verdicts: template collapses low, OOV gibberish spikes high, normal text keeps") {
     // doc 0 trains the template bigram (a,a); doc 3 trains the x/y/z/w
     // context model; docs 1/2/4 are scored only. The normal text is a
