@@ -218,11 +218,16 @@ object Corpus extends QueryModule {
   // window), both on uniform fixed-width keys.
   private val NumShards = 16
   private val ShardBuckets = 64 // high-order key bits => bucket order ≡ key order
-  private def q92(s: SparkSession, dir: String): DataFrame = {
-    val keyed = Tables.documents(s, dir)
-      .select(col("doc_id"), col("n_chars"),
+
+  /** The permutation machinery, shared by q92 (whole corpus) and q96
+    * (survivors only): every input row gains (shard, pos) — shard from
+    * the md5 key's low 4 bits, pos via the two-phase prefix sum over
+    * the key's high-6-bit range buckets. Pass-through columns survive. */
+  private def shardPositions(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .withColumn("key",
         conv(substring(md5(concat(lit("shard:"), col("doc_id"))), 1, 15), 16, 10)
-          .cast("long").as("key"))
+          .cast("long"))
       .withColumn("shard", (col("key") % NumShards).cast("int"))
       // key < 16^15 = 2^60; high 6 bits: div 2^54
       .withColumn("bucket", (col("key") / lit(1L << 54)).cast("int"))
@@ -236,10 +241,14 @@ object Corpus extends QueryModule {
       .withColumn("rn", row_number().over(
         Window.partitionBy("shard", "bucket").orderBy("key", "doc_id")))
       .join(broadcast(offsets), Seq("shard", "bucket"))
-      .select(col("doc_id"), col("shard"),
-        (col("off") + col("rn")).cast("long").as("pos"), col("n_chars"))
-      .orderBy("shard", "pos")
+      .withColumn("pos", (col("off") + col("rn")).cast("long"))
+      .drop("key", "bucket", "off", "rn")
   }
+
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    shardPositions(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")))
+      .select("doc_id", "shard", "pos", "n_chars")
+      .orderBy("shard", "pos")
 
   private val q92Sql =
     s"""WITH keyed AS (
@@ -386,23 +395,9 @@ object Corpus extends QueryModule {
           .when(col("rk") > 1, lit("exact_dup"))
           .when(col("n_clean_toks") < MinCleanToks, lit("too_short"))
           .otherwise(lit("kept")))
-    val kept = ranked.filter(col("verdict") === "kept")
-      .select(col("doc_id"),
-        conv(substring(md5(concat(lit("shard:"), col("doc_id"))), 1, 15), 16, 10)
-          .cast("long").as("key"))
-      .withColumn("shard", (col("key") % NumShards).cast("int"))
-      .withColumn("bucket", (col("key") / lit(1L << 54)).cast("int"))
-    val offsets = kept
-      .groupBy("shard", "bucket").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(sum(col("c")).over(
-        Window.partitionBy("shard").orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("shard", "bucket", "off")
-    val placed = kept
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("shard", "bucket").orderBy("key", "doc_id")))
-      .join(broadcast(offsets), Seq("shard", "bucket"))
-      .select(col("doc_id"), col("shard"), (col("off") + col("rn")).cast("long").as("pos"))
+    val placed = shardPositions(
+      ranked.filter(col("verdict") === "kept").select("doc_id"))
+      .select("doc_id", "shard", "pos")
     ranked.select("doc_id", "n_segs", "n_kept", "n_clean_toks", "verdict")
       .join(placed, Seq("doc_id"), "left")
       .orderBy("doc_id")

@@ -463,38 +463,49 @@ object Dedup extends QueryModule {
   // and keep pairs within Hamming distance 1 (computed per candidate
   // pair only). Buckets are capped like q33's: a >cap bucket means
   // signature-identical boilerplate, which exact dedup owns.
-  private def q35(s: SparkSession, dir: String): DataFrame = {
-    // 2 bands of 16 bits: by pigeonhole, any pair within Hamming distance
-    // 1 has at least one identical half — full recall with far fewer
-    // band-key collisions than narrower bands (16-bit keys ≈ 65k values
-    // vs 256 for 8-bit, which collided quadratically on this
-    // shared-vocabulary corpus). Pairs come from in-bucket combinatorics
-    // (signature computed once, no self-join recompute).
-    val sh = simhashDf(s, dir)
-    // graft_collect_capped (see minhashCandidatesOf): bounded-buffer
-    // collection, so a boilerplate-saturated half never materializes a
-    // corpus-sized member array in one aggregation buffer
-    val buckets = sh.select(col("doc_id"), col("simhash"),
-        explode(expr("transform(sequence(0, 1), b -> struct(b AS band, substring(simhash, b * 16 + 1, 16) AS bk))")).as("x"))
-      .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bk").as("bk"))
+  /** Banded Hamming candidate machinery, shared by the whole bitstring
+    * near-dup family — q35 (SimHash 2×16), q94 (image aHash 8×8), q95
+    * (audio envelope 4×8): band the fixed-width bitstring `hashCol`
+    * into `nBands` × `bandBits` slices (pigeonhole: any pair within
+    * Hamming nBands−1 shares a clean band — choose hamMax below that),
+    * bucket on (band, slice) through `graft_collect_capped` (bounded
+    * buffers — a signature-saturated bucket never materializes a
+    * corpus-sized member array; >cap buckets are boilerplate and belong
+    * to exact dedup), emit in-bucket pairs once (signatures ride along,
+    * no self-join recompute), verify with the codegen'd `graft_hamming`
+    * (plans.HammingDistance — no interpreted per-bit higher-order
+    * function), and keep pairs at `hamming <= hamMax`. */
+  private[queries] def bandedHammingPairs(hashes: DataFrame, hashCol: String,
+                                          nBands: Int, bandBits: Int,
+                                          hamMax: Int): DataFrame = {
+    val buckets = hashes.select(col("doc_id"), col(hashCol).as("hv"),
+        explode(expr(
+          s"transform(sequence(0, ${nBands - 1}), b -> struct(b AS band, substring($hashCol, b * $bandBits + 1, $bandBits) AS bk))")).as("x"))
+      .select(col("doc_id"), col("hv"), col("x.band").as("band"), col("x.bk").as("bk"))
       .groupBy("band", "bk")
-      .agg(expr(s"array_sort(graft_collect_capped(struct(doc_id, simhash), $BucketCap)) AS mem"))
+      .agg(expr(s"array_sort(graft_collect_capped(struct(doc_id, hv), $BucketCap)) AS mem"))
       .filter(size(col("mem")).between(2, BucketCap))
     buckets
       .select(explode(expr(
         """flatten(transform(sequence(1, size(mem) - 1), i ->
           |  transform(slice(mem, i + 1, size(mem) - i), y ->
-          |    struct(element_at(mem, i).doc_id AS d1, element_at(mem, i).simhash AS h1,
-          |           y.doc_id AS d2, y.simhash AS h2))))""".stripMargin)).as("p"))
+          |    struct(element_at(mem, i).doc_id AS d1, element_at(mem, i).hv AS h1,
+          |           y.doc_id AS d2, y.hv AS h2))))""".stripMargin)).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.h1").as("h1"), col("p.h2").as("h2"))
       .distinct()
-      // graft_hamming: native codegen'd Expression (plans.HammingDistance)
-      // instead of an interpreted 32-iteration higher-order function
       .withColumn("hamming", expr("graft_hamming(h1, h2)"))
-      .filter(col("hamming") <= 1)
+      .filter(col("hamming") <= hamMax)
       .select("d1", "d2", "hamming")
       .orderBy("d1", "d2")
   }
+
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    // 2 bands of 16 bits: by pigeonhole, any pair within Hamming distance
+    // 1 has at least one identical half — full recall with far fewer
+    // band-key collisions than narrower bands (16-bit keys ≈ 65k values
+    // vs 256 for 8-bit, which collided quadratically on this
+    // shared-vocabulary corpus).
+    bandedHammingPairs(simhashDf(s, dir), "simhash", nBands = 2, bandBits = 16, hamMax = 1)
 
   private val q35Sql =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

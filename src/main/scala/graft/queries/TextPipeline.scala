@@ -1001,27 +1001,10 @@ object TextPipeline extends QueryModule {
   // shuffled relation is ONE 64-char hash per image (corpus bytes never
   // shuffle), buckets are capped, verification is per-candidate.
   private val AHashHamMax = 6
-  private def q94(s: SparkSession, dir: String): DataFrame = {
-    val hashes = Multimodal.imageAHashes(Multimodal.synthesizeImages(s, dir)).toDF()
-    val buckets = hashes.select(col("doc_id"), col("ahash"),
-        explode(expr("transform(sequence(0, 7), b -> struct(b AS band, substring(ahash, b * 8 + 1, 8) AS bk))")).as("x"))
-      .select(col("doc_id"), col("ahash"), col("x.band").as("band"), col("x.bk").as("bk"))
-      .groupBy("band", "bk")
-      .agg(expr(s"array_sort(graft_collect_capped(struct(doc_id, ahash), ${Dedup.BucketCap})) AS mem"))
-      .filter(size(col("mem")).between(2, Dedup.BucketCap))
-    buckets
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(mem) - 1), i ->
-          |  transform(slice(mem, i + 1, size(mem) - i), y ->
-          |    struct(element_at(mem, i).doc_id AS d1, element_at(mem, i).ahash AS h1,
-          |           y.doc_id AS d2, y.ahash AS h2))))""".stripMargin)).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.h1").as("h1"), col("p.h2").as("h2"))
-      .distinct()
-      .withColumn("hamming", expr("graft_hamming(h1, h2)"))
-      .filter(col("hamming") <= AHashHamMax)
-      .select("d1", "d2", "hamming")
-      .orderBy("d1", "d2")
-  }
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandedHammingPairs(
+      Multimodal.imageAHashes(Multimodal.synthesizeImages(s, dir)).toDF(),
+      "ahash", nBands = 8, bandBits = 8, hamMax = AHashHamMax)
 
   private val q94Sql =
     s"""WITH img AS (
@@ -1072,27 +1055,10 @@ object TextPipeline extends QueryModule {
   // dedup semantics certified by one hash gate. Scale shape identical
   // to q94: codec in the narrow map, one 32-char hash per clip shuffles.
   private val EnvHamMax = 3
-  private def q95(s: SparkSession, dir: String): DataFrame = {
-    val hashes = Multimodal.audioEnvelopeHashes(Multimodal.synthesizeAudio(s, dir)).toDF()
-    val buckets = hashes.select(col("doc_id"), col("ehash"),
-        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, substring(ehash, b * 8 + 1, 8) AS bk))")).as("x"))
-      .select(col("doc_id"), col("ehash"), col("x.band").as("band"), col("x.bk").as("bk"))
-      .groupBy("band", "bk")
-      .agg(expr(s"array_sort(graft_collect_capped(struct(doc_id, ehash), ${Dedup.BucketCap})) AS mem"))
-      .filter(size(col("mem")).between(2, Dedup.BucketCap))
-    buckets
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(mem) - 1), i ->
-          |  transform(slice(mem, i + 1, size(mem) - i), y ->
-          |    struct(element_at(mem, i).doc_id AS d1, element_at(mem, i).ehash AS h1,
-          |           y.doc_id AS d2, y.ehash AS h2))))""".stripMargin)).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.h1").as("h1"), col("p.h2").as("h2"))
-      .distinct()
-      .withColumn("hamming", expr("graft_hamming(h1, h2)"))
-      .filter(col("hamming") <= EnvHamMax)
-      .select("d1", "d2", "hamming")
-      .orderBy("d1", "d2")
-  }
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandedHammingPairs(
+      Multimodal.audioEnvelopeHashes(Multimodal.synthesizeAudio(s, dir)).toDF(),
+      "ehash", nBands = 4, bandBits = 8, hamMax = EnvHamMax)
 
   private val q95Sql =
     s"""WITH aud AS (
