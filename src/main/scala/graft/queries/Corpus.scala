@@ -8,12 +8,14 @@ import graft.{QueryModule, Tables}
 
 /** Corpus-preparation operators: the steps between "filtered documents"
   * and "training shards" that the curation family (Curation.scala) stops
-  * short of — boilerplate stripping, retrieval over the corpus, the
-  * global pre-training shuffle, and context-model quality scoring.
+  * short of — boilerplate stripping (q90), retrieval over the corpus
+  * (q91), the global pre-training shuffle (q92), context-model quality
+  * scoring (q93), the composed prepare end artifact (q96), minimal-
+  * movement resharding (q98), and the per-source release report (q99).
   *
   * Reference anchor: the reference's pipeline ends at per-document
   * filter/score relations (eda_query.py's scan→filter→aggregate shape);
-  * these four are the beyond-reference extensions a 100 TB training-data
+  * these are the beyond-reference extensions a 100 TB training-data
   * pipeline layers on top, built from the same catalog idioms — md5-int64
   * keys, integer log₂ bits (q67), two-phase prefix sums (q60), bounded
   * per-query windows (q36).
