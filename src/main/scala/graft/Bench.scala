@@ -124,18 +124,51 @@ object Bench {
     overBudget.foreach { case (name, ratio) =>
       System.err.println(f"[bench] BUDGET: $name is $ratio%.1f× its recorded baseline")
     }
+    // RELATIVE tripwire (no 2 s floor): the factor-2 rule above ignores
+    // sub-2 s queries, so a small query could creep 2× every round and
+    // never surface in over_budget. Here ANY query >2× its committed
+    // baseline is a candidate, and the tripwire FIRES only when the
+    // PREVIOUS round's recorded time (bench_last.json as this run finds
+    // it — the prior driver round's copy) breached the same 2× line: two
+    // consecutive driver rounds over 2× is a trend, one is host noise.
+    // `rel_over_2x` carries this round's full candidate set so the next
+    // round can see what it is one breach away from confirming.
+    val relOver = rechecked.collect {
+      case (name, t) if t > 0 && baseline.get(name).exists(b => b > 0 && t > b * budgetFactor) =>
+        name -> (t / baseline(name))
+    }
+    val copyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File("bench_last.json").getAbsolutePath)
+    val prevTimes: Map[String, Double] = {
+      val f = new java.io.File(copyPath)
+      if (!f.isFile) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(f.toPath)
+        // isolate the "queries" object — the flat pair regex would also
+        // match over_budget/rechecked entries, whose values are RATIOS,
+        // not seconds, and (being later in the line) would win in toMap
+        val qobj = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(qobj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val tripwire = relOver.filter { case (name, _) =>
+      prevTimes.get(name).exists(p => p > 0 && baseline.get(name).exists(b => p > b * budgetFactor))
+    }
+    tripwire.foreach { case (name, ratio) =>
+      System.err.println(f"[bench] TRIPWIRE: $name is $ratio%.1f× baseline for the second consecutive round")
+    }
     val qs = rechecked.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val rechk = recheckedOrig.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val over = overBudget.map { case (k, r) => s"${q(k)}:${math.round(r * 10) / 10.0}" }
-      .mkString("{", ",", "}")
+    def ratios(m: Seq[(String, Double)]) =
+      m.map { case (k, r) => s"${q(k)}:${math.round(r * 10) / 10.0}" }.mkString("{", ",", "}")
+    val over = ratios(overBudget)
     val total = rechecked.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},"failed":${failed.size},"over_budget":$over,"rechecked":$rechk}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},"failed":${failed.size},"over_budget":$over,"rel_over_2x":${ratios(relOver)},"tripwire":${ratios(tripwire)},"rechecked":$rechk}"""
     println(line)
     // Robust copy for the driver in case stdout is swallowed by sbt
     // logging — next to the build the bench ran from (overridable).
-    val copyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      new java.io.File("bench_last.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(copyPath), line)
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $copyPath: ${e.getMessage}")

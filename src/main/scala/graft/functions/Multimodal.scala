@@ -277,6 +277,79 @@ object Multimodal {
 
   case class ImageHash(doc_id: Long, width: Int, height: Int, ahash: String)
 
+  /** 8×8 block-mean threshold bits over a decoded raster — the aHash
+    * core shared by [[imageAHashes]] / [[imageAHashesChecked]] (gray
+    * channel: the synthesized PNGs carry equal RGB channels) and
+    * [[videoSignatures]] / [[videoSignaturesChecked]] (RGB-average
+    * luma). Integer-exact; bounds documented at [[imageAHashes]]. */
+  private def blockMeanBits(img: java.awt.image.BufferedImage, avgLuma: Boolean): String = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val v =
+          if (avgLuma) (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          else rgb & 0xff
+        sums(by * 8 + bx) += v
+        cnts(by * 8 + bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var tot = 0L
+    var i = 0
+    while (i < 64) { tot += sums(i); i += 1 }
+    val n = w.toLong * h
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i < 64) {
+      sb.append(if (sums(i) * n >= tot * cnts(i)) '1' else '0')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Pixel bound for the CHECKED decode paths (~67 Mpx ≈ an 8192×8192
+    * raster). ImageIO.read allocates the FULL raster from the
+    * header-DECLARED dimensions before decoding a single pixel, so a
+    * tiny adversarial payload declaring huge dims throws
+    * OutOfMemoryError — which escapes a `catch Exception` and kills the
+    * executor, exactly the failure the dead-letter contract exists to
+    * absorb on untrusted crawl data. The checked readers peek the
+    * header (metadata-only: ImageReader.getWidth/getHeight) and bounce
+    * oversized declarations to the dead letter BEFORE any allocation. */
+  private[graft] val MaxDecodePx: Long = 1L << 26
+
+  /** Header-peek-then-decode: Left(reason) for unrecognized containers
+    * and oversized declarations, Right(raster) for a genuine decode. */
+  private def readImageBounded(payload: Array[Byte]): Either[String, java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Left("unrecognized container")
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          if (w.toLong * h > MaxDecodePx) Left(s"oversized image: ${w}x$h")
+          else {
+            val img = r.read(0)
+            if (img == null) Left("unrecognized container") else Right(img)
+          }
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** Average-hash (aHash) from the DECODED raster: the 8×8 block-mean
     * threshold fingerprint perceptual image dedup keys on. Blocks are
     * the integer tiling bx = x·8 div w (so any w, h ≥ 8 yields exactly
@@ -294,33 +367,8 @@ object Multimodal {
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
         require(img != null, s"undecodable image payload for doc ${r.doc_id}")
-        val w = img.getWidth
-        val h = img.getHeight
-        val sums = new Array[Long](64)
-        val cnts = new Array[Long](64)
-        var y = 0
-        while (y < h) {
-          val by = y * 8 / h
-          var x = 0
-          while (x < w) {
-            val bx = x * 8 / w
-            sums(by * 8 + bx) += (img.getRGB(x, y) & 0xff) // gray: channels equal
-            cnts(by * 8 + bx) += 1
-            x += 1
-          }
-          y += 1
-        }
-        var tot = 0L
-        var i = 0
-        while (i < 64) { tot += sums(i); i += 1 }
-        val n = w.toLong * h
-        val sb = new java.lang.StringBuilder(64)
-        i = 0
-        while (i < 64) {
-          sb.append(if (sums(i) * n >= tot * cnts(i)) '1' else '0')
-          i += 1
-        }
-        ImageHash(r.doc_id, w, h, sb.toString)
+        ImageHash(r.doc_id, img.getWidth, img.getHeight,
+          blockMeanBits(img, avgLuma = false))
       }
     }
   }
@@ -502,42 +550,44 @@ object Multimodal {
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-          if (img == null)
-            CheckedImageHash(r.doc_id, 0, 0, "", decode_ok = false, "unrecognized container")
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val sums = new Array[Long](64)
-            val cnts = new Array[Long](64)
-            var y = 0
-            while (y < h) {
-              val by = y * 8 / h
-              var x = 0
-              while (x < w) {
-                val bx = x * 8 / w
-                sums(by * 8 + bx) += (img.getRGB(x, y) & 0xff)
-                cnts(by * 8 + bx) += 1
-                x += 1
-              }
-              y += 1
-            }
-            var tot = 0L
-            var i = 0
-            while (i < 64) { tot += sums(i); i += 1 }
-            val n = w.toLong * h
-            val sb = new java.lang.StringBuilder(64)
-            i = 0
-            while (i < 64) {
-              sb.append(if (sums(i) * n >= tot * cnts(i)) '1' else '0')
-              i += 1
-            }
-            CheckedImageHash(r.doc_id, w, h, sb.toString, decode_ok = true, "")
-          }
+        try readImageBounded(r.payload) match {
+          case Left(reason) =>
+            CheckedImageHash(r.doc_id, 0, 0, "", decode_ok = false, reason)
+          case Right(img) =>
+            CheckedImageHash(r.doc_id, img.getWidth, img.getHeight,
+              blockMeanBits(img, avgLuma = false), decode_ok = true, "")
         } catch {
           case e: Exception =>
             CheckedImageHash(r.doc_id, 0, 0, "", decode_ok = false,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+        }
+      }
+    }
+  }
+
+  case class CheckedAudioHash(doc_id: Long, n_samples: Int, ehash: String,
+                              decode_ok: Boolean, err: String)
+
+  /** [[audioEnvelopeHashes]] with the K8 dead-letter contract — the
+    * audio twin of [[imageAHashesChecked]]: undecodable containers,
+    * unexpected formats, and empty streams come back as
+    * `decode_ok = false` rows with the reason, never a stage kill. The
+    * JDK WAV path reads only as many bytes as the payload holds, so no
+    * header-declared allocation bomb exists on this modality. */
+  def audioEnvelopeHashesChecked(media: Dataset[MediaRow]): Dataset[CheckedAudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val (_, samples) = wavSamples(r.payload, r.doc_id)
+          if (samples.length == 0)
+            CheckedAudioHash(r.doc_id, 0, "", decode_ok = false, "empty audio stream")
+          else
+            CheckedAudioHash(r.doc_id, samples.length, envelopeBits(samples),
+              decode_ok = true, "")
+        } catch {
+          case e: Exception =>
+            CheckedAudioHash(r.doc_id, 0, "", decode_ok = false,
               s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
         }
       }
@@ -554,31 +604,37 @@ object Multimodal {
     * division). Bounds: |s| ≤ 32768, n ≤ 1280 → every product well
     * under int64. Emitted as a 32-char bitstring (the q34/q94
     * convention) so the oracle's formula replay lands bit-identically. */
+  /** 32-frame energy-envelope threshold bits — the hash core shared by
+    * [[audioEnvelopeHashes]] and [[audioEnvelopeHashesChecked]]. */
+  private def envelopeBits(samples: Array[Int]): String = {
+    val n = samples.length
+    val sums = new Array[Long](32)
+    val cnts = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val f = i * 32 / n
+      sums(f) += math.abs(samples(i).toLong)
+      cnts(f) += 1
+      i += 1
+    }
+    var tot = 0L
+    var f = 0
+    while (f < 32) { tot += sums(f); f += 1 }
+    val sb = new java.lang.StringBuilder(32)
+    f = 0
+    while (f < 32) {
+      sb.append(if (sums(f) * n >= tot * cnts(f)) '1' else '0')
+      f += 1
+    }
+    sb.toString
+  }
+
   def audioEnvelopeHashes(media: Dataset[MediaRow]): Dataset[AudioHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val (_, samples) = wavSamples(r.payload, r.doc_id)
-        val n = samples.length
-        val sums = new Array[Long](32)
-        val cnts = new Array[Long](32)
-        var i = 0
-        while (i < n) {
-          val f = i * 32 / n
-          sums(f) += math.abs(samples(i).toLong)
-          cnts(f) += 1
-          i += 1
-        }
-        var tot = 0L
-        var f = 0
-        while (f < 32) { tot += sums(f); f += 1 }
-        val sb = new java.lang.StringBuilder(32)
-        f = 0
-        while (f < 32) {
-          sb.append(if (sums(f) * n >= tot * cnts(f)) '1' else '0')
-          f += 1
-        }
-        AudioHash(r.doc_id, n, sb.toString)
+        AudioHash(r.doc_id, samples.length, envelopeBits(samples))
       }
     }
   }
@@ -747,6 +803,10 @@ object Multimodal {
             if (c == 0x5453494c) q += 12 // descend into sub-LIST (strl)
             else {
               if (c == 0x66727473) { // 'strf'
+                // declared chunk size bound BEFORE allocation: a header
+                // claiming a huge strf must dead-letter, not OOM
+                require(s2 >= 0 && q + 8 + s2 <= payload.length,
+                  s"strf size out of bounds in AVI for doc $docId")
                 strf = new Array[Byte](s2)
                 java.lang.System.arraycopy(payload, q + 8, strf, 0, s2)
               }
@@ -759,11 +819,26 @@ object Multimodal {
     }
     require(strf != null && moviStart >= 0 && idx1 != null,
       s"missing strf/movi/idx1 in AVI for doc $docId")
+    // declared frame dims bound: ImageIO's BMP reader allocates the full
+    // raster from BITMAPINFOHEADER before decoding — the video-side
+    // image bomb; bounce oversized declarations before any frame decode
+    if (strf.length >= 12) {
+      val sb = java.nio.ByteBuffer.wrap(strf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val bw = sb.getInt(4).toLong.abs
+      val bh = sb.getInt(8).toLong.abs
+      require(bw * bh <= MaxDecodePx, s"oversized frame: ${bw}x$bh in AVI for doc $docId")
+    }
+    require(idx1._1 + idx1._2 <= payload.length && idx1._2 >= 0,
+      s"idx1 out of bounds in AVI for doc $docId")
     val n = idx1._2 / 16
     val step = math.max(1, n / maxSamples)
     val frames = (0 until n by step).take(maxSamples).map { f =>
       val off = buf.getInt(idx1._1 + f * 16 + 8) // from the 'movi' fourcc
       val size = buf.getInt(idx1._1 + f * 16 + 12)
+      // index-entry bound BEFORE the rewrap allocation: a poisoned idx1
+      // entry must dead-letter, not OOM or read out of bounds
+      require(off >= 0 && size >= 0 && moviStart + off + 8 + size <= payload.length,
+        s"frame $f out of bounds in AVI for doc $docId")
       // rewrap the DIB bits as a BMP file: 'BM' header + strf + bits
       val bmp = java.nio.ByteBuffer.allocate(14 + strf.length + size)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -815,44 +890,58 @@ object Multimodal {
     * the per-frame hashes concatenated in frame order — a 64·maxSamples
     * bit signature. Signature-identical videos are re-encoded /
     * re-containered copies; the relation groups them downstream. */
+  /** Concatenated per-keyframe aHash — the signature core shared by
+    * [[videoSignatures]] and [[videoSignaturesChecked]]: frame order
+    * preserved, (width, height, sig) of the decoded frames. */
+  private def signatureBits(frames: Seq[(Int, java.awt.image.BufferedImage)],
+                            maxSamples: Int): (Int, Int, String) = {
+    var w = 0
+    var h = 0
+    val sb = new java.lang.StringBuilder(64 * maxSamples)
+    frames.foreach { case (_, img) =>
+      w = img.getWidth
+      h = img.getHeight
+      sb.append(blockMeanBits(img, avgLuma = true))
+    }
+    (w, h, sb.toString)
+  }
+
   def videoSignatures(media: Dataset[MediaRow], maxSamples: Int = 2): Dataset[VideoSignature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val (n, frames) = sampledAviFrames(r.payload, r.doc_id, maxSamples)
-        var w = 0
-        var h = 0
-        val sb = new java.lang.StringBuilder(64 * maxSamples)
-        frames.foreach { case (_, img) =>
-          w = img.getWidth
-          h = img.getHeight
-          val sums = new Array[Long](64)
-          val cnts = new Array[Long](64)
-          var y = 0
-          while (y < h) {
-            val by = y * 8 / h
-            var x = 0
-            while (x < w) {
-              val bx = x * 8 / w
-              val rgb = img.getRGB(x, y)
-              sums(by * 8 + bx) += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-              cnts(by * 8 + bx) += 1
-              x += 1
-            }
-            y += 1
-          }
-          var tot = 0L
-          var i = 0
-          while (i < 64) { tot += sums(i); i += 1 }
-          val np = w.toLong * h
-          i = 0
-          while (i < 64) {
-            sb.append(if (sums(i) * np >= tot * cnts(i)) '1' else '0')
-            i += 1
-          }
+        val (w, h, sig) = signatureBits(frames, maxSamples)
+        VideoSignature(r.doc_id, n, w, h, sig)
+      }
+    }
+  }
+
+  case class CheckedVideoSignature(doc_id: Long, n_frames: Int, width: Int,
+                                   height: Int, sig: String,
+                                   decode_ok: Boolean, err: String)
+
+  /** [[videoSignatures]] with the K8 dead-letter contract — the video
+    * twin of [[imageAHashesChecked]]: malformed RIFF structure, missing
+    * chunks, out-of-bounds frame index entries, and oversized declared
+    * frame dimensions ([[sampledAviFrames]]' validation) come back as
+    * `decode_ok = false` rows with the reason, never a stage kill or an
+    * allocation bomb. */
+  def videoSignaturesChecked(media: Dataset[MediaRow], maxSamples: Int = 2): Dataset[CheckedVideoSignature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        try {
+          val (n, frames) = sampledAviFrames(r.payload, r.doc_id, maxSamples)
+          val (w, h, sig) = signatureBits(frames, maxSamples)
+          CheckedVideoSignature(r.doc_id, n, w, h, sig, decode_ok = true, "")
+        } catch {
+          case e: Exception =>
+            CheckedVideoSignature(r.doc_id, 0, 0, 0, "", decode_ok = false,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
         }
-        VideoSignature(r.doc_id, n, w, h, sb.toString)
       }
     }
   }

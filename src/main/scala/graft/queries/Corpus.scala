@@ -40,34 +40,54 @@ object Corpus extends QueryModule {
   // a shuffle join on the same (source, skey) key the df aggregation
   // already hashed — AQE reuses the exchange. Reassembly is the q66
   // per-document sorted fold.
-  private val BoilerSegLen = 8
-  private val BoilerMinDf = 2
-  private def q90(s: SparkSession, dir: String): DataFrame = {
-    val segs = Tables.documentsWide(s, dir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
-      .withColumn("n", size(col("ts")))
-      .select(col("doc_id"), col("source"), col("ts"),
-        explode(expr(s"sequence(0, (n - 1) div $BoilerSegLen)")).as("seg_id0"))
-      .withColumn("seg_id", col("seg_id0").cast("int"))
-      .withColumn("seg", concat_ws(" ",
-        slice(col("ts"), col("seg_id") * BoilerSegLen + 1, lit(BoilerSegLen))))
-      .select(col("doc_id"), col("source"), col("seg_id"), col("seg"),
-        conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long").as("skey"))
-    val boiler = segs
-      .groupBy("source", "skey")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= BoilerMinDf)
-    segs.join(boiler, Seq("source", "skey"), "left")
+  private[graft] val BoilerSegLen = 8
+  private[graft] val BoilerMinDf = 2
+
+  /** The strip machinery shared by q90 (standalone relation), q96 (the
+    * composed prepare), and the streaming intake twin — ONE definition
+    * so the three cannot drift.
+    *
+    * [[segmented]]: each document exploded into BoilerSegLen-token
+    * segments keyed by (source, seg-md5) — a narrow explode.
+    * [[boilerOf]]: the segments whose within-source document frequency
+    * reaches BoilerMinDf — the boilerplate relation (NOT broadcastable
+    * by contract; see the q90 header note).
+    * [[strippedDocs]]: mark + per-document reassembly —
+    * (doc_id, n_segs, n_kept, clean_text). */
+  private[graft] def segmented(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
+    .withColumn("n", size(col("ts")))
+    .select(col("doc_id"), col("source"), col("ts"),
+      explode(expr(s"sequence(0, (n - 1) div $BoilerSegLen)")).as("seg_id0"))
+    .withColumn("seg_id", col("seg_id0").cast("int"))
+    .withColumn("seg", concat_ws(" ",
+      slice(col("ts"), col("seg_id") * BoilerSegLen + 1, lit(BoilerSegLen))))
+    .select(col("doc_id"), col("source"), col("seg_id"), col("seg"),
+      conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long").as("skey"))
+
+  private[graft] def boilerOf(segs: DataFrame): DataFrame = segs
+    .groupBy("source", "skey")
+    .agg(countDistinct(col("doc_id")).as("df"))
+    .filter(col("df") >= BoilerMinDf)
+
+  private[graft] def strippedDocs(docs: DataFrame): DataFrame = {
+    val segs = segmented(docs)
+    segs.join(boilerOf(segs), Seq("source", "skey"), "left")
       .withColumn("kept", col("df").isNull)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("int").as("n_segs"),
         sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
-        md5(expr(
-          "array_join(transform(filter(array_sort(collect_list(struct(seg_id, kept, seg))), x -> x.kept), x -> x.seg), ' ')"))
-          .as("clean_hash"))
-      .orderBy("doc_id")
+        expr(
+          "array_join(transform(filter(array_sort(collect_list(struct(seg_id, kept, seg))), x -> x.kept), x -> x.seg), ' ')")
+          .as("clean_text"))
   }
+
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    strippedDocs(Tables.documentsWide(s, dir))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
 
   private val q90Sql =
     s"""WITH t AS (
@@ -218,7 +238,7 @@ object Corpus extends QueryModule {
   // partitions whose size is corpus/1024, the audited pattern. At 1000
   // executors the plan is two corpus shuffles (bucket agg + rank
   // window), both on uniform fixed-width keys.
-  private val NumShards = 16
+  private[graft] val NumShards = 16
   private val ShardBuckets = 64 // high-order key bits => bucket order ≡ key order
 
   /** The permutation machinery, shared by q92 (whole corpus) and q96
@@ -360,42 +380,34 @@ object Corpus extends QueryModule {
   // positions run the q60 two-phase prefix sum over the kept set. No
   // stage rescans the corpus: cleaning, hashing, and the verdict ride
   // one reassembly aggregation.
-  private val MinCleanToks = 16
-  private def q96(s: SparkSession, dir: String): DataFrame = {
-    val segs = Tables.documentsWide(s, dir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"))
-      .withColumn("n", size(col("ts")))
-      .select(col("doc_id"), col("source"), col("ts"),
-        explode(expr(s"sequence(0, (n - 1) div $BoilerSegLen)")).as("seg_id0"))
-      .withColumn("seg_id", col("seg_id0").cast("int"))
-      .withColumn("seg", concat_ws(" ",
-        slice(col("ts"), col("seg_id") * BoilerSegLen + 1, lit(BoilerSegLen))))
-      .select(col("doc_id"), col("source"), col("seg_id"), col("seg"),
-        conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long").as("skey"))
-    val boiler = segs
-      .groupBy("source", "skey")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= BoilerMinDf)
-    val cleaned = segs.join(boiler, Seq("source", "skey"), "left")
-      .withColumn("kept", col("df").isNull)
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).cast("int").as("n_segs"),
-        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
-        expr(
-          "array_join(transform(filter(array_sort(collect_list(struct(seg_id, kept, seg))), x -> x.kept), x -> x.seg), ' ')")
-          .as("clean_text"))
+  private[graft] val MinCleanToks = 16
+
+  /** The q96 verdict chain, shared with q100 (which adds a media-dup
+    * gate between too_short and kept): strip → empty_after_strip →
+    * exact_dup → too_short → [mediaDup] → kept, then q92's permutation
+    * over exactly the surviving set. `mediaDup` is a (doc_id) relation
+    * of docs whose attached media near-duplicates an earlier doc's —
+    * None for the text-only q96. */
+  private def prepareVerdicts(s: SparkSession, dir: String,
+                              mediaDup: Option[DataFrame]): DataFrame = {
+    val cleaned = strippedDocs(Tables.documentsWide(s, dir))
       .withColumn("n_clean_toks",
         when(col("clean_text") === "", lit(0))
           .otherwise(size(split(col("clean_text"), " "))).cast("int"))
       .withColumn("clean_hash", md5(col("clean_text")))
-    val ranked = cleaned
+    val base = cleaned
       .withColumn("rk", row_number().over(
         Window.partitionBy("clean_hash").orderBy("doc_id")))
+    val withMedia = mediaDup.fold(base.withColumn("media_dup", lit(null).cast("boolean"))) {
+      md => base.join(md.select(col("doc_id")).distinct()
+        .withColumn("media_dup", lit(true)), Seq("doc_id"), "left")
+    }
+    val ranked = withMedia
       .withColumn("verdict",
         when(col("n_clean_toks") === 0, lit("empty_after_strip"))
           .when(col("rk") > 1, lit("exact_dup"))
           .when(col("n_clean_toks") < MinCleanToks, lit("too_short"))
+          .when(col("media_dup"), lit("media_dup"))
           .otherwise(lit("kept")))
     val placed = shardPositions(
       ranked.filter(col("verdict") === "kept").select("doc_id"))
@@ -405,6 +417,9 @@ object Corpus extends QueryModule {
       .orderBy("doc_id")
       .select("doc_id", "n_segs", "n_kept", "n_clean_toks", "verdict", "shard", "pos")
   }
+
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    prepareVerdicts(s, dir, mediaDup = None)
 
   private val q96Sql =
     s"""WITH t AS (
@@ -444,6 +459,203 @@ object Corpus extends QueryModule {
       |              WHEN n_clean_toks < $MinCleanToks THEN 'too_short'
       |              ELSE 'kept' END AS verdict
       |  FROM ranked),
+      |keyed AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substring(md5('shard:' || doc_id), 1, 15) AS BIGINT) AS key
+      |  FROM verdicts WHERE verdict = 'kept'),
+      |placed AS (
+      |  SELECT doc_id, CAST(key % $NumShards AS INT) AS shard,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY key % $NumShards ORDER BY key, doc_id) AS BIGINT) AS pos
+      |  FROM keyed)
+      |SELECT v.doc_id, v.n_segs, v.n_kept, v.n_clean_toks, v.verdict, p.shard, p.pos
+      |FROM verdicts v LEFT JOIN placed p ON v.doc_id = p.doc_id
+      |ORDER BY v.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q100 — MULTIMODAL CORPUS PREPARE: q96's verdict chain extended with
+  // the perceptual-dedup family — the "one artifact per corpus drop" a
+  // production multimodal pipeline ships. Stage order (first failing
+  // stage wins, q72's verdict pattern): boilerplate strip →
+  // empty_after_strip → exact_dup (cleaned text) → too_short →
+  // media_dup → kept, placed by q92's permutation over the survivors.
+  // media_dup fires when the doc's ATTACHED media near-duplicates an
+  // EARLIER doc's: q94's image-aHash Hamming pairs and q95's audio-
+  // envelope pairs drop the later (d2) side; q97's signature groups
+  // drop the non-leaders — the same later-copy attribution as
+  // exact_dup's rk ordering and q99's dup accounting.
+  //
+  // All three codecs run through the CHECKED dead-letter decode path
+  // (imageAHashesChecked / audioEnvelopeHashesChecked /
+  // videoSignaturesChecked): a corrupt payload lands decode_ok = false,
+  // cannot testify to a media_dup verdict, and never kills the prepare
+  // job — the end-to-end composition the K8 contract exists for (specs
+  // corrupt each modality; the oracle certifies the clean-path decode).
+  //
+  // Scale shape: q96's uniform-key shuffles + three narrow per-partition
+  // codec maps; ONLY fixed-width hash relations (64/32/128 chars per
+  // media item) are shuffled or joined — corpus media bytes never leave
+  // their scan partitions. Candidate generation is the shared capped
+  // bandedHammingPairs machinery; the verdict join adds one md5-uniform
+  // doc_id equi-join to q96's plan.
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Multimodal
+    val img = Multimodal.imageAHashesChecked(Multimodal.synthesizeImages(s, dir)).toDF()
+      .filter(col("decode_ok")).select("doc_id", "ahash")
+    val aud = Multimodal.audioEnvelopeHashesChecked(Multimodal.synthesizeAudio(s, dir)).toDF()
+      .filter(col("decode_ok")).select("doc_id", "ehash")
+    val vid = Multimodal.videoSignaturesChecked(Multimodal.synthesizeVideos(s, dir)).toDF()
+      .filter(col("decode_ok")).select("doc_id", "sig")
+    val vidDup = vid
+      .withColumn("gid", min(col("doc_id")).over(Window.partitionBy("sig")))
+      .filter(col("doc_id") =!= col("gid"))
+      .select("doc_id")
+    val mediaDup = Dedup.bandedHammingPairs(img, "ahash", nBands = 8, bandBits = 8,
+        hamMax = TextPipeline.AHashHamMax).select(col("d2").as("doc_id"))
+      .unionByName(Dedup.bandedHammingPairs(aud, "ehash", nBands = 4, bandBits = 8,
+        hamMax = TextPipeline.EnvHamMax).select(col("d2").as("doc_id")))
+      .unionByName(vidDup)
+    prepareVerdicts(s, dir, Some(mediaDup))
+  }
+
+  // The oracle replays q96's chain plus all three media formulas
+  // relationally (it never sees PNG/WAV/AVI bytes): a hash match
+  // certifies the three checked decode round-trips AND the composed
+  // verdict semantics in one gate.
+  private val q100Sql =
+    s"""WITH d0 AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, source, CAST(seg_id AS INT) AS seg_id,
+      |         array_to_string(ts[(seg_id * $BoilerSegLen + 1):(seg_id * $BoilerSegLen + $BoilerSegLen)], ' ') AS seg
+      |  FROM (SELECT doc_id, source, ts, unnest(range(0, (n - 1) // $BoilerSegLen + 1)) AS seg_id FROM d0)),
+      |boiler AS (
+      |  SELECT source, seg FROM segs
+      |  GROUP BY source, seg HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDf),
+      |marked AS (
+      |  SELECT s.doc_id, s.seg_id, s.seg, b.seg IS NULL AS kept
+      |  FROM segs s LEFT JOIN boiler b ON s.source = b.source AND s.seg = b.seg),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |         CAST(COUNT(*) AS INT) AS n_segs,
+      |         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+      |         COALESCE(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_id), '') AS clean_text
+      |  FROM marked GROUP BY doc_id),
+      |scored AS (
+      |  SELECT doc_id, n_segs, n_kept,
+      |         CAST(CASE WHEN clean_text = '' THEN 0
+      |              ELSE len(string_split(clean_text, ' ')) END AS INT) AS n_clean_toks,
+      |         md5(clean_text) AS clean_hash
+      |  FROM cleaned),
+      |ranked AS (
+      |  SELECT *,
+      |         ROW_NUMBER() OVER (PARTITION BY clean_hash ORDER BY doc_id) AS rk
+      |  FROM scored),
+      |i_img AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 120 AS INT) AS w,
+      |         CAST(8 + (doc_id * 7) % 120 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |i_px AS (
+      |  SELECT doc_id, w, h, unnest(range(0, CAST(w AS BIGINT) * h)) AS i FROM i_img),
+      |i_blk AS (
+      |  SELECT doc_id, w, h,
+      |         ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b,
+      |         (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS v
+      |  FROM i_px),
+      |i_bsum AS (
+      |  SELECT doc_id, w, h, b, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM i_blk GROUP BY doc_id, w, h, b),
+      |i_tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t FROM i_bsum GROUP BY doc_id),
+      |i_ah AS (
+      |  SELECT doc_id,
+      |         string_agg(CASE WHEN s * (CAST(w AS BIGINT) * h) >= t * c
+      |                    THEN '1' ELSE '0' END, '' ORDER BY b) AS ahash
+      |  FROM i_bsum JOIN i_tot USING (doc_id) GROUP BY doc_id),
+      |i_bands AS (
+      |  SELECT doc_id, ahash, b AS band, substring(ahash, b * 8 + 1, 8) AS bk
+      |  FROM i_ah CROSS JOIN (SELECT unnest(range(8)) AS b)),
+      |i_bsz AS (SELECT band, bk, COUNT(*) AS c FROM i_bands GROUP BY band, bk),
+      |i_cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.ahash AS h1, b.ahash AS h2
+      |  FROM i_bands a JOIN i_bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      |  JOIN i_bsz k ON k.band = a.band AND k.bk = a.bk
+      |  WHERE k.c <= ${Dedup.BucketCap}),
+      |i_dup AS (
+      |  SELECT DISTINCT d2 AS doc_id FROM i_cand
+      |  WHERE len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 65)], x -> x)) <= ${TextPipeline.AHashHamMax}),
+      |a_aud AS (
+      |  SELECT doc_id, CAST(256 + (doc_id * 13) % 1024 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |a_sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM a_aud),
+      |a_fr AS (
+      |  SELECT doc_id, n, (i * 32) // n AS f,
+      |         abs((doc_id * 31 + i * 7919) % 65536 - 32768) AS a
+      |  FROM a_sm),
+      |a_fs AS (
+      |  SELECT doc_id, n, f, CAST(SUM(a) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM a_fr GROUP BY doc_id, n, f),
+      |a_tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t FROM a_fs GROUP BY doc_id),
+      |a_ah AS (
+      |  SELECT doc_id,
+      |         string_agg(CASE WHEN s * n >= t * c THEN '1' ELSE '0' END, '' ORDER BY f) AS ehash
+      |  FROM a_fs JOIN a_tot USING (doc_id) GROUP BY doc_id),
+      |a_bands AS (
+      |  SELECT doc_id, ehash, b AS band, substring(ehash, b * 8 + 1, 8) AS bk
+      |  FROM a_ah CROSS JOIN (SELECT unnest(range(4)) AS b)),
+      |a_bsz AS (SELECT band, bk, COUNT(*) AS c FROM a_bands GROUP BY band, bk),
+      |a_cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.ehash AS h1, b.ehash AS h2
+      |  FROM a_bands a JOIN a_bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      |  JOIN a_bsz k ON k.band = a.band AND k.bk = a.bk
+      |  WHERE k.c <= ${Dedup.BucketCap}),
+      |a_dup AS (
+      |  SELECT DISTINCT d2 AS doc_id FROM a_cand
+      |  WHERE len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 33)], x -> x)) <= ${TextPipeline.EnvHamMax}),
+      |v_vid AS (
+      |  SELECT doc_id,
+      |         CAST(16 + doc_id % 16 AS INT) AS w,
+      |         CAST(16 + (doc_id * 3) % 16 AS INT) AS h,
+      |         CAST(4 + (doc_id * 7) % 12 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |v_fsel AS (
+      |  SELECT doc_id, w, h, n, unnest([0, n // 2]) AS f FROM v_vid),
+      |v_px AS (
+      |  SELECT doc_id, w, h, n, f, unnest(range(0, CAST(w AS BIGINT) * h)) AS i
+      |  FROM v_fsel),
+      |v_blk AS (
+      |  SELECT doc_id, w, h, n, f,
+      |         ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b,
+      |         (doc_id * 31 + f * 17 + (i % w) * 7 + (i // w) * 13) % 256 AS v
+      |  FROM v_px),
+      |v_bsum AS (
+      |  SELECT doc_id, w, h, n, f, b, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM v_blk GROUP BY doc_id, w, h, n, f, b),
+      |v_ftot AS (
+      |  SELECT doc_id, f, CAST(SUM(s) AS BIGINT) AS t
+      |  FROM v_bsum GROUP BY doc_id, f),
+      |v_sig AS (
+      |  SELECT doc_id,
+      |         string_agg(CASE WHEN s * (CAST(w AS BIGINT) * h) >= t * c
+      |                    THEN '1' ELSE '0' END, '' ORDER BY f, b) AS sig
+      |  FROM v_bsum JOIN v_ftot USING (doc_id, f) GROUP BY doc_id),
+      |v_dup AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY sig) AS gid FROM v_sig)
+      |  WHERE doc_id <> gid),
+      |mdup AS (
+      |  SELECT doc_id FROM i_dup
+      |  UNION SELECT doc_id FROM a_dup
+      |  UNION SELECT doc_id FROM v_dup),
+      |verdicts AS (
+      |  SELECT r.doc_id, n_segs, n_kept, n_clean_toks,
+      |         CASE WHEN n_clean_toks = 0 THEN 'empty_after_strip'
+      |              WHEN rk > 1 THEN 'exact_dup'
+      |              WHEN n_clean_toks < $MinCleanToks THEN 'too_short'
+      |              WHEN m.doc_id IS NOT NULL THEN 'media_dup'
+      |              ELSE 'kept' END AS verdict
+      |  FROM ranked r LEFT JOIN mdup m ON r.doc_id = m.doc_id),
       |keyed AS (
       |  SELECT doc_id,
       |         CAST('0x' || substring(md5('shard:' || doc_id), 1, 15) AS BIGINT) AS key
@@ -553,6 +765,7 @@ object Corpus extends QueryModule {
     "q96_corpus_prepare"    -> (q96 _),
     "q98_shard_rebalance"   -> (q98 _),
     "q99_dataset_card"      -> (q99 _),
+    "q100_multimodal_prepare" -> (q100 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -563,5 +776,6 @@ object Corpus extends QueryModule {
     "q96_corpus_prepare"    -> q96Sql,
     "q98_shard_rebalance"   -> q98Sql,
     "q99_dataset_card"      -> q99Sql,
+    "q100_multimodal_prepare" -> q100Sql,
   )
 }

@@ -86,17 +86,17 @@ object IncrementalDedup extends QueryModule {
   private[graft] def shardPath(s: SparkSession, dir: String): String =
     s"$indexRoot/dedup-shard-${dataFingerprint(s, dir)}"
 
-  private def fsFor(s: SparkSession, path: org.apache.hadoop.fs.Path) =
+  private[graft] def fsFor(s: SparkSession, path: org.apache.hadoop.fs.Path) =
     path.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def complete(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def complete(fs: org.apache.hadoop.fs.FileSystem,
                        p: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(p, "_COMPLETE"))
 
   /** The q78 publication contract: assemble under a private temp, marker
     * LAST inside the temp, atomic rename into place, concurrent winner
     * kept (same fingerprint ⇒ same deterministic content). */
-  private def publish(s: SparkSession, path: org.apache.hadoop.fs.Path)
+  private[graft] def publish(s: SparkSession, path: org.apache.hadoop.fs.Path)
                      (write: org.apache.hadoop.fs.Path => Unit): Unit = {
     val fs = fsFor(s, path)
     if (complete(fs, path)) return

@@ -851,4 +851,97 @@ class PipelineSpec extends SparkTestBase {
     val deadRows = dead.collect()
     assert(deadRows.length == 3 && deadRows.forall(_.getAs[Int]("flag") == -2))
   }
+
+  test("image bomb: huge header-declared dims dead-letter without allocating the raster") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    // take a genuine PNG and rewrite its IHDR to declare a 60000×60000
+    // raster (3.6 Gpx ≈ 14 GiB ARGB) with a VALID chunk CRC — the shape
+    // of an adversarial crawl payload: ImageIO.read would OOM on the
+    // raster allocation before its decoder ever sees a pixel error
+    val bomb = Multimodal.encodePng(9L).clone()
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(16, 60000) // IHDR width  (signature 8 + len 4 + type 4)
+    putInt(20, 60000) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // chunk type + 13 data bytes
+    putInt(29, crc.getValue.toInt)
+    val out = Multimodal.imageAHashesChecked(spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", bomb)))).head()
+    assert(!out.decode_ok && out.err.contains("oversized"), out.toString)
+  }
+
+  test("checked audio decode routes corrupt payloads to the dead letter, not a stage failure") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    val goodWav = Multimodal.encodeWav(10L)
+    val stereo = goodWav.clone()
+    stereo(22) = 2 // format chunk nChannels: the unexpected-format path
+    val rows = Seq(
+      Multimodal.MediaRow(10L, "audio", goodWav),
+      Multimodal.MediaRow(11L, "audio", goodWav.take(30)),          // truncated container
+      Multimodal.MediaRow(12L, "audio", Array[Byte](1, 2, 3, 4)),   // junk bytes
+      Multimodal.MediaRow(13L, "audio", Array.empty[Byte]),         // empty blob
+      Multimodal.MediaRow(14L, "audio", stereo))                    // wrong format
+    val out = Multimodal.audioEnvelopeHashesChecked(spark.createDataset(rows)).collect()
+      .map(r => r.doc_id -> r).toMap
+    val plain = Multimodal.audioEnvelopeHashes(
+      spark.createDataset(Seq(Multimodal.MediaRow(10L, "audio", goodWav)))).head()
+    assert(out(10L).decode_ok && out(10L).ehash == plain.ehash
+      && out(10L).n_samples == plain.n_samples)
+    Seq(11L, 12L, 13L, 14L).foreach { id =>
+      assert(!out(id).decode_ok && out(id).ehash.isEmpty && out(id).err.nonEmpty,
+        s"doc $id: ${out(id)}")
+    }
+    val dead = graft.incremental.Sinks.deadLetter(
+      Multimodal.audioEnvelopeHashesChecked(spark.createDataset(rows)).toDF()
+        .filter(!col("decode_ok")).select("doc_id", "err"),
+      flag = -2, description = "undecodable media payload")
+    assert(dead.collect().length == 4 && dead.collect().forall(_.getAs[Int]("flag") == -2))
+  }
+
+  test("checked video decode routes corrupt payloads to the dead letter, not a stage failure") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    val goodAvi = Multimodal.encodeAvi(11L)
+    // dims bomb: rewrite the strf BITMAPINFOHEADER to declare 60000×60000
+    // frames — the BMP reader would allocate the raster from the header
+    def findStrf(b: Array[Byte]): Int = {
+      val pat = "strf".getBytes("US-ASCII")
+      b.indices.find(i => i + 4 <= b.length && pat.indices.forall(j => b(i + j) == pat(j))).get
+    }
+    val bomb = goodAvi.clone()
+    val strfData = findStrf(bomb) + 8 // past fourcc + size
+    def putLe(off: Int, v: Int): Unit = {
+      bomb(off) = v.toByte; bomb(off + 1) = (v >>> 8).toByte
+      bomb(off + 2) = (v >>> 16).toByte; bomb(off + 3) = (v >>> 24).toByte
+    }
+    putLe(strfData + 4, 60000) // biWidth
+    putLe(strfData + 8, 60000) // biHeight
+    val rows = Seq(
+      Multimodal.MediaRow(11L, "video", goodAvi),
+      Multimodal.MediaRow(12L, "video", goodAvi.take(40)),          // truncated container
+      Multimodal.MediaRow(13L, "video", Array[Byte](1, 2, 3, 4)),   // junk bytes
+      Multimodal.MediaRow(14L, "video", Array.empty[Byte]),         // empty blob
+      Multimodal.MediaRow(15L, "video", bomb))                      // dims bomb
+    val out = Multimodal.videoSignaturesChecked(spark.createDataset(rows)).collect()
+      .map(r => r.doc_id -> r).toMap
+    val plain = Multimodal.videoSignatures(
+      spark.createDataset(Seq(Multimodal.MediaRow(11L, "video", goodAvi)))).head()
+    assert(out(11L).decode_ok && out(11L).sig == plain.sig
+      && out(11L).n_frames == plain.n_frames)
+    Seq(12L, 13L, 14L, 15L).foreach { id =>
+      assert(!out(id).decode_ok && out(id).sig.isEmpty && out(id).err.nonEmpty,
+        s"doc $id: ${out(id)}")
+    }
+    assert(out(15L).err.contains("oversized"), out(15L).toString)
+    val dead = graft.incremental.Sinks.deadLetter(
+      Multimodal.videoSignaturesChecked(spark.createDataset(rows)).toDF()
+        .filter(!col("decode_ok")).select("doc_id", "err"),
+      flag = -2, description = "undecodable media payload")
+    assert(dead.collect().length == 4 && dead.collect().forall(_.getAs[Int]("flag") == -2))
+  }
 }

@@ -169,6 +169,20 @@ class PlanSpec extends SparkTestBase {
         p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
   }
 
+  test("q101 serves from the media index + staged shard: the corpus is never rescanned or re-decoded") {
+    // the media-intake claim: after the offline build (which pays the
+    // corpus decode ONCE), a day's media shard is verdicted by decoding
+    // the SHARD payloads and joining the artifact only — a documents
+    // scan in the serving plan would re-read (and re-decode) the corpus
+    // per batch, the exact cost the artifact exists to amortize
+    val p = plan(graft.queries.IncrementalMediaDedup
+      .queries("q101_incremental_media_dedup")(spark, sfDir))
+    assert(p.contains("media-"), "plan does not read the media index artifact")
+    assert(!p.contains("documents.parquet"),
+      "q101 rescans the documents table:\n" +
+        p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
+  }
+
   test("q33 bucket membership is count-pruned and collected with the capped aggregate") {
     // the round-8 shape: a codegen'd count aggregation prunes singleton/
     // over-cap band keys BEFORE any member buffer is built, and the
