@@ -70,6 +70,41 @@ object Corpus extends QueryModule {
     .agg(countDistinct(col("doc_id")).as("df"))
     .filter(col("df") >= BoilerMinDf)
 
+  // Scala-side twins of the catalog's md5 idioms, for frozen-artifact
+  // serving (streaming.Streams strips against a broadcast boilerplate
+  // set and must key segments EXACTLY as the batch SQL does):
+  // md5Hex ≡ md5(x), md5Int60 ≡ conv(substring(md5(x), 1, 15), 16, 10).
+  private val digestLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+  private[graft] def md5Hex(s: String): String = {
+    val md = digestLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+  private[graft] def md5Int60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  /** The boilerplate relation collected as a FROZEN serving artifact —
+    * what the streaming intake twin broadcasts (the q93 bigramScore
+    * offline-train/online-serve shape; a production serving set is
+    * pruned per-source to a bounded top-M before shipping — the batch
+    * training relation is corpus-df-bounded, its serving artifact must
+    * be executor-memory-bounded). */
+  private[graft] def frozenBoiler(docs: DataFrame): Set[(String, Long)] =
+    boilerOf(segmented(docs)).select("source", "skey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
   private[graft] def strippedDocs(docs: DataFrame): DataFrame = {
     val segs = segmented(docs)
     segs.join(boilerOf(segs), Seq("source", "skey"), "left")
@@ -395,9 +430,16 @@ object Corpus extends QueryModule {
         when(col("clean_text") === "", lit(0))
           .otherwise(size(split(col("clean_text"), " "))).cast("int"))
       .withColumn("clean_hash", md5(col("clean_text")))
-    val base = cleaned
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("clean_hash").orderBy("doc_id")))
+    // first-seen-wins WITHOUT a hash-partitioned window: rk > 1 is
+    // equivalent to doc_id ≠ min(doc_id) over the hash group, and the
+    // min computes as a map-side-combined aggregation + equi-join — a
+    // viral dup group (one clean_text replicated a billion times at
+    // 100 TB) costs one partial-agg counter per map task and an
+    // AQE-splittable join key, where a window would pin the whole
+    // group's rows on ONE task (the msat probe's regime, BASELINE.md)
+    val keepers = cleaned.groupBy("clean_hash").agg(min(col("doc_id")).as("keeper"))
+    val base = cleaned.join(keepers, "clean_hash")
+      .withColumn("is_dup", col("doc_id") =!= col("keeper"))
     val withMedia = mediaDup.fold(base.withColumn("media_dup", lit(null).cast("boolean"))) {
       md => base.join(md.select(col("doc_id")).distinct()
         .withColumn("media_dup", lit(true)), Seq("doc_id"), "left")
@@ -405,7 +447,7 @@ object Corpus extends QueryModule {
     val ranked = withMedia
       .withColumn("verdict",
         when(col("n_clean_toks") === 0, lit("empty_after_strip"))
-          .when(col("rk") > 1, lit("exact_dup"))
+          .when(col("is_dup"), lit("exact_dup"))
           .when(col("n_clean_toks") < MinCleanToks, lit("too_short"))
           .when(col("media_dup"), lit("media_dup"))
           .otherwise(lit("kept")))
@@ -505,8 +547,11 @@ object Corpus extends QueryModule {
       .filter(col("decode_ok")).select("doc_id", "ehash")
     val vid = Multimodal.videoSignaturesChecked(Multimodal.synthesizeVideos(s, dir)).toDF()
       .filter(col("decode_ok")).select("doc_id", "sig")
+    // group leaders via agg + join, not a sig window — the saturation
+    // regime (one viral video, a billion copies) must split across
+    // tasks; see prepareVerdicts
     val vidDup = vid
-      .withColumn("gid", min(col("doc_id")).over(Window.partitionBy("sig")))
+      .join(vid.groupBy("sig").agg(min(col("doc_id")).as("gid")), "sig")
       .filter(col("doc_id") =!= col("gid"))
       .select("doc_id")
     val mediaDup = Dedup.bandedHammingPairs(img, "ahash", nBands = 8, bandBits = 8,
@@ -726,12 +771,15 @@ object Corpus extends QueryModule {
   // transcendental-free discipline).
   private val CardShortToks = 16
   private def q99(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val keyed = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_toks"),
         md5(col("text")).as("th"))
-      .withColumn("is_dup", row_number().over(
-        Window.partitionBy("th").orderBy("doc_id")) > 1)
+    // first-seen via agg + join, not a th window — a viral exact-dup
+    // group must split across tasks; see prepareVerdicts
+    val docs = keyed
+      .join(keyed.groupBy("th").agg(min(col("doc_id")).as("keeper")), "th")
+      .withColumn("is_dup", col("doc_id") =!= col("keeper"))
     docs.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -1110,10 +1110,15 @@ object TextPipeline extends QueryModule {
   // cardinality); nothing corpus-sized is re-keyed.
   private def q97(s: SparkSession, dir: String): DataFrame = {
     val sigs = Multimodal.videoSignatures(Multimodal.synthesizeVideos(s, dir)).toDF()
-    val w = Window.partitionBy("sig")
+    // group stats via agg + join, not a sig-partitioned window: min and
+    // count partial-aggregate map-side and the join key is
+    // AQE-skew-splittable, so a viral video (one signature, a billion
+    // copies at 100 TB) spreads across tasks where a window would pin
+    // the whole group on one (measured in the msat probe, BASELINE.md)
     sigs
-      .withColumn("group_id", min(col("doc_id")).over(w))
-      .withColumn("group_size", count(lit(1)).over(w).cast("int"))
+      .join(sigs.groupBy("sig").agg(
+        min(col("doc_id")).as("group_id"),
+        count(lit(1)).cast("int").as("group_size")), "sig")
       .select("doc_id", "n_frames", "width", "height", "sig", "group_id", "group_size")
       .orderBy("doc_id")
   }

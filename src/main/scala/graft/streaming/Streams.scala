@@ -309,6 +309,97 @@ object Streams {
     * rate. Bits/band constants are q93's own — batch and stream cannot
     * disagree on a verdict.
     */
+  case class CorpusDoc(doc_id: Long, ts: Timestamp, source: String, text: String)
+  case class StrippedDoc(doc_id: Long, ts: Timestamp, n_segs: Int,
+                         n_kept: Int, n_clean_toks: Int, clean_hash: String)
+
+  /** Streaming twin of the corpus-prepare intake — q90's boilerplate
+    * mark and q96's first-failing-stage verdict over an arriving
+    * document feed. The boilerplate relation ships FROZEN as a
+    * broadcast (source, seg-key) set ([[graft.queries.Corpus
+    * .frozenBoiler]] — the bigramScore offline-train/online-serve
+    * shape: the batch q90 retrains the relation offline while the
+    * intake strips against the frozen generation), so the strip +
+    * reassembly is ONE stateless narrow map per document — segment
+    * keys via the same md5-int60 idiom the batch SQL hashes, zero
+    * shuffle at any feed rate. The only streaming state is the q96
+    * exact-dup stage: first-seen-wins per clean-text hash through
+    * flatMapGroupsWithState, one boolean per live hash, cleared by an
+    * event-time timeout one dedup horizon after the hash's last
+    * arrival — watermark-bounded, never corpus-sized (the
+    * streamingExactDedup contract: "no duplicates closer than the
+    * horizon").
+    *
+    * Verdict ladder and all constants are q96's own (empty_after_strip
+    * → exact_dup → too_short → kept; StreamingSpec pins batch/stream
+    * row identity on a shared fixture). Kept docs get their q92 SHARD
+    * (a narrow md5 map); the within-shard POSITION is deliberately
+    * omitted — it is a corpus-total rank, the batch finalization q92
+    * runs when a shard generation closes, not a per-event property. */
+  def corpusPrepare(docs: Dataset[CorpusDoc], boiler: Set[(String, Long)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.queries.Corpus
+    val bc = docs.sparkSession.sparkContext.broadcast(boiler)
+    val segLen = Corpus.BoilerSegLen
+    val minToks = Corpus.MinCleanToks
+    val nShards = Corpus.NumShards
+    val horizonMs = BucketHorizonMs
+    val stripped = docs.map { d =>
+      val ts = d.text.split(" ", -1)
+      val nSegs = (ts.length - 1) / segLen + 1
+      val sb = new java.lang.StringBuilder(d.text.length)
+      var nKept = 0
+      var i = 0
+      while (i < nSegs) {
+        val seg = ts.slice(i * segLen, math.min(ts.length, (i + 1) * segLen)).mkString(" ")
+        if (!bc.value.contains((d.source, Corpus.md5Int60(seg)))) {
+          if (nKept > 0) sb.append(' ')
+          sb.append(seg)
+          nKept += 1
+        }
+        i += 1
+      }
+      val cleanText = sb.toString
+      val nCleanToks = if (cleanText.isEmpty) 0 else cleanText.split(" ", -1).length
+      StrippedDoc(d.doc_id, d.ts, nSegs, nKept, nCleanToks, Corpus.md5Hex(cleanText))
+    }
+
+    def verdict(hash: String, rows: Iterator[StrippedDoc],
+                state: GroupState[java.lang.Boolean]): Iterator[(Long, Int, Int, Int, String, java.lang.Integer)] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var seen = state.getOption.exists(_.booleanValue)
+        var lastTs = Long.MinValue
+        // (ts, doc_id) order inside the batch — the minhashCandidates
+        // arrival contract; equal timestamps resolve to batch's rk order
+        val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
+          lastTs = math.max(lastTs, r.ts.getTime)
+          val v =
+            if (r.n_clean_toks == 0) "empty_after_strip" // before the dup check, as batch
+            else if (seen) "exact_dup"
+            else {
+              seen = true
+              if (r.n_clean_toks < minToks) "too_short" else "kept"
+            }
+          val shard: java.lang.Integer =
+            if (v == "kept") Int.box((Corpus.md5Int60("shard:" + r.doc_id) % nShards).toInt)
+            else null
+          (r.doc_id, r.n_segs, r.n_kept, r.n_clean_toks, v, shard)
+        }
+        state.update(java.lang.Boolean.valueOf(seen))
+        state.setTimeoutTimestamp(
+          math.max(lastTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+        out.iterator
+      }
+    }
+
+    stripped
+      .withWatermark("ts", "1 day")
+      .groupByKey(_.clean_hash)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(verdict)
+      .toDF("doc_id", "n_segs", "n_kept", "n_clean_toks", "verdict", "shard")
+  }
+
   def bigramScore(docs: Dataset[Doc], model: Map[String, Long]): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.queries.Corpus.{LmHi, LmLo, LmOovBits}

@@ -21,7 +21,12 @@ object ScaleProbe {
     val factors = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(1, 2, 4, 8)
     val queries = Seq("q31_exact_dedup", "q32_ngram_jaccard", "q33_minhash_lsh",
       "q44_corpus_filter", "q46_neardup_components", "q55_repetition",
-      "q66_span_dedup", "q67_surprisal", "q72_curation_verdict")
+      "q66_span_dedup", "q67_surprisal", "q72_curation_verdict",
+      // round 11: the corpus-module replication rows — q92/q96's
+      // two-phase prefix sums, q91's broadcast-workload retrieval, and
+      // q99's agg+join dup accounting must all step linearly
+      "q91_bm25_topk", "q92_corpus_shard", "q96_corpus_prepare",
+      "q99_dataset_card")
     // embedding-side heavies: need a scaled embeddings table (vec_id
     // offset per copy; vectors unchanged — these ops generate no pairs,
     // so identical copies are not an artificial shortcut)

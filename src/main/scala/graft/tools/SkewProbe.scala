@@ -40,8 +40,14 @@ object SkewProbe {
     // (w1, w2) model-join keys with ~200 dominant boiler bigrams — the
     // two new shuffle surfaces worth probing
     val docQs = Seq("q33_minhash_lsh", "q35_simhash_pairs", "q44_corpus_filter",
-      "q51_decontaminate", "q90_boilerplate_strip", "q93_bigram_surprisal")
+      "q51_decontaminate", "q90_boilerplate_strip", "q93_bigram_surprisal",
+      "q91_bm25_topk")
     val embQs = Seq("q39_cosine_neardup")
+    // media saturation (round 11): the perceptual family's skew surface
+    // is HASH-IDENTICAL media, not text — probed in its own `msat`
+    // variant (content-period id mapping) below
+    val mediaQs = Seq("q94_image_phash_dedup", "q95_audio_envelope_dedup",
+      "q97_video_fingerprint")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,8 +66,12 @@ object SkewProbe {
     val vec0 = embs.filter(col("vec_id") === 0)
       .select("embedding").head.getSeq[Float](0).toSeq
     // deterministic ~200-token boilerplate, one shared suffix for every
-    // skewed doc — long enough that the band minima come from it
-    val boiler = (0 until 200).map(i => s"bp${i % 7}x${i % 97}").mkString(" ")
+    // skewed doc — long enough that the band minima come from it. It
+    // ENDS with the q91 retrieval workload's own terms (round 11), so
+    // under skew every BM25 query term goes hot with df ≈ 0.9·N·k — the
+    // per-(doc, term) tf key must stay uniform regardless
+    val boiler = (0 until 200).map(i => s"bp${i % 7}x${i % 97}").mkString(" ") +
+      " spark table join window agg stream dup merge scan customer order line key value sort big"
 
     factors.foreach { k =>
       Seq("uniform", "skew").foreach { variant =>
@@ -90,8 +100,10 @@ object SkewProbe {
           else scaledEmb
         outEmb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-        // warmup + timed pass, the Bench/ScaleProbe methodology
-        val times = (docQs ++ embQs).map { q =>
+        // warmup + timed pass, the Bench/ScaleProbe methodology; the
+        // uniform variant also times the media family — its envelope
+        // baseline for the msat saturation rows below
+        val times = (docQs ++ embQs ++ (if (variant == "uniform") mediaQs else Nil)).map { q =>
           val fn = graft.SparkEntry.queries(q)
           val ts = (1 to 2).map { _ =>
             graft.Caches.release(); spark.catalog.clearCache()
@@ -118,6 +130,49 @@ object SkewProbe {
           .agg(sum(length(col("text")))).head.getLong(0)
         println(s"""[skew] {"factor":$k,"variant":"$variant","docs":${maxId * k},"chars":$chars,${(qs ++ pairCounts).mkString(",")}}""")
       }
+
+      // media saturation (round 11): remap ids onto the codecs' CONTENT
+      // PERIOD so distinct doc ids carry byte-identical media. 983040 =
+      // lcm of the three synthesis periods (image 3840, video 768,
+      // audio 196608), so newId = id%96 + (id div 96)·983040 forms 96
+      // residue groups of ~N·k/96 hash-identical items each (modality
+      // preserved: 983040 ≡ 96 ≡ 0 mod 3). Under the cap the pair
+      // output is dense (ΣC(group,2) per band); past it (group >
+      // BucketCap) q94/q95's buckets drop WHOLE and the counts
+      // collapse — runtime must stay flat-linear either way, and q97's
+      // agg+join group stats must absorb the mega-groups without a
+      // single hot task (its former sig-window would have pinned each
+      // group on one).
+      val msatDir = s"/tmp/graft_skew/msat/x$k"
+      (0 until k).map { i =>
+        docs.select((col("doc_id") + lit(i * maxId)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .withColumn("doc_id", expr("doc_id % 96 + (doc_id div 96) * 983040"))
+        .write.mode("overwrite").parquet(s"$msatDir/documents.parquet")
+      val msatTimes = mediaQs.map { q =>
+        val fn = graft.SparkEntry.queries(q)
+        val ts = (1 to 2).map { _ =>
+          graft.Caches.release(); spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          fn(spark, msatDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        q -> ts.min
+      }
+      graft.Caches.release(); spark.catalog.clearCache()
+      val msatCounts = Seq("q94_image_phash_dedup", "q95_audio_envelope_dedup").map { q =>
+        val c = graft.SparkEntry.queries(q)(spark, msatDir).count()
+        graft.Caches.release(); spark.catalog.clearCache()
+        s""""${q}_rows":$c"""
+      } :+ {
+        val g = graft.SparkEntry.queries("q97_video_fingerprint")(spark, msatDir)
+          .agg(max("group_size")).head.getInt(0)
+        graft.Caches.release(); spark.catalog.clearCache()
+        s""""q97_max_group":$g"""
+      }
+      val mqs = msatTimes.map { case (q, t) => s""""$q":${math.round(t * 1000) / 1000.0}""" }
+      println(s"""[skew] {"factor":$k,"variant":"msat","docs":${maxId * k},${(mqs ++ msatCounts).mkString(",")}}""")
     }
     spark.stop()
   }

@@ -378,4 +378,45 @@ class StreamingSpec extends SparkTestBase {
       }.toMap
     assert(streamed == batch)
   }
+
+  test("streaming corpus-prepare twin matches batch q96 row-for-row on the shared fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Corpus
+    val docsDf = Tables.documentsWide(spark, sfDir)
+    // the FROZEN boilerplate artifact: the batch relation, collected —
+    // the offline-train/online-serve split the twin's contract names
+    val boiler = Corpus.frozenBoiler(docsDf)
+    assert(boiler.nonEmpty, "fixture has no boilerplate — strip untestable")
+    val feed = docsDf.select("doc_id", "source", "text").collect().map(r =>
+      Streams.CorpusDoc(r.getLong(0), ts("2024-01-01 00:00:00"), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[Streams.CorpusDoc]
+    val query = Streams.corpusPrepare(mem.toDS(), boiler)
+      .writeStream.format("memory").queryName("corpus_prep")
+      .outputMode("append").start()
+    mem.addData(feed.toIndexedSeq: _*)
+    query.processAllAvailable()
+    def rows(t: String) = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4),
+        if (r.isNullAt(5)) None else Some(r.getInt(5))))
+    val streamed = rows("corpus_prep").toSet
+    // batch q96 minus `pos` — the corpus-total rank is the batch
+    // finalization the twin deliberately omits; shard must agree
+    val batch = SparkEntry.queries("q96_corpus_prepare")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4),
+        if (r.isNullAt(5)) None else Some(r.getInt(5)))).toSet
+    assert(streamed == batch, {
+      val extra = streamed -- batch; val missing = batch -- streamed
+      s"stream/batch divergence\n extra: ${extra.take(5)}\n missing: ${missing.take(5)}"
+    })
+    // cross-batch dedup state: replay a kept doc in a LATER micro-batch
+    // within the horizon — it must come back exact_dup, not kept
+    val keptDoc = rows("corpus_prep").filter(_._5 == "kept").map(_._1).min
+    val replay = feed.find(_.doc_id == keptDoc).get
+    mem.addData(replay.copy(ts = ts("2024-01-01 06:00:00")))
+    query.processAllAvailable()
+    val replayed = rows("corpus_prep").filter(r => r._1 == keptDoc).map(_._5).toSeq.sorted
+    query.stop()
+    assert(replayed == Seq("exact_dup", "kept"),
+      s"replayed kept doc $keptDoc verdicts: $replayed")
+  }
 }
