@@ -166,9 +166,13 @@ object Corpus extends QueryModule {
   // Determinism: idf/score are doubles with ln — each engine evaluates
   // the IDENTICAL expression tree on identical integer inputs, ranks
   // with a doc_id tiebreak, and the emitted score is rounded to 4
-  // decimals (the catalog's order-sensitive-float rule); ranks cannot
-  // drift because mathematically-equal scores compute equal within each
-  // engine and unequal scores differ by far more than one ulp.
+  // decimals (the catalog's order-sensitive-float rule). One honest
+  // caveat: the per-(qid, doc) SUM accumulates IEEE doubles in a
+  // partition-dependent order, so an input landing within an ulp of a
+  // rounding/tie boundary could in principle flip — the error is
+  // bounded by the ≤5 terms per query (few-ulp worst case), far from
+  // any boundary on this data; if the gate ever flakes here, sum in a
+  // forced canonical term order or compare with a tolerance.
   private val Bm25K1Num = 12 // k1 = 1.2
   private val Bm25BNum = 3   // b = 0.75 (as 3/4)
   private val Bm25TopK = 5
