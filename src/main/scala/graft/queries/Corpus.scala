@@ -105,9 +105,12 @@ object Corpus extends QueryModule {
     boilerOf(segmented(docs)).select("source", "skey").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
 
-  private[graft] def strippedDocs(docs: DataFrame): DataFrame = {
-    val segs = segmented(docs)
-    segs.join(boilerOf(segs), Seq("source", "skey"), "left")
+  /** Mark + reassemble against a GIVEN boilerplate relation — the form
+    * the incremental intake serves (q102 strips a day's shard against
+    * the FROZEN artifact generation, never recomputing df over the
+    * corpus). `boiler` needs (source, skey, df). */
+  private[graft] def strippedAgainst(segs: DataFrame, boiler: DataFrame): DataFrame =
+    segs.join(boiler.select("source", "skey", "df"), Seq("source", "skey"), "left")
       .withColumn("kept", col("df").isNull)
       .groupBy("doc_id")
       .agg(
@@ -116,6 +119,10 @@ object Corpus extends QueryModule {
         expr(
           "array_join(transform(filter(array_sort(collect_list(struct(seg_id, kept, seg))), x -> x.kept), x -> x.seg), ' ')")
           .as("clean_text"))
+
+  private[graft] def strippedDocs(docs: DataFrame): DataFrame = {
+    val segs = segmented(docs)
+    strippedAgainst(segs, boilerOf(segs))
   }
 
   private def q90(s: SparkSession, dir: String): DataFrame =
@@ -284,7 +291,7 @@ object Corpus extends QueryModule {
     * (survivors only): every input row gains (shard, pos) — shard from
     * the md5 key's low 4 bits, pos via the two-phase prefix sum over
     * the key's high-6-bit range buckets. Pass-through columns survive. */
-  private def shardPositions(docs: DataFrame): DataFrame = {
+  private[graft] def shardPositions(docs: DataFrame): DataFrame = {
     val keyed = docs
       .withColumn("key",
         conv(substring(md5(concat(lit("shard:"), col("doc_id"))), 1, 15), 16, 10)

@@ -874,6 +874,44 @@ class PipelineSpec extends SparkTestBase {
     assert(!out.decode_ok && out.err.contains("oversized"), out.toString)
   }
 
+  test("checked decoders never throw on arbitrary bytes (fuzz, incl. cross-container confusion)") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    val rnd = new scala.util.Random(42) // deterministic fuzz corpus
+    val junk = (0 until 60).map { i =>
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b
+    }
+    val png = Multimodal.encodePng(3L)
+    val wav = Multimodal.encodeWav(4L)
+    val avi = Multimodal.encodeAvi(5L)
+    // truncation ladder per container + the WRONG-modality full
+    // containers (a WAV fed to the image decoder must flag, not throw)
+    val prefixes = Seq(png, wav, avi).flatMap(c =>
+      Seq(1, 4, 12, 20, 40, c.length - 1).map(c.take))
+    val all = (junk ++ prefixes) :+ png :+ wav :+ avi
+    def rows(tp: String) = spark.createDataset(
+      all.zipWithIndex.map { case (b, i) => Multimodal.MediaRow(i.toLong, tp, b) })
+    val img = Multimodal.imageAHashesChecked(rows("image")).collect()
+    val aud = Multimodal.audioEnvelopeHashesChecked(rows("audio")).collect()
+    val vid = Multimodal.videoSignaturesChecked(rows("video")).collect()
+    // every input yields exactly one row — nothing killed a stage
+    assert(img.length == all.size && aud.length == all.size && vid.length == all.size)
+    // the genuine container decodes through its own path...
+    assert(img.find(_.doc_id == all.size - 3).get.decode_ok, "real PNG flagged")
+    assert(aud.find(_.doc_id == all.size - 2).get.decode_ok, "real WAV flagged")
+    assert(vid.find(_.doc_id == all.size - 1).get.decode_ok, "real AVI flagged")
+    // ...random bytes never do (a junk blob passing the PNG/RIFF
+    // signature checks has probability ~2^-64), and wrong-modality
+    // containers flag instead of confusing the decoder
+    val junkIds = junk.indices.map(_.toLong).toSet
+    assert(img.filter(r => junkIds(r.doc_id)).forall(!_.decode_ok))
+    assert(aud.filter(r => junkIds(r.doc_id)).forall(!_.decode_ok))
+    assert(vid.filter(r => junkIds(r.doc_id)).forall(!_.decode_ok))
+    assert(!img.find(_.doc_id == all.size - 2).get.decode_ok, "WAV decoded as image")
+    assert(!vid.find(_.doc_id == all.size - 2).get.decode_ok, "WAV decoded as video")
+    assert(!aud.find(_.doc_id == all.size - 3).get.decode_ok, "PNG decoded as audio")
+  }
+
   test("checked audio decode routes corrupt payloads to the dead letter, not a stage failure") {
     import spark.implicits._
     import graft.functions.Multimodal

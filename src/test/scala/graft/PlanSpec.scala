@@ -183,6 +183,19 @@ class PlanSpec extends SparkTestBase {
         p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
   }
 
+  test("q102 serves from the prepare artifact + staged shard: the corpus is never rescanned") {
+    // the prepare-intake claim: a day's shard is stripped against the
+    // FROZEN segdf artifact and verdicted against the persisted hash
+    // state — a documents scan (or a corpus-wide df re-aggregation)
+    // in the serving plan would re-pay the offline prepare per batch
+    val p = plan(graft.queries.IncrementalPrepare
+      .queries("q102_incremental_prepare")(spark, sfDir))
+    assert(p.contains("prep-"), "plan does not read the prepare artifact")
+    assert(!p.contains("documents.parquet"),
+      "q102 rescans the documents table:\n" +
+        p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
+  }
+
   test("q33 bucket membership is count-pruned and collected with the capped aggregate") {
     // the round-8 shape: a codegen'd count aggregation prunes singleton/
     // over-cap band keys BEFORE any member buffer is built, and the
