@@ -594,6 +594,28 @@ object Multimodal {
     }
   }
 
+  /** Per-payload checked perceptual hash — the STREAMING serving kernel:
+    * the same modality kernels as the checked Dataset decoders, one item
+    * at a time, `Left(reason)` for dead-letter routing instead of a
+    * stage kill. Used by `streaming.Streams.mediaVerdicts`, where the
+    * feed mixes modalities row-by-row and the per-modality Dataset
+    * split would fragment the micro-batch. */
+  def checkedHashOf(mediaType: String, docId: Long, payload: Array[Byte]): Either[String, String] =
+    try mediaType match {
+      case "image" => readImageBounded(payload).map(img => blockMeanBits(img, avgLuma = false))
+      case "audio" =>
+        val (_, samples) = wavSamples(payload, docId)
+        if (samples.length == 0) Left("empty audio stream")
+        else Right(envelopeBits(samples))
+      case "video" =>
+        val (_, frames) = sampledAviFrames(payload, docId, 2)
+        Right(signatureBits(frames, 2)._3)
+      case other => Left(s"unknown media_type: $other")
+    } catch {
+      case e: Exception =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+    }
+
   case class AudioHash(doc_id: Long, n_samples: Int, ehash: String)
 
   /** Energy-envelope hash from DECODED PCM samples — the 1-D analog of

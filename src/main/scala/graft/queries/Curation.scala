@@ -224,6 +224,70 @@ object Curation extends QueryModule {
       |ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q104 — token-budget EPOCH PLAN: the operational step after q53's
+  // mixture weights — given the corpus's per-(lang, source) token
+  // inventory and a total training-token budget, how many tokens (and
+  // therefore how many EPOCHS) does each stratum contribute? The shape
+  // every large-model data plan publishes (The Pile's epochs table,
+  // LLaMA's sampling proportions): τ=1/2 stratum weights, a budget split
+  // proportional to weight, per-stratum epoch counts, and a cap flag
+  // where the plan would cycle a small stratum past MaxEpochs (the
+  // repeated-data degradation bound) — capped strata report the tokens
+  // they actually contribute; redistribution of the shortfall is the
+  // planner's caller's policy, not silently applied here.
+  //
+  // Determinism & scale: ALL allocation arithmetic is int64 — stratum
+  // weight is floor(sqrt(n_tokens)) (IEEE sqrt is correctly rounded, so
+  // floor() agrees across engines), the budget share is
+  // wi * (budget DIV Σwi) (two int ops, no FP sum anywhere — and no
+  // int64 overflow even at 100 TB: budget DIV Σwi caps the factor
+  // before multiplication), epochs in integer milliepochs. Plan cost:
+  // one partial-aggregated pass over documents + a broadcast 1-row
+  // totals attachment — trivially flat at any corpus size.
+  private val MaxEpochs = 4L
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val strata = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("wi", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = strata.select(sum(col("wi")).as("sum_wi"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    strata.crossJoin(broadcast(tot))
+      .withColumn("budget", col("tot_tokens") * 2)
+      .withColumn("weight_ppm", expr("wi * 1000000 DIV sum_wi"))
+      .withColumn("target_tokens", expr("wi * (budget DIV sum_wi)"))
+      .withColumn("epochs_milli", expr("target_tokens * 1000 DIV n_tokens"))
+      .withColumn("capped", col("epochs_milli") > MaxEpochs * 1000L)
+      .withColumn("planned_tokens",
+        least(col("target_tokens"), col("n_tokens") * MaxEpochs))
+      .select("lang", "source", "n_docs", "n_tokens", "weight_ppm",
+        "target_tokens", "epochs_milli", "capped", "planned_tokens")
+      .orderBy("lang", "source")
+  }
+
+  private val q104Sql =
+    s"""WITH strata AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang, source),
+      |w AS (
+      |  SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wi
+      |  FROM strata),
+      |tot AS (
+      |  SELECT CAST(SUM(wi) AS BIGINT) AS sum_wi,
+      |         CAST(SUM(n_tokens) AS BIGINT) * 2 AS budget
+      |  FROM w)
+      |SELECT lang, source, n_docs, n_tokens,
+      |       wi * 1000000 // sum_wi AS weight_ppm,
+      |       wi * (budget // sum_wi) AS target_tokens,
+      |       wi * (budget // sum_wi) * 1000 // n_tokens AS epochs_milli,
+      |       wi * (budget // sum_wi) * 1000 // n_tokens > ${MaxEpochs * 1000L} AS capped,
+      |       LEAST(wi * (budget // sum_wi), n_tokens * $MaxEpochs) AS planned_tokens
+      |FROM w CROSS JOIN tot
+      |ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q76 — TEMPERATURE-WEIGHTED MIXTURE RESAMPLING: q53's τ=1/2 domain
   // weights APPLIED — each document keeps with probability equal to its
   // stratum's weight, via the same deterministic md5-threshold keep as
@@ -738,6 +802,7 @@ object Curation extends QueryModule {
     "q76_mix_resample"      -> (q76 _),
     "q52_stratified_sample" -> (q52 _),
     "q53_domain_mix"        -> (q53 _),
+    "q104_epoch_plan"       -> (q104 _),
     "q54_pii_redact"        -> (q54 _),
     "q60_sequence_packing"  -> (q60 _),
     "q61_doc_chunking"      -> (q61 _),
@@ -756,6 +821,7 @@ object Curation extends QueryModule {
     "q76_mix_resample"      -> q76Sql,
     "q52_stratified_sample" -> q52Sql,
     "q53_domain_mix"        -> q53Sql,
+    "q104_epoch_plan"       -> q104Sql,
     "q54_pii_redact"        -> q54Sql,
     "q60_sequence_packing"  -> q60Sql,
     "q61_doc_chunking"      -> q61Sql,

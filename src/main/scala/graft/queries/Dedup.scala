@@ -852,9 +852,121 @@ object Dedup extends QueryModule {
       |       md5(COALESCE(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_id), '')) AS clean_hash
       |FROM keeper GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q103 — STRIDE-1 duplicate-span profiler (the Lee et al. 2107.06499
+  // ExactSubstr recipe's detection geometry): q66's block-aligned segments
+  // can only see duplication that starts on a SegLen boundary — a copied
+  // passage shifted by one token is invisible to it. Here every token
+  // position opens a WinLen-token sliding window (stride 1); a window
+  // whose content occurs anywhere earlier in the corpus (first occurrence
+  // = lexicographic min (doc_id, pos)) marks its WinLen positions as
+  // duplicated, and the per-document profile reports the UNION of covered
+  // positions merged into maximal spans — coverage, ppm, span count,
+  // longest span. This is the measurement arm of suffix-array dedup: what
+  // fraction of each document is copied text, at arbitrary offsets.
+  //
+  // Scale shape: stride-1 windows are ~n rows/doc (vs n/SegLen for q66) —
+  // the honest cost of arbitrary-offset detection, the same neighbor-scan
+  // blow-up a distributed suffix array pays. The only corpus-sized
+  // shuffle keys on the window's md5-int60 (fixed-width, uniform); first
+  // occurrences come from an AGGREGATE (min(struct), map-side partial —
+  // a viral window key partial-aggregates instead of pinning a window
+  // task; the q99-family agg+join conversion applied from birth). Span
+  // merging is per-document array land: collect_set of duplicate starts
+  // (doc-length-bounded, q66's own buffer class), expand/union/sort with
+  // codegen'd HOFs, one sequential `aggregate` fold for runs — ZERO
+  // WindowExec in the plan; the oracle independently recomputes spans
+  // relationally (islands trick), so the hash gate cross-checks two
+  // formulations of the interval union.
+  private val WinLen = 8
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsWide(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+    val wins = toks.filter(col("n") >= WinLen)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, n - $WinLen)")).as("p0"))
+      .withColumn("pos", col("p0").cast("int"))
+      .withColumn("wkey", conv(substring(md5(concat_ws(" ",
+        slice(col("ts"), col("pos") + 1, lit(WinLen)))), 1, 15), 16, 10).cast("long"))
+      .select("doc_id", "pos", "wkey")
+    val firsts = wins.groupBy("wkey")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dups = wins.join(firsts, "wkey")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select("doc_id", "pos")
+    val perDoc = dups.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_dup_windows"),
+        collect_set(col("pos")).as("starts"))
+      .withColumn("ps", expr(
+        s"array_sort(array_distinct(flatten(transform(starts, st -> sequence(st, st + ${WinLen - 1})))))"))
+      .withColumn("r", expr(
+        """aggregate(ps,
+          |  struct(CAST(-2 AS INT) AS prev, CAST(0 AS INT) AS cur,
+          |         CAST(0 AS INT) AS mx, CAST(0 AS INT) AS ns),
+          |  (acc, x) -> struct(
+          |    CAST(x AS INT) AS prev,
+          |    CAST(IF(x = acc.prev + 1, acc.cur + 1, 1) AS INT) AS cur,
+          |    CAST(GREATEST(acc.mx, IF(x = acc.prev + 1, acc.cur + 1, 1)) AS INT) AS mx,
+          |    CAST(acc.ns + IF(x = acc.prev + 1, 0, 1) AS INT) AS ns),
+          |  acc -> struct(acc.mx AS mx, acc.ns AS ns))""".stripMargin))
+      .select(col("doc_id"), col("n_dup_windows"),
+        size(col("ps")).as("dup_pos"),
+        col("r.ns").as("n_spans"), col("r.mx").as("max_span"))
+    toks.select(col("doc_id"), col("n").cast("int").as("n_toks"),
+        greatest(col("n") - (WinLen - 1), lit(0)).cast("int").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_dup_windows", "dup_pos", "n_spans", "max_span"))
+      .withColumn("dup_ppm", expr("CAST(dup_pos AS BIGINT) * 1000000 DIV n_toks"))
+      .select("doc_id", "n_toks", "n_windows", "n_dup_windows",
+        "dup_pos", "dup_ppm", "n_spans", "max_span")
+      .orderBy("doc_id")
+  }
+
+  private val q103Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts, len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, CAST(p AS INT) AS pos,
+      |         array_to_string(ts[(p + 1):(p + $WinLen)], ' ') AS w
+      |  FROM (SELECT doc_id, ts, unnest(range(0, n - $WinLen + 1)) AS p
+      |        FROM t WHERE n >= $WinLen)),
+      |dups AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, ROW_NUMBER() OVER (
+      |      PARTITION BY CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT)
+      |      ORDER BY doc_id, pos) AS rk
+      |    FROM wins) WHERE rk > 1),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, CAST(pos + u AS INT) AS cp
+      |  FROM (SELECT doc_id, pos, unnest(range(0, $WinLen)) AS u FROM dups)),
+      |islands AS (
+      |  SELECT doc_id, cp,
+      |         cp - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
+      |  FROM covered),
+      |spans AS (SELECT doc_id, grp, COUNT(*) AS c FROM islands GROUP BY 1, 2),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_spans,
+      |         CAST(MAX(c) AS INT) AS max_span, CAST(SUM(c) AS INT) AS dup_pos
+      |  FROM spans GROUP BY 1),
+      |dw AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_dup_windows
+      |       FROM dups GROUP BY 1)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_toks,
+      |       CAST(GREATEST(t.n - ${WinLen - 1}, 0) AS INT) AS n_windows,
+      |       CAST(COALESCE(dw.n_dup_windows, 0) AS INT) AS n_dup_windows,
+      |       CAST(COALESCE(p.dup_pos, 0) AS INT) AS dup_pos,
+      |       CAST(CAST(COALESCE(p.dup_pos, 0) AS BIGINT) * 1000000 // t.n AS BIGINT) AS dup_ppm,
+      |       CAST(COALESCE(p.n_spans, 0) AS INT) AS n_spans,
+      |       CAST(COALESCE(p.max_span, 0) AS INT) AS max_span
+      |FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+      |LEFT JOIN dw ON t.doc_id = dw.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_exact_dedup"        -> (q31 _),
     "q66_span_dedup"         -> (q66 _),
+    "q103_dupspan_profile"   -> (q103 _),
     "q32_ngram_jaccard"      -> (q32 _),
     "q33_minhash_lsh"        -> (q33 _),
     "q34_simhash"            -> (q34 _),
@@ -866,6 +978,7 @@ object Dedup extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "q31_exact_dedup"        -> q31Sql,
     "q66_span_dedup"         -> q66Sql,
+    "q103_dupspan_profile"   -> q103Sql,
     "q32_ngram_jaccard"      -> q32Sql,
     "q33_minhash_lsh"        -> q33Sql,
     "q34_simhash"            -> q34Sql,

@@ -1000,7 +1000,7 @@ object TextPipeline extends QueryModule {
   // Scale shape: the codec is a narrow per-partition map; the only
   // shuffled relation is ONE 64-char hash per image (corpus bytes never
   // shuffle), buckets are capped, verification is per-candidate.
-  private[queries] val AHashHamMax = 6
+  private[graft] val AHashHamMax = 6
   private def q94(s: SparkSession, dir: String): DataFrame =
     Dedup.bandedHammingPairs(
       Multimodal.imageAHashes(Multimodal.synthesizeImages(s, dir)).toDF(),
@@ -1054,7 +1054,7 @@ object TextPipeline extends QueryModule {
   // relationally through the same banding SQL — decode round-trip and
   // dedup semantics certified by one hash gate. Scale shape identical
   // to q94: codec in the narrow map, one 32-char hash per clip shuffles.
-  private[queries] val EnvHamMax = 3
+  private[graft] val EnvHamMax = 3
   private def q95(s: SparkSession, dir: String): DataFrame =
     Dedup.bandedHammingPairs(
       Multimodal.audioEnvelopeHashes(Multimodal.synthesizeAudio(s, dir)).toDF(),

@@ -400,6 +400,115 @@ object Streams {
       .toDF("doc_id", "n_segs", "n_kept", "n_clean_toks", "verdict", "shard")
   }
 
+  case class MediaDoc(doc_id: Long, ts: Timestamp, media_type: String, payload: Array[Byte])
+  case class MediaHash(doc_id: Long, ts: Timestamp, media_type: String, fhash: String)
+  case class MediaVerdictIn(doc_id: Long, ts: Timestamp, media_type: String,
+                            fhash: String, corpus_keeper: Option[Long], near: Boolean)
+
+  /** The q101 media index's band relation grouped for STREAM serving:
+    * (media_type, band, bk) → the bucket's member hashes as one array
+    * column. The artifact's bucket cap bounds every array at
+    * [[graft.queries.Dedup.BucketCap]] elements, so the static side is
+    * one row per band key and the stream join attaches a bounded
+    * payload — no explode, no stream-side aggregation. */
+  def mediaBandBuckets(bands: DataFrame): DataFrame =
+    bands.groupBy("media_type", "band", "bk")
+      .agg(collect_list(col("fhash")).as("members"))
+
+  /** Streaming twin of q101's artifact-served media intake: verdict a
+    * media feed against the FROZEN perceptual-dedup index (the
+    * offline-train/online-serve split of [[bigramScore]] /
+    * [[corpusPrepare]], on the media family). Payloads decode through
+    * the per-item checked kernel ([[graft.functions.Multimodal
+    * .checkedHashOf]] — a corrupt intake blob drops out, never a stage
+    * kill); the corpus-exact probe is ONE stream-static equi-join on
+    * (media_type, fhash); the near-dup probe is EIGHT stream-static
+    * left joins on (media_type, band, bk) against [[mediaBandBuckets]]
+    * — the banding factor expressed as joins instead of an explode, so
+    * each row stays one row end-to-end and no streaming aggregation is
+    * needed; candidates verify in-row with the codegen'd
+    * `graft_hamming` against the ≤cap members array. The only state is
+    * the watermark-bounded first-seen boolean per (media_type, fhash)
+    * for `exact_dup_batch` — q101's ladder exactly:
+    * exact_dup_corpus > exact_dup_batch > neardup_corpus > kept.
+    * Index growth (ingest) stays the batch job's business — the honest
+    * incremental divergence, as with [[corpusPrepare]]'s positions. */
+  def mediaVerdicts(media: Dataset[MediaDoc], exactIdx: DataFrame,
+                    bandBuckets: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    import graft.queries.TextPipeline.{AHashHamMax, EnvHamMax}
+    val horizonMs = BucketHorizonMs
+    val hashes = media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        graft.functions.Multimodal.checkedHashOf(r.media_type, r.doc_id, r.payload)
+          .toOption.map(h => MediaHash(r.doc_id, r.ts, r.media_type, h))
+      }
+    }
+    val ex = exactIdx.select(col("media_type"), col("fhash"),
+      col("keeper").as("corpus_keeper"))
+    val hmaxSql =
+      s"CASE WHEN media_type = 'image' THEN $AHashHamMax " +
+      s"WHEN media_type = 'audio' THEN $EnvHamMax ELSE 0 END"
+    val probed = (0 to 7).foldLeft(
+      hashes.toDF()
+        .join(ex, Seq("media_type", "fhash"), "left")
+        .withColumn("near", lit(false))) { (df, b) =>
+      val bkCol =
+        if (b == 0)
+          when(col("media_type") === "video", col("fhash"))
+            .otherwise(substring(col("fhash"), 1, 8))
+        else if (b < 4)
+          when(col("media_type") === "video", lit(null).cast("string"))
+            .otherwise(substring(col("fhash"), b * 8 + 1, 8))
+        else
+          when(col("media_type") === "image", substring(col("fhash"), b * 8 + 1, 8))
+            .otherwise(lit(null).cast("string"))
+      val bb = bandBuckets.filter(col("band") === b)
+        .select(col("media_type"), col("bk").as(s"bk_$b"),
+          col("members").as(s"members_$b"))
+      df.withColumn(s"bk_$b", bkCol)
+        .join(bb, Seq("media_type", s"bk_$b"), "left")
+        .withColumn("near", col("near") || coalesce(
+          expr(s"exists(members_$b, m -> graft_hamming(m, fhash) <= ($hmaxSql))"),
+          lit(false)))
+        .drop(s"bk_$b", s"members_$b")
+    }
+
+    def verdict(key: (String, String), rows: Iterator[MediaVerdictIn],
+                state: GroupState[java.lang.Boolean]): Iterator[(Long, String, String, Boolean, java.lang.Long)] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var seen = state.getOption.exists(_.booleanValue)
+        var lastTs = Long.MinValue
+        val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
+          lastTs = math.max(lastTs, r.ts.getTime)
+          val v = r.corpus_keeper match {
+            case Some(_) => "exact_dup_corpus"
+            case None if seen => "exact_dup_batch"
+            case None =>
+              seen = true
+              if (r.near) "neardup_corpus" else "kept"
+          }
+          (r.doc_id, r.media_type, v, v == "kept",
+            r.corpus_keeper.map(Long.box).orNull)
+        }
+        state.update(java.lang.Boolean.valueOf(seen))
+        state.setTimeoutTimestamp(
+          math.max(lastTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+        out.iterator
+      }
+    }
+
+    probed
+      .select("doc_id", "ts", "media_type", "fhash", "corpus_keeper", "near")
+      .as[MediaVerdictIn]
+      .withWatermark("ts", "1 day")
+      .groupByKey(r => (r.media_type, r.fhash))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(verdict)
+      .toDF("doc_id", "media_type", "verdict", "keep", "corpus_keeper")
+  }
+
   def bigramScore(docs: Dataset[Doc], model: Map[String, Long]): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.queries.Corpus.{LmHi, LmLo, LmOovBits}

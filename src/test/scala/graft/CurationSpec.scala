@@ -53,6 +53,37 @@ class CurationSpec extends SparkTestBase {
     assert(byTok.map(_.getDouble(4)).toSeq == byTok.map(_.getDouble(4)).sorted.toSeq)
   }
 
+  test("q104 epoch plan recomputes from the raw corpus in pure integer arithmetic") {
+    val got = Curation.queries("q104_epoch_plan")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7), r.getLong(8)))).toMap
+    // driver-side replay, same int64 formulas
+    val docs = Tables.documents(spark, sfDir).select("lang", "source", "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getString(2).split(" ", -1).length.toLong))
+    val strata = docs.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.size.toLong, v.map(_._2).sum))
+    }
+    val wi = strata.map { case (k, (_, nt)) => k -> math.sqrt(nt.toDouble).toLong }
+    val sumWi = wi.values.sum
+    val budget = strata.values.map(_._2).sum * 2
+    strata.foreach { case (k, (nd, nt)) =>
+      val w = wi(k)
+      val target = w * (budget / sumWi)
+      val em = target * 1000 / nt
+      val expect = (nd, nt, w * 1000000 / sumWi, target, em, em > 4000,
+        math.min(target, nt * 4))
+      assert(got(k) == expect, s"stratum $k: got=${got(k)} expect=$expect")
+    }
+    // the plan must be a real plan: budget essentially exhausted across
+    // strata (truncation loses < sum_wi tokens) and at least one
+    // stratum below a full repeat of the budget ratio
+    val targeted = got.values.map(_._4).sum
+    assert(budget - targeted < sumWi,
+      s"allocation underflow: budget=$budget targeted=$targeted")
+    assert(got.values.map(_._3).sum <= 1000000L, "weights over-normalized")
+  }
+
   test("q54 redaction touches only injected rows and scrubs every match") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("orig_hash"))

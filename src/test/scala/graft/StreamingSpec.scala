@@ -419,4 +419,49 @@ class StreamingSpec extends SparkTestBase {
     assert(replayed == Seq("exact_dup", "kept"),
       s"replayed kept doc $keptDoc verdicts: $replayed")
   }
+
+  test("streaming media-verdict twin matches batch q101 row-for-row on the shared index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.IncrementalMediaDedup
+    import graft.functions.Multimodal.MediaRow
+    val idx = IncrementalMediaDedup.buildIndex(spark, sfDir)
+    val shardP = IncrementalMediaDedup.stageShard(spark, sfDir)
+    val shard = spark.read.parquet(s"$shardP/media").as[MediaRow]
+    val batch = IncrementalMediaDedup.verdictsAgainst(spark, shard, idx).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+
+    // the FROZEN index relations, exactly as the artifact persists them
+    val exact = spark.read.parquet(s"$idx/exact")
+    val buckets = Streams.mediaBandBuckets(spark.read.parquet(s"$idx/bands"))
+    val feed = shard.collect().map(m =>
+      Streams.MediaDoc(m.doc_id, ts("2024-01-01 00:00:00"), m.media_type, m.payload))
+    val mem = MemoryStream[Streams.MediaDoc]
+    val query = Streams.mediaVerdicts(mem.toDS(), exact, buckets)
+      .writeStream.format("memory").queryName("media_verd")
+      .outputMode("append").start()
+    mem.addData(feed.toIndexedSeq: _*)
+    query.processAllAvailable()
+    def rows() = spark.table("media_verd").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val streamed = rows().toSet
+    assert(streamed == batch, {
+      val extra = streamed -- batch; val missing = batch -- streamed
+      s"stream/batch divergence\n extra: ${extra.take(5)}\n missing: ${missing.take(5)}"
+    })
+    // the staged mix guarantees all three exact-family verdicts appear
+    val kinds = streamed.map(_._3)
+    assert(Set("kept", "exact_dup_corpus", "exact_dup_batch").subsetOf(kinds),
+      s"staged mix degenerate: $kinds")
+    // cross-batch state: the same payload under a NEW intake id in a
+    // later micro-batch within the horizon must verdict exact_dup_batch
+    val keptId = rows().filter(_._3 == "kept").map(_._1).min
+    val replay = feed.find(_.doc_id == keptId).get
+    mem.addData(replay.copy(doc_id = keptId + 9000000L, ts = ts("2024-01-01 06:00:00")))
+    query.processAllAvailable()
+    val rep = rows().filter(_._1 == keptId + 9000000L).map(_._3).toSeq
+    query.stop()
+    assert(rep == Seq("exact_dup_batch"), s"replayed kept media verdicts: $rep")
+  }
 }

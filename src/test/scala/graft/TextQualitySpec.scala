@@ -66,6 +66,59 @@ class TextQualitySpec extends SparkTestBase {
     assert(got.values.exists(v => v._2 < v._1), "no duplicate spans found — operator untested")
   }
 
+  test("q103 dup-span profile matches a sequential sliding-window sweep") {
+    val W = 8
+    val got = SparkEntry.queries("q103_dupspan_profile")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getInt(6), r.getInt(7)))).toMap
+    // one ordered pass in (doc_id, pos) order — the operator's first-
+    // occurrence semantics recomputed sequentially, spans merged by hand
+    val seen = scala.collection.mutable.Set[String]()
+    docs.foreach { case (id, text, _) =>
+      val ts = text.split(" ", -1)
+      val n = ts.length
+      val nWins = math.max(n - W + 1, 0)
+      val dupStarts = (0 until nWins).filter { p =>
+        !seen.add(ts.slice(p, p + W).mkString(" "))
+      }
+      val covered = dupStarts.flatMap(p => p until (p + W)).distinct.sorted
+      val spans = covered.foldLeft(List.empty[(Int, Int)]) { // (start, len), reversed
+        case ((s0, l0) :: rest, x) if x == s0 + l0 => (s0, l0 + 1) :: rest
+        case (acc, x)                              => (x, 1) :: acc
+      }
+      val expect = (n, nWins, dupStarts.size, covered.size,
+        covered.size.toLong * 1000000L / n, spans.size,
+        if (spans.isEmpty) 0 else spans.map(_._2).max)
+      assert(got(id) == expect, s"doc $id: got=${got(id)} expect=$expect")
+    }
+    // the profiler must actually find offset duplication on this corpus,
+    // and some of it must be MERGED spans (adjacent windows overlapping)
+    assert(got.values.exists(_._4 > 0), "no duplicate coverage found — operator untested")
+    assert(got.values.exists(v => v._7 > W), "no merged span longer than one window")
+  }
+
+  test("q103 sees offset-shifted duplication that block-aligned q66 misses") {
+    // a copied passage shifted by 1 token: q66's boundary-aligned segments
+    // hash differently, q103's stride-1 windows still match
+    val passage = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val a = s"$passage alpha beta gamma delta"
+    val b = s"shift $passage epsilon zeta eta theta"
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = Seq((1L, a), (2L, b)).map { case (id, text) =>
+      val ts = text.split(" ", -1); val n = ts.length
+      val dup = (0 to n - 8).count(p => !seen.add(ts.slice(p, p + 8).mkString(" ")))
+      id -> dup
+    }.toMap
+    assert(expect(2L) == 24 - 8 + 1, "fixture: the shifted passage must be fully re-seen")
+    // q66 on the same fixture finds zero duplicate segments (offset 1 ≠ 0 mod 8)
+    val segs = Seq((1L, a), (2L, b)).flatMap { case (id, t) =>
+      t.split(" ", -1).grouped(8).map(g => (id, g.mkString(" ")))
+    }
+    val segSeen = scala.collection.mutable.Set[String]()
+    val q66Dups = segs.count { case (_, s) => !segSeen.add(s) }
+    assert(q66Dups == 0, "fixture defeated: block alignment accidentally matched")
+  }
+
   test("q69 vocabulary coverage reaches exactly 1.0 and counts every corpus token") {
     val rows = SparkEntry.queries("q69_vocab_coverage")(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
