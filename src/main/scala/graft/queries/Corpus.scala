@@ -816,6 +816,82 @@ object Corpus extends QueryModule {
       |       CAST((1000000 * SUM(CASE WHEN n_toks < $CardShortToks THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS short_ppm
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q106 — CORPUS SNAPSHOT CHURN DIFF: the generation-to-generation
+  // delta report a dataset release process publishes — given two corpus
+  // snapshots, classify every document as added / removed / changed /
+  // unchanged and roll the churn up per source in integer ppm. The two
+  // generations are derived deterministically from the documents table
+  // (a 1-in-20 md5 draw removes docs from gen A, a disjoint 1-in-20
+  // draw removes from gen B, a third draw simulates a re-crawl content
+  // edit), so the oracle replays the exact same synthetic delta; in
+  // production the two sides are two parquet snapshot paths and the
+  // plan is unchanged.
+  //
+  // Scale: each side reduces to (doc_id, source, content-md5) BEFORE
+  // the diff join — only fixed-width hashes and ids ever shuffle, never
+  // document bytes (the 100 TB contract: the diff of two 50 TB
+  // snapshots moves two id+hash relations). The full-outer join is
+  // doc_id-uniform; the rollup is a partial-aggregated source-sized
+  // relation. Status comes from hash comparison, so a re-crawled doc
+  // with byte-identical content correctly reports unchanged.
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("h20", conv(substring(md5(concat(lit("gen:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 20L)
+    val genA = base.filter(col("h20") =!= 0L)
+      .select(col("doc_id"), col("source").as("src_a"), md5(col("text")).as("ha"))
+    val genB = base.filter(col("h20") =!= 1L)
+      .select(col("doc_id"), col("source").as("src_b"),
+        md5(when(col("h20") === 2L, concat(col("text"), lit(" u")))
+          .otherwise(col("text"))).as("hb"))
+    genA.join(genB, Seq("doc_id"), "full_outer")
+      .withColumn("source", coalesce(col("src_a"), col("src_b")))
+      .withColumn("status",
+        when(col("hb").isNull, lit("removed"))
+          .when(col("ha").isNull, lit("added"))
+          .when(col("ha") =!= col("hb"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        count(lit(1)).as("n_union"))
+      .withColumn("churn_ppm",
+        expr("(1000000 * (n_added + n_removed + n_changed)) div n_union"))
+      .select("source", "n_added", "n_removed", "n_changed", "n_unchanged",
+        "n_union", "churn_ppm")
+      .orderBy("source")
+  }
+
+  private val q106Sql =
+    """WITH base AS (
+      |  SELECT doc_id, source, text,
+      |         CAST(('0x' || substring(md5('gen:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 20 AS h20
+      |  FROM documents),
+      |ga AS (SELECT doc_id, source AS src_a, md5(text) AS ha FROM base WHERE h20 != 0),
+      |gb AS (SELECT doc_id, source AS src_b,
+      |              md5(CASE WHEN h20 = 2 THEN text || ' u' ELSE text END) AS hb
+      |       FROM base WHERE h20 != 1),
+      |diff AS (
+      |  SELECT COALESCE(ga.src_a, gb.src_b) AS source,
+      |         CASE WHEN gb.hb IS NULL THEN 'removed'
+      |              WHEN ga.ha IS NULL THEN 'added'
+      |              WHEN ga.ha != gb.hb THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM ga FULL OUTER JOIN gb ON ga.doc_id = gb.doc_id)
+      |SELECT source,
+      |       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+      |       COUNT(*) AS n_union,
+      |       (1000000 * CAST(SUM(CASE WHEN status != 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS churn_ppm
+      |FROM diff GROUP BY source ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_boilerplate_strip" -> (q90 _),
     "q91_bm25_topk"         -> (q91 _),
@@ -825,6 +901,7 @@ object Corpus extends QueryModule {
     "q98_shard_rebalance"   -> (q98 _),
     "q99_dataset_card"      -> (q99 _),
     "q100_multimodal_prepare" -> (q100 _),
+    "q106_snapshot_churn"   -> (q106 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -836,5 +913,6 @@ object Corpus extends QueryModule {
     "q98_shard_rebalance"   -> q98Sql,
     "q99_dataset_card"      -> q99Sql,
     "q100_multimodal_prepare" -> q100Sql,
+    "q106_snapshot_churn"   -> q106Sql,
   )
 }

@@ -288,6 +288,86 @@ object Curation extends QueryModule {
       |ORDER BY lang, source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q105 — EPOCH PLAN MATERIALIZATION: q104's per-stratum epoch counts
+  // expanded into the per-copy relation a training data loader actually
+  // consumes — one row per (document, epoch copy), each copy assigned a
+  // deterministic shard. A stratum planned at e.g. 2.4 epochs
+  // contributes every document twice (epoch_idx 0, 1) plus a
+  // deterministic 40 % top-up draw (epoch_idx 2): the fractional epoch
+  // is a PER-DOCUMENT md5-threshold keep salted by the epoch index, so
+  // the top-up subset is stable across runs and clusters, and different
+  // epochs of the same stratum sample DIFFERENT subsets (the draw key
+  // is (doc, epoch), not (doc)). Shards come from an epoch-salted md5
+  // too, so each epoch's copies land in a fresh permutation — the
+  // "reshuffle every epoch" training contract — without any global sort.
+  //
+  // Determinism & scale: the plan relation (one row per stratum) reuses
+  // q104's all-int64 arithmetic and BROADCASTS; the expansion is a
+  // narrow explode bounded by MaxEpochs+1 copies per doc — no shuffle
+  // anywhere except the stratum aggregation itself (partial-aggregated,
+  // stratum-count-sized output). The fractional threshold is
+  // frac_milli · (2⁶⁰ div 1000) — pure integer compare against the
+  // 60-bit md5 draw, bit-identical on any engine and partitioning.
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val strata = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy("lang", "source")
+      .agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("wi", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = strata.select(sum(col("wi")).as("sum_wi"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    val plan = strata.crossJoin(broadcast(tot))
+      .withColumn("budget", col("tot_tokens") * 2)
+      .withColumn("em", least(
+        expr("wi * (budget DIV sum_wi) * 1000 DIV n_tokens"),
+        lit(MaxEpochs * 1000L)))
+      .select("lang", "source", "em")
+    Tables.documents(s, dir).select("doc_id", "lang", "source")
+      .join(broadcast(plan), Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"), col("em"),
+        explode(expr("sequence(0, em div 1000)")).as("epoch_idx"))
+      .withColumn("u", conv(substring(md5(concat(lit("ep:"),
+        col("doc_id").cast("string"), lit(":"),
+        col("epoch_idx").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .filter(col("epoch_idx") < expr("em div 1000") ||
+        col("u") < (col("em") % 1000L) * lit(1152921504606846L))
+      .withColumn("shard", conv(substring(md5(concat(lit("sh:"),
+        col("doc_id").cast("string"), lit(":"),
+        col("epoch_idx").cast("string"))), 1, 15), 16, 10).cast("long") % 16L)
+      .select("doc_id", "lang", "source", "epoch_idx", "shard")
+      .orderBy("doc_id", "epoch_idx")
+  }
+
+  private val q105Sql =
+    s"""WITH strata AS (
+      |  SELECT lang, source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang, source),
+      |w AS (
+      |  SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wi
+      |  FROM strata),
+      |tot AS (
+      |  SELECT CAST(SUM(wi) AS BIGINT) AS sum_wi,
+      |         CAST(SUM(n_tokens) AS BIGINT) * 2 AS budget
+      |  FROM w),
+      |plan AS (
+      |  SELECT lang, source,
+      |         LEAST(wi * (budget // sum_wi) * 1000 // n_tokens, ${MaxEpochs * 1000L}) AS em
+      |  FROM w CROSS JOIN tot),
+      |copies AS (
+      |  SELECT d.doc_id, d.lang, d.source, p.em, e.epoch_idx
+      |  FROM documents d
+      |  JOIN plan p ON d.lang = p.lang AND d.source = p.source
+      |  JOIN (SELECT unnest(range(0, ${MaxEpochs + 1})) AS epoch_idx) e
+      |    ON e.epoch_idx <= p.em // 1000)
+      |SELECT doc_id, lang, source, epoch_idx,
+      |       CAST(('0x' || substring(md5('sh:' || doc_id::VARCHAR || ':' || epoch_idx::VARCHAR), 1, 15)) AS BIGINT) % 16 AS shard
+      |FROM copies
+      |WHERE epoch_idx < em // 1000
+      |   OR CAST(('0x' || substring(md5('ep:' || doc_id::VARCHAR || ':' || epoch_idx::VARCHAR), 1, 15)) AS BIGINT)
+      |        < (em % 1000) * 1152921504606846
+      |ORDER BY doc_id, epoch_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q76 — TEMPERATURE-WEIGHTED MIXTURE RESAMPLING: q53's τ=1/2 domain
   // weights APPLIED — each document keeps with probability equal to its
   // stratum's weight, via the same deterministic md5-threshold keep as
@@ -803,6 +883,7 @@ object Curation extends QueryModule {
     "q52_stratified_sample" -> (q52 _),
     "q53_domain_mix"        -> (q53 _),
     "q104_epoch_plan"       -> (q104 _),
+    "q105_epoch_materialize" -> (q105 _),
     "q54_pii_redact"        -> (q54 _),
     "q60_sequence_packing"  -> (q60 _),
     "q61_doc_chunking"      -> (q61 _),
@@ -822,6 +903,7 @@ object Curation extends QueryModule {
     "q52_stratified_sample" -> q52Sql,
     "q53_domain_mix"        -> q53Sql,
     "q104_epoch_plan"       -> q104Sql,
+    "q105_epoch_materialize" -> q105Sql,
     "q54_pii_redact"        -> q54Sql,
     "q60_sequence_packing"  -> q60Sql,
     "q61_doc_chunking"      -> q61Sql,

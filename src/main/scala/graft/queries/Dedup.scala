@@ -963,6 +963,91 @@ object Dedup extends QueryModule {
       |LEFT JOIN dw ON t.doc_id = dw.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q107 — NEAR-DUP THRESHOLD CALIBRATION CURVE: the sweep a data
+  // engineer runs BEFORE committing a dedup threshold — for every
+  // Hamming radius t, how many candidate pairs fire, how many documents
+  // would drop (min-doc_id-canonical: a doc drops once any
+  // smaller-id neighbor sits within t), and what fraction of the corpus
+  // that is (integer ppm). One detector pass produces the whole curve:
+  // pairs are materialized ONCE at the widest radius (4×8-bit simhash
+  // bands — pigeonhole-complete at Hamming ≤ 3, the same capped-bucket
+  // discipline as q35, so the curve calibrates the PRODUCTION detector
+  // including its cap, not an idealized all-pairs sweep), then each
+  // pair/doc contributes to every t ≥ its distance via a bounded
+  // explode — never re-running the detector per threshold.
+  //
+  // Scale: the only corpus-sized work is q35's banding machinery
+  // (capped buckets, codegen'd graft_hamming); the curve itself
+  // aggregates the pair relation into ≤ 4 rows with map-side partials.
+  // The pair relation is cached between its two consumers (pair curve +
+  // per-doc minimum) — one detector pass, two tiny aggregations.
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Caches.track(
+      bandedHammingPairs(simhashDf(s, dir), "simhash",
+        nBands = 4, bandBits = 8, hamMax = 3))
+    val ts = s.range(0, 4).select(col("id").as("t"))
+    val pairCurve = pairs
+      .select(explode(expr("sequence(CAST(hamming AS BIGINT), 3L)")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val docCurve = pairs.groupBy(col("d2").as("doc_id"))
+      .agg(min(col("hamming")).as("dmin"))
+      .select(explode(expr("sequence(CAST(dmin AS BIGINT), 3L)")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_docs_dropped"))
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_total"))
+    ts.join(pairCurve, Seq("t"), "left")
+      .join(docCurve, Seq("t"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("n_docs_dropped", coalesce(col("n_docs_dropped"), lit(0L)))
+      .withColumn("drop_ppm", expr("(1000000 * n_docs_dropped) div n_total"))
+      .select("t", "n_pairs", "n_docs_dropped", "drop_ppm")
+      .orderBy("t")
+  }
+
+  private val q107Sql =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |         ((strpos('0123456789abcdef', substring(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1)
+      |            // [8, 4, 2, 1][(b % 4) + 1]) % 2 AS bit
+      |  FROM toks CROSS JOIN (SELECT unnest(range(32)) AS b)),
+      |sgns AS (SELECT doc_id, b, SUM(bit * 2 - 1) AS sgn FROM bits GROUP BY doc_id, b),
+      |sh AS (
+      |  SELECT doc_id, string_agg(CASE WHEN sgn >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      |  FROM sgns GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, simhash, b AS band, substring(simhash, b * 8 + 1, 8) AS bk
+      |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b)),
+      |bsz AS (SELECT band, bk, COUNT(*) AS c FROM bands GROUP BY band, bk),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      |  JOIN bsz k ON k.band = a.band AND k.bk = a.bk
+      |  WHERE k.c <= $BucketCap),
+      |ham AS (
+      |  SELECT d1, d2,
+      |         len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 33)], x -> x)) AS hamming
+      |  FROM cand),
+      |pairs AS (SELECT * FROM ham WHERE hamming <= 3),
+      |pc AS (
+      |  SELECT t, COUNT(*) AS n_pairs
+      |  FROM (SELECT unnest(range(hamming, 4)) AS t FROM pairs) GROUP BY t),
+      |dm AS (SELECT d2 AS doc_id, MIN(hamming) AS dmin FROM pairs GROUP BY d2),
+      |dc AS (
+      |  SELECT t, COUNT(*) AS n_docs_dropped
+      |  FROM (SELECT unnest(range(dmin, 4)) AS t FROM dm) GROUP BY t),
+      |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+      |SELECT ts.t,
+      |       CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |       CAST(COALESCE(dc.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped,
+      |       (1000000 * CAST(COALESCE(dc.n_docs_dropped, 0) AS BIGINT)) // tot.n_total AS drop_ppm
+      |FROM (SELECT unnest(range(0, 4)) AS t) ts
+      |LEFT JOIN pc ON ts.t = pc.t
+      |LEFT JOIN dc ON ts.t = dc.t
+      |CROSS JOIN tot
+      |ORDER BY ts.t""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_exact_dedup"        -> (q31 _),
     "q66_span_dedup"         -> (q66 _),
@@ -971,6 +1056,7 @@ object Dedup extends QueryModule {
     "q33_minhash_lsh"        -> (q33 _),
     "q34_simhash"            -> (q34 _),
     "q35_simhash_pairs"      -> (q35 _),
+    "q107_threshold_curve"   -> (q107 _),
     "q44_corpus_filter"      -> (q44 _),
     "q46_neardup_components" -> (q46 _),
   )
@@ -983,6 +1069,7 @@ object Dedup extends QueryModule {
     "q33_minhash_lsh"        -> q33Sql,
     "q34_simhash"            -> q34Sql,
     "q35_simhash_pairs"      -> q35Sql,
+    "q107_threshold_curve"   -> q107Sql,
     "q44_corpus_filter"      -> q44Sql,
     "q46_neardup_components" -> q46Sql,
   )

@@ -1229,8 +1229,57 @@ object TextPipeline extends QueryModule {
       |SELECT rank, token, freq, est, est - freq AS overcount
       |FROM ranked WHERE rank <= $CmsTopK ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q108 — TOKENIZER FERTILITY REPORT: the per-language tokenizer-eval
+  // artifact (fertility = subword tokens per whitespace word; chars per
+  // subword token) — the number every multilingual-tokenizer paper
+  // tables, because a language with high fertility pays more sequence
+  // positions per word and is effectively down-weighted at a fixed
+  // token budget. Uses the catalog's q30 tokenizers unchanged (the
+  // whitespace split and the BPE-ish `[a-z]+|[0-9]+|[^a-z0-9 ]` regex)
+  // so the report audits exactly what the pipeline counts elsewhere.
+  // Ratios are integer milli (1000·a div b) — no FP in hash-compared
+  // columns.
+  //
+  // Scale: one narrow codegen'd map (two tokenizer counts + length per
+  // doc) into a partial-aggregated per-lang rollup — the shuffle is
+  // lang-count-sized regardless of corpus size.
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("bpe"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("nc")).as("n_chars"))
+      .withColumn("fertility_milli", expr("(1000 * bpe_tokens) div ws_tokens"))
+      .withColumn("chars_per_tok_milli", expr("(1000 * n_chars) div bpe_tokens"))
+      .select("lang", "n_docs", "ws_tokens", "bpe_tokens", "n_chars",
+        "fertility_milli", "chars_per_tok_milli")
+      .orderBy("lang")
+
+  private val q108Sql =
+    """WITH d AS (
+      |  SELECT lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+      |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe,
+      |         CAST(length(text) AS BIGINT) AS nc
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+      |       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+      |       CAST(SUM(nc) AS BIGINT) AS n_chars,
+      |       (1000 * CAST(SUM(bpe) AS BIGINT)) // CAST(SUM(ws) AS BIGINT) AS fertility_milli,
+      |       (1000 * CAST(SUM(nc) AS BIGINT)) // CAST(SUM(bpe) AS BIGINT) AS chars_per_tok_milli
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats"     -> (q30 _),
+    "q108_tokenizer_fertility" -> (q108 _),
     "q55_repetition"     -> (q55 _),
     "q65_quality_rules"  -> (q65 _),
     "q67_surprisal"      -> (q67 _),
@@ -1255,6 +1304,7 @@ object TextPipeline extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q30_text_stats"     -> q30Sql,
+    "q108_tokenizer_fertility" -> q108Sql,
     "q55_repetition"     -> q55Sql,
     "q65_quality_rules"  -> q65Sql,
     "q67_surprisal"      -> q67Sql,

@@ -236,4 +236,34 @@ class CorpusSpec extends SparkTestBase {
     val millibits = bits.sum * 1000 / bg.length
     assert(got(4L)._1 == millibits, s"doc 4 millibits ${got(4L)._1} != replay $millibits")
   }
+
+  test("q106 churn report equals the per-doc generation-status replay") {
+    val got = SparkEntry.queries("q106_snapshot_churn")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    def u60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    // replay: h20 decides each doc's fate — 0 absent from gen A (added),
+    // 1 absent from gen B (removed), 2 re-crawled with edited content
+    // (changed), else byte-identical (unchanged)
+    def status(id: Long): String = (u60(s"gen:$id") % 20) match {
+      case 0 => "added"
+      case 1 => "removed"
+      case 2 => "changed"
+      case _ => "unchanged"
+    }
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.groupBy(_._2).foreach { case (src, v) =>
+      val st = v.map(d => status(d._1))
+      val expect = (st.count(_ == "added").toLong, st.count(_ == "removed").toLong,
+        st.count(_ == "changed").toLong, st.count(_ == "unchanged").toLong,
+        st.size.toLong, 1000000L * st.count(_ != "unchanged") / st.size)
+      assert(got(src) == expect, s"source $src: got=${got(src)} expect=$expect")
+    }
+    // the synthetic delta must exercise every status class somewhere
+    assert(got.values.map(_._1).sum > 0 && got.values.map(_._2).sum > 0 &&
+      got.values.map(_._3).sum > 0 && got.values.map(_._4).sum > 0)
+  }
 }

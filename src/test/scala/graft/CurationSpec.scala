@@ -276,4 +276,46 @@ class CurationSpec extends SparkTestBase {
         s"all-singleton doc must score the prior: ${out(20L)}")
     } finally graft.Caches.release()
   }
+
+  test("q105 materialization expands the q104 plan with the deterministic fractional draw") {
+    val got = Curation.queries("q105_epoch_materialize")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(4)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def u60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    // driver-side replay of the q104 plan arithmetic + per-copy draws
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)),
+        r.getString(3).split(" ", -1).length.toLong))
+    val strata = docs.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val wi = strata.map { case (k, nt) => k -> math.sqrt(nt.toDouble).toLong }
+    val sumWi = wi.values.sum
+    val budget = strata.values.sum * 2
+    val em = strata.map { case (k, nt) =>
+      k -> math.min(wi(k) * (budget / sumWi) * 1000 / nt, 4000L) }
+    val expect = docs.flatMap { case (id, k, _) =>
+      val e = em(k); val full = e / 1000; val frac = e % 1000
+      (0L to full).flatMap { i =>
+        val keep = i < full || u60(s"ep:$id:$i") < frac * 1152921504606846L
+        if (keep) Some((id, i) -> u60(s"sh:$id:$i") % 16) else None
+      }
+    }.toMap
+    assert(got == expect, s"got ${got.size} copies, expect ${expect.size}")
+    // the materialization must actually exercise both branches: full
+    // epochs for every doc of a multi-epoch stratum, and a proper-subset
+    // fractional top-up somewhere in the plan
+    assert(em.values.exists(_ >= 1000), "no stratum earns a full epoch")
+    val fracStrata = em.filter { case (_, e) => e % 1000 != 0 }
+    assert(fracStrata.nonEmpty, "no stratum has a fractional epoch")
+    // the fractional draw is a proper subset globally (a small stratum
+    // with a high fraction may legitimately keep all of its docs)
+    val (topup, eligible) = fracStrata.toSeq.map { case (k, e) =>
+      val ids = docs.filter(_._2 == k).map(_._1)
+      (ids.count(id => got.contains((id, e / 1000))), ids.length)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(topup > 0 && topup < eligible,
+      s"fractional draw degenerate: $topup of $eligible kept")
+  }
 }

@@ -233,4 +233,52 @@ class TextQualitySpec extends SparkTestBase {
     val maxTok = freq.maxBy { case (t, f) => (f, t) }
     assert(rows.head._4 >= maxTok._2, "rank-1 estimate below the true maximum")
   }
+
+  test("q107 calibration curve equals a plain-Scala replay of the capped detector") {
+    val sh = SparkEntry.queries("q34_simhash")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // replay the 4×8 banding with the production bucket cap (64): a
+    // bucket over cap drops whole, in-bucket pairs dedup across bands
+    val pairs = sh.flatMap { case (id, h) =>
+      (0 until 4).map(b => ((b, h.substring(b * 8, b * 8 + 8))) -> ((id, h))) }
+      .groupBy(_._1).values
+      .map(_.map(_._2).sortBy(_._1))
+      .filter(v => v.size >= 2 && v.size <= 64)
+      .flatMap(mem => for { i <- mem.indices; j <- (i + 1) until mem.size }
+        yield (mem(i)._1, mem(j)._1, mem(i)._2, mem(j)._2))
+      .toSet[(Long, Long, String, String)]
+      .map { case (a, b, ha, hb) =>
+        (a, b, ha.zip(hb).count { case (x, y) => x != y }) }
+      .filter(_._3 <= 3)
+    val nPairs = (0 to 3).map(t => pairs.count(_._3 <= t).toLong)
+    val dmin = pairs.groupBy(_._2).map { case (d, v) => d -> v.map(_._3).min }
+    val nDrop = (0 to 3).map(t => dmin.count(_._2 <= t).toLong)
+    val got = SparkEntry.queries("q107_threshold_curve")(spark, sfDir).collect()
+      .map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    (0 to 3).foreach { t =>
+      val expect = (nPairs(t), nDrop(t), 1000000L * nDrop(t) / sh.length)
+      assert(got(t) == expect, s"t=$t: got=${got(t)} expect=$expect")
+    }
+    // the curve is cumulative by construction
+    assert((1 to 3).forall(t => got(t)._1 >= got(t - 1)._1 && got(t)._2 >= got(t - 1)._2))
+  }
+
+  test("q108 fertility report equals per-lang recomputation with the q30 tokenizers") {
+    val got = SparkEntry.queries("q108_tokenizer_fertility")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val re = "[a-z]+|[0-9]+|[^a-z0-9 ]".r
+    val docs = Tables.documents(spark, sfDir).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (lang, v) =>
+      val ws = v.map(_._2.split(" ", -1).length.toLong).sum
+      val bpe = v.map(d => re.findAllIn(d._2).size.toLong).sum
+      val nc = v.map(_._2.length.toLong).sum
+      val expect = (v.size.toLong, ws, bpe, nc, 1000L * bpe / ws, 1000L * nc / bpe)
+      assert(got(lang) == expect, s"lang $lang: got=${got(lang)} expect=$expect")
+    }
+    // subword fertility is ≥ 1 token per word by construction (each
+    // whitespace word yields at least one regex token)
+    assert(got.values.forall(_._5 >= 1000L))
+  }
 }
