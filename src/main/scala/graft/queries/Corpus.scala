@@ -817,6 +817,66 @@ object Corpus extends QueryModule {
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q109 — CURATION FUNNEL LEDGER: the stage-by-stage loss accounting a
+  // dataset release publishes next to the q99 card — for every stage of
+  // q96's prepare chain (empty_after_strip → exact_dup → too_short →
+  // kept), how many documents ended there, how many raw and cleaned
+  // tokens they carried, and what fraction of the corpus that is
+  // (integer ppm). This is the "where did my data go" audit: the strip
+  // stage's token cost is visible as the raw-vs-clean gap, dedup's as
+  // the exact_dup row, and the kept row is exactly what trains.
+  //
+  // Scale: reuses q96's verdict relation unchanged (same plan, no new
+  // corpus pass beyond one narrow raw-token map) and rolls it up into a
+  // ≤4-row relation with map-side partials; corpus totals attach as a
+  // broadcast 1-row cross join. No windows, nothing driver-side.
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val v = q96(s, dir).select("doc_id", "n_clean_toks", "verdict")
+    val raw = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_raw"))
+    val tot = raw.agg(count(lit(1)).as("total_docs"), sum(col("n_raw")).as("total_raw"))
+    v.join(raw, "doc_id")
+      .withColumn("stage_ord",
+        when(col("verdict") === "empty_after_strip", 1)
+          .when(col("verdict") === "exact_dup", 2)
+          .when(col("verdict") === "too_short", 3)
+          .otherwise(4))
+      .groupBy("stage_ord", "verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_raw")).as("n_raw_toks"),
+        sum(col("n_clean_toks").cast("long")).as("n_clean_toks"))
+      .crossJoin(broadcast(tot))
+      .withColumn("doc_ppm", expr("(1000000 * n_docs) div total_docs"))
+      .withColumn("raw_tok_ppm", expr("(1000000 * n_raw_toks) div total_raw"))
+      .select(col("stage_ord"), col("verdict").as("stage"), col("n_docs"),
+        col("n_raw_toks"), col("n_clean_toks"), col("doc_ppm"), col("raw_tok_ppm"))
+      .orderBy("stage_ord")
+  }
+
+  private val q109Sql =
+    s"""WITH v AS ($q96Sql),
+      |raw AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_raw
+      |  FROM documents),
+      |tot AS (
+      |  SELECT COUNT(*) AS total_docs, CAST(SUM(n_raw) AS BIGINT) AS total_raw
+      |  FROM raw),
+      |staged AS (
+      |  SELECT CASE v.verdict WHEN 'empty_after_strip' THEN 1 WHEN 'exact_dup' THEN 2
+      |              WHEN 'too_short' THEN 3 ELSE 4 END AS stage_ord,
+      |         v.verdict AS stage, r.n_raw,
+      |         CAST(v.n_clean_toks AS BIGINT) AS n_clean
+      |  FROM v JOIN raw r ON v.doc_id = r.doc_id)
+      |SELECT stage_ord, stage, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_raw) AS BIGINT) AS n_raw_toks,
+      |       CAST(SUM(n_clean) AS BIGINT) AS n_clean_toks,
+      |       (1000000 * COUNT(*)) // tot.total_docs AS doc_ppm,
+      |       (1000000 * CAST(SUM(n_raw) AS BIGINT)) // tot.total_raw AS raw_tok_ppm
+      |FROM staged CROSS JOIN tot
+      |GROUP BY stage_ord, stage, tot.total_docs, tot.total_raw
+      |ORDER BY stage_ord""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q106 — CORPUS SNAPSHOT CHURN DIFF: the generation-to-generation
   // delta report a dataset release process publishes — given two corpus
   // snapshots, classify every document as added / removed / changed /
@@ -902,6 +962,7 @@ object Corpus extends QueryModule {
     "q99_dataset_card"      -> (q99 _),
     "q100_multimodal_prepare" -> (q100 _),
     "q106_snapshot_churn"   -> (q106 _),
+    "q109_funnel_ledger"    -> (q109 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -914,5 +975,6 @@ object Corpus extends QueryModule {
     "q99_dataset_card"      -> q99Sql,
     "q100_multimodal_prepare" -> q100Sql,
     "q106_snapshot_churn"   -> q106Sql,
+    "q109_funnel_ledger"    -> q109Sql,
   )
 }

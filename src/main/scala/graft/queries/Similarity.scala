@@ -1332,10 +1332,61 @@ object Similarity extends QueryModule {
 
   private val q87Sql = s"WITH ${pqSqlCtesFor(s"NOT ($IncBatchSql)")},\n$adcSqlStack"
 
+  // ---------------------------------------------------------------------
+  // q110 — HARD NEGATIVE MINING: for each query anchor, the top-3 most
+  // similar vectors with a DIFFERENT label — the contrastive-training
+  // mining step (the negatives that look most like the anchor are the
+  // ones worth training against). q38 is its complement (top-k within
+  // the class); together they are the positive/negative pair source a
+  // retrieval-training pipeline feeds from.
+  //
+  // Scale: q36's exact broadcast shape — the 8-anchor set broadcasts as
+  // array columns, one narrow pass over the corpus computes 8 codegen'd
+  // integer dot products per row (graft_dot), the label inequality is a
+  // map-side filter (no join key needed — the anchor set rides the
+  // broadcast), and only the bounded-Q top-k window shuffles. Corpus
+  // bytes never shuffle for candidate generation at any scale.
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsOf(quant(s, dir)).select("vec_id", "label", "qa", "n2")
+    val queries = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("qa").as("qq"), col("n2").as("n2q"))
+    vecs.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), col("label").as("neg_label"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  private val q110Sql =
+    s"""WITH $quantSqlCte,
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, b.label AS neg_label,
+      |         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      |  FROM quant a JOIN quant b ON a.pos = b.pos
+      |    AND a.vec_id < $NumQueries AND a.label != b.label
+      |  GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT d.qid, d.vec_id, d.neg_label,
+      |         CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))) AS cos
+      |  FROM dots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nd ON d.vec_id = nd.vec_id),
+      |ranked AS (
+      |  SELECT qid, vec_id, neg_label, cos,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT qid, vec_id, neg_label, ROUND(cos, 6) AS cosine, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
     "q37_ann_lsh"        -> (q37 _),
     "q38_knn_within_class" -> (q38 _),
+    "q110_hard_negatives"  -> (q110 _),
     "q39_cosine_neardup"   -> (q39 _),
     "q48_ann_ivf"          -> (q48 _),
     "q50_semantic_dedup"   -> (q50 _),
@@ -1354,6 +1405,7 @@ object Similarity extends QueryModule {
     "q36_ann_bruteforce" -> q36Sql,
     "q37_ann_lsh"        -> q37Sql,
     "q38_knn_within_class" -> q38Sql,
+    "q110_hard_negatives"  -> q110Sql,
     "q39_cosine_neardup"   -> q39Sql,
     "q48_ann_ivf"          -> q48Sql,
     "q50_semantic_dedup"   -> q50Sql,

@@ -237,6 +237,31 @@ class CorpusSpec extends SparkTestBase {
     assert(got(4L)._1 == millibits, s"doc 4 millibits ${got(4L)._1} != replay $millibits")
   }
 
+  test("q109 funnel ledger accounts every stage's docs and tokens on the five-verdict fixture") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val longText = (1 to 24).map(i => s"t$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (0L, boiler, "srcA"), (1L, boiler, "srcA"),    // empty_after_strip ×2
+      (2L, longText, "srcB"),                        // kept
+      (3L, longText, "srcC"),                        // exact_dup of 2
+      (4L, "s1 s2 s3 s4 s5", "srcB"),                // too_short
+      (5L, longText + " u1 u2", "srcA")))            // kept
+    val got = SparkEntry.queries("q109_funnel_ledger")(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // totals: 6 docs, 8+8+24+24+5+26 = 95 raw tokens
+    assert(got(1) == (("empty_after_strip", 2L, 16L, 0L,
+      1000000L * 2 / 6, 1000000L * 16 / 95)), s"stage 1: ${got.get(1)}")
+    assert(got(2) == (("exact_dup", 1L, 24L, 24L,
+      1000000L / 6, 1000000L * 24 / 95)), s"stage 2: ${got.get(2)}")
+    assert(got(3) == (("too_short", 1L, 5L, 5L,
+      1000000L / 6, 1000000L * 5 / 95)), s"stage 3: ${got.get(3)}")
+    assert(got(4) == (("kept", 2L, 50L, 50L,
+      1000000L * 2 / 6, 1000000L * 50 / 95)), s"stage 4: ${got.get(4)}")
+    // conservation: every doc and raw token lands in exactly one stage
+    assert(got.values.map(_._2).sum == 6L && got.values.map(_._3).sum == 95L)
+  }
+
   test("q106 churn report equals the per-doc generation-status replay") {
     val got = SparkEntry.queries("q106_snapshot_churn")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

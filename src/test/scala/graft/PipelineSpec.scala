@@ -48,6 +48,34 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("q110 hard negatives are the cross-class brute-force top-3 exactly") {
+    val rows = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray))
+    // replay the catalog's integer quantization + cosine exactly
+    val quant = rows.map { case (id, lab, v) =>
+      (id, lab, v.map(x => math.round(x.toDouble * 1e7))) }
+    val expect = quant.filter(_._1 < 8).flatMap { case (qid, qlab, qv) =>
+      val n2q = math.sqrt(qv.map(x => x * x).sum.toDouble)
+      quant.filter(_._2 != qlab).map { case (id, lab, v) =>
+        val dot = qv.zip(v).map { case (a, b) => a * b }.sum
+        (id, lab, dot.toDouble / (n2q * math.sqrt(v.map(x => x * x).sum.toDouble)))
+      }.sortBy(t => (-t._3, t._1)).take(3)
+        .zipWithIndex.map { case ((id, lab, cos), i) => (qid, i + 1) -> ((id, lab, cos)) }
+    }.toMap
+    val got = Similarity.queries("q110_hard_negatives")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expect.keySet, "anchor/rank key sets differ")
+    val labOf = rows.map(r => r._1 -> r._2).toMap
+    got.foreach { case (k, (id, lab, cos)) =>
+      val (eid, elab, ecos) = expect(k)
+      assert(id == eid && lab == elab && math.abs(cos - ecos) < 1e-6,
+        s"$k: got=($id,$lab,$cos) expect=($eid,$elab,$ecos)")
+      // every mined negative truly crosses the class boundary
+      assert(labOf(k._1) != lab && labOf(id) == lab)
+    }
+  }
+
   test("IVF: probed-cell results agree with brute force and beat random recall") {
     val bf = Similarity.queries("q36_ann_bruteforce")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
