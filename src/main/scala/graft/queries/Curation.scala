@@ -368,6 +368,124 @@ object Curation extends QueryModule {
       |ORDER BY doc_id, epoch_idx""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q111 — N-GRAM NOVELTY AUDIT: per-document memorization/overlap share
+  // against a frozen reference slice — for every candidate document, the
+  // fraction of its distinct 8-grams that already occur anywhere in the
+  // reference (a deterministic 30 % md5 slice standing in for "the
+  // previous release" or "the eval suite corpus"), in integer ppm, with
+  // a low-novelty flag. q51 answers "which train/eval PAIRS leak"; this
+  // answers the per-document question a release audit asks: how much of
+  // this doc is already covered. 8-gram granularity is the ExactSubstr
+  // family's working unit (long enough to be specific, short enough to
+  // catch partial copies).
+  //
+  // Scale: the gram is md5-HASHED INSIDE the explode transform, so the
+  // corpus-sized gram relation carries fixed-width 32-char keys only —
+  // gram text never shuffles. Distinct + join + per-doc agg are all on
+  // the md5-uniform key; no windows, no skew (a boilerplate gram
+  // repeated billions of times dedups map-side in the distinct's
+  // partial aggregation).
+  private val NovN = 8
+  private val NovOverlapPpm = 500000L
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val grams = graft.Caches.track(Tables.documentsWide(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= NovN)
+      .withColumn("is_ref", conv(substring(md5(concat(lit("ref:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 10L < 3)
+      .select(col("doc_id"), col("is_ref"), explode(expr(
+        s"transform(sequence(1, n - ${NovN - 1}), i -> md5(array_join(slice(ts, i, $NovN), ' ')))")).as("g")))
+    val refGrams = grams.filter(col("is_ref")).select("g").distinct()
+      .withColumn("seen", lit(1L))
+    grams.filter(!col("is_ref")).select("doc_id", "g").distinct()
+      .join(refGrams, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .withColumn("novelty_ppm", expr("(1000000 * (n_grams - n_seen)) div n_grams"))
+      .withColumn("flag_overlap", col("novelty_ppm") < NovOverlapPpm)
+      .select("doc_id", "n_grams", "n_seen", "novelty_ppm", "flag_overlap")
+      .orderBy("doc_id")
+  }
+
+  private val q111Sql =
+    s"""WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts, len(string_split(text, ' ')) AS n,
+      |         CAST('0x' || substring(md5('ref:' || doc_id::VARCHAR), 1, 15) AS BIGINT) % 10 < 3 AS is_ref
+      |  FROM documents WHERE len(string_split(text, ' ')) >= $NovN),
+      |grams AS (
+      |  SELECT doc_id, is_ref, md5(array_to_string(ts[i:i + ${NovN - 1}], ' ')) AS g
+      |  FROM (SELECT doc_id, is_ref, ts, unnest(range(1, n - ${NovN - 2})) AS i FROM base)),
+      |refg AS (SELECT DISTINCT g FROM grams WHERE is_ref),
+      |cand AS (SELECT DISTINCT doc_id, g FROM grams WHERE NOT is_ref),
+      |j AS (
+      |  SELECT c.doc_id, CASE WHEN r.g IS NULL THEN 0 ELSE 1 END AS seen
+      |  FROM cand c LEFT JOIN refg r ON c.g = r.g)
+      |SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(seen) AS BIGINT) AS n_seen,
+      |       (1000000 * (COUNT(*) - CAST(SUM(seen) AS BIGINT))) // COUNT(*) AS novelty_ppm,
+      |       (1000000 * (COUNT(*) - CAST(SUM(seen) AS BIGINT))) // COUNT(*) < $NovOverlapPpm AS flag_overlap
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q112 — EXACT STRATIFIED TRAIN/VAL/TEST SPLIT: within every
+  // (lang, source) stratum, docs are ranked by a deterministic md5
+  // permutation and the first n div 10 go to test, the next n div 10 to
+  // val, the rest to train — EXACT per-stratum quotas (the md5-threshold
+  // keeps of q52/q76 hit rates only in expectation; an eval split wants
+  // exact counts). Reproducible on any engine and partitioning.
+  //
+  // Scale: per-stratum rank is a corpus-sized total order, so it uses
+  // the q92 TWO-PHASE prefix sum, never a per-stratum global sort: the
+  // key's high 6 bits form 64 range buckets (bucket order ≡ key order),
+  // bucket offsets are a window over the bounded strata×64 counts
+  // relation, and the within-bucket rank partitions by (stratum,
+  // bucket) — uniform partitions of corpus/64·|strata| rows. The DuckDB
+  // oracle ranks with ONE plain window, cross-checking the two
+  // formulations under the same hash gate.
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir).select("doc_id", "lang", "source")
+      .withColumn("key", conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("bucket", (col("key") / lit(1L << 54)).cast("int"))
+    val counts = keyed.groupBy("lang", "source", "bucket").agg(count(lit(1)).as("c"))
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.partitionBy("lang", "source").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "source", "bucket", "off")
+    val sizes = counts.groupBy("lang", "source").agg(sum(col("c")).as("n"))
+    keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang", "source", "bucket").orderBy("key", "doc_id")))
+      .join(broadcast(offsets), Seq("lang", "source", "bucket"))
+      .join(broadcast(sizes), Seq("lang", "source"))
+      .withColumn("rank", col("off") + col("rn"))
+      .withColumn("split",
+        when(col("rank") <= expr("n div 10"), lit("test"))
+          .when(col("rank") <= expr("2 * (n div 10)"), lit("val"))
+          .otherwise(lit("train")))
+      .select("doc_id", "lang", "source", "rank", "split")
+      .orderBy("doc_id")
+  }
+
+  private val q112Sql =
+    """WITH keyed AS (
+      |  SELECT doc_id, lang, source,
+      |         CAST('0x' || substring(md5('split:' || doc_id::VARCHAR), 1, 15) AS BIGINT) AS key
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, lang, source,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY key, doc_id) AS BIGINT) AS rank,
+      |         COUNT(*) OVER (PARTITION BY lang, source) AS n
+      |  FROM keyed)
+      |SELECT doc_id, lang, source, rank,
+      |       CASE WHEN rank <= n // 10 THEN 'test'
+      |            WHEN rank <= 2 * (n // 10) THEN 'val'
+      |            ELSE 'train' END AS split
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q76 — TEMPERATURE-WEIGHTED MIXTURE RESAMPLING: q53's τ=1/2 domain
   // weights APPLIED — each document keeps with probability equal to its
   // stratum's weight, via the same deterministic md5-threshold keep as
@@ -884,6 +1002,8 @@ object Curation extends QueryModule {
     "q53_domain_mix"        -> (q53 _),
     "q104_epoch_plan"       -> (q104 _),
     "q105_epoch_materialize" -> (q105 _),
+    "q111_novelty_audit"    -> (q111 _),
+    "q112_exact_split"      -> (q112 _),
     "q54_pii_redact"        -> (q54 _),
     "q60_sequence_packing"  -> (q60 _),
     "q61_doc_chunking"      -> (q61 _),
@@ -904,6 +1024,8 @@ object Curation extends QueryModule {
     "q53_domain_mix"        -> q53Sql,
     "q104_epoch_plan"       -> q104Sql,
     "q105_epoch_materialize" -> q105Sql,
+    "q111_novelty_audit"    -> q111Sql,
+    "q112_exact_split"      -> q112Sql,
     "q54_pii_redact"        -> q54Sql,
     "q60_sequence_packing"  -> q60Sql,
     "q61_doc_chunking"      -> q61Sql,

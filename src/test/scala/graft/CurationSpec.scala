@@ -277,6 +277,59 @@ class CurationSpec extends SparkTestBase {
     } finally graft.Caches.release()
   }
 
+  test("q111 novelty audit equals a plain-Scala 8-gram overlap replay") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def u60(x: String): Long = java.lang.Long.parseLong(md5hex(x).take(15), 16)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 8)
+    def grams(ts: Array[String]): Set[String] =
+      (0 to ts.length - 8).map(i => md5hex(ts.slice(i, i + 8).mkString(" "))).toSet
+    val (ref, cand) = docs.partition(d => u60(s"ref:${d._1}") % 10 < 3)
+    val refSet = ref.flatMap(d => grams(d._2)).toSet
+    val got = Curation.queries("q111_novelty_audit")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got.keySet == cand.map(_._1).toSet, "candidate doc set differs")
+    cand.foreach { case (id, ts) =>
+      val g = grams(ts)
+      val seen = g.count(refSet.contains).toLong
+      val nov = 1000000L * (g.size - seen) / g.size
+      assert(got(id) == ((g.size.toLong, seen, nov, nov < 500000L)),
+        s"doc $id: got=${got(id)} expect=(${g.size},$seen,$nov)")
+    }
+    // the audit must find real overlap somewhere (exact dups spanning
+    // the reference boundary exist in the fixture corpus)
+    assert(got.values.exists(_._2 > 0), "no overlapping doc found")
+  }
+
+  test("q112 split fills exact per-stratum quotas and ranks by the md5 permutation") {
+    def u60(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    val got = Curation.queries("q112_exact_split")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)), r.getLong(3), r.getString(4)))
+    // ranks replay the global md5 order within each stratum
+    got.groupBy(_._2).foreach { case (stratum, rows) =>
+      val n = rows.length.toLong
+      val byKey = rows.sortBy(r => (u60(s"split:${r._1}"), r._1))
+      byKey.zipWithIndex.foreach { case (r, i) =>
+        assert(r._3 == i + 1L, s"$stratum doc ${r._1}: rank ${r._3} != ${i + 1}")
+      }
+      // exact quotas: n div 10 test, n div 10 val, remainder train
+      val bySplit = rows.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+      assert(bySplit.getOrElse("test", 0L) == n / 10, s"$stratum test quota")
+      assert(bySplit.getOrElse("val", 0L) == n / 10, s"$stratum val quota")
+      assert(bySplit.getOrElse("train", 0L) == n - 2 * (n / 10), s"$stratum train")
+    }
+    // every stratum with a full quota unit must actually be split
+    val strata = got.groupBy(_._2).values
+    assert(strata.filter(_.length >= 10).forall(_.exists(_._4 == "test")))
+    assert(strata.exists(_.length >= 10), "no stratum large enough to exercise the split")
+  }
+
   test("q105 materialization expands the q104 plan with the deterministic fractional draw") {
     val got = Curation.queries("q105_epoch_materialize")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(4)).toMap
