@@ -486,6 +486,122 @@ object Curation extends QueryModule {
       |FROM ranked ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q113 — SOURCE OVERLAP MATRIX (KMV set sketch + exact audit): for
+  // every pair of sources, how much CONTENT do they share? Measured the
+  // way corpus-overlap studies measure it (the WebText-vs-CommonCrawl
+  // shape): Jaccard between the sources' distinct 8-gram shingle sets
+  // — document-level hashes only see verbatim whole-doc copies; shingle
+  // sets see shared passages. Answered two ways under one hash gate: a
+  // k-minimum-values sketch estimate (the mergeable KMV/theta-sketch
+  // construction: each source's signature is its k smallest distinct
+  // shingle-hash values; the pair's Jaccard estimate is the fraction of
+  // the union's k smallest that both sources hold) and the exact
+  // Jaccard for audit (feasible here; at 100 TB only the sketch path
+  // runs and the signature relation is k·|sources| rows).
+  //
+  // Scale: the k-smallest-per-source selection NEVER sorts a source
+  // partition — a count-prune first (hv < 8k/n · 2⁶⁰, integer
+  // arithmetic; sources under 8k docs keep everything) cuts each
+  // source to ~8k candidate rows, and only that bounded relation sees
+  // the per-source rank window. Signatures are ≤k-element arrays
+  // (bounded collect); the pair matrix is |sources|² and broadcast.
+  // All hashes are md5 — both engines see identical integers, so the
+  // sketch (not just the exact side) is bit-deterministic.
+  private val KmvK = 32
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val hv = graft.Caches.track(Tables.documentsWide(s, dir)
+      .select(col("source"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= NovN)
+      .select(col("source"), explode(expr(
+        s"""transform(sequence(1, n - ${NovN - 1}),
+           |  i -> conv(substring(md5(array_join(slice(ts, i, $NovN), ' ')), 1, 15), 16, 10))""".stripMargin)).as("hs"))
+      .select(col("source"), col("hs").cast("long").as("hv"))
+      .distinct())
+    val counts = hv.groupBy("source").agg(count(lit(1)).as("n"))
+    val pruned = hv.join(broadcast(counts), "source")
+      .filter(col("hv") < when(col("n") <= 8 * KmvK, lit(Long.MaxValue))
+        .otherwise(expr(s"(1152921504606846976L div n) * ${8 * KmvK}")))
+    // tiny (≤k·|sources| rows) but consumed twice by the pair self-join:
+    // cache so the prune + rank subtree runs once
+    val sigs = graft.Caches.track(pruned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("hv")))
+      .filter(col("rk") <= KmvK)
+      .groupBy("source").agg(sort_array(collect_list(col("hv"))).as("sig")))
+    val pairs = sigs.select(col("source").as("s1"), col("sig").as("sig1"))
+      .join(broadcast(sigs.select(col("source").as("s2"), col("sig").as("sig2"))),
+        col("s1") < col("s2"))
+      .withColumn("merged", array_sort(array_union(col("sig1"), col("sig2"))))
+      .withColumn("kk", least(lit(KmvK), size(col("merged"))))
+      .withColumn("top", expr("slice(merged, 1, kk)"))
+      .withColumn("common",
+        size(expr("array_intersect(array_intersect(top, sig1), sig2)")))
+      .withColumn("est_ppm", expr("(1000000 * CAST(common AS BIGINT)) div kk"))
+      .select("s1", "s2", "est_ppm")
+    val inter = hv.select(col("source").as("s1"), col("hv"))
+      .join(hv.select(col("source").as("s2"), col("hv")), "hv")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(counts.select(col("source").as("s2"), col("n").as("n2"))), "s2")
+      .join(inter, Seq("s1", "s2"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("exact_ppm", expr("(1000000 * inter) div (n1 + n2 - inter)"))
+      .select("s1", "s2", "n1", "n2", "inter", "est_ppm", "exact_ppm")
+      .orderBy("s1", "s2")
+  }
+
+  private val q113Sql =
+    s"""WITH hv AS (
+      |  SELECT DISTINCT source,
+      |         CAST('0x' || substring(md5(array_to_string(ts[i:i + ${NovN - 1}], ' ')), 1, 15) AS BIGINT) AS hv
+      |  FROM (SELECT source, ts, unnest(range(1, n - ${NovN - 2})) AS i
+      |        FROM (SELECT source, string_split(text, ' ') AS ts, len(string_split(text, ' ')) AS n
+      |              FROM documents WHERE len(string_split(text, ' ')) >= $NovN))),
+      |counts AS (SELECT source, COUNT(*) AS n FROM hv GROUP BY source),
+      |pruned AS (
+      |  SELECT h.source, h.hv FROM hv h JOIN counts c ON h.source = c.source
+      |  WHERE h.hv < CASE WHEN c.n <= ${8 * KmvK} THEN 9223372036854775807
+      |               ELSE (1152921504606846976 // c.n) * ${8 * KmvK} END),
+      |sig AS (
+      |  SELECT source, hv FROM (
+      |    SELECT source, hv, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rk
+      |    FROM pruned) WHERE rk <= $KmvK),
+      |p AS (
+      |  SELECT a.source AS s1, b.source AS s2
+      |  FROM counts a JOIN counts b ON a.source < b.source),
+      |uni AS (
+      |  SELECT s1, s2, hv,
+      |         ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY hv) AS ur,
+      |         COUNT(*) OVER (PARTITION BY s1, s2) AS un
+      |  FROM (SELECT DISTINCT p.s1, p.s2, g.hv
+      |        FROM p JOIN sig g ON g.source = p.s1 OR g.source = p.s2)),
+      |est AS (
+      |  SELECT u.s1, u.s2,
+      |         (1000000 * CAST(SUM(CASE WHEN ga.hv IS NOT NULL AND gb.hv IS NOT NULL
+      |                                  THEN 1 ELSE 0 END) AS BIGINT))
+      |           // MAX(LEAST($KmvK, u.un)) AS est_ppm
+      |  FROM uni u
+      |  LEFT JOIN sig ga ON ga.source = u.s1 AND ga.hv = u.hv
+      |  LEFT JOIN sig gb ON gb.source = u.s2 AND gb.hv = u.hv
+      |  WHERE u.ur <= LEAST($KmvK, u.un)
+      |  GROUP BY u.s1, u.s2),
+      |inter AS (
+      |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+      |  FROM hv a JOIN hv b ON a.hv = b.hv AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.s1, p.s2, c1.n AS n1, c2.n AS n2,
+      |       COALESCE(i.inter, 0) AS inter, e.est_ppm,
+      |       (1000000 * COALESCE(i.inter, 0)) // (c1.n + c2.n - COALESCE(i.inter, 0)) AS exact_ppm
+      |FROM p JOIN counts c1 ON p.s1 = c1.source
+      |JOIN counts c2 ON p.s2 = c2.source
+      |JOIN est e ON p.s1 = e.s1 AND p.s2 = e.s2
+      |LEFT JOIN inter i ON p.s1 = i.s1 AND p.s2 = i.s2
+      |ORDER BY p.s1, p.s2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q76 — TEMPERATURE-WEIGHTED MIXTURE RESAMPLING: q53's τ=1/2 domain
   // weights APPLIED — each document keeps with probability equal to its
   // stratum's weight, via the same deterministic md5-threshold keep as
@@ -1004,6 +1120,7 @@ object Curation extends QueryModule {
     "q105_epoch_materialize" -> (q105 _),
     "q111_novelty_audit"    -> (q111 _),
     "q112_exact_split"      -> (q112 _),
+    "q113_source_overlap"   -> (q113 _),
     "q54_pii_redact"        -> (q54 _),
     "q60_sequence_packing"  -> (q60 _),
     "q61_doc_chunking"      -> (q61 _),
@@ -1026,6 +1143,7 @@ object Curation extends QueryModule {
     "q105_epoch_materialize" -> q105Sql,
     "q111_novelty_audit"    -> q111Sql,
     "q112_exact_split"      -> q112Sql,
+    "q113_source_overlap"   -> q113Sql,
     "q54_pii_redact"        -> q54Sql,
     "q60_sequence_packing"  -> q60Sql,
     "q61_doc_chunking"      -> q61Sql,

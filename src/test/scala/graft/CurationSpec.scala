@@ -330,6 +330,46 @@ class CurationSpec extends SparkTestBase {
     assert(strata.exists(_.length >= 10), "no stratum large enough to exercise the split")
   }
 
+  test("q113 overlap matrix: exact Jaccard and the KMV sketch both replay; zero-overlap coherence") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def u60(x: String): Long = java.lang.Long.parseLong(md5hex(x).take(15), 16)
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 8)
+    val sets: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (src, v) =>
+      src -> v.flatMap { case (_, ts) =>
+        (0 to ts.length - 8).map(i => u60(ts.slice(i, i + 8).mkString(" "))) }.toSet }
+    def sig(s: Set[Long]): Vector[Long] = {
+      val thresh = if (s.size <= 256) Long.MaxValue
+                   else (1152921504606846976L / s.size) * 256
+      s.filter(_ < thresh).toVector.sorted.take(32)
+    }
+    val sigs = sets.map { case (k, v) => k -> sig(v) }
+    val got = Curation.queries("q113_source_overlap")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val srcs = sets.keys.toSeq.sorted
+    for { i <- srcs.indices; j <- (i + 1) until srcs.size } {
+      val (a, b) = (srcs(i), srcs(j))
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa & sb).size.toLong
+      val exact = 1000000L * inter / (sa.size + sb.size - inter)
+      val uni = (sigs(a) ++ sigs(b)).distinct.sorted
+      val kk = math.min(32, uni.size)
+      val common = uni.take(kk)
+        .count(h => sigs(a).contains(h) && sigs(b).contains(h)).toLong
+      val est = 1000000L * common / kk
+      assert(got((a, b)) == ((sa.size.toLong, sb.size.toLong, inter, est, exact)),
+        s"pair ($a,$b): got=${got((a, b))} expect=(${sa.size},${sb.size},$inter,$est,$exact)")
+    }
+    // the sketch can only testify to overlap that exists, and the
+    // fixture corpus must actually contain some
+    assert(got.values.forall { case (_, _, inter, est, _) => inter > 0 || est == 0 })
+    assert(got.values.exists(_._3 > 0), "no overlapping source pair in the corpus")
+  }
+
   test("q105 materialization expands the q104 plan with the deterministic fractional draw") {
     val got = Curation.queries("q105_epoch_materialize")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(4)).toMap
