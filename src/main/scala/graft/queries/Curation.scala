@@ -385,17 +385,29 @@ object Curation extends QueryModule {
   // the md5-uniform key; no windows, no skew (a boilerplate gram
   // repeated billions of times dedups map-side in the distinct's
   // partial aggregation).
-  private val NovN = 8
-  private val NovOverlapPpm = 500000L
-  private def q111(s: SparkSession, dir: String): DataFrame = {
-    val grams = graft.Caches.track(Tables.documentsWide(s, dir)
+  private[graft] val NovN = 8
+  private[graft] val NovOverlapPpm = 500000L
+
+  /** The novelty audit's gram relation: (doc_id, is_ref, g = gram md5),
+    * one row per 8-gram occurrence, shared by q111 and the streaming
+    * twin's reference-artifact builder. */
+  private[graft] def noveltyGrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsWide(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .withColumn("n", size(col("ts")))
       .filter(col("n") >= NovN)
       .withColumn("is_ref", conv(substring(md5(concat(lit("ref:"),
         col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 10L < 3)
       .select(col("doc_id"), col("is_ref"), explode(expr(
-        s"transform(sequence(1, n - ${NovN - 1}), i -> md5(array_join(slice(ts, i, $NovN), ' ')))")).as("g")))
+        s"transform(sequence(1, n - ${NovN - 1}), i -> md5(array_join(slice(ts, i, $NovN), ' ')))")).as("g"))
+
+  /** The frozen reference-gram artifact the streaming twin serves from:
+    * distinct gram hashes of the reference slice. */
+  private[graft] def referenceGrams(s: SparkSession, dir: String): DataFrame =
+    noveltyGrams(s, dir).filter(col("is_ref")).select("g").distinct()
+
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val grams = graft.Caches.track(noveltyGrams(s, dir))
     val refGrams = grams.filter(col("is_ref")).select("g").distinct()
       .withColumn("seen", lit(1L))
     grams.filter(!col("is_ref")).select("doc_id", "g").distinct()

@@ -739,14 +739,14 @@ object TextPipeline extends QueryModule {
     * rule_mask)` — used by q65 and by Curation q72's composed verdict. */
   private[queries] val rulesSqlCtes =
     """rqt AS (
-      |  SELECT doc_id, n_chars,
+      |  SELECT doc_id, source, n_chars,
       |         string_split(text, ' ') AS ts,
       |         string_split(text, chr(10)) AS ls,
       |         len(string_split(text, ' ')) AS n_words,
       |         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
       |  FROM documents),
       |rqm AS (
-      |  SELECT doc_id, n_words,
+      |  SELECT doc_id, source, n_words,
       |         ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS mean_wlen,
       |         ROUND(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
       |         ROUND(CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(ls), 6) AS bullet_frac,
@@ -755,7 +755,7 @@ object TextPipeline extends QueryModule {
       |         len(list_filter(ts, t -> t IN ('the', 'a', 'is'))) AS n_stop
       |  FROM rqt),
       |rqmask AS (
-      |  SELECT doc_id, n_words, mean_wlen, symbol_ratio, bullet_frac, ellipsis_frac,
+      |  SELECT doc_id, source, n_words, mean_wlen, symbol_ratio, bullet_frac, ellipsis_frac,
       |         alpha_frac, n_stop,
       |         CAST(CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
       |            + CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 2 ELSE 0 END
@@ -1277,9 +1277,50 @@ object TextPipeline extends QueryModule {
       |       (1000 * CAST(SUM(nc) AS BIGINT)) // CAST(SUM(bpe) AS BIGINT) AS chars_per_tok_milli
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q114 — SOURCE QUALITY HEALTH REPORT: the per-source dashboard a
+  // curation team watches release over release — for every source, the
+  // keep rate under the q65 Gopher battery and the failure rate of EACH
+  // rule bit, all in integer ppm. A source whose r_bullet_ppm spikes
+  // shipped a scraper regression; one whose r_stop_ppm dominates is
+  // non-prose. Uses `withQualityRules` UNCHANGED (one shared battery
+  // definition with q65/q72 — the report can never disagree with the
+  // filter about which docs fail which rule).
+  //
+  // Scale: the battery is the same narrow codegen'd map q65 runs; the
+  // rollup is one source-sized partial aggregation. Rates use the
+  // bit-decode (mask div bit) % 2 — integer ops both engines share.
+  private val RuleBits = Seq("words" -> 1, "wlen" -> 2, "symbol" -> 4,
+    "bullet" -> 8, "ellipsis" -> 16, "alpha" -> 32, "stop" -> 64)
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val base = withQualityRules(Tables.documentsWide(s, dir))
+      .select(col("source"), col("rule_mask"))
+    val aggs =
+      expr("(1000000 * sum(CASE WHEN rule_mask = 0 THEN 1 ELSE 0 END)) div count(1)")
+        .as("keep_ppm") +:
+      RuleBits.map { case (nm, bit) =>
+        expr(s"(1000000 * sum(CASE WHEN (rule_mask div $bit) % 2 = 1 THEN 1 ELSE 0 END)) div count(1)")
+          .as(s"r_${nm}_ppm") }
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .orderBy("source")
+  }
+
+  private val q114Sql = {
+    val ruleCols = RuleBits.map { case (nm, bit) =>
+      s"CAST((1000000 * SUM(CASE WHEN (rule_mask // $bit) % 2 = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS r_${nm}_ppm"
+    }.mkString(",\n       ")
+    s"""WITH $rulesSqlCtes
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST((1000000 * SUM(CASE WHEN rule_mask = 0 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS keep_ppm,
+      |       $ruleCols
+      |FROM rqmask GROUP BY source ORDER BY source""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats"     -> (q30 _),
     "q108_tokenizer_fertility" -> (q108 _),
+    "q114_source_health" -> (q114 _),
     "q55_repetition"     -> (q55 _),
     "q65_quality_rules"  -> (q65 _),
     "q67_surprisal"      -> (q67 _),
@@ -1305,6 +1346,7 @@ object TextPipeline extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "q30_text_stats"     -> q30Sql,
     "q108_tokenizer_fertility" -> q108Sql,
+    "q114_source_health" -> q114Sql,
     "q55_repetition"     -> q55Sql,
     "q65_quality_rules"  -> q65Sql,
     "q67_surprisal"      -> q67Sql,

@@ -509,6 +509,42 @@ object Streams {
       .toDF("doc_id", "media_type", "verdict", "keep", "corpus_keeper")
   }
 
+  /** L74's novelty audit (q111) as a stream served from the FROZEN
+    * reference-gram artifact (`Curation.referenceGrams`, in production a
+    * persisted parquet relation — the q101/q102 artifact discipline):
+    * each intake document's distinct 8-gram md5s (hashed in the narrow
+    * flatMap — gram text never leaves the task, the q111 contract) are
+    * probed against the static relation with ONE stream-static left
+    * join, and the per-doc rollup is a watermark-bounded event-time
+    * windowed aggregation (a document's gram rows share its timestamp,
+    * so each doc closes with its window; no cross-batch state beyond
+    * the window store). Verdict columns are bit-identical to q111's. */
+  def noveltyAudit(docs: Dataset[Doc], refGrams: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val novN = graft.queries.Curation.NovN
+    val grams = docs.flatMap { d =>
+      val ts = d.text.split(" ", -1)
+      if (ts.length < novN) Iterator.empty
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 to ts.length - novN).map { i =>
+          md.digest(ts.slice(i, i + novN).mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }.distinct.map(g => (d.doc_id, d.ts, g)).iterator
+      }
+    }.toDF("doc_id", "ts", "g")
+    grams
+      .join(refGrams.select(col("g"), lit(1L).as("seen")), Seq("g"), "left")
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .withColumn("novelty_ppm", expr("(1000000 * (n_grams - n_seen)) div n_grams"))
+      .withColumn("flag_overlap",
+        col("novelty_ppm") < graft.queries.Curation.NovOverlapPpm)
+      .select("doc_id", "n_grams", "n_seen", "novelty_ppm", "flag_overlap")
+  }
+
   def bigramScore(docs: Dataset[Doc], model: Map[String, Long]): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.queries.Corpus.{LmHi, LmLo, LmOovBits}

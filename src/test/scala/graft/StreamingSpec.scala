@@ -464,4 +464,36 @@ class StreamingSpec extends SparkTestBase {
     query.stop()
     assert(rep == Seq("exact_dup_batch"), s"replayed kept media verdicts: $rep")
   }
+
+  test("streaming novelty audit equals batch q111 via the frozen reference artifact") {
+    def u60(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    val ref = graft.queries.Curation.referenceGrams(spark, sfDir)
+    val cand = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => u60(s"ref:$id") % 10 >= 3 }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Doc]
+    val query = Streams.noveltyAudit(mem.toDS(), ref)
+      .writeStream.format("memory").queryName("novelty_stream")
+      .outputMode("append").start()
+    mem.addData(cand.map { case (id, t) =>
+      Streams.Doc(id, ts("2024-01-01 01:00:00"), t) }.toIndexedSeq: _*)
+    query.processAllAvailable()
+    // a later doc (with enough tokens to emit gram rows) advances the
+    // watermark past the first window's end; its own window stays open
+    mem.addData(Streams.Doc(999999L, ts("2024-01-10 00:00:00"),
+      "w w w w w w w w"))
+    query.processAllAvailable()
+    val streamed = spark.table("novelty_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    query.stop()
+    val batch = SparkEntry.queries("q111_novelty_audit")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} rows vs batch ${batch.size}")
+  }
 }

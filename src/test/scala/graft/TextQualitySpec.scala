@@ -234,6 +234,27 @@ class TextQualitySpec extends SparkTestBase {
     assert(rows.head._4 >= maxTok._2, "rank-1 estimate below the true maximum")
   }
 
+  test("q114 source health report aggregates exactly q65's per-doc battery") {
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val masks = SparkEntry.queries("q65_quality_rules")(spark, sfDir).collect()
+      .map(r => srcOf(r.getLong(0)) -> r.getInt(8))
+    val got = SparkEntry.queries("q114_source_health")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        (3 to 9).map(r.getLong).toVector))).toMap
+    masks.groupBy(_._1).foreach { case (src, v) =>
+      val ms = v.map(_._2)
+      val n = ms.length.toLong
+      val keep = 1000000L * ms.count(_ == 0) / n
+      val bits = Vector(1, 2, 4, 8, 16, 32, 64)
+        .map(b => 1000000L * ms.count(m => (m / b) % 2 == 1) / n)
+      assert(got(src) == ((n, keep, bits)),
+        s"source $src: got=${got(src)} expect=($n,$keep,$bits)")
+    }
+    // the report must show real differentiation somewhere (not all-keep)
+    assert(got.values.exists(_._2 < 1000000L), "no source with any rule failure")
+  }
+
   test("q107 calibration curve equals a plain-Scala replay of the capped detector") {
     val sh = SparkEntry.queries("q34_simhash")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1)))
