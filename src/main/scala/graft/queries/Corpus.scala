@@ -183,13 +183,17 @@ object Corpus extends QueryModule {
   private val Bm25K1Num = 12 // k1 = 1.2
   private val Bm25BNum = 3   // b = 0.75 (as 3/4)
   private val Bm25TopK = 5
-  private val Bm25Queries: Seq[(Int, String)] = Seq(
+  private[graft] val Bm25Queries: Seq[(Int, String)] = Seq(
     1 -> "spark table join",
     2 -> "window agg stream",
     3 -> "dup merge scan",
     4 -> "customer order line",
     5 -> "key value sort big")
-  private def q91(s: SparkSession, dir: String): DataFrame = {
+  /** The BM25-scored candidate relation (qid, doc_id, score, n_hit) —
+    * every document matching ≥1 term of each query — shared by q91
+    * (top-k serving) and q115 (retrieval eval, which needs the FULL
+    * candidate set for the ideal ranking and recall base). */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val terms = Bm25Queries
       .flatMap { case (q, txt) => txt.split(" ").map(t => (q, t)) }
@@ -224,19 +228,24 @@ object Corpus extends QueryModule {
       .agg(sum(col("idf") * col("w")).as("score"),
         count(lit(1)).cast("int").as("n_hit"))
     scored
+  }
+
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rank") <= Bm25TopK)
       .select(col("qid"), col("rank"), col("doc_id"),
         round(col("score"), 4).as("score"), col("n_hit"))
       .orderBy("qid", "rank")
-  }
 
-  private val q91Sql = {
+  /** SQL twin of [[bm25Scored]]: CTEs through `scored`, shared by
+    * q91Sql and q115Sql. */
+  private val bm25SqlCtes = {
     val qvals = Bm25Queries
       .flatMap { case (q, txt) => txt.split(" ").map(t => s"($q, '$t')") }
       .mkString(", ")
-    s"""WITH qt(qid, term) AS (VALUES $qvals),
+    s"""qt(qid, term) AS (VALUES $qvals),
       |toks AS (
       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
       |         unnest(string_split(text, ' ')) AS tok
@@ -257,13 +266,99 @@ object Corpus extends QueryModule {
       |               ${Bm25K1Num * Bm25BNum / 4.0} * t.dl * s.n_docs))) AS score,
       |         CAST(COUNT(*) AS INT) AS n_hit
       |  FROM tf t JOIN dfr d USING (term) CROSS JOIN stats s JOIN qt q USING (term)
-      |  GROUP BY q.qid, t.doc_id),
+      |  GROUP BY q.qid, t.doc_id)""".stripMargin
+  }
+
+  private val q91Sql =
+    s"""WITH $bm25SqlCtes,
       |ranked AS (
       |  SELECT qid, doc_id, score, n_hit,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
       |  FROM scored)
       |SELECT qid, rank, doc_id, ROUND(score, 4) AS score, n_hit
       |FROM ranked WHERE rank <= $Bm25TopK ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q115 — RETRIEVAL EVAL (MRR + nDCG@5 over the BM25 stack): the
+  // metric relation a search/RAG pipeline publishes when it changes its
+  // ranker — per query: reciprocal rank of the first fully-covering hit
+  // (a doc containing EVERY query term) and nDCG@5 with graded gain =
+  // distinct terms matched, against the ideal ranking over the full
+  // candidate set. The 1/log2(rank+1) discount weights are INTEGER
+  // micro constants (1e6/log2(r+1), r ≤ 5, precomputed — no runtime
+  // transcendental can disagree across engines), so every metric column
+  // is exact int64; only the BM25 ordering itself carries the q91
+  // float-rounding caveat.
+  //
+  // Scale: reuses bm25Scored unchanged (broadcast workload, corpus
+  // scanned once); actual and ideal rankings are the q36-audited
+  // bounded-Q windows over per-query candidates; the metric rollups
+  // are ≤|workload| rows.
+  private val NdcgW =
+    "CASE WHEN rank = 1 THEN 1000000 WHEN rank = 2 THEN 630929 " +
+    "WHEN rank = 3 THEN 500000 WHEN rank = 4 THEN 430676 ELSE 386852 END"
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = graft.Caches.track(bm25Scored(s, dir))
+    val nterms = Bm25Queries.map { case (q, t) => (q, t.split(" ").length) }
+      .toDF("qid", "n_terms")
+    val actual = sc.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= Bm25TopK)
+    val ideal = sc.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("n_hit").desc, col("doc_id"))))
+      .filter(col("rank") <= Bm25TopK)
+    val dcg = actual.join(broadcast(nterms), "qid")
+      .groupBy("qid")
+      .agg(sum(expr(s"CAST(n_hit AS BIGINT) * ($NdcgW)")).as("dcg_micro"),
+        min(when(col("n_hit") === col("n_terms"), col("rank"))).as("r_first"))
+    val idcg = ideal.groupBy("qid")
+      .agg(sum(expr(s"CAST(n_hit AS BIGINT) * ($NdcgW)")).as("idcg_micro"))
+    val nrel = sc.join(broadcast(nterms), "qid")
+      .groupBy("qid")
+      .agg(sum(when(col("n_hit") === col("n_terms"), 1L).otherwise(0L)).as("n_rel"))
+    dcg.join(idcg, "qid").join(nrel, "qid").join(broadcast(nterms), "qid")
+      .withColumn("mrr_micro", when(col("r_first").isNull, lit(0L))
+        .otherwise(expr("1000000L div CAST(r_first AS BIGINT)")))
+      .withColumn("ndcg_ppm", expr("(1000000 * dcg_micro) div idcg_micro"))
+      .select("qid", "n_terms", "n_rel", "mrr_micro", "dcg_micro",
+        "idcg_micro", "ndcg_ppm")
+      .orderBy("qid")
+  }
+
+  private val q115Sql = {
+    val ntvals = Bm25Queries
+      .map { case (q, t) => s"($q, ${t.split(" ").length})" }.mkString(", ")
+    s"""WITH $bm25SqlCtes,
+      |nterms(qid, n_terms) AS (VALUES $ntvals),
+      |w(rank, wt) AS (VALUES (1, 1000000), (2, 630929), (3, 500000), (4, 430676), (5, 386852)),
+      |actual AS (
+      |  SELECT qid, doc_id, n_hit,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM scored),
+      |ideal AS (
+      |  SELECT qid, n_hit,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n_hit DESC, doc_id) AS INT) AS rank
+      |  FROM scored),
+      |dcg AS (
+      |  SELECT a.qid,
+      |         CAST(SUM(CAST(a.n_hit AS BIGINT) * w.wt) AS BIGINT) AS dcg_micro,
+      |         MIN(CASE WHEN a.n_hit = nt.n_terms THEN a.rank END) AS r_first
+      |  FROM actual a JOIN w ON a.rank = w.rank JOIN nterms nt ON a.qid = nt.qid
+      |  GROUP BY a.qid),
+      |idcg AS (
+      |  SELECT qid, CAST(SUM(CAST(n_hit AS BIGINT) * w.wt) AS BIGINT) AS idcg_micro
+      |  FROM ideal JOIN w ON ideal.rank = w.rank GROUP BY qid),
+      |nrel AS (
+      |  SELECT s.qid, CAST(SUM(CASE WHEN s.n_hit = nt.n_terms THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+      |  FROM scored s JOIN nterms nt ON s.qid = nt.qid GROUP BY s.qid)
+      |SELECT d.qid, nt.n_terms, nr.n_rel,
+      |       CAST(CASE WHEN d.r_first IS NULL THEN 0 ELSE 1000000 // d.r_first END AS BIGINT) AS mrr_micro,
+      |       d.dcg_micro, i.idcg_micro,
+      |       CAST((1000000 * d.dcg_micro) // i.idcg_micro AS BIGINT) AS ndcg_ppm
+      |FROM dcg d JOIN idcg i ON d.qid = i.qid JOIN nrel nr ON d.qid = nr.qid
+      |JOIN nterms nt ON d.qid = nt.qid
+      |ORDER BY d.qid""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -955,6 +1050,7 @@ object Corpus extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_boilerplate_strip" -> (q90 _),
     "q91_bm25_topk"         -> (q91 _),
+    "q115_retrieval_eval"   -> (q115 _),
     "q92_corpus_shard"      -> (q92 _),
     "q93_bigram_surprisal"  -> (q93 _),
     "q96_corpus_prepare"    -> (q96 _),
@@ -968,6 +1064,7 @@ object Corpus extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "q90_boilerplate_strip" -> q90Sql,
     "q91_bm25_topk"         -> q91Sql,
+    "q115_retrieval_eval"   -> q115Sql,
     "q92_corpus_shard"      -> q92Sql,
     "q93_bigram_surprisal"  -> q93Sql,
     "q96_corpus_prepare"    -> q96Sql,

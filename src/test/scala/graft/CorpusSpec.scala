@@ -262,6 +262,43 @@ class CorpusSpec extends SparkTestBase {
     assert(got.values.map(_._2).sum == 6L && got.values.map(_._3).sum == 95L)
   }
 
+  test("q115 retrieval eval replays: gains, ideal ranking, MRR, and nDCG integers") {
+    val w = Vector(1000000L, 630929L, 500000L, 430676L, 386852L)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSet))
+    // graded gain = distinct query terms present in the doc
+    val gains: Map[Int, Seq[(Long, Long)]] = graft.queries.Corpus.Bm25Queries.map {
+      case (qid, txt) =>
+        val ts = txt.split(" ").toSet
+        qid -> docs.map { case (id, tok) => (id, ts.count(tok.contains).toLong) }
+          .filter(_._2 > 0).toSeq
+    }.toMap
+    val top5 = SparkEntry.queries("q91_bm25_topk")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(4)))
+    val got = SparkEntry.queries("q115_retrieval_eval")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    graft.queries.Corpus.Bm25Queries.foreach { case (qid, txt) =>
+      val nTerms = txt.split(" ").length
+      val cand = gains(qid)
+      if (cand.nonEmpty) {
+        val idcg = cand.sortBy(c => (-c._2, c._1)).take(5)
+          .zipWithIndex.map { case ((_, g), i) => g * w(i) }.sum
+        val mine = top5.filter(_._1 == qid).sortBy(_._2)
+        val dcg = mine.map { case (_, rk, _, nh) => nh.toLong * w(rk - 1) }.sum
+        val rFirst = mine.collectFirst { case (_, rk, _, nh) if nh == nTerms => rk }
+        val mrr = rFirst.map(1000000L / _).getOrElse(0L)
+        val nRel = cand.count(_._2 == nTerms).toLong
+        val expect = (nTerms, nRel, mrr, dcg, idcg, 1000000L * dcg / idcg)
+        assert(got(qid) == expect, s"qid $qid: got=${got(qid)} expect=$expect")
+        // q91's top-5 gains never beat the ideal prefix
+        assert(dcg <= idcg)
+      }
+    }
+    // the eval must differentiate somewhere (an imperfect ranking exists)
+    assert(got.values.exists(_._6 < 1000000L), "every query scored perfect nDCG")
+  }
+
   test("q106 churn report equals the per-doc generation-status replay") {
     val got = SparkEntry.queries("q106_snapshot_churn")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
