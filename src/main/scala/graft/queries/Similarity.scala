@@ -1333,6 +1333,63 @@ object Similarity extends QueryModule {
   private val q87Sql = s"WITH ${pqSqlCtesFor(s"NOT ($IncBatchSql)")},\n$adcSqlStack"
 
   // ---------------------------------------------------------------------
+  // q117 — CLUSTER-BALANCED CORESET SELECTION: the curation step q59's
+  // clustering exists to serve (SemDeDup / cluster-balanced pruning):
+  // cap every k-means cluster at an equal budget (n_total div 2K) and
+  // keep each cluster's most PROTOTYPICAL members — rank by integer
+  // dist² to the trained centroid, ascending — so the selected subset
+  // covers every mode of the embedding space instead of letting the
+  // dominant cluster eat the whole budget.
+  //
+  // Scale: per-cluster rank is a corpus-sized total order, so it runs
+  // as a TWO-PHASE prefix sum in the q92/q112 family — but bucketed by
+  // ⌊log₂(dist²+1)⌋ (≤64 value-ordered buckets per cluster; log₂ is
+  // monotone, so bucket order ≡ rank order and equal dist² never spans
+  // buckets) instead of md5 high bits: the offsets relation stays
+  // bounded (K×64 rows), and the within-bucket window partitions by
+  // (cid, bucket). Unlike the md5 permutation the bucket sizes follow
+  // the dist² distribution, so a degenerate cluster (all points
+  // equidistant) concentrates one bucket — the documented residual;
+  // the DuckDB oracle ranks with one plain window, cross-checking the
+  // formulations.
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val a = graft.Caches.track(kmAssignments(s, dir)
+      .withColumn("lb", (length(bin(col("dist2") + 1)) - 1).cast("int")))
+    val tot = a.agg(count(lit(1)).as("n_total"))
+    val counts = a.groupBy("cid", "lb").agg(count(lit(1)).as("c"))
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.partitionBy("cid").orderBy("lb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("cid", "lb", "off")
+    val sizes = counts.groupBy("cid").agg(sum(col("c")).as("n_c"))
+    a.withColumn("rn", row_number().over(
+        Window.partitionBy("cid", "lb").orderBy("dist2", "vec_id")))
+      .join(broadcast(offsets), Seq("cid", "lb"))
+      .join(broadcast(sizes), Seq("cid"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", col("off") + col("rn"))
+      .withColumn("quota", least(col("n_c"), expr(s"n_total div ${2 * KmK}")))
+      .withColumn("keep", col("rank") <= col("quota"))
+      .select("vec_id", "cid", "dist2", "rank", "quota", "keep")
+      .orderBy("vec_id")
+  }
+
+  private val q117Sql =
+    s"""WITH $kmSqlCtes,
+      |tot AS (SELECT COUNT(*) AS n_total FROM assigned),
+      |sizes AS (SELECT cid, COUNT(*) AS n_c FROM assigned GROUP BY cid),
+      |ranked AS (
+      |  SELECT vec_id, cid, dist2,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist2, vec_id) AS BIGINT) AS rank
+      |  FROM assigned)
+      |SELECT r.vec_id, r.cid, r.dist2, r.rank,
+      |       LEAST(s.n_c, t.n_total // ${2 * KmK}) AS quota,
+      |       r.rank <= LEAST(s.n_c, t.n_total // ${2 * KmK}) AS keep
+      |FROM ranked r JOIN sizes s ON r.cid = s.cid CROSS JOIN tot t
+      |ORDER BY r.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q110 — HARD NEGATIVE MINING: for each query anchor, the top-3 most
   // similar vectors with a DIFFERENT label — the contrastive-training
   // mining step (the negatives that look most like the anchor are the
@@ -1387,6 +1444,7 @@ object Similarity extends QueryModule {
     "q37_ann_lsh"        -> (q37 _),
     "q38_knn_within_class" -> (q38 _),
     "q110_hard_negatives"  -> (q110 _),
+    "q117_cluster_coreset" -> (q117 _),
     "q39_cosine_neardup"   -> (q39 _),
     "q48_ann_ivf"          -> (q48 _),
     "q50_semantic_dedup"   -> (q50 _),
@@ -1406,6 +1464,7 @@ object Similarity extends QueryModule {
     "q37_ann_lsh"        -> q37Sql,
     "q38_knn_within_class" -> q38Sql,
     "q110_hard_negatives"  -> q110Sql,
+    "q117_cluster_coreset" -> q117Sql,
     "q39_cosine_neardup"   -> q39Sql,
     "q48_ann_ivf"          -> q48Sql,
     "q50_semantic_dedup"   -> q50Sql,

@@ -1317,10 +1317,57 @@ object TextPipeline extends QueryModule {
       |FROM rqmask GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q116 — VOCABULARY PROFILE (Zipf/Heaps health report): the
+  // token-frequency spectrum in log₂ buckets — for each bucket
+  // b = ⌊log₂ freq⌋, how many word TYPES live there and what share of
+  // all token OCCURRENCES they carry. The two ends are the familiar
+  // corpus-health signals: bucket 0 is the hapax-legomena mass (a
+  // too-small hapax share means templated/duplicated text; too large
+  // means OCR noise or gibberish), the top bucket is head concentration
+  // (boilerplate inflates it). ⌊log₂⌋ is the catalog's integer
+  // formulation — length(bin(freq)) − 1 — so every column is exact
+  // int64 on both engines.
+  //
+  // Scale: one token-keyed shuffle with map-side combine builds the
+  // frequency table (vocabulary-sized output); the bucket rollup is a
+  // ≤64-row aggregation; totals attach as a broadcast 1-row cross join.
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documentsWide(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val tot = freq.agg(count(lit(1)).as("n_types"), sum(col("freq")).as("n_occ"))
+    freq.withColumn("bucket", (length(bin(col("freq"))) - 1).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_types_b"), sum(col("freq")).as("n_occ_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("type_ppm", expr("(1000000 * n_types_b) div n_types"))
+      .withColumn("occ_ppm", expr("(1000000 * n_occ_b) div n_occ"))
+      .select("bucket", "n_types_b", "n_occ_b", "type_ppm", "occ_ppm")
+      .orderBy("bucket")
+  }
+
+  private val q116Sql =
+    """WITH freq AS (
+      |  SELECT tok, COUNT(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |tot AS (
+      |  SELECT COUNT(*) AS n_types, CAST(SUM(freq) AS BIGINT) AS n_occ FROM freq)
+      |SELECT CAST(length(bin(freq)) - 1 AS INT) AS bucket,
+      |       COUNT(*) AS n_types_b,
+      |       CAST(SUM(freq) AS BIGINT) AS n_occ_b,
+      |       (1000000 * COUNT(*)) // tot.n_types AS type_ppm,
+      |       (1000000 * CAST(SUM(freq) AS BIGINT)) // tot.n_occ AS occ_ppm
+      |FROM freq CROSS JOIN tot
+      |GROUP BY bucket, tot.n_types, tot.n_occ
+      |ORDER BY bucket""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats"     -> (q30 _),
     "q108_tokenizer_fertility" -> (q108 _),
     "q114_source_health" -> (q114 _),
+    "q116_vocab_profile" -> (q116 _),
     "q55_repetition"     -> (q55 _),
     "q65_quality_rules"  -> (q65 _),
     "q67_surprisal"      -> (q67 _),
@@ -1347,6 +1394,7 @@ object TextPipeline extends QueryModule {
     "q30_text_stats"     -> q30Sql,
     "q108_tokenizer_fertility" -> q108Sql,
     "q114_source_health" -> q114Sql,
+    "q116_vocab_profile" -> q116Sql,
     "q55_repetition"     -> q55Sql,
     "q65_quality_rules"  -> q65Sql,
     "q67_surprisal"      -> q67Sql,

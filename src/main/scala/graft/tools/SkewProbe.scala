@@ -39,9 +39,15 @@ object SkewProbe {
     // matter (its (source, seg-md5) df keys go hot), and it floods q93's
     // (w1, w2) model-join keys with ~200 dominant boiler bigrams — the
     // two new shuffle surfaces worth probing
+    // round 11: q103/q111/q113 added — the boilerplate plant makes one
+    // 8-gram window/shingle key carry ~0.9·N·193 occurrences: q103's
+    // min(struct) first-occurrence agg, q111's (doc, g) and ref-gram
+    // distincts, and q113's per-source shingle distinct must all absorb
+    // it map-side (partial aggregation), never in one reducer
     val docQs = Seq("q33_minhash_lsh", "q35_simhash_pairs", "q44_corpus_filter",
       "q51_decontaminate", "q90_boilerplate_strip", "q93_bigram_surprisal",
-      "q91_bm25_topk")
+      "q91_bm25_topk", "q103_dupspan_profile", "q111_novelty_audit",
+      "q113_source_overlap")
     val embQs = Seq("q39_cosine_neardup")
     // media saturation (round 11): the perceptual family's skew surface
     // is HASH-IDENTICAL media, not text — probed in its own `msat`

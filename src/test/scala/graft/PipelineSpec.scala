@@ -76,6 +76,31 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("q117 coreset fills per-cluster quotas with the most central members") {
+    val rows = Similarity.queries("q117_cluster_coreset")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val total = rows.length.toLong
+    rows.groupBy(_._2).foreach { case (cid, v) =>
+      val nC = v.length.toLong
+      val quota = math.min(nC, total / 16)
+      assert(v.forall(_._5 == quota), s"cluster $cid quota column")
+      // ranks are exactly the (dist2, vec_id) order 1..n_c
+      val byOrder = v.sortBy(r => (r._3, r._1))
+      byOrder.zipWithIndex.foreach { case (r, i) =>
+        assert(r._4 == i + 1L, s"cluster $cid vec ${r._1}: rank ${r._4} != ${i + 1}")
+      }
+      val (kept, dropped) = v.partition(_._6)
+      assert(kept.length.toLong == quota, s"cluster $cid kept ${kept.length} != $quota")
+      // centrality: every kept member is at least as close as any dropped
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_._3).max <= dropped.map(_._3).min, s"cluster $cid centrality")
+    }
+    // the budget must actually bind somewhere (a cluster larger than quota)
+    assert(rows.groupBy(_._2).values.exists(v => v.exists(!_._6)))
+  }
+
   test("IVF: probed-cell results agree with brute force and beat random recall") {
     val bf = Similarity.queries("q36_ann_bruteforce")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -255,6 +255,29 @@ class TextQualitySpec extends SparkTestBase {
     assert(got.values.exists(_._2 < 1000000L), "no source with any rule failure")
   }
 
+  test("q116 vocabulary profile matches a plain frequency-spectrum replay") {
+    val toks = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val freq = toks.groupBy(identity).map(_._2.length.toLong)
+    val nTypes = freq.size.toLong
+    val nOcc = toks.length.toLong
+    val byBucket = freq.groupBy(f => (63 - java.lang.Long.numberOfLeadingZeros(f)).toInt)
+    val got = SparkEntry.queries("q116_vocab_profile")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.keySet == byBucket.keySet, s"bucket sets: ${got.keySet} vs ${byBucket.keySet}")
+    byBucket.foreach { case (b, fs) =>
+      val expect = (fs.size.toLong, fs.sum,
+        1000000L * fs.size / nTypes, 1000000L * fs.sum / nOcc)
+      assert(got(b) == expect, s"bucket $b: got=${got(b)} expect=$expect")
+    }
+    // conservation + a non-degenerate spectrum (the synthetic corpus has
+    // a closed ~31-type vocabulary, so no hapax bucket exists here — the
+    // profile correctly REPORTS that, which is the signal's point)
+    assert(got.values.map(_._1).sum == nTypes && got.values.map(_._2).sum == nOcc)
+    assert(got.size >= 2, "degenerate one-bucket spectrum")
+  }
+
   test("q107 calibration curve equals a plain-Scala replay of the capped detector") {
     val sh = SparkEntry.queries("q34_simhash")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1)))
