@@ -614,6 +614,98 @@ object Curation extends QueryModule {
       |ORDER BY p.s1, p.s2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q118 — BATCH-PACKING EFFICIENCY REPORT: how many padding tokens
+  // does the training loader waste, and how much does length-bucketed
+  // batching save? For batch sizes B ∈ {64, 256} sequences, the report
+  // compares two deterministic batchings of the corpus — the q92
+  // shard-local permutation order ("random", what a naive loader reads)
+  // and length-bucketed order (docs grouped into len-div-16 buckets,
+  // permutation order within — the standard bucketing trick) — and
+  // prices each batch at max(len)·count versus its real token sum.
+  // The gap in integer ppm is the padding waste a trainer pays.
+  //
+  // Scale: both orders materialize positions with the q92/q112
+  // two-phase prefix sum ((group, md5-high-bits) sub-buckets, bounded
+  // offsets relations, uniform rank partitions); the per-batch rollup
+  // keys (b, group, batch) are uniform by construction, and the final
+  // report is 4 rows. The oracle positions each group with ONE plain
+  // window ordered (kb, key, doc_id) — the same total order the
+  // two-phase computes — cross-checking the formulations.
+  private val PadBatches = Seq(64, 256)
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val lens = graft.Caches.track(Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      .withColumn("key", conv(substring(md5(concat(lit("shard:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")))
+    val rnd = lens
+      .withColumn("grp", (col("key") % 16L).cast("int"))
+      .withColumn("kb", (col("key") / lit(1L << 54)).cast("int"))
+    val bkt = lens
+      .withColumn("grp", (col("len") / 16L).cast("int"))
+      .withColumn("kb", (col("key") / lit(1L << 54)).cast("int"))
+    def positions(df: DataFrame): DataFrame = {
+      val offsets = df.groupBy("grp", "kb").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.partitionBy("grp").orderBy("kb")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("grp", "kb", "off")
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy("grp", "kb").orderBy("key", "doc_id")))
+        .join(broadcast(offsets), Seq("grp", "kb"))
+        .withColumn("pos", col("off") + col("rn"))
+    }
+    def report(df: DataFrame, strategy: String): DataFrame =
+      positions(df)
+        .select(col("grp"), col("pos"), col("len"),
+          explode(typedLit(PadBatches)).as("b"))
+        .withColumn("batch", expr("(pos - 1) div b"))
+        .groupBy("b", "grp", "batch")
+        .agg(count(lit(1)).as("n"), max(col("len")).as("mx"),
+          sum(col("len")).as("real"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("real")).as("real_tokens"),
+          sum(col("mx") * col("n")).as("padded_tokens"))
+        .withColumn("strategy", lit(strategy))
+    report(rnd, "random").unionByName(report(bkt, "length_bucketed"))
+      .withColumn("pad_ppm",
+        expr("(1000000 * (padded_tokens - real_tokens)) div padded_tokens"))
+      .select("strategy", "b", "n_batches", "real_tokens", "padded_tokens", "pad_ppm")
+      .orderBy("strategy", "b")
+  }
+
+  private val q118Sql =
+    """WITH lens AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+      |         CAST('0x' || substring(md5('shard:' || doc_id::VARCHAR), 1, 15) AS BIGINT) AS key
+      |  FROM documents),
+      |bs(b) AS (VALUES (64), (256)),
+      |rnd AS (SELECT doc_id, len, key, CAST(key % 16 AS INT) AS grp,
+      |               CAST(key // 18014398509481984 AS INT) AS kb FROM lens),
+      |bkt AS (SELECT doc_id, len, key, CAST(len // 16 AS INT) AS grp,
+      |               CAST(key // 18014398509481984 AS INT) AS kb FROM lens),
+      |rp AS (SELECT grp, len,
+      |              ROW_NUMBER() OVER (PARTITION BY grp ORDER BY kb, key, doc_id) AS pos
+      |       FROM rnd),
+      |bp AS (SELECT grp, len,
+      |              ROW_NUMBER() OVER (PARTITION BY grp ORDER BY kb, key, doc_id) AS pos
+      |       FROM bkt),
+      |batches AS (
+      |  SELECT 'random' AS strategy, bs.b, rp.grp, (pos - 1) // bs.b AS batch,
+      |         COUNT(*) AS n, MAX(len) AS mx, CAST(SUM(len) AS BIGINT) AS real
+      |  FROM rp CROSS JOIN bs GROUP BY 1, 2, 3, 4
+      |  UNION ALL
+      |  SELECT 'length_bucketed', bs.b, bp.grp, (pos - 1) // bs.b,
+      |         COUNT(*), MAX(len), CAST(SUM(len) AS BIGINT)
+      |  FROM bp CROSS JOIN bs GROUP BY 1, 2, 3, 4)
+      |SELECT strategy, b, COUNT(*) AS n_batches,
+      |       CAST(SUM(real) AS BIGINT) AS real_tokens,
+      |       CAST(SUM(mx * n) AS BIGINT) AS padded_tokens,
+      |       (1000000 * (CAST(SUM(mx * n) AS BIGINT) - CAST(SUM(real) AS BIGINT)))
+      |         // CAST(SUM(mx * n) AS BIGINT) AS pad_ppm
+      |FROM batches GROUP BY strategy, b ORDER BY strategy, b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q76 — TEMPERATURE-WEIGHTED MIXTURE RESAMPLING: q53's τ=1/2 domain
   // weights APPLIED — each document keeps with probability equal to its
   // stratum's weight, via the same deterministic md5-threshold keep as
@@ -1133,6 +1225,7 @@ object Curation extends QueryModule {
     "q111_novelty_audit"    -> (q111 _),
     "q112_exact_split"      -> (q112 _),
     "q113_source_overlap"   -> (q113 _),
+    "q118_padding_report"   -> (q118 _),
     "q54_pii_redact"        -> (q54 _),
     "q60_sequence_packing"  -> (q60 _),
     "q61_doc_chunking"      -> (q61 _),
@@ -1156,6 +1249,7 @@ object Curation extends QueryModule {
     "q111_novelty_audit"    -> q111Sql,
     "q112_exact_split"      -> q112Sql,
     "q113_source_overlap"   -> q113Sql,
+    "q118_padding_report"   -> q118Sql,
     "q54_pii_redact"        -> q54Sql,
     "q60_sequence_packing"  -> q60Sql,
     "q61_doc_chunking"      -> q61Sql,

@@ -370,6 +370,40 @@ class CurationSpec extends SparkTestBase {
     assert(got.values.exists(_._3 > 0), "no overlapping source pair in the corpus")
   }
 
+  test("q118 padding report replays both batchings; bucketing never loses") {
+    def u60(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    val lens = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong,
+        u60(s"shard:${r.getLong(0)}")))
+    def rep(grpOf: ((Long, Long, Long)) => Long): Map[Int, (Long, Long, Long, Long)] = {
+      val ordered = lens.groupBy(grpOf).toSeq.flatMap { case (g, v) =>
+        v.sortBy(d => (d._3 >> 54, d._3, d._1)).zipWithIndex
+          .map { case (d, i) => (g, i.toLong, d._2) } // (grp, pos0, len)
+      }
+      Seq(64, 256).map { b =>
+        val batches = ordered.groupBy(r => (r._1, r._2 / b)).values
+        val real = batches.map(_.map(_._3).sum).sum
+        val padded = batches.map(v => v.map(_._3).max * v.size).sum
+        b -> ((batches.size.toLong, real, padded,
+          1000000L * (padded - real) / padded))
+      }.toMap
+    }
+    val expect = Map("random" -> rep(d => d._3 % 16),
+      "length_bucketed" -> rep(d => d._2 / 16))
+    val got = Curation.queries("q118_padding_report")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    for { s <- Seq("random", "length_bucketed"); b <- Seq(64, 256) }
+      assert(got((s, b)) == expect(s)(b), s"($s, $b): got=${got((s, b))} expect=${expect(s)(b)}")
+    // same corpus under both strategies; bucketing can only reduce waste
+    Seq(64, 256).foreach { b =>
+      assert(got(("random", b))._2 == got(("length_bucketed", b))._2)
+      assert(got(("length_bucketed", b))._4 <= got(("random", b))._4)
+    }
+  }
+
   test("q105 materialization expands the q104 plan with the deterministic fractional draw") {
     val got = Curation.queries("q105_epoch_materialize")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(4)).toMap
