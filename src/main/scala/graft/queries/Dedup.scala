@@ -1048,6 +1048,99 @@ object Dedup extends QueryModule {
       |CROSS JOIN tot
       |ORDER BY ts.t""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q119 — DEDUP DETECTOR AGREEMENT MATRIX: which near-dup detector
+  // catches what — every document is flagged by each of the catalog's
+  // three cheap detectors (exact content hash; MinHash-LSH pairs at
+  // Jaccard ≥ 0.8; SimHash pairs at Hamming ≤ 1) as duplicate-INVOLVED
+  // (member of any flagged pair/group), and the report counts documents
+  // per flag combination in integer ppm. This is the calibration
+  // artifact behind choosing a dedup stack: the exact∧¬fuzzy cell shows
+  // what fuzzy thresholds miss, the fuzzy∧¬exact cells show what each
+  // adds, and disagreement between MinHash and SimHash measures their
+  // complementary blind spots (token-set vs frequency-vector geometry).
+  //
+  // Scale: reuses the three production detectors UNCHANGED (capped
+  // buckets and all); the flag joins are doc_id-uniform left joins of
+  // pair-derived distinct relations; the rollup is ≤8 rows.
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val exFlag = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = exFlag
+      .join(exFlag.groupBy("h").agg(count(lit(1)).as("c")), "h")
+      .filter(col("c") >= 2).select("doc_id")
+    val mh = minhashPairs(s, dir).filter(col("jaccard") >= JaccardThreshold)
+    val mhDocs = mh.select(col("d1").as("doc_id"))
+      .union(mh.select(col("d2").as("doc_id"))).distinct()
+    val sh = bandedHammingPairs(simhashDf(s, dir), "simhash",
+      nBands = 2, bandBits = 16, hamMax = 1)
+    val shDocs = sh.select(col("d1").as("doc_id"))
+      .union(sh.select(col("d2").as("doc_id"))).distinct()
+    docs.select("doc_id")
+      .join(exact.withColumn("f_exact", lit(true)), Seq("doc_id"), "left")
+      .join(mhDocs.withColumn("f_minhash", lit(true)), Seq("doc_id"), "left")
+      .join(shDocs.withColumn("f_simhash", lit(true)), Seq("doc_id"), "left")
+      .na.fill(false, Seq("f_exact", "f_minhash", "f_simhash"))
+      .groupBy("f_exact", "f_minhash", "f_simhash")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("doc_ppm", expr("(1000000 * n_docs) div n_total"))
+      .select("f_exact", "f_minhash", "f_simhash", "n_docs", "doc_ppm")
+      .orderBy("f_exact", "f_minhash", "f_simhash")
+  }
+
+  private val q119Sql =
+    s"""WITH ${minhashSqlCtes("documents")},
+      |s_toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |s_bits AS (
+      |  SELECT doc_id, b,
+      |         ((strpos('0123456789abcdef', substring(md5(tok), CAST(b // 4 AS INT) + 1, 1)) - 1)
+      |            // [8, 4, 2, 1][(b % 4) + 1]) % 2 AS bit
+      |  FROM s_toks CROSS JOIN (SELECT unnest(range(32)) AS b)),
+      |s_sgns AS (SELECT doc_id, b, SUM(bit * 2 - 1) AS sgn FROM s_bits GROUP BY doc_id, b),
+      |s_sh AS (
+      |  SELECT doc_id, string_agg(CASE WHEN sgn >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      |  FROM s_sgns GROUP BY doc_id),
+      |s_bands AS (
+      |  SELECT doc_id, simhash, b AS band, substring(simhash, b * 16 + 1, 16) AS bk
+      |  FROM s_sh CROSS JOIN (SELECT unnest(range(2)) AS b)),
+      |s_bsz AS (SELECT band, bk, COUNT(*) AS c FROM s_bands GROUP BY band, bk),
+      |s_cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
+      |  FROM s_bands a JOIN s_bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+      |  JOIN s_bsz k ON k.band = a.band AND k.bk = a.bk
+      |  WHERE k.c <= $BucketCap),
+      |s_pairs AS (
+      |  SELECT d1, d2 FROM s_cand
+      |  WHERE len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 33)], x -> x)) <= 1),
+      |ex AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(text)) AS c FROM documents)
+      |  WHERE c >= 2),
+      |mhd AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT d1 AS doc_id FROM verified WHERE jaccard >= $JaccardThreshold
+      |    UNION ALL SELECT d2 FROM verified WHERE jaccard >= $JaccardThreshold)),
+      |shd AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT d1 AS doc_id FROM s_pairs UNION ALL SELECT d2 FROM s_pairs)),
+      |flags AS (
+      |  SELECT d.doc_id,
+      |         e.doc_id IS NOT NULL AS f_exact,
+      |         m.doc_id IS NOT NULL AS f_minhash,
+      |         s.doc_id IS NOT NULL AS f_simhash
+      |  FROM documents d
+      |  LEFT JOIN ex e ON d.doc_id = e.doc_id
+      |  LEFT JOIN mhd m ON d.doc_id = m.doc_id
+      |  LEFT JOIN shd s ON d.doc_id = s.doc_id),
+      |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+      |SELECT f_exact, f_minhash, f_simhash, COUNT(*) AS n_docs,
+      |       (1000000 * COUNT(*)) // tot.n_total AS doc_ppm
+      |FROM flags CROSS JOIN tot
+      |GROUP BY f_exact, f_minhash, f_simhash, tot.n_total
+      |ORDER BY f_exact, f_minhash, f_simhash""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_exact_dedup"        -> (q31 _),
     "q66_span_dedup"         -> (q66 _),
@@ -1057,6 +1150,7 @@ object Dedup extends QueryModule {
     "q34_simhash"            -> (q34 _),
     "q35_simhash_pairs"      -> (q35 _),
     "q107_threshold_curve"   -> (q107 _),
+    "q119_detector_matrix"   -> (q119 _),
     "q44_corpus_filter"      -> (q44 _),
     "q46_neardup_components" -> (q46 _),
   )
@@ -1070,6 +1164,7 @@ object Dedup extends QueryModule {
     "q34_simhash"            -> q34Sql,
     "q35_simhash_pairs"      -> q35Sql,
     "q107_threshold_curve"   -> q107Sql,
+    "q119_detector_matrix"   -> q119Sql,
     "q44_corpus_filter"      -> q44Sql,
     "q46_neardup_components" -> q46Sql,
   )

@@ -76,6 +76,27 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("q119 agreement matrix equals the detector-output replay") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exact = docs.groupBy(_._2).values.filter(_.length >= 2)
+      .flatMap(_.map(_._1)).toSet
+    val mh = SparkEntry.queries("q33_minhash_lsh")(spark, sfDir).collect()
+      .filter(_.getDouble(2) >= 0.8)
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val sh = SparkEntry.queries("q35_simhash_pairs")(spark, sfDir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val expect = docs.map(_._1).groupBy(id => (exact(id), mh(id), sh(id)))
+      .map { case (k, v) =>
+        k -> ((v.length.toLong, 1000000L * v.length / docs.length)) }
+    val got = SparkEntry.queries("q119_detector_matrix")(spark, sfDir).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // the matrix partitions the corpus exactly
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+  }
+
   test("q117 coreset fills per-cluster quotas with the most central members") {
     val rows = Similarity.queries("q117_cluster_coreset")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
