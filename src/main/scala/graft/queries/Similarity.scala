@@ -1333,6 +1333,60 @@ object Similarity extends QueryModule {
   private val q87Sql = s"WITH ${pqSqlCtesFor(s"NOT ($IncBatchSql)")},\n$adcSqlStack"
 
   // ---------------------------------------------------------------------
+  // q120 — IVF INDEX HEALTH REPORT: the operational dashboard for the
+  // q48/q71 coarse quantizer — cell-population balance decides whether
+  // probing nprobe cells actually bounds query cost, so an index build
+  // publishes: non-empty cell count vs pivot count (dead pivots), the
+  // largest cell's corpus share, the EXPECTED probed-cell size for a
+  // data-distributed query (Σ sz²/n — each cell is probed with
+  // probability ∝ its own mass), and the imbalance factor vs a
+  // perfectly balanced index (1000 = balanced; the q48 stride-sampled
+  // pivots land near that on this corpus, which is the point of
+  // sampling pivots from the data). Integer milli/ppm throughout;
+  // division-first where a product could overflow (Σ sz² ≤ max_cell·n
+  // stays in int64 for any real index — a degenerate index is already
+  // visible in max_cell before the sum could overflow).
+  //
+  // Scale: reuses ivfCells' assignment pass unchanged; the rollup is
+  // cell-count-sized, then one row.
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, _) = ivfCells(s, dir)
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("sz"))
+    val nPivots = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % PivotStride === PivotPhase)
+      .agg(count(lit(1)).as("n_pivots"))
+    sizes.agg(
+        count(lit(1)).as("n_cells_nonempty"),
+        sum(col("sz")).as("n_vectors"),
+        max(col("sz")).as("max_cell"),
+        sum(col("sz") * col("sz")).as("sz2"))
+      .crossJoin(broadcast(nPivots))
+      .withColumn("mean_cell_milli", expr("(1000 * n_vectors) div n_cells_nonempty"))
+      .withColumn("expected_probe_sz", expr("sz2 div n_vectors"))
+      .withColumn("imbalance_milli",
+        expr("(1000 * (sz2 div n_vectors)) div (n_vectors div n_cells_nonempty)"))
+      .withColumn("top_share_ppm", expr("(1000000 * max_cell) div n_vectors"))
+      .select("n_pivots", "n_cells_nonempty", "n_vectors", "max_cell",
+        "mean_cell_milli", "expected_probe_sz", "imbalance_milli", "top_share_ppm")
+  }
+
+  private val q120Sql =
+    s"""WITH $quantSqlCte,
+      |$ivfSqlCtes,
+      |sizes AS (SELECT cell, COUNT(*) AS sz FROM cells GROUP BY cell),
+      |np AS (SELECT COUNT(*) AS n_pivots FROM embeddings WHERE vec_id % $PivotStride = $PivotPhase),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_cells_nonempty, CAST(SUM(sz) AS BIGINT) AS n_vectors,
+      |         MAX(sz) AS max_cell, CAST(SUM(sz * sz) AS BIGINT) AS sz2
+      |  FROM sizes)
+      |SELECT np.n_pivots, a.n_cells_nonempty, a.n_vectors, a.max_cell,
+      |       (1000 * a.n_vectors) // a.n_cells_nonempty AS mean_cell_milli,
+      |       a.sz2 // a.n_vectors AS expected_probe_sz,
+      |       (1000 * (a.sz2 // a.n_vectors)) // (a.n_vectors // a.n_cells_nonempty) AS imbalance_milli,
+      |       (1000000 * a.max_cell) // a.n_vectors AS top_share_ppm
+      |FROM agg a CROSS JOIN np""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q117 — CLUSTER-BALANCED CORESET SELECTION: the curation step q59's
   // clustering exists to serve (SemDeDup / cluster-balanced pruning):
   // cap every k-means cluster at an equal budget (n_total div 2K) and
@@ -1445,6 +1499,7 @@ object Similarity extends QueryModule {
     "q38_knn_within_class" -> (q38 _),
     "q110_hard_negatives"  -> (q110 _),
     "q117_cluster_coreset" -> (q117 _),
+    "q120_ivf_health"      -> (q120 _),
     "q39_cosine_neardup"   -> (q39 _),
     "q48_ann_ivf"          -> (q48 _),
     "q50_semantic_dedup"   -> (q50 _),
@@ -1465,6 +1520,7 @@ object Similarity extends QueryModule {
     "q38_knn_within_class" -> q38Sql,
     "q110_hard_negatives"  -> q110Sql,
     "q117_cluster_coreset" -> q117Sql,
+    "q120_ivf_health"      -> q120Sql,
     "q39_cosine_neardup"   -> q39Sql,
     "q48_ann_ivf"          -> q48Sql,
     "q50_semantic_dedup"   -> q50Sql,

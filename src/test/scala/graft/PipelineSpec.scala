@@ -97,6 +97,34 @@ class PipelineSpec extends SparkTestBase {
     assert(got.values.map(_._1).sum == docs.length.toLong)
   }
 
+  test("q120 IVF health report equals a full assignment replay") {
+    val rows = Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray
+        .map(x => math.round(x.toDouble * 1e7))))
+    val pivots = rows.filter(_._1 % 61 == 3)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val sizes = rows.map { case (_, v) =>
+      pivots.map { case (cell, pv) => (cell, cos(v, pv)) }
+        .minBy { case (cell, c) => (-c, cell) }._1
+    }.groupBy(identity).map(_._2.length.toLong).toVector
+    val (nCells, nVec) = (sizes.size.toLong, sizes.sum)
+    val (mx, sz2) = (sizes.max, sizes.map(s => s * s).sum)
+    val expect = (pivots.length.toLong, nCells, nVec, mx,
+      1000L * nVec / nCells, sz2 / nVec,
+      1000L * (sz2 / nVec) / (nVec / nCells), 1000000L * mx / nVec)
+    val r = Similarity.queries("q120_ivf_health")(spark, sfDir).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(got == expect, s"got=$got expect=$expect")
+    // structural sanity: no cell without a pivot, balance near 1 on
+    // data-sampled pivots (truncation can dip a hair under 1000)
+    assert(got._2 <= got._1 && got._7 >= 900L)
+  }
+
   test("q117 coreset fills per-cluster quotas with the most central members") {
     val rows = Similarity.queries("q117_cluster_coreset")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
