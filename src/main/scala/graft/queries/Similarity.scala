@@ -888,6 +888,53 @@ object Similarity extends QueryModule {
       |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q121 — PQ CODEBOOK HEALTH REPORT: q120's dashboard for the memory
+  // layer — per subspace: how many of the K codewords are actually
+  // used (dead codewords waste the code budget and shrink effective
+  // precision), the largest codeword's population share (a collapsed
+  // subspace routes everything through one code — ADC distances stop
+  // discriminating), and the average integer reconstruction error
+  // Σ‖v_s − c_s‖² div n (the distortion every ADC distance inherits).
+  // An index build gates deployment on exactly these three numbers.
+  //
+  // Scale: reuses the q63 training/assignment stack unchanged; the
+  // rollups are (M·K)- and M-sized. Integer ppm/milli throughout.
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val quantS = pqQuant(s, dir)
+    val c0 = pqSeeds(quantS)
+    val a2 = pqAssign(quantS, pqUpdate(quantS, pqAssign(quantS, c0)))
+    val wErr = a2.join(quantS.select("vec_id", "sub", "n2v"), Seq("vec_id", "sub"))
+      .withColumn("qerr", col("n2v") + col("score"))
+    val perCode = wErr.groupBy("sub", "cid").agg(count(lit(1)).as("cnt"))
+    val codeStats = perCode.groupBy("sub").agg(
+      count(lit(1)).as("codes_used"), max(col("cnt")).as("max_code"))
+    wErr.groupBy("sub")
+      .agg(count(lit(1)).as("n_vectors"), sum(col("qerr")).as("sum_qerr"))
+      .join(codeStats, "sub")
+      .withColumn("util_ppm", expr(s"(1000000 * codes_used) div $PqK"))
+      .withColumn("top_code_share_ppm", expr("(1000000 * max_code) div n_vectors"))
+      .withColumn("avg_qerr", expr("sum_qerr div n_vectors"))
+      .select("sub", "n_vectors", "codes_used", "util_ppm",
+        "top_code_share_ppm", "avg_qerr")
+      .orderBy("sub")
+  }
+
+  private val q121Sql =
+    s"""WITH $pqSqlCtes,
+      |n2v AS (SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2v FROM quants GROUP BY vec_id, sub),
+      |werr AS (
+      |  SELECT a.sub, a.cid, n.n2v + a.score AS qerr
+      |  FROM a2 a JOIN n2v n ON a.vec_id = n.vec_id AND a.sub = n.sub),
+      |pc AS (SELECT sub, cid, COUNT(*) AS cnt FROM werr GROUP BY sub, cid),
+      |cs AS (SELECT sub, COUNT(*) AS codes_used, MAX(cnt) AS max_code FROM pc GROUP BY sub),
+      |sv AS (SELECT sub, COUNT(*) AS n_vectors, CAST(SUM(qerr) AS BIGINT) AS sum_qerr FROM werr GROUP BY sub)
+      |SELECT sv.sub, sv.n_vectors, cs.codes_used,
+      |       (1000000 * cs.codes_used) // $PqK AS util_ppm,
+      |       (1000000 * cs.max_code) // sv.n_vectors AS top_code_share_ppm,
+      |       sv.sum_qerr // sv.n_vectors AS avg_qerr
+      |FROM sv JOIN cs ON sv.sub = cs.sub ORDER BY sv.sub""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q64 — ADC SEARCH over the PQ codes (Jégou et al. §IV: asymmetric
   // distance computation — the query stays UNCOMPRESSED, the corpus is
   // its 8-nibble codes): each query precomputes a distance TABLE
@@ -1500,6 +1547,7 @@ object Similarity extends QueryModule {
     "q110_hard_negatives"  -> (q110 _),
     "q117_cluster_coreset" -> (q117 _),
     "q120_ivf_health"      -> (q120 _),
+    "q121_pq_health"       -> (q121 _),
     "q39_cosine_neardup"   -> (q39 _),
     "q48_ann_ivf"          -> (q48 _),
     "q50_semantic_dedup"   -> (q50 _),
@@ -1521,6 +1569,7 @@ object Similarity extends QueryModule {
     "q110_hard_negatives"  -> q110Sql,
     "q117_cluster_coreset" -> q117Sql,
     "q120_ivf_health"      -> q120Sql,
+    "q121_pq_health"       -> q121Sql,
     "q39_cosine_neardup"   -> q39Sql,
     "q48_ann_ivf"          -> q48Sql,
     "q50_semantic_dedup"   -> q50Sql,

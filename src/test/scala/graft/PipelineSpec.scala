@@ -125,6 +125,28 @@ class PipelineSpec extends SparkTestBase {
     assert(got._2 <= got._1 && got._7 >= 900L)
   }
 
+  test("q121 PQ health agrees with q63's per-vector codes and error total") {
+    val q63r = Similarity.queries("q63_pq_codes")(spark, sfDir).collect()
+      .map(r => (r.getString(1).split("-").map(_.toInt), r.getLong(2)))
+    val n = q63r.length.toLong
+    val got = Similarity.queries("q121_pq_health")(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).intValue -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    (0 until 8).foreach { s =>
+      val counts = q63r.map(_._1(s)).groupBy(identity).map(_._2.length.toLong)
+      val expect = (n, counts.size.toLong, 1000000L * counts.size / 16,
+        1000000L * counts.max / n)
+      val (gn, gc, gu, gt, _) = got(s)
+      assert((gn, gc, gu, gt) == expect, s"sub $s: got=${got(s)} expect=$expect")
+    }
+    // the truncated per-sub means must reconstruct q63's total error to
+    // within the M·n truncation bound
+    val total = q63r.map(_._2).sum
+    val approx = got.values.map(_._5 * n).sum
+    assert(approx <= total && total - approx < 8 * n,
+      s"error accounting: total=$total approx=$approx")
+  }
+
   test("q117 coreset fills per-cluster quotas with the most central members") {
     val rows = Similarity.queries("q117_cluster_coreset")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
