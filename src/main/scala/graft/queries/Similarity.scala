@@ -1434,6 +1434,121 @@ object Similarity extends QueryModule {
       |FROM agg a CROSS JOIN np""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q122 — IVF NPROBE TUNING CURVE: the measurement that sets an IVF
+  // deployment's one serving knob — for nprobe ∈ 1..4, recall@3 against
+  // exact search AND the average number of candidates scanned per
+  // query. Recall buys are paid for in scanned vectors; the curve shows
+  // exactly where the next probe stops paying. One pass produces the
+  // whole sweep: a candidate reached at cell-rank c participates in
+  // every p ≥ c via a bounded explode — the detector (assignment,
+  // probes, in-cell exact ranking) is never re-run per p (the q107
+  // curve discipline applied to the ANN family).
+  //
+  // Scale: the affinity/assignment pass is ivfCells' O(N·K) shape run
+  // once; candidates are the probed cells' members ×≤4, ranked by
+  // bounded-(p, Q) windows; the exact-truth arm is q36's broadcast
+  // shape cut at k=3. Rollups are ≤4·Q rows.
+  private val SweepMaxProbe = 4
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val pivots = vecs.filter(col("vec_id") % PivotStride === PivotPhase)
+      .select(col("vec_id").as("cell"), col("qa").as("pa"), col("n2").as("pn2"))
+    val affinity = graft.Caches.track(vecs.crossJoin(broadcast(pivots))
+      .withColumn("dot", expr("graft_dot(qa, pa)"))
+      .withColumn("cos", cosine(col("dot"), col("n2"), col("pn2")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))))
+      .select("vec_id", "cell", "crank"))
+    val assigned = affinity.filter(col("crank") === 1).select("vec_id", "cell")
+    val probes = affinity
+      .filter(col("vec_id") < NumQueries && col("crank") <= SweepMaxProbe)
+      .select(col("vec_id").as("qid"), col("cell"), col("crank"))
+    val queries = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    val exact = vecs.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cos", cosine(expr("graft_dot(qq, qa)"), col("n2q"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("qid", "vec_id")
+    val scanned = graft.Caches.track(probes
+      .join(assigned, "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        explode(expr(s"sequence(CAST(crank AS BIGINT), ${SweepMaxProbe}L)")).as("p")))
+    val served = scanned
+      .join(vecs, "vec_id")
+      .join(broadcast(queries), "qid")
+      .withColumn("cos", cosine(expr("graft_dot(qq, qa)"), col("n2q"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("p", "qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select("p", "qid", "vec_id")
+    val hits = served.join(exact, Seq("qid", "vec_id"))
+      .groupBy("p", "qid").agg(count(lit(1)).as("hits"))
+    val scans = scanned.groupBy("p", "qid").agg(count(lit(1)).as("n_scanned"))
+    probes.select("qid").distinct()
+      .crossJoin(s.range(1, SweepMaxProbe + 1).select(col("id").as("p")))
+      .join(hits, Seq("p", "qid"), "left")
+      .join(scans, Seq("p", "qid"), "left")
+      .na.fill(0L, Seq("hits", "n_scanned"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_queries"),
+        expr("(1000000 * sum(hits)) div (3 * count(1))").as("recall_ppm"),
+        expr("sum(n_scanned) div count(1)").as("avg_scanned"))
+      .orderBy("p")
+  }
+
+  private val q122Sql =
+    s"""WITH $quantSqlCte,
+      |$ivfSqlCtes,
+      |probes4 AS (
+      |  SELECT vec_id AS qid, cell, crank FROM ranked_cells
+      |  WHERE vec_id < $NumQueries AND crank <= $SweepMaxProbe),
+      |e_dots AS (
+      |  SELECT q.vec_id AS qid, v.vec_id,
+      |         CAST(list_sum([q.qa[i] * v.qa[i] for i in range(1, len(q.qa) + 1)]) AS DOUBLE)
+      |           / (SQRT(CAST(q.n2 AS DOUBLE)) * SQRT(CAST(v.n2 AS DOUBLE))) AS cos
+      |  FROM vecs q CROSS JOIN vecs v
+      |  WHERE q.vec_id < $NumQueries AND q.vec_id != v.vec_id),
+      |e_top AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      |    FROM e_dots) WHERE rank <= 3),
+      |sc AS (
+      |  SELECT pr.qid, a.vec_id, pp.p
+      |  FROM probes4 pr JOIN cells a ON pr.cell = a.cell AND a.vec_id != pr.qid
+      |  CROSS JOIN (SELECT unnest(range(1, ${SweepMaxProbe + 1})) AS p) pp
+      |  WHERE pr.crank <= pp.p),
+      |s_scored AS (
+      |  SELECT s.p, s.qid, s.vec_id,
+      |         CAST(list_sum([x.qa[i] * y.qa[i] for i in range(1, len(x.qa) + 1)]) AS DOUBLE)
+      |           / (SQRT(CAST(x.n2 AS DOUBLE)) * SQRT(CAST(y.n2 AS DOUBLE))) AS cos
+      |  FROM sc s JOIN vecs x ON s.qid = x.vec_id JOIN vecs y ON s.vec_id = y.vec_id),
+      |s_top AS (
+      |  SELECT p, qid, vec_id FROM (
+      |    SELECT p, qid, vec_id,
+      |           ROW_NUMBER() OVER (PARTITION BY p, qid ORDER BY cos DESC, vec_id) AS rank
+      |    FROM s_scored) WHERE rank <= 3),
+      |hits AS (
+      |  SELECT t.p, t.qid, COUNT(*) AS hits
+      |  FROM s_top t JOIN e_top e ON t.qid = e.qid AND t.vec_id = e.vec_id
+      |  GROUP BY t.p, t.qid),
+      |scn AS (SELECT p, qid, COUNT(*) AS n_scanned FROM sc GROUP BY p, qid),
+      |grid AS (
+      |  SELECT q.qid, pp.p
+      |  FROM (SELECT DISTINCT qid FROM probes4) q
+      |  CROSS JOIN (SELECT unnest(range(1, ${SweepMaxProbe + 1})) AS p) pp)
+      |SELECT g.p, COUNT(*) AS n_queries,
+      |       (1000000 * CAST(SUM(COALESCE(h.hits, 0)) AS BIGINT)) // (3 * COUNT(*)) AS recall_ppm,
+      |       CAST(SUM(COALESCE(s.n_scanned, 0)) AS BIGINT) // COUNT(*) AS avg_scanned
+      |FROM grid g
+      |LEFT JOIN hits h ON g.p = h.p AND g.qid = h.qid
+      |LEFT JOIN scn s ON g.p = s.p AND g.qid = s.qid
+      |GROUP BY g.p ORDER BY g.p""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q117 — CLUSTER-BALANCED CORESET SELECTION: the curation step q59's
   // clustering exists to serve (SemDeDup / cluster-balanced pruning):
   // cap every k-means cluster at an equal budget (n_total div 2K) and
@@ -1548,6 +1663,7 @@ object Similarity extends QueryModule {
     "q117_cluster_coreset" -> (q117 _),
     "q120_ivf_health"      -> (q120 _),
     "q121_pq_health"       -> (q121 _),
+    "q122_nprobe_curve"    -> (q122 _),
     "q39_cosine_neardup"   -> (q39 _),
     "q48_ann_ivf"          -> (q48 _),
     "q50_semantic_dedup"   -> (q50 _),
@@ -1570,6 +1686,7 @@ object Similarity extends QueryModule {
     "q117_cluster_coreset" -> q117Sql,
     "q120_ivf_health"      -> q120Sql,
     "q121_pq_health"       -> q121Sql,
+    "q122_nprobe_curve"    -> q122Sql,
     "q39_cosine_neardup"   -> q39Sql,
     "q48_ann_ivf"          -> q48Sql,
     "q50_semantic_dedup"   -> q50Sql,

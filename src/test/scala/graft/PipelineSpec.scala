@@ -147,6 +147,26 @@ class PipelineSpec extends SparkTestBase {
       s"error accounting: total=$total approx=$approx")
   }
 
+  test("q122 nprobe curve is monotone and its p=2 point matches the q48/q36 stacks") {
+    val got = Similarity.queries("q122_nprobe_curve")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // more probes can only scan more and recall at least as much
+    (2L to 4L).foreach { p =>
+      assert(got(p)._2 >= got(p - 1)._2 && got(p)._3 >= got(p - 1)._3, s"p=$p")
+    }
+    // the p=2 point IS q48's configuration: recall@3 of q48's served
+    // top-3 against q36's exact top-3 must reproduce the curve exactly
+    val exact3 = Similarity.queries("q36_ann_bruteforce")(spark, sfDir).collect()
+      .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served3 = Similarity.queries("q48_ann_ivf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQ = got(2L)._1
+    val hits = served3.count(exact3.contains).toLong
+    assert(got(2L)._2 == 1000000L * hits / (3 * nQ),
+      s"p=2 recall ${got(2L)._2} != replay ${1000000L * hits / (3 * nQ)}")
+  }
+
   test("q117 coreset fills per-cluster quotas with the most central members") {
     val rows = Similarity.queries("q117_cluster_coreset")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
