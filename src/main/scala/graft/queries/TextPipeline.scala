@@ -1363,11 +1363,90 @@ object TextPipeline extends QueryModule {
       |GROUP BY bucket, tot.n_types, tot.n_occ
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q123 — RELEASE GATE: the automated ship/no-ship relation a corpus
+  // release pipeline evaluates last — each row is one policy criterion
+  // with its observed corpus-wide value, the committed threshold, and a
+  // pass verdict: exact-duplicate rate ≤ 5 %, Gopher-battery keep rate
+  // ≥ 50 %, short-document rate ≤ 10 %, mean document length ≥ 24
+  // tokens. The artifact a CI step diffs and alerts on; thresholds are
+  // code-reviewed constants, observations come from the SAME battery
+  // and hash definitions the pipeline filters with (withQualityRules,
+  // md5 first-occurrence) so the gate can never disagree with the
+  // filters it audits.
+  //
+  // Scale: one narrow battery pass + one md5-uniform first-occurrence
+  // agg; the criterion relation is 4 rows off a cached 1-row aggregate.
+  private val GateDupPpm = 50000L
+  private val GateKeepPpm = 500000L
+  private val GateShortPpm = 100000L
+  private val GateShortToks = 16L
+  private val GateMeanMilli = 24000L
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val base = withQualityRules(Tables.documentsWide(s, dir))
+      .select(col("doc_id"), col("rule_mask"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        md5(col("text")).as("h"))
+    val firsts = base.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+    val a = graft.Caches.track(base.join(firsts, "h")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("dups"),
+        sum(when(col("rule_mask") === 0, 1L).otherwise(0L)).as("keeps"),
+        sum(when(col("nt") < GateShortToks, 1L).otherwise(0L)).as("shorts"),
+        sum(col("nt")).as("toks")))
+    def crit(name: String, obs: String, thr: Long, atLeast: Boolean) =
+      a.select(lit(name).as("criterion"), expr(obs).as("observed"),
+        lit(thr).as("threshold"),
+        (if (atLeast) expr(obs) >= thr else expr(obs) <= thr).as("pass"))
+    crit("exact_dup_ppm", "(1000000 * dups) div n", GateDupPpm, atLeast = false)
+      .unionByName(crit("mean_doc_tokens_milli", "(1000 * toks) div n",
+        GateMeanMilli, atLeast = true))
+      .unionByName(crit("quality_keep_ppm", "(1000000 * keeps) div n",
+        GateKeepPpm, atLeast = true))
+      .unionByName(crit("short_doc_ppm", "(1000000 * shorts) div n",
+        GateShortPpm, atLeast = false))
+      .orderBy("criterion")
+  }
+
+  private val q123Sql =
+    s"""WITH $rulesSqlCtes,
+      |g_base AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |g_first AS (SELECT h, MIN(doc_id) AS keeper FROM g_base GROUP BY h),
+      |g_f AS (
+      |  SELECT b.nt, b.doc_id != fi.keeper AS is_dup, m.rule_mask
+      |  FROM g_base b JOIN g_first fi ON b.h = fi.h
+      |  JOIN rqmask m ON b.doc_id = m.doc_id),
+      |g_a AS (
+      |  SELECT COUNT(*) AS n,
+      |         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dups,
+      |         CAST(SUM(CASE WHEN rule_mask = 0 THEN 1 ELSE 0 END) AS BIGINT) AS keeps,
+      |         CAST(SUM(CASE WHEN nt < $GateShortToks THEN 1 ELSE 0 END) AS BIGINT) AS shorts,
+      |         CAST(SUM(nt) AS BIGINT) AS toks
+      |  FROM g_f)
+      |SELECT * FROM (
+      |  SELECT 'exact_dup_ppm' AS criterion, (1000000 * dups) // n AS observed,
+      |         CAST($GateDupPpm AS BIGINT) AS threshold,
+      |         (1000000 * dups) // n <= $GateDupPpm AS pass FROM g_a
+      |  UNION ALL
+      |  SELECT 'mean_doc_tokens_milli', (1000 * toks) // n,
+      |         CAST($GateMeanMilli AS BIGINT), (1000 * toks) // n >= $GateMeanMilli FROM g_a
+      |  UNION ALL
+      |  SELECT 'quality_keep_ppm', (1000000 * keeps) // n,
+      |         CAST($GateKeepPpm AS BIGINT), (1000000 * keeps) // n >= $GateKeepPpm FROM g_a
+      |  UNION ALL
+      |  SELECT 'short_doc_ppm', (1000000 * shorts) // n,
+      |         CAST($GateShortPpm AS BIGINT), (1000000 * shorts) // n <= $GateShortPpm FROM g_a)
+      |ORDER BY criterion""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats"     -> (q30 _),
     "q108_tokenizer_fertility" -> (q108 _),
     "q114_source_health" -> (q114 _),
     "q116_vocab_profile" -> (q116 _),
+    "q123_release_gate"  -> (q123 _),
     "q55_repetition"     -> (q55 _),
     "q65_quality_rules"  -> (q65 _),
     "q67_surprisal"      -> (q67 _),
@@ -1395,6 +1474,7 @@ object TextPipeline extends QueryModule {
     "q108_tokenizer_fertility" -> q108Sql,
     "q114_source_health" -> q114Sql,
     "q116_vocab_profile" -> q116Sql,
+    "q123_release_gate"  -> q123Sql,
     "q55_repetition"     -> q55Sql,
     "q65_quality_rules"  -> q65Sql,
     "q67_surprisal"      -> q67Sql,

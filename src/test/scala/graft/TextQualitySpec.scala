@@ -278,6 +278,39 @@ class TextQualitySpec extends SparkTestBase {
     assert(got.size >= 2, "degenerate one-bucket spectrum")
   }
 
+  test("q123 release gate replays its criteria and fails on a degenerate corpus") {
+    val got = SparkEntry.queries("q123_release_gate")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toLong
+    val dups = docs.groupBy(_._2).values.map(_.size - 1).sum.toLong
+    val toks = docs.map(_._2.split(" ", -1).length.toLong)
+    val keeps = SparkEntry.queries("q65_quality_rules")(spark, sfDir).collect()
+      .count(_.getInt(8) == 0).toLong
+    val shorts = toks.count(_ < 16).toLong
+    assert(got("exact_dup_ppm") ==
+      ((1000000L * dups / n, 50000L, 1000000L * dups / n <= 50000L)))
+    assert(got("quality_keep_ppm") ==
+      ((1000000L * keeps / n, 500000L, 1000000L * keeps / n >= 500000L)))
+    assert(got("short_doc_ppm") ==
+      ((1000000L * shorts / n, 100000L, 1000000L * shorts / n <= 100000L)))
+    assert(got("mean_doc_tokens_milli") ==
+      ((1000L * toks.sum / n, 24000L, 1000L * toks.sum / n >= 24000L)))
+    // the gate must be able to FAIL: a dup-heavy two-token corpus trips
+    // every criterion
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toFile.getAbsolutePath
+    import spark.implicits._
+    Seq((0L, "a b", "en", "s0"), (1L, "a b", "en", "s0"), (2L, "c d", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bad = SparkEntry.queries("q123_release_gate")(spark, dir).collect()
+    assert(bad.length == 4 && bad.forall(!_.getBoolean(3)),
+      "degenerate corpus must fail every criterion")
+  }
+
   test("q107 calibration curve equals a plain-Scala replay of the capped detector") {
     val sh = SparkEntry.queries("q34_simhash")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1)))
