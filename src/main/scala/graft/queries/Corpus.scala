@@ -173,13 +173,16 @@ object Corpus extends QueryModule {
   // Determinism: idf/score are doubles with ln — each engine evaluates
   // the IDENTICAL expression tree on identical integer inputs, ranks
   // with a doc_id tiebreak, and the emitted score is rounded to 4
-  // decimals (the catalog's order-sensitive-float rule). One honest
-  // caveat: the per-(qid, doc) SUM accumulates IEEE doubles in a
-  // partition-dependent order, so an input landing within an ulp of a
-  // rounding/tie boundary could in principle flip — the error is
-  // bounded by the ≤5 terms per query (few-ulp worst case), far from
-  // any boundary on this data; if the gate ever flakes here, sum in a
-  // forced canonical term order or compare with a tolerance.
+  // decimals (the catalog's order-sensitive-float rule). The per-(qid,
+  // doc) score is a CANONICAL-ORDER fold, not a bare SUM: both engines
+  // left-fold the per-term contributions in ascending term order
+  // (Spark: aggregate over array_sort(collect_list); DuckDB:
+  // list_reduce over list(… ORDER BY term)), so the IEEE accumulation
+  // sequence is identical regardless of partitioning or engine —
+  // partition-order ulp drift at a rounding/tie boundary is
+  // structurally impossible. Cost: the fold's group is ≤ the query's
+  // term count (≤5 by the tiny-workload contract), so the sorted
+  // collect is O(1) per group.
   private val Bm25K1Num = 12 // k1 = 1.2
   private val Bm25BNum = 3   // b = 0.75 (as 3/4)
   private val Bm25TopK = 5
@@ -193,18 +196,26 @@ object Corpus extends QueryModule {
     * every document matching ≥1 term of each query — shared by q91
     * (top-k serving) and q115 (retrieval eval, which needs the FULL
     * candidate set for the ideal ranking and recall base). */
-  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame =
+    bm25ScoredOn(Tables.documentsWide(s, dir).select("doc_id", "text"))
+
+  /** [[bm25Scored]] over a GIVEN (doc_id, text) relation — the testable
+    * core: CorpusSpec asserts the canonical-order score fold is
+    * PERMUTATION-INVARIANT on it (identical exact doubles under any
+    * input partitioning/row order). */
+  private[graft] def bm25ScoredOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val terms = Bm25Queries
       .flatMap { case (q, txt) => txt.split(" ").map(t => (q, t)) }
       .toDF("qid", "term")
-    val toks = Tables.documentsWide(s, dir)
+    val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
         explode(col("ts")).as("tok"))
     // corpus stats from the per-doc length relation — a narrow scan, not
     // a second token explode (dl counts every token, split keeps empties)
-    val stats = Tables.documents(s, dir)
+    val stats = docs
       .select(size(split(col("text"), " ")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
     val tf = toks
@@ -225,7 +236,9 @@ object Corpus extends QueryModule {
             lit(Bm25K1Num * (4 - Bm25BNum) / 4.0) * col("n_toks") +
             lit(Bm25K1Num * Bm25BNum / 4.0) * col("dl") * col("n_docs")))
       .groupBy("qid", "doc_id")
-      .agg(sum(col("idf") * col("w")).as("score"),
+      // canonical-order fold (see header): ascending-term left fold,
+      // bit-identical on any partitioning and any engine
+      .agg(expr("aggregate(array_sort(collect_list(named_struct('term', term, 'ts', idf * w))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.ts)").as("score"),
         count(lit(1)).cast("int").as("n_hit"))
     scored
   }
@@ -259,11 +272,12 @@ object Corpus extends QueryModule {
       |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
       |scored AS (
       |  SELECT q.qid, t.doc_id,
-      |         SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+      |         list_reduce(list(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
       |             (CAST(t.tf * ${Bm25K1Num + 10} * s.n_toks AS DOUBLE) /
       |              (10 * s.n_toks * t.tf +
       |               ${Bm25K1Num * (4 - Bm25BNum) / 4.0} * s.n_toks +
-      |               ${Bm25K1Num * Bm25BNum / 4.0} * t.dl * s.n_docs))) AS score,
+      |               ${Bm25K1Num * Bm25BNum / 4.0} * t.dl * s.n_docs))
+      |             ORDER BY t.term), (a, b) -> a + b) AS score,
       |         CAST(COUNT(*) AS INT) AS n_hit
       |  FROM tf t JOIN dfr d USING (term) CROSS JOIN stats s JOIN qt q USING (term)
       |  GROUP BY q.qid, t.doc_id)""".stripMargin
@@ -279,10 +293,14 @@ object Corpus extends QueryModule {
       |FROM ranked WHERE rank <= $Bm25TopK ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q115 — RETRIEVAL EVAL (MRR + nDCG@5 over the BM25 stack): the
+  // q115 — RETRIEVAL EVAL (MRR@5 + nDCG@5 over the BM25 stack): the
   // metric relation a search/RAG pipeline publishes when it changes its
-  // ranker — per query: reciprocal rank of the first fully-covering hit
-  // (a doc containing EVERY query term) and nDCG@5 with graded gain =
+  // ranker — per query: MRR@5, the reciprocal rank of the first
+  // fully-covering hit (a doc containing EVERY query term) WITHIN the
+  // served top-5 — a query whose first fully-covering doc ranks 6+
+  // scores 0, the standard cutoff convention (the metric evaluates what
+  // the q91 serving relation actually returns, not the unbounded
+  // candidate set) — and nDCG@5 with graded gain =
   // distinct terms matched, against the ideal ranking over the full
   // candidate set. The 1/log2(rank+1) discount weights are INTEGER
   // micro constants (1e6/log2(r+1), r ≤ 5, precomputed — no runtime

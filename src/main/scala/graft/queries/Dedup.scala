@@ -971,9 +971,13 @@ object Dedup extends QueryModule {
   // smaller-id neighbor sits within t), and what fraction of the corpus
   // that is (integer ppm). One detector pass produces the whole curve:
   // pairs are materialized ONCE at the widest radius (4×8-bit simhash
-  // bands — pigeonhole-complete at Hamming ≤ 3, the same capped-bucket
-  // discipline as q35, so the curve calibrates the PRODUCTION detector
-  // including its cap, not an idealized all-pairs sweep), then each
+  // bands — pigeonhole-complete at Hamming ≤ 3, with the same 64-entry
+  // bucket-cap discipline as q35; note this calibrates the CAPPED
+  // wide-radius 4×8 detector, not q35's production 2×16 configuration —
+  // 8-bit band keys collide far more than 16-bit ones, so the cap trips
+  // differently and the curve's t = 1 point need not equal q35's pair
+  // set; what the curve shares with production is the cap discipline
+  // and the hash, not the banding), then each
   // pair/doc contributes to every t ≥ its distance via a bounded
   // explode — never re-running the detector per threshold.
   //

@@ -394,13 +394,19 @@ object Similarity extends QueryModule {
   private val PivotPhase = 3
   private val NProbe = 2
 
-  /** The IVF coarse layer shared by q48 (exact in-cell ranking) and q71
-    * (in-cell ADC over PQ codes): stride-sampled pivots, the O(N·K)
-    * nearest-centroid assignment as array dots against the broadcast
-    * pivot table, and the queries' nprobe-cell lists. Returns
-    * (assigned(vec_id, cell), probes(qid, cell)); both branch off one
-    * tracked-cached affinity relation so the assignment pass runs once. */
-  private def ivfCells(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The IVF coarse layer shared by q48 (exact in-cell ranking), q71
+    * (in-cell ADC over PQ codes), q120 (health report), and q122 (the
+    * nprobe sweep, via `maxProbe = SweepMaxProbe`): stride-sampled
+    * pivots, the O(N·K) nearest-centroid assignment as array dots
+    * against the broadcast pivot table, and the queries' probe-cell
+    * lists up to cell-rank `maxProbe`. Returns
+    * (assigned(vec_id, cell), probes(qid, cell, crank)); both branch
+    * off one tracked-cached affinity relation so the assignment pass
+    * runs once — and ONE definition of the pivot/cosine/rank chain
+    * serves every consumer, so the sweep cannot drift from the
+    * production detector. */
+  private def ivfCells(s: SparkSession, dir: String,
+                       maxProbe: Int = NProbe): (DataFrame, DataFrame) = {
     val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
       // tracked cache: assignment + probe + scoring all read it
     val pivots = vecs.filter(col("vec_id") % PivotStride === PivotPhase)
@@ -414,8 +420,8 @@ object Similarity extends QueryModule {
       // tracked cache: assignment AND probe branch from it — the O(N·K)
       // pass must run once
     val assigned = affinity.filter(col("crank") === 1).select("vec_id", "cell")
-    val probes = affinity.filter(col("vec_id") < NumQueries && col("crank") <= NProbe)
-      .select(col("vec_id").as("qid"), col("cell"))
+    val probes = affinity.filter(col("vec_id") < NumQueries && col("crank") <= maxProbe)
+      .select(col("vec_id").as("qid"), col("cell"), col("crank"))
     (assigned, probes)
   }
 
@@ -1450,19 +1456,12 @@ object Similarity extends QueryModule {
   // shape cut at k=3. Rollups are ≤4·Q rows.
   private val SweepMaxProbe = 4
   private def q122(s: SparkSession, dir: String): DataFrame = {
+    // the production detector's own coarse layer (ONE pivot/cosine/rank
+    // definition — the sweep measures the q48/q71 chain, not a copy of
+    // it), widened to the sweep's probe bound
+    val (assigned, probes) = ivfCells(s, dir, maxProbe = SweepMaxProbe)
     val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
-    val pivots = vecs.filter(col("vec_id") % PivotStride === PivotPhase)
-      .select(col("vec_id").as("cell"), col("qa").as("pa"), col("n2").as("pn2"))
-    val affinity = graft.Caches.track(vecs.crossJoin(broadcast(pivots))
-      .withColumn("dot", expr("graft_dot(qa, pa)"))
-      .withColumn("cos", cosine(col("dot"), col("n2"), col("pn2")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))))
-      .select("vec_id", "cell", "crank"))
-    val assigned = affinity.filter(col("crank") === 1).select("vec_id", "cell")
-    val probes = affinity
-      .filter(col("vec_id") < NumQueries && col("crank") <= SweepMaxProbe)
-      .select(col("vec_id").as("qid"), col("cell"), col("crank"))
+      // tracked cache (idempotent with ivfCells' own): scoring reads it
     val queries = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
     val exact = vecs.crossJoin(broadcast(queries))

@@ -1239,7 +1239,10 @@ object TextPipeline extends QueryModule {
   // whitespace split and the BPE-ish `[a-z]+|[0-9]+|[^a-z0-9 ]` regex)
   // so the report audits exactly what the pipeline counts elsewhere.
   // Ratios are integer milli (1000·a div b) — no FP in hash-compared
-  // columns.
+  // columns. Denominators are floored at 1 on BOTH engines: a language
+  // whose texts tokenize to zero would otherwise yield NULL in Spark
+  // but a division-by-zero ERROR in DuckDB — divergent failure modes
+  // on degenerate data (the guard is a no-op on any non-empty corpus).
   //
   // Scale: one narrow codegen'd map (two tokenizer counts + length per
   // doc) into a partial-aggregated per-lang rollup — the shuffle is
@@ -1256,8 +1259,8 @@ object TextPipeline extends QueryModule {
         sum(col("ws")).as("ws_tokens"),
         sum(col("bpe")).as("bpe_tokens"),
         sum(col("nc")).as("n_chars"))
-      .withColumn("fertility_milli", expr("(1000 * bpe_tokens) div ws_tokens"))
-      .withColumn("chars_per_tok_milli", expr("(1000 * n_chars) div bpe_tokens"))
+      .withColumn("fertility_milli", expr("(1000 * bpe_tokens) div greatest(ws_tokens, 1L)"))
+      .withColumn("chars_per_tok_milli", expr("(1000 * n_chars) div greatest(bpe_tokens, 1L)"))
       .select("lang", "n_docs", "ws_tokens", "bpe_tokens", "n_chars",
         "fertility_milli", "chars_per_tok_milli")
       .orderBy("lang")
@@ -1273,8 +1276,8 @@ object TextPipeline extends QueryModule {
       |       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
       |       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
       |       CAST(SUM(nc) AS BIGINT) AS n_chars,
-      |       (1000 * CAST(SUM(bpe) AS BIGINT)) // CAST(SUM(ws) AS BIGINT) AS fertility_milli,
-      |       (1000 * CAST(SUM(nc) AS BIGINT)) // CAST(SUM(bpe) AS BIGINT) AS chars_per_tok_milli
+      |       (1000 * CAST(SUM(bpe) AS BIGINT)) // GREATEST(CAST(SUM(ws) AS BIGINT), 1) AS fertility_milli,
+      |       (1000 * CAST(SUM(nc) AS BIGINT)) // GREATEST(CAST(SUM(bpe) AS BIGINT), 1) AS chars_per_tok_milli
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------

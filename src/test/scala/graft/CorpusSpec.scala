@@ -328,4 +328,35 @@ class CorpusSpec extends SparkTestBase {
     assert(got.values.map(_._1).sum > 0 && got.values.map(_._2).sum > 0 &&
       got.values.map(_._3).sum > 0 && got.values.map(_._4).sum > 0)
   }
+
+  test("q91 BM25 scores are permutation-invariant (canonical-order fold)") {
+    import spark.implicits._
+    // multi-term-hit docs so the per-(qid, doc) fold has >1 addend — the
+    // case where a bare SUM's partition-dependent IEEE order could drift
+    val docs = (0L until 64L).map { id =>
+      val filler = (0 until (id % 7).toInt).map(j => s"f${id}_$j")
+      val hits = Seq("spark", "table", "join", "window", "agg", "stream")
+        .take(1 + (id % 6).toInt)
+      (id, (hits ++ filler ++ hits).mkString(" "))
+    }.toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), (Double, Int)] =
+      graft.queries.Corpus.bm25ScoredOn(df).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    val base = scores(docs.coalesce(1))
+    // three hostile arrangements: different partition counts and a
+    // reversed row order — the collect_list arrival order differs in all
+    val perms = Seq(docs.repartition(7), docs.repartition(3, col("text")),
+      docs.orderBy(col("doc_id").desc).repartition(5))
+    perms.foreach { p =>
+      val got = scores(p)
+      assert(got.keySet == base.keySet)
+      // EXACT double equality, not rounded: the fold's accumulation
+      // sequence itself must be canonical
+      got.foreach { case (k, v) =>
+        assert(v == base(k), s"score for $k drifted: $v vs ${base(k)}")
+      }
+    }
+    // sanity: some group genuinely folds >1 term
+    assert(base.exists(_._2._2 > 1))
+  }
 }
