@@ -62,6 +62,13 @@ object Corpus extends QueryModule {
     .withColumn("seg_id", col("seg_id0").cast("int"))
     .withColumn("seg", concat_ws(" ",
       slice(col("ts"), col("seg_id") * BoilerSegLen + 1, lit(BoilerSegLen))))
+    // skey is the catalog's md5-int60 fixed-width join/shuffle key, NOT
+    // the raw segment string the oracle joins on — an accepted,
+    // BUDGETED approximation: two distinct segments of one source
+    // colliding in 60 bits would merge their df counts (over-stripping
+    // at worst). FIXTURES.md §8 quantifies the budget (birthday bound
+    // ~S²/2⁶¹ per source) and names the upgrade path (concatenate the
+    // md5's second 60-bit half) for corpora that exceed it.
     .select(col("doc_id"), col("source"), col("seg_id"), col("seg"),
       conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long").as("skey"))
 
@@ -95,14 +102,56 @@ object Corpus extends QueryModule {
   private[graft] def md5Int60(s: String): Long =
     java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
 
+  /** Per-source serving-set cap for the frozen boilerplate artifact:
+    * the BATCH boilerplate relation is corpus-df-bounded (a 100 TB
+    * crawl of one template site can make one source's df ≥ 2 set
+    * huge), but a broadcast serving artifact must be executor-memory-
+    * bounded — so serving keeps each source's M highest-df segments
+    * (the worst boilerplate strips first; a tail segment at df = 2 is
+    * the least-harmful miss, and the next offline re-prepare catches
+    * it — the same honest incremental divergence as q102's frozen
+    * generation). 4096 × ~20 sources × 16 B ≈ 1.3 MB broadcast. */
+  private[graft] val BoilerServeTopM = 4096
+
+  /** Per-source top-M prune of a (source, skey, df) boilerplate
+    * relation — the SERVING generation [[frozenBoiler]] collects.
+    * Ranking runs as the q117 two-phase prefix sum over descending
+    * ⌊log₂ df⌋ buckets (log₂ is monotone, so bucket order ≡ df-desc
+    * order): per-(source, bucket) counts give bucket offsets over a
+    * tiny broadcastable relation, buckets wholly past M drop BEFORE
+    * any row-level work, and the within-bucket rank window partitions
+    * by (source, bucket) — never one corpus-df-sized window per
+    * source. Residual (q117's own): a source whose surviving df mass
+    * concentrates in one log₂ bucket concentrates that bucket's
+    * window; the bucket has already been pre-filtered to those
+    * intersecting the top M. Ties at the M boundary cut on skey —
+    * deterministic on any engine. */
+  private[graft] def prunedBoiler(boiler: DataFrame,
+                                  m: Int = BoilerServeTopM): DataFrame = {
+    // descending ⌊log₂ df⌋ so ascending bucket order walks df downward
+    val b = boiler.withColumn("lb", (lit(63) - (length(bin(col("df"))) - 1)).cast("int"))
+    val offsets = b.groupBy("source", "lb").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.partitionBy("source").orderBy("lb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("off") < m) // buckets entirely beyond M never reach the rank window
+      .select("source", "lb", "off")
+    b.join(broadcast(offsets), Seq("source", "lb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source", "lb").orderBy(col("df").desc, col("skey"))))
+      .filter(col("off") + col("rn") <= m)
+      .select("source", "skey", "df")
+  }
+
   /** The boilerplate relation collected as a FROZEN serving artifact —
     * what the streaming intake twin broadcasts (the q93 bigramScore
-    * offline-train/online-serve shape; a production serving set is
-    * pruned per-source to a bounded top-M before shipping — the batch
-    * training relation is corpus-df-bounded, its serving artifact must
-    * be executor-memory-bounded). */
+    * offline-train/online-serve shape). The collect is bounded by
+    * sources × [[BoilerServeTopM]] BY CONSTRUCTION ([[prunedBoiler]]),
+    * never by the corpus's df spectrum; StreamingSpec pins pruned ≡
+    * full on the fixture (whose per-source boilerplate is far below
+    * the cap). */
   private[graft] def frozenBoiler(docs: DataFrame): Set[(String, Long)] =
-    boilerOf(segmented(docs)).select("source", "skey").collect()
+    prunedBoiler(boilerOf(segmented(docs))).select("source", "skey").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
 
   /** Mark + reassemble against a GIVEN boilerplate relation — the form

@@ -420,6 +420,41 @@ class StreamingSpec extends SparkTestBase {
       s"replayed kept doc $keptDoc verdicts: $replayed")
   }
 
+  test("frozen boilerplate serving artifact is per-source top-M bounded and equals the full relation under the cap") {
+    import spark.implicits._
+    import graft.queries.Corpus
+    // 1. on the fixture (per-source boilerplate far below the cap) the
+    //    pruned serving artifact IS the full batch relation — the twin
+    //    above strips against exactly what batch q90 computed
+    val boiler = Corpus.boilerOf(Corpus.segmented(Tables.documentsWide(spark, sfDir)))
+    val full = boiler.select("source", "skey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(full.nonEmpty)
+    assert(Corpus.frozenBoiler(Tables.documentsWide(spark, sfDir)) == full)
+    // 2. a synthetic df spectrum that OVERFLOWS the cap: the prune keeps
+    //    exactly each source's M highest-df keys (skey tiebreak), so the
+    //    collect is sources × M by construction
+    val m = 5
+    val syn = (for {
+      src <- Seq("sA", "sB")
+      k <- 0 until 40
+    } yield (src, k.toLong, 2L + (k % 7))).toDF("source", "skey", "df")
+    val got = Corpus.prunedBoiler(syn, m).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length == m, s"$src serving set must be exactly M=$m rows")
+    }
+    // plain-Scala replay of the (df desc, skey asc) top-M
+    val expect = (for {
+      src <- Seq("sA", "sB")
+    } yield src -> (0 until 40).map(k => (k.toLong, 2L + (k % 7)))
+      .sortBy { case (skey, df) => (-df, skey) }.take(m)
+      .map { case (skey, df) => (src, skey, df) }.toSet).toMap
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.toSet == expect(src), s"$src pruned set is not the top-M by (df desc, skey)")
+    }
+  }
+
   test("streaming media-verdict twin matches batch q101 row-for-row on the shared index") {
     implicit val sqlCtx = spark.sqlContext
     import graft.queries.IncrementalMediaDedup
