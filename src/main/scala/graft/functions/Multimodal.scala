@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,13 +14,11 @@ import org.apache.spark.sql.functions._
   * JDK's javax.sound.sampled WAV parser; video payloads are genuine
   * RIFF/AVI containers with uncompressed DIB frames and
   * [[decodeVideoFrames]] index-seeks the sampled frames and decodes them
-  * through ImageIO's BMP reader. [[decodeStub]] remains ONLY as the
-  * documented stand-in for payloads that are not decodable containers
-  * (q42/q43's text-byte media rows): deterministic md5 pseudo-features
-  * keep that plumbing end-to-end testable (and oracle-checkable: the
-  * same features are SQL-expressible). Everything
-  * around the decode is the real Spark plumbing a production decoder
-  * needs:
+  * through ImageIO's BMP reader. There is NO stub decoder left: every
+  * media row the catalog processes is a real container through a real
+  * codec ([[decodeAll]] is the unified three-modality surface).
+  * Everything around the decode is the real Spark plumbing a production
+  * decoder needs:
   *  - payloads travel as `BinaryType` columns (never stringified),
   *  - decoding runs in [[Dataset.mapPartitions]] so a real codec would
   *    amortize per-partition init (model load, decoder context) across
@@ -32,78 +29,51 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** The unified decoded-media schema (the q42 surface and
+    * [[resizePlan]]'s input): real decoded dimensions, the container's
+    * frame count, and the modality's perceptual fingerprint — 64-bit
+    * image aHash / 32-bit audio energy envelope / 128-bit two-keyframe
+    * video signature, all as bitstrings (the q34 convention). */
   case class MediaFeatures(doc_id: Long, media_type: String,
                            width: Int, height: Int, n_frames: Int, fingerprint: String)
 
-  // One MessageDigest per executor thread (i.e. per running task), reused
-  // across every row of the partition — `getInstance` does a provider
-  // lookup + allocation and must not run per row; `reset()` is O(1).
-  // Hex via a char table: no per-byte format-string boxing.
-  private val digestLocal = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-  private val hexChars = "0123456789abcdef".toCharArray
-
-  private def md5hex(bytes: Array[Byte]): String = {
-    val md = digestLocal.get()
-    md.reset()
-    val d = md.digest(bytes)
-    val out = new Array[Char](d.length * 2)
-    var i = 0
-    while (i < d.length) {
-      out(i * 2) = hexChars((d(i) >> 4) & 0xf)
-      out(i * 2 + 1) = hexChars(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
+  /** REAL unified decode — all three modalities as genuine containers
+    * (PNG / WAV / AVI by the doc_id % 3 modality split) through their
+    * real codec paths into ONE typed schema. Audio is 1×n media (width
+    * = decoded sample count, one stream ⇒ n_frames = 1); video's frame
+    * count comes from the container's idx1 index and its fingerprint
+    * from the 2-keyframe index-seek decode. Narrow map end-to-end per
+    * modality, zero shuffles; the oracle replays every fingerprint from
+    * the pixel/sample formulas without seeing container bytes, so a
+    * hash match certifies three real decode round-trips. */
+  def decodeAll(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    imageAHashes(synthesizeImages(s, dir))
+      .map(i => MediaFeatures(i.doc_id, "image", i.width, i.height, 1, i.ahash))
+      .union(audioEnvelopeHashes(synthesizeAudio(s, dir))
+        .map(a => MediaFeatures(a.doc_id, "audio", a.n_samples, 1, 1, a.ehash)))
+      .union(videoSignatures(synthesizeVideos(s, dir))
+        .map(v => MediaFeatures(v.doc_id, "video", v.width, v.height, v.n_frames, v.sig)))
   }
 
-  private def hexPair(h: String, i: Int): Int =
-    Integer.parseInt(h.substring(i, i + 2), 16)
+  case class FrameHash(doc_id: Long, n_frames: Int, frame_idx: Int, ahash: String)
 
-  /** STUB decoder — replace with a real codec in production. Features are
-    * deterministic functions of the payload hash so tests and the DuckDB
-    * oracle can reproduce them exactly. */
-  def decodeStub(row: MediaRow): MediaFeatures = {
-    val h = md5hex(row.payload)
-    MediaFeatures(
-      doc_id = row.doc_id,
-      media_type = row.media_type,
-      width = 32 + hexPair(h, 0) % 224,
-      height = 32 + hexPair(h, 2) % 224,
-      n_frames = if (row.media_type == "image") 1 else 1 + hexPair(h, 4) % 32,
-      fingerprint = h)
-  }
-
-  /** The mapPartitions decode stage. A real implementation would open the
-    * codec once per partition here, then stream the batch through it. */
-  def decode(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** REAL per-keyframe hashing (the q43 surface): index-seek up to
+    * `maxSamples` evenly spaced frames per AVI ([[sampledAviFrames]] —
+    * at 100 TB you never decode frames you won't keep), decode ONLY
+    * those frames' DIB bits, and emit each decoded frame's 8×8
+    * block-mean aHash as its own row — the frame-level hash relation a
+    * frame-matching index stores, where [[videoSignatures]] keeps only
+    * the concatenated 2-frame per-video signature. */
+  def frameAHashes(media: Dataset[MediaRow], maxSamples: Int = 4): Dataset[FrameHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init happens here (codec/model handles)
-      rows.map(decodeStub)
-    }
-  }
-
-  case class FrameFeatures(doc_id: Long, frame_idx: Int, fingerprint: String, luma: Int)
-
-  /** Frame sampling for video media: take up to `maxSamples` evenly-
-    * spaced frames per video and "decode" each (STUB — per-frame
-    * features are deterministic functions of the media fingerprint +
-    * frame index, so the pipeline is testable end-to-end and the oracle
-    * can replay it). The real implementation would seek the container
-    * per sampled index inside the same per-partition batch loop —
-    * sampling-before-decode is the point: at 100 TB you never decode
-    * frames you won't keep. */
-  def sampleFrames(features: Dataset[MediaFeatures], maxSamples: Int = 4): Dataset[FrameFeatures] = {
-    import features.sparkSession.implicits._
-    features.flatMap { f =>
-      if (f.media_type != "video") Seq.empty[FrameFeatures]
-      else {
-        val step = math.max(1, f.n_frames / maxSamples)
-        (1 to f.n_frames by step).take(maxSamples).map { idx =>
-          val h = md5hex(s"${f.fingerprint}:$idx".getBytes("UTF-8"))
-          FrameFeatures(f.doc_id, idx, h, 16 + hexPair(h, 0) % 224)
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val (n, frames) = sampledAviFrames(r.payload, r.doc_id, maxSamples)
+        frames.map { case (f, img) =>
+          FrameHash(r.doc_id, n, f, blockMeanBits(img, avgLuma = true))
         }
       }
     }
@@ -159,7 +129,8 @@ object Multimodal {
       (math.max(1, (w.toLong * maxH / h).toInt), maxH)
 
   /** Resize planning over decoded dimensions; the pixel resample itself
-    * would run where the decode stub sits, consuming these plans. */
+    * would run inside the codec's mapPartitions stage, consuming these
+    * plans. */
   def resizePlan(features: Dataset[MediaFeatures], maxW: Int = 64, maxH: Int = 64): Dataset[ResizePlan] = {
     import features.sparkSession.implicits._
     features.map { f =>
@@ -219,8 +190,8 @@ object Multimodal {
     ids.repartitionByRange(n, col("doc_id")).sortWithinPartitions("doc_id")
   }
 
-  /** Synthesize the image-typed media rows (doc_id % 3 == 0, matching
-    * [[mediaFromDocuments]]'s type assignment) with REAL PNG payloads.
+  /** Synthesize the image-typed media rows (doc_id % 3 == 0, the catalog's
+    * modality split) with REAL PNG payloads.
     * Runs in mapPartitions: per-partition is where a production loader
     * would open its blob-store client; ImageIO's disk cache is disabled
     * once per executor JVM (executors have no guaranteed scratch dir). */
@@ -437,8 +408,8 @@ object Multimodal {
     buf.array()
   }
 
-  /** Synthesize the audio-typed media rows (doc_id % 3 == 1, matching
-    * [[mediaFromDocuments]]'s type assignment) with REAL WAV payloads. */
+  /** Synthesize the audio-typed media rows (doc_id % 3 == 1, the catalog's
+    * modality split) with REAL WAV payloads. */
   def synthesizeAudio(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     graft.Tables.documents(s, dir)
@@ -776,8 +747,8 @@ object Multimodal {
     java.util.Arrays.copyOf(b.array(), total)
   }
 
-  /** Synthesize the video-typed media rows (doc_id % 3 == 2, matching
-    * [[mediaFromDocuments]]'s type assignment) with REAL AVI payloads. */
+  /** Synthesize the video-typed media rows (doc_id % 3 == 2, the catalog's
+    * modality split) with REAL AVI payloads. */
   def synthesizeVideos(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     graft.Tables.documents(s, dir)
@@ -1002,16 +973,5 @@ object Multimodal {
         MediaPipelineRow(r.doc_id, "video", w, h, ow, oh, nPx, bins)
       }
     }
-  }
-
-  /** Build a media table from documents: payload = utf-8 bytes of text
-    * (stand-in for real image/audio bytes), media_type by doc_id. */
-  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
-    import s.implicits._
-    graft.Tables.documents(s, dir)
-      .select(col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        encode(col("text"), "utf-8").as("payload"))
-      .as[MediaRow]
   }
 }

@@ -161,35 +161,91 @@ object TextPipeline extends QueryModule {
       |ORDER BY doc_id, fp""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q42 — multimodal decode plumbing (see functions.Multimodal): binary
-  // payload column → mapPartitions stub decoder → typed features. The
-  // oracle reproduces the stub's md5-derived features in SQL, proving the
-  // binary column round-trips byte-exactly through the typed pipeline.
-  private def q42(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Multimodal.decode(Multimodal.mediaFromDocuments(s, dir))
-      .toDF()
-      .orderBy("doc_id")
-  }
+  // q42 — UNIFIED MULTIMODAL DECODE (functions.Multimodal.decodeAll):
+  // every document's media attachment as a REAL container — PNG / WAV /
+  // AVI by the doc_id % 3 modality split — decoded through the real JDK
+  // codec paths into one typed schema: decoded dims, the container's
+  // frame count, and the modality's perceptual fingerprint (64-bit
+  // image aHash / 32-bit audio envelope / 128-bit 2-keyframe video
+  // signature). The oracle replays fingerprints and dims from the
+  // pixel/sample FORMULAS — it never sees container bytes — so a hash
+  // match certifies all three decode round-trips in one gate. Narrow
+  // map per modality, zero shuffles; no post-decode sort (the driver
+  // compare is order-insensitive, and a range sort here would re-run
+  // the codecs for the partitioner's sampling pass — the q82 lesson).
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAll(s, dir).toDF()
 
   private val q42Sql =
-    """WITH m AS (
+    """WITH i_img AS (
       |  SELECT doc_id,
-      |         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-      |         md5(text) AS h
-      |  FROM documents),
-      |hx AS (
-      |  SELECT doc_id, media_type, h,
-      |         (strpos('0123456789abcdef', h[1]) - 1) * 16 + (strpos('0123456789abcdef', h[2]) - 1) AS p0,
-      |         (strpos('0123456789abcdef', h[3]) - 1) * 16 + (strpos('0123456789abcdef', h[4]) - 1) AS p1,
-      |         (strpos('0123456789abcdef', h[5]) - 1) * 16 + (strpos('0123456789abcdef', h[6]) - 1) AS p2
-      |  FROM m)
-      |SELECT doc_id, media_type,
-      |       CAST(32 + p0 % 224 AS INT) AS width,
-      |       CAST(32 + p1 % 224 AS INT) AS height,
-      |       CAST(CASE WHEN media_type = 'image' THEN 1 ELSE 1 + p2 % 32 END AS INT) AS n_frames,
-      |       h AS fingerprint
-      |FROM hx ORDER BY doc_id""".stripMargin
+      |         CAST(8 + doc_id % 120 AS INT) AS w,
+      |         CAST(8 + (doc_id * 7) % 120 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |i_px AS (
+      |  SELECT doc_id, w, h, unnest(range(0, CAST(w AS BIGINT) * h)) AS i FROM i_img),
+      |i_blk AS (
+      |  SELECT doc_id, w, h,
+      |         ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b,
+      |         (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS v
+      |  FROM i_px),
+      |i_bsum AS (
+      |  SELECT doc_id, w, h, b, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM i_blk GROUP BY doc_id, w, h, b),
+      |i_tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t FROM i_bsum GROUP BY doc_id),
+      |i_rows AS (
+      |  SELECT doc_id, 'image' AS media_type, w AS width, h AS height,
+      |         CAST(1 AS INT) AS n_frames,
+      |         string_agg(CASE WHEN s * (CAST(w AS BIGINT) * h) >= t * c
+      |                    THEN '1' ELSE '0' END, '' ORDER BY b) AS fingerprint
+      |  FROM i_bsum JOIN i_tot USING (doc_id) GROUP BY doc_id, w, h),
+      |a_aud AS (
+      |  SELECT doc_id, CAST(256 + (doc_id * 13) % 1024 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |a_sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM a_aud),
+      |a_fr AS (
+      |  SELECT doc_id, n, (i * 32) // n AS f,
+      |         abs((doc_id * 31 + i * 7919) % 65536 - 32768) AS a
+      |  FROM a_sm),
+      |a_fs AS (
+      |  SELECT doc_id, n, f, CAST(SUM(a) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM a_fr GROUP BY doc_id, n, f),
+      |a_tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t FROM a_fs GROUP BY doc_id),
+      |a_rows AS (
+      |  SELECT doc_id, 'audio' AS media_type, n AS width, CAST(1 AS INT) AS height,
+      |         CAST(1 AS INT) AS n_frames,
+      |         string_agg(CASE WHEN s * n >= t * c THEN '1' ELSE '0' END, '' ORDER BY f) AS fingerprint
+      |  FROM a_fs JOIN a_tot USING (doc_id) GROUP BY doc_id, n),
+      |v_vid AS (
+      |  SELECT doc_id,
+      |         CAST(16 + doc_id % 16 AS INT) AS w,
+      |         CAST(16 + (doc_id * 3) % 16 AS INT) AS h,
+      |         CAST(4 + (doc_id * 7) % 12 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |v_fsel AS (
+      |  SELECT doc_id, w, h, n, unnest([0, n // 2]) AS f FROM v_vid),
+      |v_px AS (
+      |  SELECT doc_id, w, h, n, f, unnest(range(0, CAST(w AS BIGINT) * h)) AS i
+      |  FROM v_fsel),
+      |v_blk AS (
+      |  SELECT doc_id, w, h, n, f,
+      |         ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b,
+      |         (doc_id * 31 + f * 17 + (i % w) * 7 + (i // w) * 13) % 256 AS v
+      |  FROM v_px),
+      |v_bsum AS (
+      |  SELECT doc_id, w, h, n, f, b, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM v_blk GROUP BY doc_id, w, h, n, f, b),
+      |v_ftot AS (
+      |  SELECT doc_id, f, CAST(SUM(s) AS BIGINT) AS t
+      |  FROM v_bsum GROUP BY doc_id, f),
+      |v_rows AS (
+      |  SELECT doc_id, 'video' AS media_type, w AS width, h AS height, n AS n_frames,
+      |         string_agg(CASE WHEN s * (CAST(w AS BIGINT) * h) >= t * c
+      |                    THEN '1' ELSE '0' END, '' ORDER BY f, b) AS fingerprint
+      |  FROM v_bsum JOIN v_ftot USING (doc_id, f) GROUP BY doc_id, w, h, n)
+      |SELECT * FROM i_rows
+      |UNION ALL SELECT * FROM a_rows
+      |UNION ALL SELECT * FROM v_rows""".stripMargin
 
   // ---------------------------------------------------------------------
   // q45 — character-n-gram language ID (Cavnar–Trenkle style): per-lang
@@ -269,37 +325,50 @@ object TextPipeline extends QueryModule {
       |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q43 — video frame sampling (multimodal continued): up to 4 evenly-
-  // spaced frames per video row through the stub decoder. The oracle
-  // replays the md5-derived frame features, proving the typed flatMap
-  // stage is deterministic and engine-reproducible.
-  private def q43(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Multimodal.sampleFrames(
-        Multimodal.decode(Multimodal.mediaFromDocuments(s, dir)))
-      .toDF()
-      .orderBy("doc_id", "frame_idx")
-  }
+  // q43 — PER-KEYFRAME HASH RELATION (functions.Multimodal.frameAHashes):
+  // up to 4 evenly-spaced frames per REAL AVI container, located through
+  // the idx1 index (sample-before-decode: only the sampled frames' DIB
+  // bits ever reach the BMP decoder), each decoded frame reduced to its
+  // own 8×8 block-mean aHash row — the frame-level hash relation a
+  // frame-matching index stores, where q97 keeps only the per-video
+  // concatenated signature and q83 keeps luma statistics. The oracle
+  // replays frame selection and every hash bit from the pixel formula
+  // without seeing container bytes. Narrow map, zero shuffles;
+  // (doc_id, frame_idx) order inherited from the pre-codec id sort.
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameAHashes(Multimodal.synthesizeVideos(s, dir)).toDF()
 
   private val q43Sql =
-    """WITH m AS (
-      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2),
-      |v AS (
-      |  SELECT doc_id, h,
-      |         1 + ((strpos('0123456789abcdef', h[5]) - 1) * 16 + (strpos('0123456789abcdef', h[6]) - 1)) % 32 AS n_frames
-      |  FROM m),
-      |frames AS (
-      |  SELECT doc_id, h, n_frames,
-      |         unnest(range(1, n_frames + 1, greatest(1, n_frames // 4))[1:4]) AS frame_idx
-      |  FROM v),
-      |feat AS (
-      |  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-      |         md5(h || ':' || frame_idx::VARCHAR) AS fingerprint
-      |  FROM frames)
-      |SELECT doc_id, frame_idx, fingerprint,
-      |       CAST(16 + ((strpos('0123456789abcdef', fingerprint[1]) - 1) * 16
-      |                  + (strpos('0123456789abcdef', fingerprint[2]) - 1)) % 224 AS INT) AS luma
-      |FROM feat ORDER BY doc_id, frame_idx""".stripMargin
+    """WITH vid AS (
+      |  SELECT doc_id,
+      |         CAST(16 + doc_id % 16 AS INT) AS w,
+      |         CAST(16 + (doc_id * 3) % 16 AS INT) AS h,
+      |         CAST(4 + (doc_id * 7) % 12 AS INT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |picked AS (
+      |  SELECT doc_id, w, h, n,
+      |         unnest(range(0, CAST(n AS BIGINT), CAST(GREATEST(1, n // 4) AS BIGINT))[1:4]) AS f
+      |  FROM vid),
+      |px AS (
+      |  SELECT doc_id, w, h, n, f, unnest(range(0, CAST(w AS BIGINT) * h)) AS i
+      |  FROM picked),
+      |blk AS (
+      |  SELECT doc_id, w, h, n, f,
+      |         ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS b,
+      |         (doc_id * 31 + f * 17 + (i % w) * 7 + (i // w) * 13) % 256 AS v
+      |  FROM px),
+      |bsum AS (
+      |  SELECT doc_id, w, h, n, f, b, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+      |  FROM blk GROUP BY doc_id, w, h, n, f, b),
+      |ftot AS (
+      |  SELECT doc_id, f, CAST(SUM(s) AS BIGINT) AS t
+      |  FROM bsum GROUP BY doc_id, f)
+      |SELECT doc_id, CAST(n AS INT) AS n_frames, CAST(f AS INT) AS frame_idx,
+      |       string_agg(CASE WHEN s * (CAST(w AS BIGINT) * h) >= t * c
+      |                  THEN '1' ELSE '0' END, '' ORDER BY b) AS ahash
+      |FROM bsum JOIN ftot USING (doc_id, f)
+      |GROUP BY doc_id, w, h, n, f
+      |ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------------
   // q49 — the composed multimodal feature pipeline, EVERY branch on the
@@ -1460,7 +1529,7 @@ object TextPipeline extends QueryModule {
     "q49_media_features" -> (q49 _),
     "q40_winnow_fingerprints" -> (q40 _),
     "q41_langid"         -> (q41 _),
-    "q42_multimodal_stub" -> (q42 _),
+    "q42_multimodal_decode" -> (q42 _),
     "q43_frame_sample"   -> (q43 _),
     "q45_langid_ngram"   -> (q45 _),
     "q80_cms_heavyhitters" -> (q80 _),
@@ -1486,7 +1555,7 @@ object TextPipeline extends QueryModule {
     "q56_tfidf_topk"     -> q56Sql,
     "q40_winnow_fingerprints" -> q40Sql,
     "q41_langid"         -> q41Sql,
-    "q42_multimodal_stub" -> q42Sql,
+    "q42_multimodal_decode" -> q42Sql,
     "q43_frame_sample"   -> q43Sql,
     "q45_langid_ngram"   -> q45Sql,
     "q49_media_features" -> q49Sql,

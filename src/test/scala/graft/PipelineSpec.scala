@@ -365,15 +365,33 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
-  test("multimodal stub features are pure functions of the payload") {
-    import spark.implicits._
-    val a = graft.functions.Multimodal.decode(
-      graft.functions.Multimodal.mediaFromDocuments(spark, sfDir)).collect()
-    val byId = a.map(f => f.doc_id -> f).toMap
-    val b = graft.functions.Multimodal.decode(
-      graft.functions.Multimodal.mediaFromDocuments(spark, sfDir).repartition(7)).collect()
-    b.foreach { f => assert(byId(f.doc_id) == f, "features depend on partitioning") }
-    assert(a.forall(f => f.fingerprint.length == 32 && f.width >= 32 && f.width < 256))
+  test("unified multimodal decode: every doc decodes through its modality's real codec") {
+    import graft.functions.Multimodal
+    val out = Multimodal.decodeAll(spark, sfDir).collect().map(f => f.doc_id -> f).toMap
+    val n = Tables.documents(spark, sfDir).count()
+    assert(out.size == n.toInt, "one decoded row per document")
+    out.values.foreach { f =>
+      f.doc_id % 3 match {
+        case 0 =>
+          assert(f.media_type == "image")
+          assert((f.width, f.height) == Multimodal.imageDims(f.doc_id),
+            s"PNG-decoded dims for doc ${f.doc_id}")
+          assert(f.n_frames == 1 && f.fingerprint.length == 64)
+        case 1 =>
+          assert(f.media_type == "audio")
+          assert(f.width == Multimodal.audioLen(f.doc_id) && f.height == 1,
+            s"WAV-decoded sample count for doc ${f.doc_id}")
+          assert(f.n_frames == 1 && f.fingerprint.length == 32)
+        case _ =>
+          assert(f.media_type == "video")
+          assert((f.width, f.height) == Multimodal.videoDims(f.doc_id),
+            s"AVI-decoded frame dims for doc ${f.doc_id}")
+          assert(f.n_frames == Multimodal.videoFrames(f.doc_id),
+            s"idx1 frame count for doc ${f.doc_id}")
+          assert(f.fingerprint.length == 128)
+      }
+      assert(f.fingerprint.forall(c => c == '0' || c == '1'))
+    }
   }
 
   test("media feature extraction: histogram sums to payload size, entropy bounds hold") {
