@@ -80,6 +80,31 @@ object Curation extends QueryModule {
       .select("train_doc", "eval_doc", "n_shared")
   }
 
+  /** q51's train⋈eval join through [[graft.functions.Skew.saltedJoin]]
+    * — the D3 cross-check strategy (q26's anti/except pattern) and the
+    * documented MANUAL skew fallback for this operator. q51's rarity
+    * filter admits trigrams up to df = corpus/20, so at 100 TB a
+    * single admitted trigram can put corpus/20 train rows on one
+    * reducer; when AQE's skew split can't fire (bucketed or
+    * pre-partitioned inputs), the salted phrasing spreads each hot tok
+    * over `salt` sub-keys (eval side replicated ×salt — the smaller
+    * side by the 1-in-17 split). Row-identical to q51 by construction;
+    * CurationSpec pins salted ≡ unsalted on a hot-key fixture AND the
+    * driver corpus. Not the default plan: on a skew-free corpus the
+    * eval-side replication is pure overhead. */
+  def q51Salted(s: SparkSession, dir: String, salt: Int = 8): DataFrame = {
+    val rare = rareTrigrams(s, dir)
+    val ev = rare.filter(col("doc_id") % EvalMod === EvalPhase)
+      .select(col("doc_id").as("eval_doc"), col("tok"))
+    val tr = rare.filter(col("doc_id") % EvalMod =!= EvalPhase)
+    graft.functions.Skew.saltedJoin(tr, ev, "tok", salt)
+      .groupBy(col("doc_id").as("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy("train_doc", "eval_doc")
+      .select("train_doc", "eval_doc", "n_shared")
+  }
+
   private val q51Sql =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 3),
       |tri AS (

@@ -17,6 +17,35 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q51 salted join strategy is row-identical to the unsalted plan (skew fixture + driver corpus)") {
+    import spark.implicits._
+    // hot-key fixture: 200 docs; docs 0..9 all share ONE trigram family
+    // ("hot k1 k2 k3" => trigrams with df = 10, admitted by the rarity
+    // cap max(2, 200/20) = 10 — the regime where one tok key carries
+    // 10× the mean join fan-out); doc 5 lands in the eval slice
+    // (5 % 17 == 5), the rest are train. Background docs carry unique
+    // trigrams so the corpus df spectrum is realistic.
+    val dir = java.nio.file.Files.createTempDirectory("graft_salt").toFile
+    dir.deleteOnExit()
+    (0L until 200L).map { id =>
+      val text =
+        if (id < 10) s"hot k1 k2 k3 k4 k5 pad${id}a pad${id}b" // 4 shared trigrams = MinShared
+        else s"u${id}a u${id}b u${id}c u${id}d u${id}e u${id}f"
+      (id, text, "en", "srcA", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unsaltedFx = rows(Curation.queries("q51_decontaminate")(spark, dir.getAbsolutePath))
+    val saltedFx = rows(Curation.q51Salted(spark, dir.getAbsolutePath, salt = 4))
+    assert(unsaltedFx.nonEmpty, "the hot family must contaminate across the split")
+    assert(saltedFx == unsaltedFx, "salted plan changed the answer on the hot-key fixture")
+    // and on the driver corpus (different df spectrum, 17-way split)
+    val unsalted = rows(Curation.queries("q51_decontaminate")(spark, sfDir))
+    val salted = rows(Curation.q51Salted(spark, sfDir))
+    assert(unsalted.nonEmpty && salted == unsalted)
+  }
+
   test("q85 bloom twin is row-identical to q51's exact contamination report") {
     // the serving-twin contract: the bloom prefilter may only REORDER
     // work (map-side kill before the exchange), never change the
