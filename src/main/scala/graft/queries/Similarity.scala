@@ -905,12 +905,11 @@ object Similarity extends QueryModule {
   //
   // Scale: reuses the q63 training/assignment stack unchanged; the
   // rollups are (M·K)- and M-sized. Integer ppm/milli throughout.
-  private def q121(s: SparkSession, dir: String): DataFrame = {
-    val quantS = pqQuant(s, dir)
-    val c0 = pqSeeds(quantS)
-    val a2 = pqAssign(quantS, pqUpdate(quantS, pqAssign(quantS, c0)))
-    val wErr = a2.join(quantS.select("vec_id", "sub", "n2v"), Seq("vec_id", "sub"))
-      .withColumn("qerr", col("n2v") + col("score"))
+  /** q121's per-sub health rollup from a (sub, cid, qerr) relation —
+    * ONE definition shared by q121 (freshly-trained build) and q124's
+    * retrain gate (the compacted artifact's stored codes), so the gate
+    * cannot drift from the dashboard it thresholds. */
+  private def pqHealth(wErr: DataFrame): DataFrame = {
     val perCode = wErr.groupBy("sub", "cid").agg(count(lit(1)).as("cnt"))
     val codeStats = perCode.groupBy("sub").agg(
       count(lit(1)).as("codes_used"), max(col("cnt")).as("max_code"))
@@ -922,7 +921,15 @@ object Similarity extends QueryModule {
       .withColumn("avg_qerr", expr("sum_qerr div n_vectors"))
       .select("sub", "n_vectors", "codes_used", "util_ppm",
         "top_code_share_ppm", "avg_qerr")
-      .orderBy("sub")
+  }
+
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val quantS = pqQuant(s, dir)
+    val c0 = pqSeeds(quantS)
+    val a2 = pqAssign(quantS, pqUpdate(quantS, pqAssign(quantS, c0)))
+    val wErr = a2.join(quantS.select("vec_id", "sub", "n2v"), Seq("vec_id", "sub"))
+      .withColumn("qerr", col("n2v") + col("score"))
+    pqHealth(wErr).orderBy("sub")
   }
 
   private val q121Sql =
@@ -1287,8 +1294,8 @@ object Similarity extends QueryModule {
     * are read raw (the serving asymmetry) — the corpus arrives as
     * stored 8-nibble codes, scored against broadcast per-query distance
     * tables built from the stored codebook. */
-  private def serveAdc(s: SparkSession, dir: String,
-                       codebook: DataFrame, codes: DataFrame): DataFrame = {
+  private[graft] def serveAdc(s: SparkSession, dir: String,
+                              codebook: DataFrame, codes: DataFrame): DataFrame = {
     val qquant = pqQuantRows(Tables.embeddings(s, dir)
         .filter(col("vec_id") < NumQueries))
       .withColumnRenamed("n2v", "n2q")
@@ -1384,6 +1391,177 @@ object Similarity extends QueryModule {
   }
 
   private val q87Sql = s"WITH ${pqSqlCtesFor(s"NOT ($IncBatchSql)")},\n$adcSqlStack"
+
+  // ---------------------------------------------------------------------
+  // q124 — PQ GENERATION COMPACTION + RETRAIN GATE: the lifecycle close
+  // of the q87 chain. A daily ingest cadence yields an unbounded
+  // generation list (serving unions codes(gen0) ∪ codes(gen1) ∪ …) and
+  // a slowly staling codebook; this operator (a) COMPACTS the chain —
+  // one marker-last artifact holding the live codebook plus every
+  // generation's codes with their provenance (`gen` column), the
+  // q84-ingest fold pattern applied to the vector store: each compaction
+  // folds state into one new artifact, serving reads ONE directory pair
+  // again — and (b) evaluates the RETRAIN GATE: q121's health
+  // definitions computed over the compacted artifact's STORED codes
+  // (never re-encoded — the gate audits what serving actually reads),
+  // rolled into four committed criteria in the q123 gate shape:
+  //   * codeword_util_min_ppm  — worst subspace's live-codeword share
+  //     (dead codes waste the code budget): retrain if ANY subspace
+  //     falls under the floor;
+  //   * top_code_share_max_ppm — worst subspace's largest-codeword
+  //     population share (a collapsed subspace stops discriminating);
+  //   * distortion_ppm — corpus reconstruction error relative to signal
+  //     energy, (10⁶·Σqerr) div Σ‖v_s‖² — scale-free, so the threshold
+  //     survives re-quantization;
+  //   * stale_code_ppm — share of the corpus encoded AFTER the codebook
+  //     froze (the `gen` > 0 rows): the drift proxy that forces a
+  //     retrain even while geometric health still holds.
+  // A CI step diffs this relation and triggers the offline re-train
+  // (q78's build) when any `pass` is false — state can no longer
+  // degrade unboundedly across windows (the reference's watermark
+  // contract, nikon_ETL.py:425-499, applied to the index store).
+  //
+  // The two-batch chain lives under its own fingerprinted root (-inc2):
+  // gen0 trains on the corpus minus BOTH batches, gen1/gen2 encode
+  // their day's batch with gen0's FROZEN codebook (no retrain, no
+  // rescan of older vectors), compaction folds the three. The oracle
+  // replays train-on-rest/encode-everything relationally (the stored
+  // argmin = a2 under the restricted training set) and the gate's
+  // integer arithmetic exactly; IncrementalIndexSpec pins the storage
+  // contracts (serve-identical before/after compaction, idempotent
+  // re-compaction, provenance partition).
+  //
+  // Scale: compaction is a metadata-plus-codes copy (8 nibbles/vector —
+  // the only corpus-sized relation that moves); the health pass is one
+  // narrow O(N·M) map (stored codes ⋈ broadcast codebook ⋈ subvectors)
+  // with (M·K)-sized rollups; the gate is 4 rows.
+  private val IncBatch2Sql = s"vec_id >= $PqK AND vec_id % 10 = 3"
+  private val GateUtilMinPpm  = 500000L // ≥ half of each subspace's codewords live
+  private val GateShareMaxPpm = 500000L // no codeword owns > half its subspace
+  private val GateDistMaxPpm  = 500000L // reconstruction error ≤ half the signal energy
+  private val GateStaleMaxPpm = 300000L // retrain once >30% of codes postdate training
+
+  private[graft] def inc2IndexRoot(s: SparkSession, dir: String): String =
+    s"$pqIndexRoot/${pqDataFingerprint(s, dir)}-inc2"
+
+  /** The two-batch generation chain: gen0 (codebook trained on the
+    * corpus minus both batches + its codes), then gen1/gen2 encoding
+    * their batch with gen0's stored codebook. Returns the chain's
+    * generation paths, building whatever is missing (idempotent,
+    * marker-last per generation). */
+  private[graft] def buildInc2Chain(s: SparkSession, dir: String): Seq[String] = {
+    val root = inc2IndexRoot(s, dir)
+    val trainWhere = s"NOT (($IncBatchSql) OR ($IncBatch2Sql))"
+    val gen0 = new org.apache.hadoop.fs.Path(s"$root/gen0")
+    val fs = gen0.getFileSystem(s.sparkContext.hadoopConfiguration)
+    publishArtifact(fs, gen0) { tmp =>
+      val train = pqQuant(s, dir).filter(expr(trainWhere))
+      val cents = pqUpdate(train, pqAssign(train, pqSeeds(train)))
+      cents.write.mode("overwrite").parquet(s"$tmp/codebook")
+      pqAssign(train, cents).select("vec_id", "sub", "cid")
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+    }
+    Seq(IncBatchSql, IncBatch2Sql).zipWithIndex.foreach { case (batch, i) =>
+      val gen = new org.apache.hadoop.fs.Path(s"$root/gen${i + 1}")
+      publishArtifact(fs, gen) { tmp =>
+        val codebook = s.read.parquet(s"$gen0/codebook")
+        val rows = pqQuantRows(Tables.embeddings(s, dir).filter(expr(batch)))
+        pqAssign(rows, codebook).select("vec_id", "sub", "cid")
+          .write.mode("overwrite").parquet(s"$tmp/codes")
+      }
+    }
+    (0 to 2).map(i => s"$root/gen$i")
+  }
+
+  /** Fold the generation chain into ONE artifact (codebook + all codes,
+    * provenance kept as `gen`): the q84 compaction pattern — after a
+    * compaction the chain is one directory pair again, and the next
+    * ingest starts a new (short) chain on top of it. Idempotent and
+    * marker-last like every other artifact. */
+  private[graft] def compactInc2(s: SparkSession, dir: String): String = {
+    val gens = buildInc2Chain(s, dir)
+    val out = new org.apache.hadoop.fs.Path(s"${inc2IndexRoot(s, dir)}/compact")
+    val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+    publishArtifact(fs, out) { tmp =>
+      // rewrite, don't move: the source generations stay intact until
+      // the compact artifact carries its marker (crash ⇒ still servable)
+      s.read.parquet(s"${gens.head}/codebook")
+        .write.mode("overwrite").parquet(s"$tmp/codebook")
+      gens.zipWithIndex.map { case (g, i) =>
+        s.read.parquet(s"$g/codes").withColumn("gen", lit(i))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$tmp/codes")
+    }
+    out.toString
+  }
+
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val compact = compactInc2(s, dir)
+    val codebook = s.read.parquet(s"$compact/codebook")
+    val codes = s.read.parquet(s"$compact/codes")
+    // health of the LIVE codebook over the STORED codes — one narrow
+    // O(N·M) pass: stored code ⋈ broadcast codebook ⋈ subvector rows
+    val werr = graft.Caches.track(codes
+      .join(broadcast(codebook), Seq("sub", "cid"))
+      .join(pqQuant(s, dir), Seq("vec_id", "sub"))
+      .withColumn("qerr", col("n2v") + col("n2c") - lit(2L) * expr("graft_dot(qa, ca)"))
+      .select("vec_id", "sub", "cid", "gen", "n2v", "qerr"))
+    val health = pqHealth(werr)
+    val geo = health.agg(
+      min(col("util_ppm")).as("util_min"),
+      max(col("top_code_share_ppm")).as("share_max"))
+    val dist = werr.agg(
+      expr("(1000000 * sum(qerr)) div sum(n2v)").as("dist_ppm"))
+    val stale = codes.select("vec_id", "gen").distinct()
+      .agg(expr("(1000000 * sum(CASE WHEN gen > 0 THEN 1 ELSE 0 END)) div count(1)")
+        .as("stale_ppm"))
+    val a = graft.Caches.track(geo.crossJoin(dist).crossJoin(stale))
+    def crit(name: String, obs: String, thr: Long, atLeast: Boolean) =
+      a.select(lit(name).as("criterion"), col(obs).as("observed"),
+        lit(thr).as("threshold"),
+        (if (atLeast) col(obs) >= thr else col(obs) <= thr).as("pass"))
+    crit("codeword_util_min_ppm", "util_min", GateUtilMinPpm, atLeast = true)
+      .unionByName(crit("distortion_ppm", "dist_ppm", GateDistMaxPpm, atLeast = false))
+      .unionByName(crit("stale_code_ppm", "stale_ppm", GateStaleMaxPpm, atLeast = false))
+      .unionByName(crit("top_code_share_max_ppm", "share_max", GateShareMaxPpm, atLeast = false))
+      .orderBy("criterion")
+  }
+
+  private val q124Sql = {
+    val trainWhere = s"NOT (($IncBatchSql) OR ($IncBatch2Sql))"
+    s"""WITH ${pqSqlCtesFor(trainWhere)},
+      |n2v AS (SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2v FROM quants GROUP BY vec_id, sub),
+      |werr AS (
+      |  SELECT a.vec_id, a.sub, a.cid, n.n2v, n.n2v + a.score AS qerr
+      |  FROM a2 a JOIN n2v n ON a.vec_id = n.vec_id AND a.sub = n.sub),
+      |pc AS (SELECT sub, cid, COUNT(*) AS cnt FROM werr GROUP BY sub, cid),
+      |cs AS (SELECT sub, COUNT(*) AS codes_used, MAX(cnt) AS max_code FROM pc GROUP BY sub),
+      |sv AS (SELECT sub, COUNT(*) AS n_vectors FROM werr GROUP BY sub),
+      |health AS (
+      |  SELECT sv.sub,
+      |         (1000000 * cs.codes_used) // $PqK AS util_ppm,
+      |         (1000000 * cs.max_code) // sv.n_vectors AS share_ppm
+      |  FROM sv JOIN cs ON sv.sub = cs.sub),
+      |geo AS (SELECT MIN(util_ppm) AS util_min, MAX(share_ppm) AS share_max FROM health),
+      |dist AS (
+      |  SELECT (1000000 * CAST(SUM(qerr) AS BIGINT)) // CAST(SUM(n2v) AS BIGINT) AS dist_ppm
+      |  FROM werr),
+      |stale AS (
+      |  SELECT (1000000 * CAST(SUM(CASE WHEN ($IncBatchSql) OR ($IncBatch2Sql)
+      |                          THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS stale_ppm
+      |  FROM embeddings)
+      |SELECT criterion, observed, threshold, pass FROM (
+      |  SELECT 'codeword_util_min_ppm' AS criterion, g.util_min AS observed,
+      |         $GateUtilMinPpm AS threshold, g.util_min >= $GateUtilMinPpm AS pass
+      |  FROM geo g
+      |  UNION ALL
+      |  SELECT 'distortion_ppm', d.dist_ppm, $GateDistMaxPpm, d.dist_ppm <= $GateDistMaxPpm FROM dist d
+      |  UNION ALL
+      |  SELECT 'stale_code_ppm', s.stale_ppm, $GateStaleMaxPpm, s.stale_ppm <= $GateStaleMaxPpm FROM stale s
+      |  UNION ALL
+      |  SELECT 'top_code_share_max_ppm', g.share_max, $GateShareMaxPpm, g.share_max <= $GateShareMaxPpm FROM geo g)
+      |ORDER BY criterion""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q120 — IVF INDEX HEALTH REPORT: the operational dashboard for the
@@ -1663,6 +1841,7 @@ object Similarity extends QueryModule {
     "q120_ivf_health"      -> (q120 _),
     "q121_pq_health"       -> (q121 _),
     "q122_nprobe_curve"    -> (q122 _),
+    "q124_pq_compact_gate" -> (q124 _),
     "q39_cosine_neardup"   -> (q39 _),
     "q48_ann_ivf"          -> (q48 _),
     "q50_semantic_dedup"   -> (q50 _),
@@ -1686,6 +1865,7 @@ object Similarity extends QueryModule {
     "q120_ivf_health"      -> q120Sql,
     "q121_pq_health"       -> q121Sql,
     "q122_nprobe_curve"    -> q122Sql,
+    "q124_pq_compact_gate" -> q124Sql,
     "q39_cosine_neardup"   -> q39Sql,
     "q48_ann_ivf"          -> q48Sql,
     "q50_semantic_dedup"   -> q50Sql,

@@ -47,6 +47,59 @@ class IncrementalIndexSpec extends SparkTestBase {
     }
   }
 
+  test("two-batch chain: ingest twice, compact once — serving identical before/after, compaction idempotent") {
+    withTempRoot { _ =>
+      val compact = Similarity.compactInc2(spark, sfDir)
+      val root = Similarity.inc2IndexRoot(spark, sfDir)
+      val hfs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      // the three generations partition the corpus
+      def vecIds(codes: org.apache.spark.sql.DataFrame) =
+        codes.select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      val gens = (0 to 2).map(i => vecIds(spark.read.parquet(s"$root/gen$i/codes")))
+      assert(gens.forall(_.nonEmpty))
+      assert(gens.combinations(2).forall { case Seq(a, b) => a.intersect(b).isEmpty },
+        "a vector is coded in two generations")
+      val all = Tables.embeddings(spark, sfDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(gens.reduce(_ union _) == all, "generations do not cover the corpus")
+      // the compact artifact holds the same codes with their provenance
+      val compCodes = spark.read.parquet(s"$compact/codes")
+      (0 to 2).foreach { i =>
+        assert(vecIds(compCodes.filter(org.apache.spark.sql.functions.col("gen") === i)) == gens(i),
+          s"compacted gen=$i provenance does not match generation $i")
+      }
+      // SERVE-IDENTICAL: the q64 ADC contract over the chain union vs
+      // the single compacted pair — compaction must be invisible to
+      // serving
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+      val before = rows(Similarity.serveAdc(spark, sfDir,
+        spark.read.parquet(s"$root/gen0/codebook"),
+        (0 to 2).map(i => spark.read.parquet(s"$root/gen$i/codes")).reduce(_ unionByName _)))
+      val after = rows(Similarity.serveAdc(spark, sfDir,
+        spark.read.parquet(s"$compact/codebook"), compCodes.drop("gen")))
+      assert(before.nonEmpty && after == before,
+        "compaction changed what serving returns")
+      // idempotent re-compaction: markers untouched
+      def marker(p: String) = hfs.getFileStatus(
+        new Path(s"$p/_COMPLETE")).getModificationTime
+      val marks = ((0 to 2).map(i => s"$root/gen$i") :+ compact).map(marker)
+      assert(Similarity.compactInc2(spark, sfDir) == compact)
+      assert(((0 to 2).map(i => s"$root/gen$i") :+ compact).map(marker) == marks,
+        "re-compaction republished an already-complete artifact")
+      // the retrain gate is non-vacuous on this corpus: geometric and
+      // staleness criteria hold, the distortion criterion honestly
+      // TRIPS (one Lloyd step leaves >50% residual energy here) — the
+      // gate emits a real retrain verdict, not a rubber stamp
+      val gate = SparkEntry.queries("q124_pq_compact_gate")(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+      assert(gate("codeword_util_min_ppm") && gate("stale_code_ppm")
+        && gate("top_code_share_max_ppm"))
+      assert(!gate("distortion_ppm"),
+        "fixture distortion unexpectedly under threshold — gate case lost its teeth")
+    }
+  }
+
   test("incremental index: a damaged gen1 is rebuilt identically without touching gen0") {
     withTempRoot { _ =>
       val want = SparkEntry.queries("q87_pq_index_ingest")(spark, sfDir).collect().toSeq
