@@ -77,6 +77,67 @@ object Dedup extends QueryModule {
   // arithmetic, so Spark and the oracle agree on the boundary exactly.
   private val JaccardThreshold = 0.8
 
+  /** q32's per-doc hashed-shingle sets (see the q32 body comment) —
+    * split out so [[jaccardCandidateStats]] instruments the IDENTICAL
+    * relations the production query joins. */
+  private def jaccardDocSets(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.track(Tables.documentsWide(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), expr(
+        """sort_array(array_distinct(transform(sequence(1, size(ts) - 1),
+          |  i -> cast(conv(substring(md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1))), 1, 15), 16, 10) AS bigint))))""".stripMargin)
+        .as("set"))
+      .withColumn("n", size(col("set"))))
+      // tracked cache: feeds df counts, rank, and both verification sides
+
+  /** q32's rarest-first prefix relation over [[jaccardDocSets]]. */
+  private def jaccardPrefix(docSets: DataFrame): DataFrame = {
+    val tok = docSets.select(col("doc_id"), col("n"), explode(col("set")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    graft.Caches.track(tok.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "tok")))
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select("doc_id", "tok", "rk", "n")
+      // the full sorted set rides along INTO the self-join so the
+      // early-exit overlap test can kill candidates inside the join
+      // loop (below); attached AFTER the rank pipeline so the exploded
+      // token relation and the window shuffle stay narrow
+      .join(docSets.select(col("doc_id"), col("set")), "doc_id"))
+      // tracked cache: self-joined below — without it the rank pipeline
+      // runs twice
+  }
+
+  /** The PPJoin length + positional join condition shared by q32 and the
+    * instrumentation — everything EXCEPT the overlap early-exit. */
+  private def jaccardJoinCond: org.apache.spark.sql.Column =
+    col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+      least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 4 &&
+      least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1 >=
+        expr("((a.n + b.n) * 4 + 8) div 9") // integer div: must match the oracle's // exactly
+
+  /** Scale instrumentation for the BASELINE.md vocabulary-regime table:
+    * the sizes of q32's candidate pipeline stages on `dir`, from the
+    * SAME relation definitions the production query executes —
+    * docs, prefix rows, prefix-join matched row pairs BEFORE the
+    * overlap early-exit (the "candidate stream" whose growth decides
+    * whether the prefix filter is working), candidate pairs after the
+    * early-exit + distinct, and verified output pairs. Counts only;
+    * nothing is materialized beyond q32's own caches. */
+  private[graft] def jaccardCandidateStats(s: SparkSession, dir: String): Map[String, Long] = {
+    val docSets = jaccardDocSets(s, dir)
+    val prefix = jaccardPrefix(docSets)
+    val raw = prefix.as("a").join(prefix.as("b"), jaccardJoinCond).count()
+    val cand = prefix.as("a").join(prefix.as("b"), jaccardJoinCond &&
+        expr("graft_overlap_reaches(a.set, b.set, cast(((a.n + b.n) * 4 + 8) div 9 AS bigint))"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct().count()
+    val out = q32(s, dir).count()
+    Map("docs" -> docSets.count(), "prefix_rows" -> prefix.count(),
+      "raw_pairs" -> raw, "cand_pairs" -> cand, "out_pairs" -> out)
+  }
+
   private def q32(s: SparkSession, dir: String): DataFrame = {
     // Shingles are TOKENIZED to int64 (top 60 bits of md5 — DuckDB
     // computes the identical value via CAST('0x'||hex AS BIGINT), so the
@@ -90,29 +151,8 @@ object Dedup extends QueryModule {
     // verification sets need no groupBy/collect_list re-aggregation —
     // both were full-corpus shuffles in the previous plan. The cache
     // holds one compact array row per doc, not the exploded relation.
-    val docSets = graft.Caches.track(Tables.documentsWide(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), expr(
-        """sort_array(array_distinct(transform(sequence(1, size(ts) - 1),
-          |  i -> cast(conv(substring(md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1))), 1, 15), 16, 10) AS bigint))))""".stripMargin)
-        .as("set"))
-      .withColumn("n", size(col("set"))))
-      // tracked cache: feeds df counts, rank, and both verification sides
-    val tok = docSets.select(col("doc_id"), col("n"), explode(col("set")).as("tok"))
-    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val prefix = graft.Caches.track(tok.join(dfreq, "tok")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy("df", "tok")))
-      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-      .select("doc_id", "tok", "rk", "n")
-      // the full sorted set rides along INTO the self-join so the
-      // early-exit overlap test can kill candidates inside the join
-      // loop (below); attached AFTER the rank pipeline so the exploded
-      // token relation and the window shuffle stay narrow
-      .join(docSets.select(col("doc_id"), col("set")), "doc_id"))
-      // tracked cache: self-joined below — without it the rank pipeline
-      // runs twice
+    val docSets = jaccardDocSets(s, dir)
+    val prefix = jaccardPrefix(docSets)
     // Positional + length filters (PPJoin), applied PER MATCHED ROW
     // inside the join condition, before any aggregation: a shared prefix
     // token at ranks (i, j) bounds the overlap by min(n1−i, n2−j)+1
@@ -141,12 +181,8 @@ object Dedup extends QueryModule {
     // near-dup pairs ever leave the join. Exactness is untouched — the
     // predicate is precisely (|s1∩s2| ≥ α), the same α the Jaccard
     // threshold implies.
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
-          && least(col("a.n"), col("b.n")) * 5 >= greatest(col("a.n"), col("b.n")) * 4
-          && least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1
-             >= expr("((a.n + b.n) * 4 + 8) div 9") // integer div: must match the oracle's // exactly
-          && expr("graft_overlap_reaches(a.set, b.set, cast(((a.n + b.n) * 4 + 8) div 9 AS bigint))"))
+    val cand = prefix.as("a").join(prefix.as("b"), jaccardJoinCond &&
+        expr("graft_overlap_reaches(a.set, b.set, cast(((a.n + b.n) * 4 + 8) div 9 AS bigint))"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cand
