@@ -522,10 +522,10 @@ object Corpus extends QueryModule {
       "transform(sequence(1, size(ts) - 1), i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
       .as("b"))
     .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-  /** q93's trained model as a relation (w1, w2, bits) — also the frozen
-    * serving artifact `streaming.Streams.bigramScore` ships (collected
-    * after pruning at serving time; here whole, the vocabulary being
-    * bounded at test scale). */
+  /** q93's trained model as a relation (w1, w2, bits, c2) — the
+    * TRAINING relation (Heaps-law unbounded); serving ships the
+    * [[frozenBigramModel]] prune. `c2` (the bigram's sample count)
+    * rides along so the prune can rank without retraining. */
   private[graft] def bigramModel(s: SparkSession, dir: String): DataFrame = {
     val sample = bigrams(
       Tables.documentsWide(s, dir).filter(col("doc_id") % LmTrainMod === 0))
@@ -533,8 +533,33 @@ object Corpus extends QueryModule {
     val model1 = model2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     model2.join(model1, "w1")
       .withColumn("bits", (length(bin(expr("c1 div c2"))) - 1).cast("long"))
-      .select("w1", "w2", "bits")
+      .select("w1", "w2", "bits", "c2")
   }
+
+  /** Serving-set cap for the frozen bigram-LM artifact (the
+    * [[graft.streaming.Streams.bigramScore]] broadcast): 2²⁰ entries ×
+    * ~30 B ≈ 32 MB, executor-memory-bounded by construction where the
+    * training relation is not. */
+  private[graft] val BigramServeTopM = 1 << 20
+
+  /** q93's model pruned for serving — the [[frozenBoiler]] discipline
+    * applied to the LM artifact: keep the M most-frequent bigrams
+    * (count desc, then (w1, w2) — deterministic at the cut), collected
+    * as the broadcast map the streaming scorer consumes. The rank runs
+    * as `orderBy(…).limit(m)` = TakeOrderedAndProject (per-partition
+    * partial top-M merged on the driver — never a global sort of the
+    * Heaps-law relation). Pruning is one-sided and bounded: a dropped
+    * rare bigram had high true bits, and the flat [[LmOovBits]] it now
+    * pays is the same order — the keep/drop band moves by at most the
+    * tail's bit error, while the artifact stops growing with the
+    * corpus. StreamingSpec pins pruned ≡ full on the fixture (below
+    * the cap) and exact top-M selection under an artificial cap. */
+  private[graft] def frozenBigramModel(s: SparkSession, dir: String,
+                                       m: Int = BigramServeTopM): Map[String, Long] =
+    bigramModel(s, dir)
+      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(m)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("k"), col("bits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   private def q93(s: SparkSession, dir: String): DataFrame = {
     val model = bigramModel(s, dir)
     bigrams(Tables.documentsWide(s, dir))

@@ -301,9 +301,11 @@ object Streams {
     * online quality gate a training-data intake runs while the batch
     * q93 retrains offline (the Bpe train/encode and q78/q79 offline/
     * online split applied to the LM filter). The model ships as a plain
-    * broadcast map keyed "w1 w2" (a SERVING model is pruned to a
-    * bounded top-M + OOV penalty before shipping — q93's training
-    * relation is Heaps-law unbounded, its serving artifact is not);
+    * broadcast map keyed "w1 w2", built by
+    * [[graft.queries.Corpus.frozenBigramModel]] — the top-M
+    * most-frequent bigrams, bounded by construction + the flat OOV
+    * penalty for everything pruned (q93's training relation is
+    * Heaps-law unbounded, its serving artifact is not);
     * scoring is one narrow typed map per document, zero shuffle and
     * zero streaming state, so the gate runs in append mode at any feed
     * rate. Bits/band constants are q93's own — batch and stream cannot

@@ -286,10 +286,23 @@ class StreamingSpec extends SparkTestBase {
 
   test("streaming bigram scorer under the frozen model equals batch q93 on a replayed corpus") {
     implicit val sqlCtx = spark.sqlContext
-    // freeze q93's trained model as the serving artifact
-    val model = graft.queries.Corpus.bigramModel(spark, sfDir).collect()
+    // freeze q93's trained model as the PRUNED serving artifact — on
+    // the fixture (far below the cap) it must equal the full relation,
+    // so the stream/batch equality below also certifies the prune
+    val full = graft.queries.Corpus.bigramModel(spark, sfDir).collect()
       .map(r => s"${r.getString(0)} ${r.getString(1)}" -> r.getLong(2)).toMap
+    val model = graft.queries.Corpus.frozenBigramModel(spark, sfDir)
     assert(model.nonEmpty, "frozen model must not be empty")
+    assert(model == full, "under the cap, the pruned serving model IS the full model")
+    // under an artificial cap the prune keeps exactly the top-M by
+    // (count desc, w1, w2) — replayed from the training relation
+    val byCount = graft.queries.Corpus.bigramModel(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (w1, w2, _, c2) => (-c2, w1, w2) }
+    val m = 7
+    val want = byCount.take(m).map { case (w1, w2, bits, _) => s"$w1 $w2" -> bits }.toMap
+    assert(graft.queries.Corpus.frozenBigramModel(spark, sfDir, m) == want,
+      "capped serving model is not the top-M most-frequent bigrams")
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => Streams.Doc(r.getLong(0), ts("2024-01-01 10:00:00"), r.getString(1)))
     val mem = MemoryStream[Streams.Doc]
