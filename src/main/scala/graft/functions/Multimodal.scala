@@ -128,14 +128,72 @@ object Multimodal {
     else
       (math.max(1, (w.toLong * maxH / h).toInt), maxH)
 
-  /** Resize planning over decoded dimensions; the pixel resample itself
-    * would run inside the codec's mapPartitions stage, consuming these
-    * plans. */
+  /** Resize planning over decoded dimensions; [[resizeImages]] is the
+    * stage that EXECUTES the resample on the image modality. */
   def resizePlan(features: Dataset[MediaFeatures], maxW: Int = 64, maxH: Int = 64): Dataset[ResizePlan] = {
     import features.sparkSession.implicits._
     features.map { f =>
       val (ow, oh) = fitBox(f.width, f.height, maxW, maxH)
       ResizePlan(f.doc_id, f.media_type, f.width, f.height, ow, oh)
+    }
+  }
+
+  case class ResizedImage(doc_id: Long, width: Int, height: Int,
+                          out_w: Int, out_h: Int, mean_luma_milli: Long,
+                          resized_hash: String)
+
+  /** REAL resample execution (the q125 surface): decode the PNG, fit
+    * its raster into maxW×maxH ([[fitBox]] — aspect-preserving, never
+    * upscaling), and box-downscale by INTEGER area averaging: every
+    * source pixel belongs to exactly one target cell
+    * (tx = x·ow div w — the [[blockMeanBits]] tiling generalized to the
+    * fitted geometry), each cell's value is the floor-mean of its
+    * pixels. Integer-exact end to end, so the DuckDB oracle replays the
+    * resized raster from the pixel formula and the md5 over the
+    * cell-mean sequence certifies the decode + resample round-trip
+    * bit-for-bit. One narrow mapPartitions stage, zero shuffle — the
+    * pixel work never leaves the scan partition, only (id, dims, hash)
+    * rows move. */
+  def resizeImages(media: Dataset[MediaRow], maxW: Int = 32, maxH: Int = 32): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val (ow, oh) = fitBox(w, h, maxW, maxH)
+        val sums = new Array[Long](ow * oh)
+        val cnts = new Array[Long](ow * oh)
+        var y = 0
+        while (y < h) {
+          val ty = y * oh / h
+          var x = 0
+          while (x < w) {
+            val ci = ty * ow + x * ow / w
+            sums(ci) += img.getRGB(x, y) & 0xff // gray channel (equal RGB)
+            cnts(ci) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val sb = new java.lang.StringBuilder(ow * oh * 4)
+        var tot = 0L
+        var i = 0
+        while (i < ow * oh) {
+          val m = sums(i) / cnts(i)
+          tot += m
+          if (i > 0) sb.append('-')
+          sb.append(m)
+          i += 1
+        }
+        md.reset()
+        val hash = md.digest(sb.toString.getBytes("US-ASCII"))
+          .map(b => f"$b%02x").mkString
+        ResizedImage(r.doc_id, w, h, ow, oh, 1000L * tot / (ow * oh), hash)
+      }
     }
   }
 

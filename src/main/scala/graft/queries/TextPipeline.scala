@@ -622,6 +622,58 @@ object TextPipeline extends QueryModule {
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q125 — REAL IMAGE RESAMPLE EXECUTION (functions.Multimodal
+  // .resizeImages): the stage resizePlan only PLANS — decode the PNG,
+  // fit the raster into 32×32 (aspect-preserving, never upscaling), and
+  // box-downscale by integer area averaging: each source pixel maps to
+  // exactly one target cell (tx = x·ow div w — the aHash tiling
+  // generalized to the fitted geometry), each cell is the floor-mean of
+  // its pixels. Every reported number is integer arithmetic, so the
+  // oracle replays the RESIZED raster from the pixel formula and the
+  // md5 over the cell-mean sequence certifies decode + resample
+  // round-trip bit-for-bit — the preprocessing step every
+  // vision-language pipeline runs between crawl and training. Narrow
+  // map, zero shuffles; only (id, dims, hash) rows leave the scan.
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImages(Multimodal.synthesizeImages(s, dir)).toDF()
+
+  private val q125Sql =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |         CAST(8 + doc_id % 120 AS INT) AS w,
+      |         CAST(8 + (doc_id * 7) % 120 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |fit AS (
+      |  SELECT doc_id, w, h,
+      |         CAST(CASE WHEN w <= 32 AND h <= 32 THEN w
+      |              WHEN CAST(w AS BIGINT) * 32 >= CAST(h AS BIGINT) * 32 THEN 32
+      |              ELSE GREATEST(1, (CAST(w AS BIGINT) * 32) // h) END AS INT) AS ow,
+      |         CAST(CASE WHEN w <= 32 AND h <= 32 THEN h
+      |              WHEN CAST(w AS BIGINT) * 32 >= CAST(h AS BIGINT) * 32 THEN GREATEST(1, (CAST(h AS BIGINT) * 32) // w)
+      |              ELSE 32 END AS INT) AS oh
+      |  FROM img),
+      |px AS (
+      |  SELECT doc_id, w, h, ow, oh, unnest(range(0, CAST(w AS BIGINT) * h)) AS i
+      |  FROM fit),
+      |cell AS (
+      |  SELECT doc_id, ow, oh,
+      |         ((i // w) * oh // h) * ow + ((i % w) * ow // w) AS ci,
+      |         (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS v
+      |  FROM px),
+      |cm AS (
+      |  SELECT doc_id, ow, oh, ci, CAST(SUM(v) AS BIGINT) // COUNT(*) AS m
+      |  FROM cell GROUP BY doc_id, ow, oh, ci),
+      |agg AS (
+      |  SELECT doc_id, ow, oh,
+      |         md5(string_agg(m::VARCHAR, '-' ORDER BY ci)) AS resized_hash,
+      |         CAST((1000 * SUM(m)) // (ow * oh) AS BIGINT) AS mean_luma_milli
+      |  FROM cm GROUP BY doc_id, ow, oh)
+      |SELECT f.doc_id, f.w AS width, f.h AS height, f.ow AS out_w, f.oh AS out_h,
+      |       a.mean_luma_milli, a.resized_hash
+      |FROM fit f JOIN agg a ON f.doc_id = a.doc_id
+      |ORDER BY f.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q55 — within-document repetition quality (the Gopher/MassiveText
   // repetition rules, §A1.1 of Rae et al. 2112.11446): fraction of bigram
   // OCCURRENCES that are repeats of an earlier occurrence in the same
@@ -1519,6 +1571,7 @@ object TextPipeline extends QueryModule {
     "q114_source_health" -> (q114 _),
     "q116_vocab_profile" -> (q116 _),
     "q123_release_gate"  -> (q123 _),
+    "q125_image_resize"  -> (q125 _),
     "q55_repetition"     -> (q55 _),
     "q65_quality_rules"  -> (q65 _),
     "q67_surprisal"      -> (q67 _),
@@ -1547,6 +1600,7 @@ object TextPipeline extends QueryModule {
     "q114_source_health" -> q114Sql,
     "q116_vocab_profile" -> q116Sql,
     "q123_release_gate"  -> q123Sql,
+    "q125_image_resize"  -> q125Sql,
     "q55_repetition"     -> q55Sql,
     "q65_quality_rules"  -> q65Sql,
     "q67_surprisal"      -> q67Sql,

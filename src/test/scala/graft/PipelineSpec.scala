@@ -425,6 +425,35 @@ class PipelineSpec extends SparkTestBase {
     out.values.foreach { case (w, h) => assert(w >= 1 && h >= 1 && w <= 64 && h <= 64) }
   }
 
+  test("q125 resample: decoded downscale replays the integer area-average formula for every image") {
+    import graft.functions.Multimodal
+    val out = SparkEntry.queries("q125_image_resize")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.imageDims(id)
+      assert((r.getInt(1), r.getInt(2)) == (w, h), s"decoded dims for doc $id")
+      val (ow, oh) = Multimodal.fitBox(w, h, 32, 32)
+      assert((r.getInt(3), r.getInt(4)) == (ow, oh), s"fitted dims for doc $id")
+      assert(ow <= 32 && oh <= 32 && ow >= 1 && oh >= 1)
+      // full-raster replay from the pixel formula: the codec path had to
+      // recover every source pixel for these means to match
+      val sums = new Array[Long](ow * oh)
+      val cnts = new Array[Long](ow * oh)
+      for (y <- 0 until h; x <- 0 until w) {
+        val ci = (y * oh / h) * ow + x * ow / w
+        sums(ci) += Multimodal.imageLuma(id, x, y)
+        cnts(ci) += 1
+      }
+      val means = (0 until ow * oh).map(i => sums(i) / cnts(i))
+      assert(r.getLong(5) == 1000L * means.sum / (ow * oh), s"mean luma for doc $id")
+      val expectHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(means.mkString("-").getBytes("US-ASCII"))
+        .map(b => f"$b%02x").mkString
+      assert(r.getString(6) == expectHash, s"resized raster hash for doc $id")
+    }
+  }
+
   test("real image decode: PNG round-trip recovers formula pixels exactly") {
     import spark.implicits._
     import graft.functions.Multimodal
