@@ -564,6 +564,56 @@ object Multimodal {
     }
   }
 
+  case class ResampledAudio(doc_id: Long, rate_in: Int, rate_out: Int,
+                            n_in: Int, n_out: Int, peak: Int, sum_abs: Long,
+                            resampled_hash: String)
+
+  /** REAL audio resample execution (the q126 surface — [[resizeImages]]'
+    * discipline on the audio modality): decode the WAV, decimate to
+    * `targetRate` by integer block-mean anti-aliasing — each output
+    * sample is the TRUNCATED mean (plain JVM `/`, toward zero — the
+    * same semantics as DuckDB's `//` and Spark SQL's `div`, measured:
+    * (-7)//2 = -3 on both; a floor division would diverge on negative
+    * windows) of its k = rate/targetRate source samples; a trailing partial window is dropped (full windows
+    * only, n_out = n div k). Integer-exact end to end: the oracle
+    * replays the resampled signal from the sample formula, and the md5
+    * over the output sequence certifies decode + resample bit-for-bit.
+    * Narrow mapPartitions, zero shuffle. */
+  def resampleAudio(media: Dataset[MediaRow], targetRate: Int = 4000): Dataset[ResampledAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (rate, samples) = wavSamples(r.payload, r.doc_id)
+        require(rate % targetRate == 0,
+          s"rate $rate not an integer multiple of $targetRate for doc ${r.doc_id}")
+        val k = rate / targetRate
+        val nOut = samples.length / k
+        val sb = new java.lang.StringBuilder(nOut * 6)
+        var peak = 0
+        var sumAbs = 0L
+        var o = 0
+        while (o < nOut) {
+          var sum = 0L
+          var j = 0
+          while (j < k) { sum += samples(o * k + j); j += 1 }
+          val m = sum / k // truncate toward zero — DuckDB // semantics
+          val a = math.abs(m)
+          if (a > peak) peak = a.toInt
+          sumAbs += a
+          if (o > 0) sb.append('-')
+          sb.append(m)
+          o += 1
+        }
+        md.reset()
+        val hash = md.digest(sb.toString.getBytes("US-ASCII"))
+          .map(b => f"$b%02x").mkString
+        ResampledAudio(r.doc_id, rate, targetRate, samples.length, nOut,
+          peak, sumAbs, hash)
+      }
+    }
+  }
+
   case class CheckedImageHash(doc_id: Long, width: Int, height: Int,
                               ahash: String, decode_ok: Boolean, err: String)
 

@@ -674,6 +674,54 @@ object TextPipeline extends QueryModule {
       |ORDER BY f.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q126 — REAL AUDIO RESAMPLE EXECUTION (functions.Multimodal
+  // .resampleAudio): q125's discipline on the audio modality — decode
+  // the WAV through the JDK parser, decimate to 4 kHz by integer
+  // block-mean anti-aliasing (each output sample = the TRUNCATED mean
+  // of its k = rate/4000 source samples; truncate-toward-zero, because
+  // samples are signed and that is what BOTH engines' integer division
+  // does — DuckDB (-7)//2 = -3, JVM -7/2 = -3; a floor-division
+  // implementation on either side would diverge on negative windows),
+  // full windows only.
+  // The md5 over the output sequence certifies decode + resample
+  // bit-for-bit against the oracle's relational replay of the sample
+  // formula — the rate-normalization step every speech pipeline runs
+  // between crawl and training. Narrow map, zero shuffles.
+  private val ResampleRate = 4000
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resampleAudio(Multimodal.synthesizeAudio(s, dir), ResampleRate).toDF()
+
+  private val q126Sql =
+    s"""WITH aud AS (
+      |  SELECT doc_id,
+      |         CAST(8000 * (1 + doc_id % 3) AS INT) AS rate,
+      |         CAST(256 + (doc_id * 13) % 1024 AS INT) AS n,
+      |         CAST((8000 * (1 + doc_id % 3)) // $ResampleRate AS INT) AS k
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |win AS (
+      |  SELECT doc_id, rate, n, k, unnest(range(0, n // k)) AS o FROM aud),
+      |smp AS (
+      |  SELECT doc_id, k, o, unnest(range(0, CAST(k AS BIGINT))) AS j FROM win),
+      |v AS (
+      |  SELECT doc_id, k, o,
+      |         (doc_id * 31 + (o * k + j) * 7919) % 65536 - 32768 AS s
+      |  FROM smp),
+      |m AS (
+      |  SELECT doc_id, o, CAST(SUM(s) AS BIGINT) // k AS m
+      |  FROM v GROUP BY doc_id, o, k),
+      |agg AS (
+      |  SELECT doc_id,
+      |         CAST(COUNT(*) AS INT) AS n_out,
+      |         CAST(MAX(ABS(m)) AS INT) AS peak,
+      |         CAST(SUM(ABS(m)) AS BIGINT) AS sum_abs,
+      |         md5(string_agg(m::VARCHAR, '-' ORDER BY o)) AS resampled_hash
+      |  FROM m GROUP BY doc_id)
+      |SELECT a.doc_id, a.rate AS rate_in, CAST($ResampleRate AS INT) AS rate_out,
+      |       a.n AS n_in, g.n_out, g.peak, g.sum_abs, g.resampled_hash
+      |FROM aud a JOIN agg g ON a.doc_id = g.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q55 — within-document repetition quality (the Gopher/MassiveText
   // repetition rules, §A1.1 of Rae et al. 2112.11446): fraction of bigram
   // OCCURRENCES that are repeats of an earlier occurrence in the same
@@ -1572,6 +1620,7 @@ object TextPipeline extends QueryModule {
     "q116_vocab_profile" -> (q116 _),
     "q123_release_gate"  -> (q123 _),
     "q125_image_resize"  -> (q125 _),
+    "q126_audio_resample" -> (q126 _),
     "q55_repetition"     -> (q55 _),
     "q65_quality_rules"  -> (q65 _),
     "q67_surprisal"      -> (q67 _),
@@ -1601,6 +1650,7 @@ object TextPipeline extends QueryModule {
     "q116_vocab_profile" -> q116Sql,
     "q123_release_gate"  -> q123Sql,
     "q125_image_resize"  -> q125Sql,
+    "q126_audio_resample" -> q126Sql,
     "q55_repetition"     -> q55Sql,
     "q65_quality_rules"  -> q65Sql,
     "q67_surprisal"      -> q67Sql,

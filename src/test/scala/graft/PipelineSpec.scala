@@ -454,6 +454,31 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("q126 resample: decoded decimation replays the truncated block-mean formula for every clip") {
+    import graft.functions.Multimodal
+    val out = SparkEntry.queries("q126_audio_resample")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (rate, n) = (Multimodal.audioRate(id), Multimodal.audioLen(id))
+      assert((r.getInt(1), r.getInt(2), r.getInt(3)) == (rate, 4000, n))
+      val k = rate / 4000
+      val nOut = n / k
+      assert(r.getInt(4) == nOut, s"output length for doc $id")
+      // full-signal replay from the sample formula: the WAV decode had
+      // to recover every source sample for these means to match
+      val means = (0 until nOut).map { o =>
+        (0 until k).map(j => Multimodal.audioSample(id, o * k + j).toLong).sum / k
+      }
+      assert(r.getInt(5) == means.map(math.abs).max, s"peak for doc $id")
+      assert(r.getLong(6) == means.map(math.abs).sum, s"sum_abs for doc $id")
+      val expectHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(means.mkString("-").getBytes("US-ASCII"))
+        .map(b => f"$b%02x").mkString
+      assert(r.getString(7) == expectHash, s"resampled signal hash for doc $id")
+    }
+  }
+
   test("real image decode: PNG round-trip recovers formula pixels exactly") {
     import spark.implicits._
     import graft.functions.Multimodal
