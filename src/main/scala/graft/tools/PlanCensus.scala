@@ -29,12 +29,31 @@ object PlanCensus {
                             smj: Int, bhj: Int, windows: Int,
                             globalWindows: Int, codegen: Int, cartesian: Int)
 
+  /** Every physical node of `p`, INCLUDING the build plans of tracked
+    * caches: the cache manager substitutes an InMemoryRelation for a
+    * persisted subtree before optimization, so a plain `collect` over
+    * `executedPlan` sees only InMemoryTableScan leaves and silently
+    * omits the shuffles/joins that BUILD the cached relation (the
+    * round-12 fidelity fix — q124's row previously read 0 shuffles).
+    * Each distinct cached relation is expanded ONCE (it builds once at
+    * runtime, however many scans consume it). */
+  private def allNodes(p: SparkPlan,
+                       seen: scala.collection.mutable.Set[AnyRef]): Seq[SparkPlan] = {
+    val nodes = p.collect { case n => n }
+    nodes ++ nodes.flatMap {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        if seen.add(im.relation) => allNodes(im.relation.cachedPlan, seen)
+      case _ => Nil
+    }
+  }
+
   private def census(qe: org.apache.spark.sql.execution.QueryExecution): Counts = {
-    // physical operators from the pre-AQE plan (broadcast subtrees
-    // included); partition-less windows from the optimized logical plan,
-    // the same foldable-partition-spec test PlanSpec enforces
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
-    val nodes = qe.executedPlan.collect { case n => n }
+    // physical operators from the pre-AQE plan — broadcast subtrees AND
+    // cached-relation build plans included (see allNodes). The
+    // partition-less-window test runs on the same physical node set
+    // (post-EliminateWindowPartitions a foldable spec IS an empty one),
+    // so windows inside cached subtrees are tested too.
+    val nodes = allNodes(qe.executedPlan, scala.collection.mutable.Set.empty[AnyRef])
     def cnt(pred: SparkPlan => Boolean) = nodes.count(pred)
     def name(n: SparkPlan) = n.getClass.getSimpleName
     Counts(
@@ -44,9 +63,11 @@ object PlanCensus {
       smj = cnt(name(_).startsWith("SortMergeJoin")),
       bhj = cnt(name(_).startsWith("BroadcastHashJoin")),
       windows = cnt(n => name(n) == "WindowExec" || name(n) == "WindowGroupLimitExec"),
-      globalWindows = qe.optimizedPlan.collect {
-        case w: LogicalWindow if w.partitionSpec.forall(_.foldable) => w
-      }.size,
+      globalWindows = nodes.count {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable)
+        case _ => false
+      },
       codegen = cnt(name(_).startsWith("WholeStageCodegen")),
       cartesian = cnt(n => name(n).startsWith("CartesianProduct") ||
         name(n).startsWith("BroadcastNestedLoopJoin")))
@@ -76,8 +97,11 @@ object PlanCensus {
     }
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan census (generated by `graft.tools.PlanCensus`)\n\n")
-    sb.append(s"Data dir: `$dir`. Counts from the pre-AQE physical plan, broadcast\n")
-    sb.append("subtrees included; artifact-backed queries censused in SERVING shape.\n")
+    sb.append(s"Data dir: `$dir`. Counts from the pre-AQE physical plan — broadcast\n")
+    sb.append("subtrees AND tracked-cache build plans included (each distinct cached\n")
+    sb.append("relation expanded once; before round 12 cached subtrees were silently\n")
+    sb.append("omitted, under-counting every query that persists an intermediate) —\n")
+    sb.append("artifact-backed queries censused in SERVING shape.\n")
     sb.append("`gw` = partition-less WindowExec (allowed only over bounded relations —\n")
     sb.append("the bucket-offset windows of the two-phase prefix sums; PlanSpec\n")
     sb.append("enforces the boundedness). `cart` counts Cartesian/NestedLoop joins\n")
