@@ -104,6 +104,28 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("fitBox never upscales, always fits the box, preserves aspect within integer floor") {
+    import graft.functions.Multimodal.fitBox
+    val gen = for {
+      w <- Gen.choose(1, 4096)
+      h <- Gen.choose(1, 4096)
+      mw <- Gen.choose(1, 256)
+      mh <- Gen.choose(1, 256)
+    } yield (w, h, mw, mh)
+    forAllN(gen, n = 500) { case (w, h, mw, mh) =>
+      val (ow, oh) = fitBox(w, h, mw, mh)
+      assert(ow >= 1 && oh >= 1, s"degenerate output for ($w,$h)->($mw,$mh)")
+      assert(ow <= w && oh <= h, s"upscaled ($w,$h)->($ow,$oh)")
+      assert((ow <= mw && oh <= mh) || (ow, oh) == (w, h),
+        s"($ow,$oh) escapes the ($mw,$mh) box")
+      // aspect within one integer-floor step: |ow·h − oh·w| ≤ max(w, h)
+      assert(math.abs(ow.toLong * h - oh.toLong * w) <= math.max(w, h),
+        s"aspect drifted: ($w,$h) -> ($ow,$oh) in ($mw,$mh)")
+      // idempotence: an already-fitted raster is a fixed point
+      assert(fitBox(ow, oh, mw, mh) == ((ow, oh)), "fitBox not idempotent")
+    }
+  }
+
   test("components labels every node with its true connected-component minimum") {
     def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map[Long, Long]()
