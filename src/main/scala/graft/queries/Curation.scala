@@ -860,6 +860,80 @@ object Curation extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q127 — PACKED-SEQUENCE MATERIALIZATION: q60 plans the layout; this
+  // EXECUTES it (the round's plan→execute discipline, q125/q126's, on
+  // the text side) — the per-sequence artifact a trainer actually
+  // reads: for every SeqLen-token training sequence, its token count
+  // (the last sequence may be partial), how many documents it spans,
+  // the first/last contributing doc, its fill ratio, and the md5 of its
+  // EXACT token content in order — the checkable bytes of the packed
+  // shard without dumping the corpus.
+  //
+  // Scale shape: document offsets ride q60's two-phase prefix sum
+  // (never a one-partition cumsum); the token explode is narrow; the
+  // ONLY corpus-sized shuffle keys on seq_id, whose groups are FIXED at
+  // SeqLen tokens BY CONSTRUCTION — a perfectly uniform exchange at any
+  // corpus size, and the ordered collect per group is bounded at SeqLen
+  // elements (the q36 bounded-group discipline). The oracle replays the
+  // plain global cumsum + string_agg; identical integers, independent
+  // plan.
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documentsWide(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+      .withColumn("bucket", expr(s"doc_id div $PackBucket"))
+    val inBucket = n.withColumn("cum_in_bucket",
+      sum(col("n_tokens")).over(Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketTotals = n.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("boffset",
+        coalesce(sum(col("btot")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "boffset")
+    inBucket.join(broadcast(bucketTotals), "bucket")
+      .withColumn("start_off", col("boffset") + col("cum_in_bucket") - col("n_tokens"))
+      .select(col("doc_id"), col("start_off"), posexplode(col("ts")).as(Seq("i", "tok")))
+      .withColumn("p", col("start_off") + col("i"))
+      .withColumn("seq_id", expr(s"p div $SeqLen"))
+      .withColumn("pos", expr(s"p % $SeqLen"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        countDistinct(col("doc_id")).cast("int").as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"))
+          .as("content_hash"))
+      .withColumn("fill_ppm", expr(s"(1000000 * CAST(n_tokens AS BIGINT)) div $SeqLen"))
+      .select("seq_id", "n_tokens", "n_docs", "first_doc", "last_doc",
+        "fill_ppm", "content_hash")
+      .orderBy("seq_id")
+  }
+
+  private val q127Sql =
+    s"""WITH n AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, ts,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+      |  FROM n),
+      |tok AS (
+      |  SELECT doc_id, start_off + u.i - 1 AS p, ts[u.i] AS tok
+      |  FROM c, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u),
+      |seqs AS (
+      |  SELECT p // $SeqLen AS seq_id, p % $SeqLen AS pos, doc_id, tok FROM tok)
+      |SELECT seq_id,
+      |       CAST(COUNT(*) AS INT) AS n_tokens,
+      |       CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+      |       MIN(doc_id) AS first_doc,
+      |       MAX(doc_id) AS last_doc,
+      |       (1000000 * COUNT(*)) // $SeqLen AS fill_ppm,
+      |       md5(string_agg(tok, ' ' ORDER BY pos)) AS content_hash
+      |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   private val q60Sql =
     s"""WITH n AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
@@ -1253,6 +1327,7 @@ object Curation extends QueryModule {
     "q118_padding_report"   -> (q118 _),
     "q54_pii_redact"        -> (q54 _),
     "q60_sequence_packing"  -> (q60 _),
+    "q127_pack_materialize" -> (q127 _),
     "q61_doc_chunking"      -> (q61 _),
   )
 
@@ -1277,6 +1352,7 @@ object Curation extends QueryModule {
     "q118_padding_report"   -> q118Sql,
     "q54_pii_redact"        -> q54Sql,
     "q60_sequence_packing"  -> q60Sql,
+    "q127_pack_materialize" -> q127Sql,
     "q61_doc_chunking"      -> q61Sql,
   )
 }

@@ -130,6 +130,41 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q127 materialized sequences agree with q60's layout and a plain-Scala repack") {
+    val seqs = Curation.queries("q127_pack_materialize")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getString(6))))
+      .toMap
+    // plain-Scala repack of the whole corpus in doc_id order
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val stream = docs.flatMap { case (id, text) => text.split(" ", -1).map(t => (id, t)) }
+    val expect = stream.zipWithIndex.groupBy(_._2 / 2048).map { case (sid, xs) =>
+      val toks = xs.sortBy(_._2).map(_._1)
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.map(_._2).mkString(" ").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      sid.toLong -> ((toks.length, toks.map(_._1).distinct.length,
+        toks.map(_._1).min, toks.map(_._1).max, hash))
+    }
+    assert(seqs == expect, "materialized sequences diverge from the driver-side repack")
+    // layout consistency with q60: every doc's planned (seq_id, n_seqs)
+    // span is exactly the set of sequences its tokens landed in
+    val plan = Curation.queries("q60_sequence_packing")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    val docSeqs = stream.zipWithIndex.groupBy(_._1._1)
+      .map { case (id, xs) => id -> xs.map(_._2 / 2048L).distinct.sorted }
+    docSeqs.foreach { case (id, ss) =>
+      val (sid, nseqs) = plan(id)
+      assert(ss.toSeq == (sid until sid + nseqs).toSeq,
+        s"doc $id: planned [$sid, ${sid + nseqs}) vs landed ${ss.toSeq}")
+    }
+    // the fixed-group contract: every sequence except the last is FULL
+    val lastSeq = seqs.keys.max
+    seqs.foreach { case (sid, (nt, _, _, _, _)) =>
+      if (sid != lastSeq) assert(nt == 2048, s"seq $sid not full: $nt")
+    }
+  }
+
   test("q60 two-phase prefix-sum packing equals the plain global cumsum") {
     val got = SparkEntry.queries("q60_sequence_packing")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
