@@ -25,6 +25,21 @@ import org.apache.spark.sql.DataFrame
 object Caches {
   private val reg = ThreadLocal.withInitial(
     () => new java.util.ArrayDeque[DataFrame]())
+  private val off = ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Run `body` with tracking DISABLED on this thread: [[track]] returns
+    * its argument unpersisted. For PLAN INTROSPECTION (PlanSpec's
+    * catalog-wide sweeps): the cache manager substitutes an
+    * InMemoryRelation for every persisted subtree, which hides the
+    * subtree's operators from a plain plan traversal — a banned
+    * cartesian or partition-less window inside a cached build would
+    * pass a sweep silently. With tracking off the full tree is visible
+    * to one ordinary traversal. Queries built this way recompute shared
+    * subtrees if actually executed — introspect, don't run. */
+  def disabled[A](body: => A): A = {
+    off.set(java.lang.Boolean.TRUE)
+    try body finally off.set(java.lang.Boolean.FALSE)
+  }
 
   /** Cache `df` and remember it for this thread's next [[release]].
     * Idempotent: a plan the cache manager already holds (e.g. the same
@@ -36,6 +51,7 @@ object Caches {
   def track(df: DataFrame,
             level: org.apache.spark.storage.StorageLevel =
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    if (off.get()) return df // introspection scope: no cache substitution
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       reg.get().add(df.persist(level))
     }

@@ -84,9 +84,16 @@ class PlanSpec extends SparkTestBase {
 
   test("no query plan contains a cartesian product over fact-sized inputs") {
     val exempt = Set("q07_grid") // deliberate small-distinct cross join (R4/J9)
+    // Caches.disabled: with tracking on, every persisted subtree plans
+    // as an InMemoryRelation leaf and its operators VANISH from the
+    // traversal — a cartesian inside a cached build would pass the ban
+    // silently (the round-12 census fidelity finding, applied to the
+    // spec sweeps). clearCache first: relations persisted by EARLIER
+    // tests would still substitute into these plans.
+    graft.Caches.release(); spark.catalog.clearCache()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!exempt.contains(name)) {
-        val p = plan(fn(spark, sfDir))
+        val p = graft.Caches.disabled(plan(fn(spark, sfDir)))
         assert(!p.contains("CartesianProduct"),
           s"$name has a CartesianProduct:\n${p.take(1500)}")
       }
@@ -113,9 +120,17 @@ class PlanSpec extends SparkTestBase {
     // strips constant keys anyway (partitionBy(lit(0)) degenerates to an
     // empty spec), so the ban cannot be dodged with a literal key.
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LogicalWindow}
-    val exempt = Map("q60_sequence_packing" -> 1, "q69_vocab_coverage" -> 1)
+    // q127 joined the two-phase-prefix-sum exemption class in round 12:
+    // its bucket-offset window runs over |buckets| = corpus/PackBucket
+    // rows, exactly q60's bounded relation (they share the machinery).
+    val exempt = Map("q60_sequence_packing" -> 1, "q69_vocab_coverage" -> 1,
+      "q127_pack_materialize" -> 1)
+    // Caches.disabled + clearCache: see the cartesian sweep — a
+    // partition-less window inside a cached subtree must not hide
+    // behind an InMemoryRelation
+    graft.Caches.release(); spark.catalog.clearCache()
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      val plan = graft.Caches.disabled(fn(spark, sfDir).queryExecution.optimizedPlan)
       val unbounded = plan.collect {
         case w: LogicalWindow if w.partitionSpec.forall(_.foldable) &&
           w.child.collectFirst { case g: GlobalLimit => g }.isEmpty => w
