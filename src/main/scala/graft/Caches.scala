@@ -37,8 +37,9 @@ object Caches {
     * to one ordinary traversal. Queries built this way recompute shared
     * subtrees if actually executed — introspect, don't run. */
   def disabled[A](body: => A): A = {
-    off.set(java.lang.Boolean.TRUE)
-    try body finally off.set(java.lang.Boolean.FALSE)
+    val prev = off.get() // restore, don't clear: nested scopes must not
+    off.set(java.lang.Boolean.TRUE) // re-enable tracking for their parent
+    try body finally off.set(prev)
   }
 
   /** Cache `df` and remember it for this thread's next [[release]].

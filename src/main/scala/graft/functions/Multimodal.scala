@@ -872,7 +872,7 @@ object Multimodal {
 
   /** REAL frame sampling + decode: parse the RIFF/AVI container (strf →
     * the stream's BITMAPINFOHEADER, idx1 → frame offsets), pick up to
-    * `maxSamples` evenly spaced frames ([[sampleFrames]]'s schedule),
+    * `maxSamples` evenly spaced frames (stride n div maxSamples),
     * and run ONLY those frames' DIB bits through ImageIO's BMP decoder.
     * Luma statistics come from the decoded raster. */
   /** RIFF/AVI parse + sampled-frame decode shared by [[decodeVideoFrames]]

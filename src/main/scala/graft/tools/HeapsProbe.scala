@@ -40,13 +40,7 @@ import org.apache.spark.sql.functions._
   * per-query best-of-2 seconds, and the q32 stage sizes.
   */
 object HeapsProbe extends Serializable { // generator closures call the (stateless) module's hash helpers
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-  private def u01(z: Long): Double = (mix(z) >>> 11) * (1.0 / (1L << 53))
+  import Splitmix.{mix, u01}
 
   private val BaseDocs = 5000 // ≈ the sf0.1 documents row count
   private val AvgLen = 60
@@ -103,14 +97,20 @@ object HeapsProbe extends Serializable { // generator closures call the (statele
           }
           sb.toString
         }
+        // planted structure references the STORED text of the earlier doc
+        // (recursively — a plant whose target is itself a plant copies
+        // what that doc actually holds), so the promised exact/near-dup
+        // rates hold even when plants chain; chains are 2-4 hops at most
+        // (consecutive plant conditions exclude each other mod 97/50)
+        def storedText(id: Long): String =
+          if (id % 97 == 3 && id >= 2) storedText(id - 2) // ~1% exact dup
+          else if (id % 50 == 1 && id >= 1) {             // ~2% near-dup
+            val t = storedText(id - 1).split(" ")
+            t(t.length / 2) = "ndmark" + (id % 9)
+            t.mkString(" ")
+          } else genText(id)
         spark.range(nDocs).map { id =>
-          val text =
-            if (id % 97 == 3 && id >= 2) genText(id - 2) // ~1% exact dup
-            else if (id % 50 == 1 && id >= 1) {          // ~2% near-dup
-              val t = genText(id - 1).split(" ")
-              t(t.length / 2) = "ndmark" + (id % 9)
-              t.mkString(" ")
-            } else genText(id)
+          val text = storedText(id)
           (id, text, "l" + (mix(id * 31L + 11) >>> 33) % 5,
             "src" + (mix(id * 13L + 5) >>> 33) % 20, text.length.toLong)
         }.toDF("doc_id", "text", "lang", "source", "n_chars")

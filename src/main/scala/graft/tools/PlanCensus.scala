@@ -36,13 +36,17 @@ object PlanCensus {
     * omits the shuffles/joins that BUILD the cached relation (the
     * round-12 fidelity fix — q124's row previously read 0 shuffles).
     * Each distinct cached relation is expanded ONCE (it builds once at
-    * runtime, however many scans consume it). */
+    * runtime, however many scans consume it). Identity is the
+    * relation's cacheBuilder, not the InMemoryRelation instance: the
+    * cache manager hands each use-site a `withOutput` copy with fresh
+    * expr ids, so instance equality would expand one physical cache
+    * once per consuming fragment and inflate the counts. */
   private def allNodes(p: SparkPlan,
                        seen: scala.collection.mutable.Set[AnyRef]): Seq[SparkPlan] = {
     val nodes = p.collect { case n => n }
     nodes ++ nodes.flatMap {
       case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-        if seen.add(im.relation) => allNodes(im.relation.cachedPlan, seen)
+        if seen.add(im.relation.cacheBuilder) => allNodes(im.relation.cachedPlan, seen)
       case _ => Nil
     }
   }

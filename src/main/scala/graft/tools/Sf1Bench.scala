@@ -39,13 +39,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.Sf1Bench [baseSfDir] [outDir]
   */
 object Sf1Bench extends Serializable { // generator closures call the (stateless) module's hash helpers
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-  private def u01(z: Long): Double = (mix(z) >>> 11) * (1.0 / (1L << 53))
+  import Splitmix.{mix, u01}
 
   val Heavies = Seq("q44_corpus_filter", "q50_semantic_dedup", "q46_neardup_components",
     "q64_pq_adc", "q71_ivfpq_search", "q68_embed_outliers")
