@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** q128 — INCREMENTAL PACKED-SHARD INTAKE: the q84 artifact pattern
+  * applied to the PACKING family, completing its production shapes —
+  * layout plan (q60), batch materialization (q127), and now the daily
+  * intake a training-data pipeline runs most often (reference anchor:
+  * the watermark-driven incremental replay contract of
+  * /root/reference/nikon_ETL.py:425-499). A 100 TB corpus is packed
+  * ONCE; each following day a small document shard arrives and must be
+  * appended to the packed token stream WITHOUT re-exploding a single
+  * corpus token — only the boundary sequence (the trailing partial
+  * one) is ever rewritten.
+  *
+  * The artifact (fingerprinted, marker-last — [[IncrementalDedup
+  * .publish]]):
+  *  - `seqs/`  — every FULL training sequence of the corpus pack:
+  *    (seq_id, n_tokens = SeqLen, n_docs, first_doc, last_doc,
+  *    content_hash). Frozen forever: full sequences are immutable
+  *    under append.
+  *  - `state/` — ONE row of packing state: `total_tokens` (the frozen
+  *    global offset the next shard appends at) and the trailing
+  *    PARTIAL sequence's exact token content + doc stats (`tail_text`,
+  *    `tail_n_docs`, `tail_first_doc`, `tail_last_doc`; empty when the
+  *    corpus total divides SeqLen exactly). Bounded at SeqLen tokens
+  *    by construction — the only raw-token state, one sequence long no
+  *    matter the corpus size.
+  *
+  * Serving (q128) reads the artifact and the staged shard ONLY
+  * (PlanSpec: no documents scan). The shard's token offsets ride the
+  * same two-phase prefix sum as q60/q127 — per-bucket partials, a tiny
+  * bucket-offset window, broadcast join back — based at the frozen
+  * `total_tokens` (a broadcast state join, so the offset never touches
+  * the driver), landing the day's tokens at exactly the positions a
+  * full repack would give them. The boundary sequence merges stored
+  * tail + new tokens: token counts add, and doc counts add because
+  * shard ids are new — the tail's doc set and the shard's are disjoint
+  * by construction. Every other output row is either a frozen artifact
+  * row or purely shard-born. The full new-generation relation (frozen
+  * ∪ rewritten boundary ∪ new) is the query result, and the oracle
+  * replays the ENTIRE repack from raw documents — a hash match proves
+  * append-at-frozen-offset reproduces the from-scratch pack, boundary
+  * stitch included.
+  *
+  * [[ingest]] folds the day forward: new FULL sequences (the boundary
+  * sequence, once filled, freezes too) append to `seqs/`; `state/`
+  * advances to the new total and the new trailing partial. The fold is
+  * deterministic, so re-running a day against the same input
+  * generation is content-identical, and the multi-day chain equals the
+  * full-repack ground truth day after day (IncrementalPackSpec).
+  *
+  * Scale shape: serving COMPUTES over shard tokens only (a day's
+  * intake); the corpus-sized `seqs/` relation is read once, as
+  * fixed-width hash rows, solely because the query RESULT is the full
+  * generation — a deployment appending to a partitioned sequence table
+  * would not rewrite or even read it. The one shuffle keys on seq_id
+  * with groups fixed at SeqLen by construction (a perfectly uniform
+  * exchange); the ordered collect per group is bounded at SeqLen
+  * elements via array_sort in the aggregate, never a window.
+  */
+object IncrementalPack extends QueryModule {
+
+  private[graft] val SeqLen = 2048L
+  private val PackBucket = 1000L
+  /** Shard doc ids are re-keyed above every corpus id so pack order
+    * (doc_id order) is arrival order: corpus first, then the day. */
+  private val ShardBase = 1000000L
+
+  private def indexRoot: String =
+    sys.env.get("SPARK_GRAFT_INDEX_DIR")
+      .orElse(sys.props.get("graft.index.dir"))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index")
+
+  private[graft] def indexPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/pack-${IncrementalDedup.dataFingerprint(s, dir)}"
+  private[graft] def shardPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/pack-shard-${IncrementalDedup.dataFingerprint(s, dir)}"
+
+  private def corpusDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsWide(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") % 5 =!= 4)
+
+  /** The day's arrivals: the held-out slice, re-keyed into the append
+    * id range (a pack intake appends whatever upstream curation
+    * admitted — dedup verdicts are q84/q102's business). */
+  private def shardDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") % 5 === 4)
+      .select((col("doc_id") + ShardBase).as("doc_id"), col("text"))
+
+  /** Pack a (doc_id, text, base_off) relation into per-sequence rows
+    * WITH the exact in-order token content string; token positions
+    * start at `base_off` (lit 0 for the offline pack, the frozen
+    * broadcast total for serving). Offsets via the q60 two-phase
+    * prefix sum — never a one-partition global cumsum; the grouped
+    * collect is bounded at SeqLen elements per group by construction. */
+  private def packedWithContent(docs: DataFrame): DataFrame = {
+    val n = docs
+      .select(col("doc_id"), col("base_off"), split(col("text"), " ").as("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+      .withColumn("bucket", expr(s"doc_id div $PackBucket"))
+    val inBucket = n.withColumn("cum_in_bucket",
+      sum(col("n_tokens")).over(Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketTotals = n.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("boffset",
+        coalesce(sum(col("btot")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "boffset")
+    inBucket.join(broadcast(bucketTotals), "bucket")
+      .withColumn("start_off",
+        col("base_off") + col("boffset") + col("cum_in_bucket") - col("n_tokens"))
+      .select(col("doc_id"), col("start_off"), posexplode(col("ts")).as(Seq("i", "tok")))
+      .withColumn("p", col("start_off") + col("i"))
+      .withColumn("seq_id", expr(s"p div $SeqLen"))
+      .withColumn("pos", expr(s"p % $SeqLen"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        countDistinct(col("doc_id")).cast("int").as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("content"))
+  }
+
+  private def tokenTotal(docs: DataFrame): DataFrame = docs
+    .select(size(split(col("text"), " ")).cast("long").as("nt"))
+    .agg(coalesce(sum(col("nt")), lit(0L)).as("nt_sum"))
+
+  /** seqs/ + state/ writer shared by the offline build and [[ingest]]:
+    * `fullSeqs` are the hash rows to freeze, `packed` the content-
+    * bearing rows whose (at most one) partial row becomes the tail. */
+  private def writeGeneration(s: SparkSession, tmp: org.apache.hadoop.fs.Path,
+                              fullSeqs: DataFrame, packed: DataFrame,
+                              total: DataFrame): Unit = {
+    fullSeqs.write.mode("overwrite").parquet(s"$tmp/seqs")
+    val tail = packed.filter(col("n_tokens") < SeqLen)
+      .select(col("content").as("tail_text"), col("n_docs").as("tail_n_docs"),
+        col("first_doc").as("tail_first_doc"), col("last_doc").as("tail_last_doc"))
+    total.join(tail, lit(true), "left")
+      .select(col("total_tokens"),
+        coalesce(col("tail_text"), lit("")).as("tail_text"),
+        coalesce(col("tail_n_docs"), lit(0)).as("tail_n_docs"),
+        coalesce(col("tail_first_doc"), lit(-1L)).as("tail_first_doc"),
+        coalesce(col("tail_last_doc"), lit(-1L)).as("tail_last_doc"))
+      .write.mode("overwrite").parquet(s"$tmp/state")
+  }
+
+  private def hashRows(packed: DataFrame): DataFrame = packed
+    .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+      col("first_doc"), col("last_doc"), md5(col("content")).as("content_hash"))
+
+  /** Offline: pack the corpus once, persist frozen full sequences +
+    * the one-row packing state. */
+  private[graft] def buildPackState(s: SparkSession, docs: DataFrame, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    IncrementalDedup.publish(s, p) { tmp =>
+      val packed = packedWithContent(docs.withColumn("base_off", lit(0L)))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try writeGeneration(s, tmp,
+        hashRows(packed.filter(col("n_tokens") === SeqLen)), packed,
+        tokenTotal(docs).select(col("nt_sum").as("total_tokens")))
+      finally packed.unpersist()
+    }
+    path
+  }
+
+  private[graft] def stageShard(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(shardPath(s, dir))
+    IncrementalDedup.publish(s, path) { tmp =>
+      shardDocs(s, dir).write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+    path.toString
+  }
+
+  /** Online: pack the shard at the frozen offset and stitch the
+    * boundary sequence — content kept as a string so [[ingest]] can
+    * roll the new trailing partial into the next generation. Reads the
+    * state row and the shard relation only. */
+  private[graft] def servedTail(s: SparkSession, shard: DataFrame,
+                                idxPath: String): DataFrame = {
+    val state = s.read.parquet(s"$idxPath/state")
+    val newSeqs = packedWithContent(
+      shard.crossJoin(broadcast(state.select(col("total_tokens").as("base_off")))))
+    newSeqs.crossJoin(broadcast(state))
+      // The tail exists iff the frozen total is mid-sequence. Keyed on
+      // the arithmetic, not on tail_text != '': a tail of empty-string
+      // tokens (split artifacts) joins to '' yet still occupies
+      // positions, and the oracle's string_agg counts it.
+      .withColumn("is_b",
+        col("seq_id") === expr(s"total_tokens div $SeqLen") &&
+          col("total_tokens") % SeqLen > 0)
+      .select(col("seq_id"),
+        (when(col("is_b"), col("total_tokens") % SeqLen).otherwise(lit(0L)) + col("n_tokens"))
+          .cast("int").as("n_tokens"),
+        (when(col("is_b"), col("tail_n_docs")).otherwise(lit(0)) + col("n_docs"))
+          .cast("int").as("n_docs"),
+        when(col("is_b"), col("tail_first_doc")).otherwise(col("first_doc")).as("first_doc"),
+        when(col("is_b"), greatest(col("tail_last_doc"), col("last_doc")))
+          .otherwise(col("last_doc")).as("last_doc"),
+        when(col("is_b"), concat(col("tail_text"), lit(" "), col("content")))
+          .otherwise(col("content")).as("content"))
+  }
+
+  /** The full new-generation relation: frozen full sequences ∪ the
+    * rewritten boundary ∪ shard-born sequences — q127's exact columns. */
+  private[graft] def serve(s: SparkSession, shard: DataFrame, idxPath: String): DataFrame =
+    s.read.parquet(s"$idxPath/seqs")
+      .unionByName(hashRows(servedTail(s, shard, idxPath)))
+      .withColumn("fill_ppm", expr(s"(1000000 * CAST(n_tokens AS BIGINT)) div $SeqLen"))
+      .select("seq_id", "n_tokens", "n_docs", "first_doc", "last_doc",
+        "fill_ppm", "content_hash")
+      .orderBy("seq_id")
+
+  /** Fold the day forward into a new artifact generation: sequences
+    * that are now full freeze into `seqs/`; `state/` advances to the
+    * new global total and the new trailing partial. Re-running a day
+    * against the same input generation is content-identical, and
+    * [[IncrementalDedup.publish]] makes a same-path replay a no-op. */
+  private[graft] def ingest(s: SparkSession, shard: DataFrame,
+                            idxPath: String, outPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    IncrementalDedup.publish(s, p) { tmp =>
+      val tail = servedTail(s, shard, idxPath)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        val total = s.read.parquet(s"$idxPath/state").select("total_tokens")
+          .crossJoin(tokenTotal(shard))
+          .select((col("total_tokens") + col("nt_sum")).as("total_tokens"))
+        writeGeneration(s, tmp,
+          s.read.parquet(s"$idxPath/seqs")
+            .unionByName(hashRows(tail.filter(col("n_tokens") === SeqLen))),
+          tail, total)
+      } finally tail.unpersist()
+    }
+    outPath
+  }
+
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildPackState(s, corpusDocs(s, dir), indexPath(s, dir))
+    val shard = stageShard(s, dir)
+    serve(s, s.read.parquet(s"$shard/docs"), idx)
+  }
+
+  // The oracle replays the ENTIRE pack from raw documents — corpus and
+  // re-keyed shard as one doc_id-ordered stream through the plain
+  // global cumsum — never seeing the artifact: a hash match proves the
+  // frozen-offset append (boundary stitch included) reproduces the
+  // from-scratch repack row for row.
+  private val q128Sql =
+    s"""WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+      |  UNION ALL
+      |  SELECT doc_id + $ShardBase AS doc_id, text FROM documents WHERE doc_id % 5 = 4),
+      |n AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM all_docs),
+      |c AS (
+      |  SELECT doc_id, ts,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+      |  FROM n),
+      |tok AS (
+      |  SELECT doc_id, start_off + u.i - 1 AS p, ts[u.i] AS tok
+      |  FROM c, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u),
+      |seqs AS (
+      |  SELECT p // $SeqLen AS seq_id, p % $SeqLen AS pos, doc_id, tok FROM tok)
+      |SELECT seq_id,
+      |       CAST(COUNT(*) AS INT) AS n_tokens,
+      |       CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+      |       MIN(doc_id) AS first_doc,
+      |       MAX(doc_id) AS last_doc,
+      |       (1000000 * COUNT(*)) // $SeqLen AS fill_ppm,
+      |       md5(string_agg(tok, ' ' ORDER BY pos)) AS content_hash
+      |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_incremental_pack" -> ((s, dir) => q128(s, dir)),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q128_incremental_pack" -> q128Sql,
+  )
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.IncrementalPack
+
+/** The q128 contracts the DuckDB oracle cannot see: boundary-sequence
+  * identity against a driver-side from-scratch repack (partial-tail AND
+  * exact-divisible corpora), ingest determinism on replay, the
+  * frozen-prefix invariant, and the multi-day chain staying equal to
+  * the full repack. Fixtures are synthetic docs with EXACT token
+  * counts so the 2048-token boundary lands where each test needs it. */
+class IncrementalPackSpec extends SparkTestBase {
+
+  private val SeqLen = IncrementalPack.SeqLen.toInt
+
+  private def withTempRoot[A](f: String => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft_pack_test").toString
+    try f(root) finally ()
+  }
+
+  /** doc i with exactly n tokens "d<i>_<j>" — no spaces inside tokens,
+    * so split/join round-trips and the driver replay is exact. */
+  private def doc(id: Long, n: Int): (Long, String) =
+    (id, (0 until n).map(j => s"d${id}_$j").mkString(" "))
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The from-scratch pack, computed in plain Scala (independent of
+    * every Spark formulation): concatenate docs in id order, chunk at
+    * SeqLen, report q127's row per chunk. */
+  private def replay(rows: Seq[(Long, String)]): Seq[(Long, Int, Int, Long, Long, Long, String)] = {
+    val toks = rows.sortBy(_._1).flatMap { case (id, t) => t.split(" ").map(tok => (id, tok)) }
+    toks.zipWithIndex.groupBy(_._2 / SeqLen).toSeq.sortBy(_._1).map { case (seq, elems) =>
+      val ids = elems.map(_._1._1)
+      (seq.toLong, elems.size, ids.distinct.size, ids.min, ids.max,
+        1000000L * elems.size / SeqLen, md5hex(elems.map(_._1._2).mkString(" ")))
+    }
+  }
+
+  private def served(shard: Seq[(Long, String)], idx: String) =
+    IncrementalPack.serve(spark, docsDf(shard), idx).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6))).toSeq
+
+  private def artifactContent(p: String) = (
+    spark.read.parquet(s"$p/seqs").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getString(5))).toSet,
+    spark.read.parquet(s"$p/state").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSeq)
+
+  // corpus: 3000 tokens → one full sequence + a 952-token tail the
+  // first shard doc must finish; shard: 5000 tokens → the new total
+  // 8000 ends mid-sequence again (tail 1904) for the chain test.
+  private val corpus = Seq(doc(1, 1200), doc(2, 900), doc(3, 900))
+  private val day1 = Seq(doc(101, 2500), doc(102, 1500), doc(103, 1000))
+  private val day2 = Seq(doc(201, 300), doc(202, 2000))
+
+  test("incremental serve equals the from-scratch repack, boundary stitch included") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      val got = served(day1, idx)
+      val want = replay(corpus ++ day1)
+      assert(got == want, s"serve differs from replay:\n got=$got\nwant=$want")
+      // non-vacuous: the boundary sequence (seq 1) must mix corpus and
+      // shard docs — that is the stitch under test
+      val boundary = got.find(_._1 == 1L).get
+      assert(boundary._4 <= 3L && boundary._5 >= 101L,
+        s"boundary sequence does not span the corpus/shard seam: $boundary")
+    }
+  }
+
+  test("exact-divisible corpus: empty tail, append starts a fresh sequence") {
+    withTempRoot { root =>
+      val evenCorpus = Seq(doc(1, 2048), doc(2, 2048))
+      val idx = IncrementalPack.buildPackState(spark, docsDf(evenCorpus), s"$root/gen0")
+      val (_, state) = artifactContent(idx)
+      assert(state == Seq((4096L, "", 0, -1L, -1L)), s"state not an empty tail: $state")
+      val got = served(day2, idx)
+      assert(got == replay(evenCorpus ++ day2))
+      // the first shard-born sequence must contain shard docs only
+      val fresh = got.find(_._1 == 2L).get
+      assert(fresh._4 >= 201L, s"fresh boundary leaked corpus docs: $fresh")
+    }
+  }
+
+  test("ingest freezes filled sequences, advances state, and replays content-identically") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      val g1 = IncrementalPack.ingest(spark, docsDf(day1), idx, s"$root/gen1")
+      val g1b = IncrementalPack.ingest(spark, docsDf(day1), idx, s"$root/gen1b")
+      assert(artifactContent(g1) == artifactContent(g1b),
+        "re-running the day against the same input generation changed the artifact")
+      val (seqs0, _) = artifactContent(idx)
+      val (seqs1, state1) = artifactContent(g1)
+      assert(seqs0.subsetOf(seqs1), "ingest rewrote a frozen full sequence")
+      assert(state1.head._1 == 8000L, s"state total not advanced: ${state1.head}")
+      assert(seqs1.size == 3 && seqs0.size == 1,
+        s"expected 1 frozen → 3 frozen (8000 tokens = 3 full + tail): ${seqs0.size} → ${seqs1.size}")
+      // same-path replay is a publish no-op
+      IncrementalPack.ingest(spark, docsDf(day1), idx, s"$root/gen1")
+      assert(artifactContent(g1) == artifactContent(g1b))
+    }
+  }
+
+  test("multi-day chain stays equal to the full repack") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      val g1 = IncrementalPack.ingest(spark, docsDf(day1), idx, s"$root/gen1")
+      val got = served(day2, g1)
+      assert(got == replay(corpus ++ day1 ++ day2),
+        "day-2 serve against gen1 differs from the three-way repack")
+      // and ingesting day 2 equals building the union from scratch
+      val g2 = IncrementalPack.ingest(spark, docsDf(day2), g1, s"$root/gen2")
+      val scratch = IncrementalPack.buildPackState(
+        spark, docsDf(corpus ++ day1 ++ day2), s"$root/scratch")
+      assert(artifactContent(g2) == artifactContent(scratch),
+        "two-day incremental chain diverged from the from-scratch artifact")
+    }
+  }
+}

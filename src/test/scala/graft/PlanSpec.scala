@@ -123,8 +123,11 @@ class PlanSpec extends SparkTestBase {
     // q127 joined the two-phase-prefix-sum exemption class in round 12:
     // its bucket-offset window runs over |buckets| = corpus/PackBucket
     // rows, exactly q60's bounded relation (they share the machinery).
+    // q128's serving prefix sum runs its bucket-offset window over the
+    // DAY'S SHARD buckets (|shard|/PackBucket rows — intake-sized, not
+    // corpus-sized), the same bounded relation class.
     val exempt = Map("q60_sequence_packing" -> 1, "q69_vocab_coverage" -> 1,
-      "q127_pack_materialize" -> 1)
+      "q127_pack_materialize" -> 1, "q128_incremental_pack" -> 1)
     // Caches.disabled + clearCache: see the cartesian sweep — a
     // partition-less window inside a cached subtree must not hide
     // behind an InMemoryRelation
@@ -208,6 +211,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("prep-"), "plan does not read the prepare artifact")
     assert(!p.contains("documents.parquet"),
       "q102 rescans the documents table:\n" +
+        p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
+  }
+
+  test("q128 serves from the pack artifact + staged shard: corpus tokens are never re-exploded") {
+    // the pack-intake claim: a day's shard packs at the FROZEN offset
+    // read from the one-row state artifact and unions the frozen
+    // sequence hashes — a documents scan in the serving plan would mean
+    // the 100 TB token stream is re-exploded per daily append
+    val p = plan(graft.queries.IncrementalPack
+      .queries("q128_incremental_pack")(spark, sfDir))
+    assert(p.contains("pack-"), "plan does not read the pack artifact")
+    assert(!p.contains("documents.parquet"),
+      "q128 rescans the documents table:\n" +
         p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
   }
 
