@@ -568,4 +568,76 @@ object Streams {
       }
     }.toDF("doc_id", "ts", "n_bigrams", "total_bits", "millibits", "keep")
   }
+
+  case class PackDoc(doc_id: Long, text: String)
+  case class PackState(total: Long, tailText: String, tailNDocs: Int,
+                       tailFirst: Long, tailLast: Long)
+  case class PackedSeq(seq_id: Long, n_tokens: Int, n_docs: Int,
+                       first_doc: Long, last_doc: Long, content_hash: String)
+
+  /** Streaming twin of the packed-shard intake (q128): documents
+    * append to the global training-sequence stream as they arrive,
+    * completed SeqLen-token sequences emit immediately (append mode —
+    * a full sequence is immutable forever, q128's frozen-seqs
+    * contract), and the open partial sequence rides the stream state.
+    *
+    * Packing is a single-writer append log — there is no per-key
+    * parallelism to recover, so the state is honestly keyed on ONE
+    * constant key: the initial [[PackState]] (loaded from the q128
+    * artifact's state row — the offline/online split of every other
+    * twin) holds the frozen global offset + the ≤SeqLen-token tail,
+    * and each micro-batch walks its docs in doc_id order through the
+    * same boundary arithmetic the batch serve uses. State is bounded
+    * at one sequence of tokens no matter how long the stream runs;
+    * per-batch work is batch-sized (a day's shard — the q128 serving
+    * contract), never corpus-sized. StreamingSpec pins the emitted
+    * rows to the batch ingest chain's frozen-sequence delta across
+    * multiple days. */
+  def packIntake(docs: Dataset[PackDoc], init: PackState): Dataset[PackedSeq] = {
+    import docs.sparkSession.implicits._
+    val seqLen = graft.queries.IncrementalPack.SeqLen.toInt
+
+    def step(key: Int, rows: Iterator[PackDoc],
+             state: GroupState[PackState]): Iterator[PackedSeq] = {
+      val s = state.getOption.getOrElse(init)
+      // restore the open sequence: total % SeqLen == 0 means no tail
+      // (tailText '' is ambiguous — a single empty-string token also
+      // joins to '', the batch side's arithmetic-keyed case)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (s.total % seqLen != 0) buf ++= s.tailText.split(" ", -1)
+      var nDocs = if (s.total % seqLen != 0) s.tailNDocs else 0
+      var first = if (s.total % seqLen != 0) s.tailFirst else -1L
+      var last = if (s.total % seqLen != 0) s.tailLast else -1L
+      var seqId = s.total / seqLen
+      var total = s.total
+      val out = scala.collection.mutable.ArrayBuffer.empty[PackedSeq]
+      // doc_id order within the batch IS the pack order (q128's
+      // append contract: arriving ids exceed everything packed so far)
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+        var contributed = false
+        d.text.split(" ", -1).foreach { tok =>
+          if (!contributed) {
+            nDocs += 1; last = d.doc_id
+            if (first == -1L) first = d.doc_id
+            contributed = true
+          }
+          buf += tok
+          total += 1
+          if (buf.length == seqLen) {
+            out += PackedSeq(seqId, seqLen, nDocs, first, last,
+              graft.queries.Corpus.md5Hex(buf.mkString(" ")))
+            buf.clear()
+            seqId += 1; nDocs = 0; first = -1L; last = -1L
+            contributed = false // the doc re-registers in the next sequence
+          }
+        }
+      }
+      state.update(PackState(total, buf.mkString(" "), nDocs,
+        if (first == -1L) -1L else first, if (last == -1L) -1L else last))
+      out.iterator
+    }
+
+    docs.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+  }
 }

@@ -110,6 +110,49 @@ class IncrementalPackSpec extends SparkTestBase {
     }
   }
 
+  test("streaming pack-intake twin emits exactly the batch chain's frozen-sequence delta") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    import spark.implicits._
+    withTempRoot { root =>
+      // batch chain: gen0 (corpus) → gen1 (day 1) → gen2 (day 2)
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      val g1 = IncrementalPack.ingest(spark, docsDf(day1), idx, s"$root/gen1")
+      val g2 = IncrementalPack.ingest(spark, docsDf(day2), g1, s"$root/gen2")
+      val (seqs0, _) = artifactContent(idx)
+      val (seqs2, state2) = artifactContent(g2)
+      val expectedDelta = seqs2 -- seqs0
+      assert(expectedDelta.size >= 3, s"fixture too small to test emission: $expectedDelta")
+      // stream: same two days as micro-batches, state seeded from gen0
+      val st0 = spark.read.parquet(s"$idx/state").collect().head
+      val init = Streams.PackState(st0.getLong(0), st0.getString(1), st0.getInt(2),
+        st0.getLong(3), st0.getLong(4))
+      val mem = MemoryStream[Streams.PackDoc]
+      val query = Streams.packIntake(mem.toDS(), init)
+        .writeStream.format("memory").queryName("pack_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(day1.map(d => Streams.PackDoc(d._1, d._2)).toIndexedSeq: _*)
+        query.processAllAvailable()
+        mem.addData(day2.map(d => Streams.PackDoc(d._1, d._2)).toIndexedSeq: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+      val streamed = spark.table("pack_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toSet
+      assert(streamed == expectedDelta,
+        s"stream emissions differ from the batch frozen-sequence delta:\n" +
+          s" stream=$streamed\n  batch=$expectedDelta")
+      // the partial left in stream state is the batch tail: conservation
+      // pins it — emitted full tokens + batch tail count = total appended
+      val emittedToks = streamed.toSeq.map(_._2.toLong).sum
+      assert(emittedToks + state2.head._1 % IncrementalPack.SeqLen ==
+        state2.head._1 - seqs0.size * IncrementalPack.SeqLen,
+        "token conservation between emissions and the final tail failed")
+    }
+  }
+
   test("multi-day chain stays equal to the full repack") {
     withTempRoot { root =>
       val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
