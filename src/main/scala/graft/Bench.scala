@@ -98,22 +98,58 @@ object Bench {
       baseline.get(name).exists(b => b > 0 &&
         ((t > 2.0 && t > b * budgetFactor) || t > b * 3))
     // Factor 2 is tight against this host's characterized variance, so a
-    // trip earns one more CALM run (the contended first pass often ran
-    // inside another query's spill) — flag only if the best of three
+    // trip earns more CALM runs — flag only if the best across all runs
     // still breaches. A real plan regression re-trips; noise doesn't.
     // Trip-and-recovered cases stay visible: the published time is
-    // min(original, calm rerun), but the original is reported in a
+    // min(original, calm reruns), but the original is reported in a
     // `rechecked` map so a flaky real regression can't hide behind one
     // fast rerun round-over-round.
+    //
+    // The recheck pass is DEFERRED (it runs after the whole timed
+    // catalog — `results` is strict) AND load-aware: round 12's driver
+    // run showed that position alone is not enough — an external load
+    // window spanning the run let the recheck reproduce a 3.5× number
+    // for q63/q64 that a later calm re-time put at baseline. So before
+    // any recheck executes, wait for the host's 1-minute loadavg to
+    // drop below a threshold (default cpus/4; our own just-finished
+    // catalog run decays out of the 1-min average during this wait too),
+    // bounded by a timeout so a persistently-busy host still reports.
+    // The observed load and wait are published in the bench line
+    // (`recheck_load`/`recheck_wait_sec`) so a flag can be read against
+    // the conditions it was measured under.
     val recheckedOrig = mutable.LinkedHashMap[String, Double]()
+    var recheckLoad = -1.0
+    var recheckWait = 0.0
+    def load1(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def waitForCalm(): Unit = {
+      val threshold = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD",
+        (cpus.toInt / 4.0).toString).toDouble
+      val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_TIMEOUT_MS", "180000").toLong
+      val t0 = System.nanoTime()
+      var l = load1()
+      while (l > threshold && (System.nanoTime() - t0) < timeoutMs * 1000000L) {
+        Thread.sleep(5000); l = load1()
+      }
+      recheckWait = (System.nanoTime() - t0) / 1e9
+      recheckLoad = l
+      if (l > threshold)
+        System.err.println(f"[bench] recheck proceeding on a busy host (load1=$l%.1f > $threshold%.1f after $recheckWait%.0f s)")
+    }
+    val anyTrips = results.exists { case (name, t) => t > 0 && trips(name, t) }
+    if (anyTrips) waitForCalm()
     val rechecked = results.map { case (name, t) =>
       if (t > 0 && trips(name, t)) {
-        Caches.release(); spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val t2 = try {
-          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => t }
+        val t2 = (1 to 2).map { _ =>
+          Caches.release(); spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => t }
+        }.min
         recheckedOrig(name) = t
         name -> math.min(t, t2)
       } else name -> t
@@ -165,7 +201,7 @@ object Bench {
     val over = ratios(overBudget)
     val total = rechecked.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},"failed":${failed.size},"over_budget":$over,"rel_over_2x":${ratios(relOver)},"tripwire":${ratios(tripwire)},"rechecked":$rechk}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},"failed":${failed.size},"over_budget":$over,"rel_over_2x":${ratios(relOver)},"tripwire":${ratios(tripwire)},"rechecked":$rechk,"recheck_load":$recheckLoad,"recheck_wait_sec":${math.round(recheckWait * 10) / 10.0}}"""
     println(line)
     // Robust copy for the driver in case stdout is swallowed by sbt
     // logging — next to the build the bench ran from (overridable).

@@ -45,9 +45,13 @@ object HeapsProbe extends Serializable { // generator closures call the (statele
   private val BaseDocs = 5000 // ≈ the sf0.1 documents row count
   private val AvgLen = 60
   private val ZipfS = 1.05
+  // q103/q111 joined in round 13 (verdict ask): the two heaviest
+  // gram-explode relations — the stride-1 dup-span profiler and the
+  // reference-gram novelty audit — so the realistic-vocabulary curve
+  // covers every explode-bound member of the text stack.
   private val Queries = Seq("q32_ngram_jaccard", "q33_minhash_lsh", "q44_corpus_filter",
     "q46_neardup_components", "q51_decontaminate", "q85_bloom_decontaminate",
-    "q93_bigram_surprisal")
+    "q93_bigram_surprisal", "q103_dupspan_profile", "q111_novelty_audit")
 
   /** Zipf(s) CDF over ranks 1..v — tiny (V ≤ ~15k doubles), captured
     * into the generator closure. */
