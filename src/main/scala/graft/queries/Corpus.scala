@@ -429,6 +429,79 @@ object Corpus extends QueryModule {
   }
 
   // ---------------------------------------------------------------------
+  // q129 — HYBRID RETRIEVAL FUSION (reciprocal-rank fusion, Cormack,
+  // Clarke & Buettcher SIGIR'09): the serving shape a curation pipeline
+  // actually retrieves with — a lexical arm (q91's BM25 stack) and a
+  // vector arm (q36's brute-force cosine contract) each rank the corpus
+  // for the same query workload, and per (query, doc) the fused score is
+  //   RRF(d) = Σ_arm 1/(k0 + rank_arm(d)),  k0 = 60, arm depth 10,
+  // cut to a fused top-5. Each hybrid query is a (terms, vector) pair;
+  // the fixture workload binds qid's term list (Bm25Queries) to the
+  // corpus embedding with vec_id = qid, and the self row (doc_id = qid)
+  // is excluded from BOTH arms so the vector arm's trivial self-match
+  // cannot mask fusion behavior.
+  //
+  // Determinism: both arm orderings are exactly the engine-proven
+  // orderings of their parents (q91: score DESC, doc_id; q36: cos DESC,
+  // vec_id — identical IEEE expression trees over exact integers on
+  // both engines); the RRF contributions are pure int64 ppb
+  // (floor(1e9 / (k0 + rank))), so the fused score and ranking are
+  // exact integer arithmetic with a doc_id tiebreak.
+  //
+  // Scale shape: each arm inherits its parent's audited plan — BM25:
+  // broadcast workload, one corpus scan, per-(doc, term) tf agg; vector:
+  // broadcast query vectors + codegen'd graft_dot, zero corpus shuffle —
+  // and emits ≤ |workload| × 10 rows. The fusion itself (full-outer on
+  // (qid, doc_id), integer scoring, bounded-Q re-rank) touches only
+  // those arm outputs: nothing corpus-sized joins, shuffles, or windows
+  // past the arm cuts, at any corpus size.
+  private val RrfK0 = 60
+  private val RrfArmK = 10
+  private val RrfTopK = 5
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Scored(s, dir)
+      .filter(col("doc_id") =!= col("qid"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= RrfArmK)
+      .select(col("qid"), col("doc_id"), col("lex_rank"))
+    val vec = Similarity.bruteRanks(s, dir, Bm25Queries.map(_._1), RrfArmK)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("vrank").as("vec_rank"))
+    lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_ppb",
+        coalesce(expr(s"1000000000L div CAST($RrfK0 + lex_rank AS BIGINT)"), lit(0L)) +
+        coalesce(expr(s"1000000000L div CAST($RrfK0 + vec_rank AS BIGINT)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rrf_ppb").desc, col("doc_id"))))
+      .filter(col("rank") <= RrfTopK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf_ppb"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy("qid", "rank")
+  }
+
+  private val q129Sql =
+    s"""WITH $bm25SqlCtes,
+      |${Similarity.bruteRanksSqlCtes(Bm25Queries.map(_._1), RrfArmK)},
+      |lexr AS (
+      |  SELECT qid, doc_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+      |  FROM scored WHERE doc_id != qid),
+      |lex AS (SELECT qid, doc_id, lex_rank FROM lexr WHERE lex_rank <= $RrfArmK),
+      |vec AS (SELECT qid, vec_id AS doc_id, vrank AS vec_rank FROM vranks),
+      |fused AS (
+      |  SELECT COALESCE(l.qid, v.qid) AS qid, COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |         l.lex_rank, v.vec_rank,
+      |         COALESCE(CAST(1000000000 // ($RrfK0 + l.lex_rank) AS BIGINT), CAST(0 AS BIGINT)) +
+      |         COALESCE(CAST(1000000000 // ($RrfK0 + v.vec_rank) AS BIGINT), CAST(0 AS BIGINT)) AS rrf_ppb
+      |  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.doc_id = v.doc_id),
+      |rankedf AS (
+      |  SELECT qid, doc_id, rrf_ppb, lex_rank, vec_rank,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_ppb DESC, doc_id) AS INT) AS rank
+      |  FROM fused)
+      |SELECT qid, rank, doc_id, rrf_ppb, lex_rank, vec_rank
+      |FROM rankedf WHERE rank <= $RrfTopK ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q92 — DETERMINISTIC CORPUS SHUFFLE + SHARDING: the global permutation
   // every pre-training run applies before writing shards (GPT-3 / The
   // Pile data prep). The permutation key is the md5-int64 of the doc id
@@ -1143,6 +1216,7 @@ object Corpus extends QueryModule {
     "q90_boilerplate_strip" -> (q90 _),
     "q91_bm25_topk"         -> (q91 _),
     "q115_retrieval_eval"   -> (q115 _),
+    "q129_hybrid_fusion"    -> (q129 _),
     "q92_corpus_shard"      -> (q92 _),
     "q93_bigram_surprisal"  -> (q93 _),
     "q96_corpus_prepare"    -> (q96 _),
@@ -1157,6 +1231,7 @@ object Corpus extends QueryModule {
     "q90_boilerplate_strip" -> q90Sql,
     "q91_bm25_topk"         -> q91Sql,
     "q115_retrieval_eval"   -> q115Sql,
+    "q129_hybrid_fusion"    -> q129Sql,
     "q92_corpus_shard"      -> q92Sql,
     "q93_bigram_surprisal"  -> q93Sql,
     "q96_corpus_prepare"    -> q96Sql,

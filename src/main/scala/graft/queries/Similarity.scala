@@ -93,6 +93,48 @@ object Similarity extends QueryModule {
       |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, rank
       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Vector-arm serving relation for the hybrid retrieval fusion
+    * (Corpus q129): q36's exact brute-force contract — broadcast query
+    * set + codegen'd `graft_dot`, zero corpus shuffle, self excluded —
+    * reduced to ranks: (qid INT, vec_id, vrank ≤ k) for the given
+    * query ids. Kept here so the fusion cannot drift from the contract
+    * q36/q86 are verified under. */
+  private[graft] def bruteRanks(s: SparkSession, dir: String,
+                                qids: Seq[Int], k: Int): DataFrame = {
+    val vecs = vecsOf(quant(s, dir)).select("vec_id", "qa", "n2")
+    val queries = vecs.filter(col("vec_id").isin(qids.map(_.toLong): _*))
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    vecs.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
+      .withColumn("vrank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("vrank") <= k)
+      .select(col("qid").cast("int").as("qid"), col("vec_id"), col("vrank"))
+  }
+
+  /** SQL twin of [[bruteRanks]] — CTEs `quant`/`norms`/`vdots`/
+    * `vscored`/`vranks`, names chosen not to collide with the BM25
+    * stack it composes with in q129's oracle. */
+  private[graft] def bruteRanksSqlCtes(qids: Seq[Int], k: Int): String =
+    s"""$quantSqlCte,
+      |vdots AS (
+      |  SELECT CAST(a.vec_id AS INTEGER) AS qid, b.vec_id AS vec_id,
+      |         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      |  FROM quant a JOIN quant b ON a.pos = b.pos
+      |   AND a.vec_id IN (${qids.mkString(", ")}) AND a.vec_id != b.vec_id
+      |  GROUP BY 1, 2),
+      |vscored AS (
+      |  SELECT d.qid, d.vec_id,
+      |         CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))) AS cos
+      |  FROM vdots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nd ON d.vec_id = nd.vec_id),
+      |vranks AS (
+      |  SELECT qid, vec_id, vrank FROM (
+      |    SELECT qid, vec_id,
+      |           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS vrank
+      |    FROM vscored) WHERE vrank <= $k)""".stripMargin
+
   // ---------------------------------------------------------------------
   // q37 — random-hyperplane LSH buckets: 8 md5-derived ±1 planes give an
   // 8-bit bucket signature; neighbors are searched within the bucket

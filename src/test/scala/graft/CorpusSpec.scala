@@ -299,6 +299,75 @@ class CorpusSpec extends SparkTestBase {
     assert(got.values.exists(_._6 < 1000000L), "every query scored perfect nDCG")
   }
 
+  test("q129 hybrid fusion equals a plain-Scala replay of both arms and the RRF") {
+    val k0 = 60; val armK = 10; val topK = 5
+    // lexical arm: the q91 BM25 math, self row dropped, cut at armK
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty))
+    val nDocs = docs.length.toLong
+    val nToks = docs.map(_._2.length.toLong).sum
+    val lexArm: Map[Int, Seq[(Long, Int)]] = graft.queries.Corpus.Bm25Queries.map {
+      case (qid, qtext) =>
+        val terms = qtext.split(" ").toSeq
+        val dfOf = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+        qid -> docs.flatMap { case (id, ts) =>
+          val hits = terms.filter(t => ts.contains(t))
+          if (hits.isEmpty || id == qid) None else {
+            val dl = ts.length.toLong
+            val score = hits.map { t =>
+              val tf = ts.count(_ == t).toLong
+              val idf = math.log(1.0 + (nDocs - dfOf(t) + 0.5) / (dfOf(t) + 0.5))
+              idf * (tf * 22 * nToks).toDouble /
+                (10.0 * nToks * tf + 3.0 * nToks + 9.0 * dl * nDocs)
+            }.sum
+            Some((id, score))
+          }
+        }.sortBy { case (id, sc) => (-sc, id) }.take(armK)
+          .zipWithIndex.map { case ((id, _), i) => (id, i + 1) }.toSeq
+    }.toMap
+    // vector arm: the q36 quantized-cosine math (HALF_UP like Spark round),
+    // self excluded, cut at armK
+    def q7(v: Float): Long = {
+      val x = v.toDouble * 1e7
+      (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
+    }
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(q7).toArray)
+    val n2 = vecs.map { case (id, a) => id -> a.map(q => q * q).sum }.toMap
+    val vecArm: Map[Int, Seq[(Long, Int)]] = graft.queries.Corpus.Bm25Queries.map {
+      case (qid, _) =>
+        val qa = vecs.find(_._1 == qid.toLong).get._2
+        qid -> vecs.filter(_._1 != qid.toLong).map { case (id, a) =>
+          val dot = qa.zip(a).map { case (x, y) => x * y }.sum
+          (id, dot.toDouble / (math.sqrt(n2(qid.toLong).toDouble) * math.sqrt(n2(id).toDouble)))
+        }.sortBy { case (id, c) => (-c, id) }.take(armK)
+          .zipWithIndex.map { case ((id, _), i) => (id, i + 1) }.toSeq
+    }.toMap
+    // fusion: integer ppb contributions, rank by (-rrf, doc_id), cut topK
+    val expect = graft.queries.Corpus.Bm25Queries.flatMap { case (qid, _) =>
+      val lx = lexArm(qid).toMap; val vx = vecArm(qid).toMap
+      (lx.keySet ++ vx.keySet).toSeq.map { id =>
+        val rrf = lx.get(id).map(r => 1000000000L / (k0 + r)).getOrElse(0L) +
+          vx.get(id).map(r => 1000000000L / (k0 + r)).getOrElse(0L)
+        (id, rrf, lx.get(id), vx.get(id))
+      }.sortBy { case (id, rrf, _, _) => (-rrf, id) }.take(topK)
+        .zipWithIndex.map { case ((id, rrf, lr, vr), i) =>
+          (qid, i + 1, id, rrf, lr, vr) }
+    }.toSet
+    val got = SparkEntry.queries("q129_hybrid_fusion")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5)))).toSet
+    assert(got == expect, s"hybrid fusion mismatch:\n got=$got\n exp=$expect")
+    // the fused list must draw on BOTH arms somewhere, else it's not hybrid
+    assert(got.exists(_._5.isDefined) && got.exists(_._6.isDefined))
+    // every qid serves a full page (the vector arm alone covers topK)
+    graft.queries.Corpus.Bm25Queries.foreach { case (qid, _) =>
+      assert(got.count(_._1 == qid) == topK) }
+  }
+
   test("q106 churn report equals the per-doc generation-status replay") {
     val got = SparkEntry.queries("q106_snapshot_churn")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
