@@ -502,6 +502,127 @@ object Corpus extends QueryModule {
       |FROM rankedf WHERE rank <= $RrfTopK ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q130 — VOCABULARY STATISTICS REPORT: the corpus-level relation a
+  // tokenizer/vocab-planning pass reads before training (and the input
+  // Good-Turing smoothing needs). Two sections in one tidy schema
+  // (kind, bucket, n_types, n_toks, cum_types, cov_ppm):
+  //  - 'spectrum' — frequency-of-frequencies: bucket = ⌊log₂ c⌋ of each
+  //    token type's corpus count c (the catalog's transcendental-free
+  //    length(bin(·))−1), n_types/n_toks per bucket, and DESCENDING
+  //    cumulatives: cum_types = vocabulary size if the tokenizer keeps
+  //    every type with c ≥ 2^bucket, cov_ppm = the ppm of corpus tokens
+  //    that vocabulary covers — the actual cut-threshold planning curve.
+  //  - 'heaps' — vocabulary growth: bucket = one of 10 doc_id-range
+  //    deciles (floor(id·10/(max+1)) — id-range buckets, deterministic
+  //    with no global rank), n_types = types FIRST seen in the decile
+  //    (min first-occurrence doc), n_toks = occurrences in the decile,
+  //    and ASCENDING cumulatives: cum_types = the Heaps curve V(prefix),
+  //    cov_ppm = the ppm of the corpus consumed — the measured-regime
+  //    curve HeapsProbe samples, as a first-class catalog relation.
+  // Empty tokens (consecutive separators) carry no vocabulary meaning
+  // and are filtered identically on both engines.
+  //
+  // Determinism: counts, ⌊log₂⌋ buckets, arithmetic deciles, and ppm
+  // divisions are all exact int64 — no floats anywhere.
+  //
+  // Scale shape: ONE corpus token explode; the per-type (count, min
+  // first_doc) aggregation is the only corpus-sized shuffle, on the
+  // token key — Zipf-skewed by nature, but both aggregates are
+  // partial-aggregating, so a hot type ("the") reaches the reducer as
+  // ≤ one partial row per map partition, never its occurrence stream.
+  // The decile occurrence rollup is a 10-key partial-agg count. Both
+  // section relations are bounded (≤64 and ≤10 rows); the cumulative
+  // triangle join and totals join run on those bounded relations only.
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    vocabReportOn(Tables.documentsWide(s, dir).select("doc_id", "text"))
+
+  /** [[q130]] over a GIVEN (doc_id, text) relation — the testable core
+    * (the catalog fixture's vocabulary is the documented degenerate
+    * ~31-type corpus, so CorpusSpec exercises the bucket/cumulative
+    * logic on a hand-built corpus with a real spectrum as well). */
+  private[graft] def vocabReportOn(docs: DataFrame): DataFrame = {
+    // tracked caches: maxd feeds both decile computations, types feeds
+    // the spectrum AND the first-seen rollup, base feeds both sides of
+    // the cumulative triangle plus the totals — without them each
+    // consumer would replay the corpus pipeline. All three are bounded
+    // (1 row / Heaps-law vocab / ≤74 rows).
+    val maxd = graft.Caches.track(docs.agg(max(col("doc_id")).as("md")))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val types = graft.Caches.track(toks.groupBy("tok")
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("first_doc")))
+    val spec = types
+      .withColumn("bucket", (length(bin(col("c"))) - 1).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_toks"))
+      .select(lit("spectrum").as("kind"), col("bucket"), col("n_types"),
+        col("n_toks"), (-col("bucket")).as("ok"))
+    val hpTypes = types.crossJoin(broadcast(maxd))
+      .select(expr("CAST(first_doc * 10 div (md + 1) AS INT)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_types"))
+    // per-decile occurrences: a NARROW second pass — token count per doc
+    // is a scalar expression (no explode), aggregated on 10 keys
+    val hpToks = docs.crossJoin(broadcast(maxd))
+      .select(expr("CAST(doc_id * 10 div (md + 1) AS INT)").as("bucket"),
+        size(expr("filter(split(text, ' '), x -> length(x) > 0)")).cast("long").as("n"))
+      .groupBy("bucket").agg(sum(col("n")).as("n_toks"))
+      .filter(col("n_toks") > 0)
+    val heaps = hpToks.join(hpTypes, Seq("bucket"), "left")
+      .select(lit("heaps").as("kind"), col("bucket"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"), col("n_toks"),
+        col("bucket").cast("int").as("ok"))
+    val base = graft.Caches.track(spec.unionByName(heaps))
+    val tot = base.groupBy("kind").agg(sum(col("n_toks")).as("tot"))
+    base.as("a")
+      .join(broadcast(base.select(col("kind"), col("ok"),
+        col("n_types").as("bt"), col("n_toks").as("bk")).as("b")),
+        col("a.kind") === col("b.kind") && col("b.ok") <= col("a.ok"))
+      .groupBy(col("a.kind").as("kind"), col("a.bucket").as("bucket"),
+        col("a.n_types").as("n_types"), col("a.n_toks").as("n_toks"))
+      .agg(sum(col("bt")).as("cum_types"), sum(col("bk")).as("cum_toks"))
+      .join(broadcast(tot), "kind")
+      .select(col("kind"), col("bucket"), col("n_types"), col("n_toks"),
+        col("cum_types"),
+        expr("1000000L * cum_toks div tot").as("cov_ppm"))
+      .orderBy("kind", "bucket")
+  }
+
+  private val q130Sql =
+    """WITH vtoks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vtoksf AS (SELECT doc_id, tok FROM vtoks WHERE length(tok) > 0),
+      |vtypes AS (
+      |  SELECT tok, COUNT(*) AS c, MIN(doc_id) AS first_doc
+      |  FROM vtoksf GROUP BY tok),
+      |vmaxd AS (SELECT MAX(doc_id) AS md FROM documents),
+      |vspec AS (
+      |  SELECT CAST(length(bin(c)) - 1 AS INTEGER) AS bucket,
+      |         COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n_toks
+      |  FROM vtypes GROUP BY 1),
+      |vhpt AS (
+      |  SELECT CAST(first_doc * 10 // (md + 1) AS INTEGER) AS bucket, COUNT(*) AS n_types
+      |  FROM vtypes CROSS JOIN vmaxd GROUP BY 1),
+      |vhpk AS (
+      |  SELECT CAST(doc_id * 10 // (md + 1) AS INTEGER) AS bucket, COUNT(*) AS n_toks
+      |  FROM vtoksf CROSS JOIN vmaxd GROUP BY 1),
+      |vbase AS (
+      |  SELECT 'spectrum' AS kind, bucket, n_types, n_toks, -bucket AS ok FROM vspec
+      |  UNION ALL
+      |  SELECT 'heaps', k.bucket, CAST(COALESCE(t.n_types, 0) AS BIGINT), k.n_toks, k.bucket
+      |  FROM vhpk k LEFT JOIN vhpt t USING (bucket)),
+      |vtot AS (SELECT kind, CAST(SUM(n_toks) AS BIGINT) AS tot FROM vbase GROUP BY kind),
+      |vcum AS (
+      |  SELECT a.kind, a.bucket, a.n_types, a.n_toks,
+      |         CAST(SUM(b.n_types) AS BIGINT) AS cum_types,
+      |         CAST(SUM(b.n_toks) AS BIGINT) AS cum_toks
+      |  FROM vbase a JOIN vbase b ON a.kind = b.kind AND b.ok <= a.ok
+      |  GROUP BY a.kind, a.bucket, a.n_types, a.n_toks)
+      |SELECT c.kind, c.bucket, CAST(c.n_types AS BIGINT) AS n_types, c.n_toks,
+      |       c.cum_types, CAST(1000000 * c.cum_toks // t.tot AS BIGINT) AS cov_ppm
+      |FROM vcum c JOIN vtot t USING (kind) ORDER BY kind, bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q92 — DETERMINISTIC CORPUS SHUFFLE + SHARDING: the global permutation
   // every pre-training run applies before writing shards (GPT-3 / The
   // Pile data prep). The permutation key is the md5-int64 of the doc id
@@ -1217,6 +1338,7 @@ object Corpus extends QueryModule {
     "q91_bm25_topk"         -> (q91 _),
     "q115_retrieval_eval"   -> (q115 _),
     "q129_hybrid_fusion"    -> (q129 _),
+    "q130_vocab_report"     -> (q130 _),
     "q92_corpus_shard"      -> (q92 _),
     "q93_bigram_surprisal"  -> (q93 _),
     "q96_corpus_prepare"    -> (q96 _),
@@ -1232,6 +1354,7 @@ object Corpus extends QueryModule {
     "q91_bm25_topk"         -> q91Sql,
     "q115_retrieval_eval"   -> q115Sql,
     "q129_hybrid_fusion"    -> q129Sql,
+    "q130_vocab_report"     -> q130Sql,
     "q92_corpus_shard"      -> q92Sql,
     "q93_bigram_surprisal"  -> q93Sql,
     "q96_corpus_prepare"    -> q96Sql,

@@ -368,6 +368,56 @@ class CorpusSpec extends SparkTestBase {
       assert(got.count(_._1 == qid) == topK) }
   }
 
+  test("q130 vocab report equals a plain-Scala replay on a rich-vocabulary fixture") {
+    import spark.implicits._
+    // 20 docs, ids with a GAP (decile arithmetic must not assume dense
+    // ids); vocabulary grows across docs; a double space plants an empty
+    // token; counts span several log2 buckets
+    val rows: Seq[(Long, String)] = (0L until 19L).map { i =>
+      val id = if (i < 10) i else i + 5 // ids 0..9, 15..23 (max 23)
+      val common = Seq.fill(4)("alpha") ++ Seq.fill(2)("beta")
+      val fresh = Seq.tabulate(3)(j => s"tok_${id}_$j") // 3 new types per doc
+      val rare = if (id % 4 == 0) Seq("rare") else Nil
+      id -> (common ++ fresh ++ rare).mkString(" ")
+    } :+ (24L -> "alpha  beta gamma") // double space -> empty token filtered
+    def replay(corpus: Seq[(Long, String)]) = {
+      val toks = corpus.flatMap { case (id, t) =>
+        t.split(" ", -1).filter(_.nonEmpty).map(id -> _) }
+      val maxd = corpus.map(_._1).max
+      val types = toks.groupBy(_._2).map { case (tok, occ) =>
+        (tok, occ.size.toLong, occ.map(_._1).min) }.toSeq
+      def lb(c: Long) = 63 - java.lang.Long.numberOfLeadingZeros(c)
+      val spec = types.groupBy(t => lb(t._2)).map { case (b, ts) =>
+        ("spectrum", b, ts.size.toLong, ts.map(_._2).sum, -b) }.toSeq
+      def dec(id: Long) = (id * 10 / (maxd + 1)).toInt
+      val hpT = types.groupBy(t => dec(t._3)).map { case (d, ts) => d -> ts.size.toLong }
+      val heaps = toks.groupBy(t => dec(t._1)).map { case (d, occ) =>
+        ("heaps", d, hpT.getOrElse(d, 0L), occ.size.toLong, d) }.toSeq
+      val base = spec ++ heaps
+      val tot = base.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._4).sum }
+      base.map { case (k, b, nt, nk, ok) =>
+        val cumT = base.filter(r => r._1 == k && r._5 <= ok).map(_._3).sum
+        val cumK = base.filter(r => r._1 == k && r._5 <= ok).map(_._4).sum
+        (k, b, nt, nk, cumT, 1000000L * cumK / tot(k))
+      }.toSet
+    }
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // rich fixture: exercises gaps, empty-token filtering, multi-bucket
+    // spectrum, and types first seen in later deciles
+    val gotF = collect(graft.queries.Corpus.vocabReportOn(rows.toDF("doc_id", "text")))
+    assert(gotF == replay(rows), s"fixture mismatch:\n got=$gotF\n exp=${replay(rows)}")
+    assert(gotF.count(_._1 == "spectrum") >= 3, "fixture spectrum should span buckets")
+    // the Heaps section must show vocabulary still growing past decile 0
+    assert(gotF.exists(r => r._1 == "heaps" && r._2 > 0 && r._3 > 0))
+    // and the registered query agrees with the same replay on the testdata
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val got = collect(SparkEntry.queries("q130_vocab_report")(spark, sfDir))
+    assert(got == replay(docs), s"testdata mismatch:\n got=$got\n exp=${replay(docs)}")
+  }
+
   test("q106 churn report equals the per-doc generation-status replay") {
     val got = SparkEntry.queries("q106_snapshot_churn")(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
