@@ -18,6 +18,7 @@ object SparkEntry {
     _root_.graft.queries.IncrementalMediaDedup,
     _root_.graft.queries.IncrementalPrepare,
     _root_.graft.queries.IncrementalPack,
+    _root_.graft.queries.LexIndex,
     _root_.graft.queries.Similarity,
     _root_.graft.queries.TextPipeline,
     _root_.graft.queries.Curation,

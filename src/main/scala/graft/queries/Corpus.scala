@@ -270,8 +270,20 @@ object Corpus extends QueryModule {
     val tf = toks
       .join(broadcast(terms.select("term").distinct()), col("tok") === col("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    bm25Score(tf, stats, terms)
+  }
+
+  /** The BM25 scoring core over an explicit term-frequency relation —
+    * tf = (doc_id, dl, term, tf) restricted to the workload's terms,
+    * stats = ONE row (n_docs, n_toks), terms = the (qid, term)
+    * workload. Shared verbatim by the fresh path ([[bm25ScoredOn]])
+    * and the persisted-index path (`LexIndex`), so the two cannot
+    * drift: identical idf/weight expression trees and the identical
+    * canonical-order fold. */
+  private[graft] def bm25Score(tf: DataFrame, stats: DataFrame,
+                               terms: DataFrame): DataFrame = {
     val dfRel = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val scored = tf
+    tf
       .join(broadcast(dfRel), "term")
       .crossJoin(broadcast(stats))
       .join(broadcast(terms), "term")
@@ -289,17 +301,20 @@ object Corpus extends QueryModule {
       // bit-identical on any partitioning and any engine
       .agg(expr("aggregate(array_sort(collect_list(named_struct('term', term, 'ts', idf * w))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.ts)").as("score"),
         count(lit(1)).cast("int").as("n_hit"))
-    scored
   }
 
+  /** q91's top-k cut over a scored relation — shared by q91 and the
+    * persisted-index serves so the serving contract is ONE definition. */
+  private[graft] def bm25TopK(scored: DataFrame): DataFrame = scored
+    .withColumn("rank", row_number().over(
+      Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
+    .filter(col("rank") <= Bm25TopK)
+    .select(col("qid"), col("rank"), col("doc_id"),
+      round(col("score"), 4).as("score"), col("n_hit"))
+    .orderBy("qid", "rank")
+
   private def q91(s: SparkSession, dir: String): DataFrame =
-    bm25Scored(s, dir)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= Bm25TopK)
-      .select(col("qid"), col("rank"), col("doc_id"),
-        round(col("score"), 4).as("score"), col("n_hit"))
-      .orderBy("qid", "rank")
+    bm25TopK(bm25Scored(s, dir))
 
   /** SQL twin of [[bm25Scored]]: CTEs through `scored`, shared by
     * q91Sql and q115Sql. */
@@ -747,7 +762,16 @@ object Corpus extends QueryModule {
     * pays is the same order — the keep/drop band moves by at most the
     * tail's bit error, while the artifact stops growing with the
     * corpus. StreamingSpec pins pruned ≡ full on the fixture (below
-    * the cap) and exact top-M selection under an artificial cap. */
+    * the cap) and exact top-M selection under an artificial cap.
+    *
+    * DRIVER MEMORY: this is the largest bounded driver-side structure
+    * in the repo — at the full cap, 2²⁰ Map entries × (~20-char key +
+    * boxed Long + HashMap overhead) ≈ 100–150 MB of driver heap while
+    * the serving broadcast is built (the broadcast itself serializes
+    * to ~32 MB). Offline-train/online-serve by design (KenLM shape):
+    * the collect runs in the artifact-build step, never on the query
+    * path, and a driver sized for Spark broadcasts (≥ 2 GB heap)
+    * absorbs it; shrink `m` if building on a smaller driver. */
   private[graft] def frozenBigramModel(s: SparkSession, dir: String,
                                        m: Int = BigramServeTopM): Map[String, Long] =
     bigramModel(s, dir)

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** q131/q132 — the PERSISTED LEXICAL INDEX, completing the retrieval
+  * family's production shapes the way q78/q79/q87 completed the vector
+  * family's: BM25 today (q91) retrains its statistics from raw text on
+  * every workload; a production pipeline builds the inverted index
+  * ONCE, freezes it, and serves every workload from the artifact —
+  * then appends each day's shard without ever rescanning the corpus.
+  * (Reference anchor for the incremental contract: the watermark replay
+  * discipline of /root/reference/nikon_ETL.py:425-499.)
+  *
+  * The artifact (fingerprinted, marker-last — [[IncrementalDedup
+  * .publish]]):
+  *  - `postings/` — the inverted index: (term, doc_id, tf, dl),
+  *    globally sorted by (term, doc_id) at build time so parquet
+  *    row-group min/max stats prune a term-restricted serve scan to
+  *    the workload's slivers of the file.
+  *  - `stats/` — ONE row (n_docs, n_toks): the corpus-level BM25
+  *    normalizers (N and, via their ratio, avgdl).
+  *  Per-term document frequency is NOT materialized: df for a served
+  *  term is a count over that term's own postings — already read for
+  *  scoring — so the artifact carries no relation that a merge could
+  *  corrupt.
+  *
+  * Serving reads the artifact ONLY (PlanSpec: no documents scan). The
+  * workload's terms are plan-time literals, so the postings filter is
+  * an `In` pushed to the parquet scan; scoring is [[Corpus.bm25Score]]
+  * — the IDENTICAL core the fresh path uses (same idf/weight trees,
+  * same canonical-order fold), shared so the two paths cannot drift —
+  * and q91's exact top-k cut. q131's oracle IS q91's SQL: a hash match
+  * proves the index round-trip (build → freeze → serve) reproduces the
+  * fresh computation bit for bit.
+  *
+  * q132 is the DAILY INTAKE: the shard's postings are computed from
+  * the day's documents alone (a shard-sized explode), published as a
+  * delta generation, and serving unions the generations' postings with
+  * the advanced stats row. Everything BM25 needs is EXACTLY additive
+  * under disjoint doc ids: df(term) adds because shard ids are fresh,
+  * N and total tokens add, and per-doc (tf, dl) rows are untouched —
+  * so the oracle's from-scratch rebuild over corpus ∪ re-keyed shard
+  * must hash-match the two-generation serve, proving the additive
+  * merge with no approximation caveat.
+  *
+  * Scale shape: the build explodes the corpus once into the per-
+  * (doc, term) aggregation every fresh BM25 already pays, then sorts
+  * postings by term (offline, once). Serving moves only the workload
+  * terms' postings (Heaps-bounded slivers under pushdown); intake
+  * computes over the day's shard only. The corpus is re-read by no
+  * step after the build.
+  */
+object LexIndex extends QueryModule {
+
+  private val ShardBase = 1000000L
+
+  private def indexRoot: String =
+    sys.env.get("SPARK_GRAFT_INDEX_DIR")
+      .orElse(sys.props.get("graft.index.dir"))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index")
+
+  private[graft] def fullPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/lex-${IncrementalDedup.dataFingerprint(s, dir)}"
+  private[graft] def gen0Path(s: SparkSession, dir: String): String =
+    s"$indexRoot/lex0-${IncrementalDedup.dataFingerprint(s, dir)}"
+  private[graft] def gen1Path(s: SparkSession, dir: String): String =
+    s"$indexRoot/lex1-${IncrementalDedup.dataFingerprint(s, dir)}"
+
+  private def corpusDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsWide(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") % 5 =!= 4)
+
+  /** The day's arrivals, re-keyed above every corpus id (fresh ids by
+    * construction — the additivity precondition; dedup against the
+    * corpus is q84/q102's business upstream). */
+  private def shardDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") % 5 === 4)
+      .select((col("doc_id") + ShardBase).as("doc_id"), col("text"))
+
+  /** Full inverted-index relation of a (doc_id, text) corpus:
+    * (term, doc_id, tf, dl) for EVERY term — workload-independent, the
+    * one corpus-sized aggregation the build pays. `dl` counts every
+    * split token (empties included), matching the fresh path's length
+    * convention exactly. */
+  private def postingsOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+      explode(col("ts")).as("term"))
+    .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    .select("term", "doc_id", "tf", "dl")
+
+  private def statsOf(docs: DataFrame): DataFrame = docs
+    .select(size(split(col("text"), " ")).cast("long").as("dl"))
+    .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
+
+  /** Offline build: postings sorted by (term, doc_id) — ordered parquet
+    * row groups give the serve scan real min/max pruning — plus the
+    * one-row stats. */
+  private[graft] def build(s: SparkSession, docs: DataFrame, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    IncrementalDedup.publish(s, p) { tmp =>
+      postingsOf(docs).sort("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/postings")
+      statsOf(docs).write.mode("overwrite").parquet(s"$tmp/stats")
+    }
+    path
+  }
+
+  /** Daily intake: the shard's postings and stats delta, computed from
+    * the day's documents alone and published as a generation. */
+  private[graft] def ingest(s: SparkSession, shard: DataFrame, outPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    IncrementalDedup.publish(s, p) { tmp =>
+      postingsOf(shard).sort("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/postings")
+      statsOf(shard).write.mode("overwrite").parquet(s"$tmp/stats")
+    }
+    outPath
+  }
+
+  /** Serve the fixed workload from artifact generations only: postings
+    * union (workload terms as literal pushed filters), stats added
+    * across generations, then the SHARED scoring core + top-k cut. */
+  private[graft] def serve(s: SparkSession, genPaths: Seq[String]): DataFrame = {
+    import s.implicits._
+    val workTerms = Corpus.Bm25Queries.flatMap(_._2.split(" ")).distinct
+    val terms = Corpus.Bm25Queries
+      .flatMap { case (q, txt) => txt.split(" ").map(t => (q, t)) }
+      .toDF("qid", "term")
+    val tf = genPaths.map { g =>
+      s.read.parquet(s"$g/postings").filter(col("term").isin(workTerms: _*))
+    }.reduce(_ unionByName _)
+    val stats = genPaths.map(g => s.read.parquet(s"$g/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+    Corpus.bm25TopK(Corpus.bm25Score(tf, stats, terms))
+  }
+
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val idx = build(s, Tables.documentsWide(s, dir).select("doc_id", "text"),
+      fullPath(s, dir))
+    serve(s, Seq(idx))
+  }
+
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val g0 = build(s, corpusDocs(s, dir), gen0Path(s, dir))
+    val g1 = ingest(s, shardDocs(s, dir), gen1Path(s, dir))
+    serve(s, Seq(g0, g1))
+  }
+
+  // q131's oracle IS q91's fresh-path SQL — the whole point: the
+  // persisted index must be invisible in the result.
+  private val q131Sql = Corpus.oracle("q91_bm25_topk")
+
+  // q132's oracle rebuilds from scratch over corpus ∪ re-keyed shard —
+  // never seeing the artifact — and reuses the q91 CTE stack over that
+  // union: a hash match proves the generation union + added stats equal
+  // the fresh computation (df/N/avgdl additivity made exact).
+  private val q132Sql = Corpus.oracle("q91_bm25_topk").replace(
+    "FROM documents",
+    s"""FROM (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+      |        UNION ALL
+      |        SELECT doc_id + $ShardBase AS doc_id, text FROM documents
+      |        WHERE doc_id % 5 = 4) documents""".stripMargin)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_lex_index_serve"  -> ((s, dir) => q131(s, dir)),
+    "q132_incremental_lex"  -> ((s, dir) => q132(s, dir)),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q131_lex_index_serve"  -> q131Sql,
+    "q132_incremental_lex"  -> q132Sql,
+  )
+}

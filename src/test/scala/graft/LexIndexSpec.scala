@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.LexIndex
+
+/** The persisted lexical index (q131/q132): round-trip identity with
+  * the fresh BM25 path, additive-merge identity for the daily intake,
+  * and publish/replay semantics. */
+class LexIndexSpec extends SparkTestBase {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    .toSeq
+
+  test("q131 serve from the frozen index equals the fresh q91 computation exactly") {
+    val fresh = rows(SparkEntry.queries("q91_bm25_topk")(spark, sfDir))
+    val served = rows(SparkEntry.queries("q131_lex_index_serve")(spark, sfDir))
+    assert(served == fresh,
+      s"index round-trip drifted from the fresh path:\n idx=$served\n q91=$fresh")
+  }
+
+  test("q132 generation-union serve equals a fresh build over corpus ∪ shard") {
+    // additivity ground truth computed in-engine, never via the artifact:
+    // one index built from the UNION corpus must serve identically to
+    // the gen0 ∪ gen1 union with added stats
+    val union = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") % 5 =!= 4)
+      .unionByName(Tables.documents(spark, sfDir).select("doc_id", "text")
+        .filter(col("doc_id") % 5 === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex").toFile
+    dir.deleteOnExit()
+    val full = LexIndex.build(spark, union, s"${dir.getAbsolutePath}/full")
+    val fresh = rows(LexIndex.serve(spark, Seq(full)))
+    val incremental = rows(SparkEntry.queries("q132_incremental_lex")(spark, sfDir))
+    assert(incremental == fresh,
+      s"additive merge drifted from the scratch build:\n inc=$incremental\n scratch=$fresh")
+  }
+
+  test("build is replay-idempotent: a second publish at the same path is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex").toFile
+    dir.deleteOnExit()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").limit(20)
+    val path = LexIndex.build(spark, docs, s"${dir.getAbsolutePath}/idx")
+    val before = rows(LexIndex.serve(spark, Seq(path)))
+    val marker = new java.io.File(s"$path/_COMPLETE")
+    val mtime = marker.lastModified()
+    // replay with DIFFERENT docs: the completed artifact must win —
+    // publish returns without rebuilding (the q78 contract)
+    LexIndex.build(spark, docs.limit(5), path)
+    assert(marker.lastModified() == mtime, "replay rewrote the completed artifact")
+    assert(rows(LexIndex.serve(spark, Seq(path))) == before)
+  }
+
+  test("the artifact postings agree with a per-doc replay on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"), (2L, "a  c") // double space -> empty token in dl
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex").toFile
+    dir.deleteOnExit()
+    val path = LexIndex.build(spark, docs, s"${dir.getAbsolutePath}/tiny")
+    val postings = spark.read.parquet(s"$path/postings").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = Set(
+      ("a", 0L, 2L, 3L), ("b", 0L, 1L, 3L), ("b", 1L, 1L, 2L), ("c", 1L, 1L, 2L),
+      ("a", 2L, 1L, 3L), ("c", 2L, 1L, 3L), ("", 2L, 1L, 3L)) // dl counts the empty token
+    assert(postings == expect, s"postings mismatch: $postings")
+    val stats = spark.read.parquet(s"$path/stats").collect().head
+    assert((stats.getLong(0), stats.getLong(1)) == ((3L, 8L)))
+  }
+}

@@ -160,6 +160,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q131/q132 serve from the lexical index: documents are never rescanned and terms push down") {
+    // the persisted-inverted-index claim: the serve plan reads postings
+    // + stats artifacts only — a documents scan would mean BM25 still
+    // retrains from the 100 TB text per workload — and the workload's
+    // terms reach the postings scan as a pushed In filter, so the
+    // sorted parquet's row-group stats prune to the workload slivers
+    Seq("q131_lex_index_serve" -> "lex-", "q132_incremental_lex" -> "lex0-")
+      .foreach { case (q, marker) =>
+        val p = plan(graft.queries.LexIndex.queries(q)(spark, sfDir))
+        assert(p.contains(marker), s"$q does not read the lexical index artifact")
+        assert(!p.contains("documents.parquet"),
+          s"$q rescans the documents table:\n" +
+            p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
+        val postingScans = p.split("\n").filter(l =>
+          l.contains("postings") && l.contains("PushedFilters"))
+        assert(postingScans.nonEmpty && postingScans.forall(_.contains("In(term")),
+          s"$q postings scan without a pushed term filter:\n${postingScans.mkString("\n")}")
+      }
+  }
+
   test("q87 serves the generation union: only query vectors come from the raw table") {
     // the incremental-index claim: after gen0 (train) and gen1 (ingest)
     // are published, SERVING reads stored codes + the stored codebook;
