@@ -5,14 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryModule, Tables}
 
-/** q131/q132 — the PERSISTED LEXICAL INDEX, completing the retrieval
-  * family's production shapes the way q78/q79/q87 completed the vector
-  * family's: BM25 today (q91) retrains its statistics from raw text on
-  * every workload; a production pipeline builds the inverted index
-  * ONCE, freezes it, and serves every workload from the artifact —
-  * then appends each day's shard without ever rescanning the corpus.
-  * (Reference anchor for the incremental contract: the watermark replay
-  * discipline of /root/reference/nikon_ETL.py:425-499.)
+/** q131–q134 — the PERSISTED LEXICAL INDEX lifecycle, completing the
+  * retrieval family's production shapes the way q78/q79/q87/q124
+  * completed the vector family's: BM25 today (q91) retrains its
+  * statistics from raw text on every workload; a production pipeline
+  * builds the inverted index ONCE (q131 serves it), appends each day's
+  * shard as a delta generation (q132), honors removal requests with a
+  * tombstone generation (q133 — opt-outs/takedowns are first-class in
+  * a training-data pipeline, and BM25 is exactly SUBTRACTIVE the same
+  * way it is additive), and periodically compacts generations ∪
+  * tombstones back into one physical artifact (q134) — never
+  * rescanning the corpus after the build. (Reference anchor for the
+  * incremental contract: the watermark replay discipline of
+  * /root/reference/nikon_ETL.py:425-499.)
   *
   * The artifact (fingerprinted, marker-last — [[IncrementalDedup
   * .publish]]):
@@ -68,6 +73,10 @@ object LexIndex extends QueryModule {
     s"$indexRoot/lex0-${IncrementalDedup.dataFingerprint(s, dir)}"
   private[graft] def gen1Path(s: SparkSession, dir: String): String =
     s"$indexRoot/lex1-${IncrementalDedup.dataFingerprint(s, dir)}"
+  private[graft] def tombPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/lext-${IncrementalDedup.dataFingerprint(s, dir)}"
+  private[graft] def compactPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/lexc-${IncrementalDedup.dataFingerprint(s, dir)}"
 
   private def corpusDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documentsWide(s, dir).select("doc_id", "text")
@@ -97,16 +106,24 @@ object LexIndex extends QueryModule {
     .select(size(split(col("text"), " ")).cast("long").as("dl"))
     .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
 
-  /** Offline build: postings sorted by (term, doc_id) — ordered parquet
-    * row groups give the serve scan real min/max pruning — plus the
-    * one-row stats. */
+  /** One generation's relations, written under `tmp`: postings sorted
+    * by (term, doc_id) — ordered parquet row groups give the serve
+    * scan real min/max pruning — the one-row stats, and `doclens/`
+    * (doc_id, dl): the per-doc length roster takedown accounting reads
+    * so a removal request never needs the raw corpus (every doc has
+    * ≥ 1 split token, so the roster covers every indexed doc). */
+  private def writeGeneration(tmp: org.apache.hadoop.fs.Path, docs: DataFrame): Unit = {
+    val post = postingsOf(docs)
+    post.sort("term", "doc_id").write.mode("overwrite").parquet(s"$tmp/postings")
+    post.select("doc_id", "dl").distinct()
+      .write.mode("overwrite").parquet(s"$tmp/doclens")
+    statsOf(docs).write.mode("overwrite").parquet(s"$tmp/stats")
+  }
+
+  /** Offline build: the full corpus as generation 0. */
   private[graft] def build(s: SparkSession, docs: DataFrame, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
-    IncrementalDedup.publish(s, p) { tmp =>
-      postingsOf(docs).sort("term", "doc_id")
-        .write.mode("overwrite").parquet(s"$tmp/postings")
-      statsOf(docs).write.mode("overwrite").parquet(s"$tmp/stats")
-    }
+    IncrementalDedup.publish(s, p)(tmp => writeGeneration(tmp, docs))
     path
   }
 
@@ -114,30 +131,81 @@ object LexIndex extends QueryModule {
     * the day's documents alone and published as a generation. */
   private[graft] def ingest(s: SparkSession, shard: DataFrame, outPath: String): String = {
     val p = new org.apache.hadoop.fs.Path(outPath)
-    IncrementalDedup.publish(s, p) { tmp =>
-      postingsOf(shard).sort("term", "doc_id")
-        .write.mode("overwrite").parquet(s"$tmp/postings")
-      statsOf(shard).write.mode("overwrite").parquet(s"$tmp/stats")
-    }
+    IncrementalDedup.publish(s, p)(tmp => writeGeneration(tmp, shard))
     outPath
   }
 
   /** Serve the fixed workload from artifact generations only: postings
     * union (workload terms as literal pushed filters), stats added
-    * across generations, then the SHARED scoring core + top-k cut. */
-  private[graft] def serve(s: SparkSession, genPaths: Seq[String]): DataFrame = {
+    * across generations — tombstone generations contribute a NEGATIVE
+    * stats row and an id list the postings anti-join — then the SHARED
+    * scoring core + top-k cut. */
+  private[graft] def serve(s: SparkSession, genPaths: Seq[String],
+                           tombPaths: Seq[String] = Nil): DataFrame = {
     import s.implicits._
     val workTerms = Corpus.Bm25Queries.flatMap(_._2.split(" ")).distinct
     val terms = Corpus.Bm25Queries
       .flatMap { case (q, txt) => txt.split(" ").map(t => (q, t)) }
       .toDF("qid", "term")
-    val tf = genPaths.map { g =>
+    val live = genPaths.map { g =>
       s.read.parquet(s"$g/postings").filter(col("term").isin(workTerms: _*))
     }.reduce(_ unionByName _)
-    val stats = genPaths.map(g => s.read.parquet(s"$g/stats"))
+    val tf = tombPaths.foldLeft(live) { (p, t) =>
+      p.join(broadcast(s.read.parquet(s"$t/ids")), Seq("doc_id"), "left_anti")
+    }
+    val stats = (genPaths ++ tombPaths).map(g => s.read.parquet(s"$g/stats"))
       .reduce(_ unionByName _)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_toks")).as("n_toks"))
     Corpus.bm25TopK(Corpus.bm25Score(tf, stats, terms))
+  }
+
+  /** Publish a TAKEDOWN generation for the given removal-request ids:
+    * `ids/` (the anti-join list) and a NEGATIVE one-row stats delta.
+    * Accounting reads the index's own `doclens/` roster — the raw
+    * corpus is never touched (removal requests arrive as bare ids;
+    * their lengths live in the index). BM25 is exactly SUBTRACTIVE the
+    * way q132 shows it additive: dropping a doc's postings drops its
+    * df contributions, and N/token totals subtract via the roster. */
+  private[graft] def takedown(s: SparkSession, ids: DataFrame,
+                              genPaths: Seq[String], outPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    IncrementalDedup.publish(s, p) { tmp =>
+      val roster = genPaths.map(g => s.read.parquet(s"$g/doclens"))
+        .reduce(_ unionByName _)
+        .join(broadcast(ids), "doc_id")
+      roster.select("doc_id").write.mode("overwrite").parquet(s"$tmp/ids")
+      roster.agg((-count(lit(1))).as("n_docs"), (-sum(col("dl"))).as("n_toks"))
+        .write.mode("overwrite").parquet(s"$tmp/stats")
+    }
+    outPath
+  }
+
+  /** COMPACT generations ∪ tombstones into ONE physical artifact (the
+    * q124 lifecycle move, lexical edition): tombstoned postings and
+    * roster rows are physically dropped, the full postings re-sort
+    * restores one ordered file per term range, and the stats rows fold
+    * to a single positive row — serving the compacted artifact must be
+    * indistinguishable from the logical union (the oracle and
+    * LexIndexSpec both pin it). Offline, once per epoch; the one
+    * corpus-sized input is the fixed-width postings relation itself. */
+  private[graft] def compact(s: SparkSession, genPaths: Seq[String],
+                             tombPaths: Seq[String], outPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    IncrementalDedup.publish(s, p) { tmp =>
+      val dead = tombPaths.map(t => s.read.parquet(s"$t/ids"))
+        .reduceOption(_ unionByName _)
+      def drop(df: DataFrame): DataFrame =
+        dead.fold(df)(d => df.join(broadcast(d), Seq("doc_id"), "left_anti"))
+      drop(genPaths.map(g => s.read.parquet(s"$g/postings")).reduce(_ unionByName _))
+        .sort("term", "doc_id").write.mode("overwrite").parquet(s"$tmp/postings")
+      drop(genPaths.map(g => s.read.parquet(s"$g/doclens")).reduce(_ unionByName _))
+        .write.mode("overwrite").parquet(s"$tmp/doclens")
+      (genPaths ++ tombPaths).map(g => s.read.parquet(s"$g/stats"))
+        .reduce(_ unionByName _)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+        .write.mode("overwrite").parquet(s"$tmp/stats")
+    }
+    outPath
   }
 
   private def q131(s: SparkSession, dir: String): DataFrame = {
@@ -150,6 +218,28 @@ object LexIndex extends QueryModule {
     val g0 = build(s, corpusDocs(s, dir), gen0Path(s, dir))
     val g1 = ingest(s, shardDocs(s, dir), gen1Path(s, dir))
     serve(s, Seq(g0, g1))
+  }
+
+  /** Removal-request ids, derived from the index's own roster by id
+    * arithmetic (every 7th corpus doc "opted out") — the request is a
+    * bare id list; the raw corpus is never read. */
+  private def takedownIds(s: SparkSession, g0: String): DataFrame =
+    s.read.parquet(s"$g0/doclens").select("doc_id")
+      .filter(col("doc_id") % 7 === 3)
+
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val g0 = build(s, corpusDocs(s, dir), gen0Path(s, dir))
+    val g1 = ingest(s, shardDocs(s, dir), gen1Path(s, dir))
+    val t = takedown(s, takedownIds(s, g0), Seq(g0, g1), tombPath(s, dir))
+    serve(s, Seq(g0, g1), Seq(t))
+  }
+
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val g0 = build(s, corpusDocs(s, dir), gen0Path(s, dir))
+    val g1 = ingest(s, shardDocs(s, dir), gen1Path(s, dir))
+    val t = takedown(s, takedownIds(s, g0), Seq(g0, g1), tombPath(s, dir))
+    val c = compact(s, Seq(g0, g1), Seq(t), compactPath(s, dir))
+    serve(s, Seq(c))
   }
 
   // q131's oracle IS q91's fresh-path SQL — the whole point: the
@@ -167,13 +257,29 @@ object LexIndex extends QueryModule {
       |        SELECT doc_id + $ShardBase AS doc_id, text FROM documents
       |        WHERE doc_id % 5 = 4) documents""".stripMargin)
 
+  // q133/q134's oracle rebuilds from scratch over (corpus MINUS the
+  // takedown set) ∪ re-keyed shard — a hash match proves exact BM25
+  // subtractivity for the tombstone serve (q133) and that physical
+  // compaction is indistinguishable from the logical union (q134).
+  private val q133Sql = Corpus.oracle("q91_bm25_topk").replace(
+    "FROM documents",
+    s"""FROM (SELECT doc_id, text FROM documents
+      |        WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 3
+      |        UNION ALL
+      |        SELECT doc_id + $ShardBase AS doc_id, text FROM documents
+      |        WHERE doc_id % 5 = 4) documents""".stripMargin)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_lex_index_serve"  -> ((s, dir) => q131(s, dir)),
     "q132_incremental_lex"  -> ((s, dir) => q132(s, dir)),
+    "q133_lex_takedown"     -> ((s, dir) => q133(s, dir)),
+    "q134_lex_compact"      -> ((s, dir) => q134(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
     "q131_lex_index_serve"  -> q131Sql,
     "q132_incremental_lex"  -> q132Sql,
+    "q133_lex_takedown"     -> q133Sql,
+    "q134_lex_compact"      -> q133Sql,
   )
 }

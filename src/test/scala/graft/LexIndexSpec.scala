@@ -37,6 +37,57 @@ class LexIndexSpec extends SparkTestBase {
       s"additive merge drifted from the scratch build:\n inc=$incremental\n scratch=$fresh")
   }
 
+  test("q133 tombstone serve equals a fresh build that never saw the removed docs") {
+    val survivors = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") % 5 =!= 4 && col("doc_id") % 7 =!= 3)
+      .unionByName(Tables.documents(spark, sfDir).select("doc_id", "text")
+        .filter(col("doc_id") % 5 === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex").toFile
+    dir.deleteOnExit()
+    val clean = LexIndex.build(spark, survivors, s"${dir.getAbsolutePath}/clean")
+    val fresh = rows(LexIndex.serve(spark, Seq(clean)))
+    val tomb = rows(SparkEntry.queries("q133_lex_takedown")(spark, sfDir))
+    assert(tomb == fresh,
+      s"subtractive takedown drifted from the never-saw-them build:\n t=$tomb\n f=$fresh")
+  }
+
+  test("q134 compaction is physically clean and serve-identical to the logical union") {
+    val logical = rows(SparkEntry.queries("q133_lex_takedown")(spark, sfDir))
+    val compacted = rows(SparkEntry.queries("q134_lex_compact")(spark, sfDir))
+    assert(compacted == logical, "compacted serve differs from the tombstone serve")
+    // tombstoned ids are PHYSICALLY gone from the compacted postings
+    // and roster, and the stats fold to one non-negative row
+    val c = LexIndex.compactPath(spark, sfDir)
+    Seq("postings", "doclens").foreach { rel =>
+      val n = spark.read.parquet(s"$c/$rel")
+        .filter(col("doc_id") % 7 === 3 && col("doc_id") < 1000000L).count()
+      assert(n == 0L, s"$rel still holds $n tombstoned rows after compaction")
+    }
+    val st = spark.read.parquet(s"$c/stats").collect()
+    assert(st.length == 1 && st.head.getLong(0) > 0 && st.head.getLong(1) > 0)
+    // and the folded stats equal the compacted roster's own totals
+    val roster = spark.read.parquet(s"$c/doclens")
+      .agg(count(lit(1)), sum(col("dl"))).collect().head
+    assert((st.head.getLong(0), st.head.getLong(1)) ==
+      ((roster.getLong(0), roster.getLong(1))))
+  }
+
+  test("takedown accounting counts only docs actually present in the index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex").toFile
+    dir.deleteOnExit()
+    val docs = Seq((0L, "a b"), (1L, "c")).toDF("doc_id", "text")
+    val idx = LexIndex.build(spark, docs, s"${dir.getAbsolutePath}/idx")
+    // request removes doc 1 and a doc the index never held
+    val t = LexIndex.takedown(spark, Seq(1L, 99L).toDF("doc_id"),
+      Seq(idx), s"${dir.getAbsolutePath}/tomb")
+    val ids = spark.read.parquet(s"$t/ids").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L), s"tombstone ids should drop the unknown doc: $ids")
+    val st = spark.read.parquet(s"$t/stats").collect().head
+    assert((st.getLong(0), st.getLong(1)) == ((-1L, -1L)))
+  }
+
   test("build is replay-idempotent: a second publish at the same path is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lex").toFile
     dir.deleteOnExit()

@@ -166,7 +166,8 @@ class PlanSpec extends SparkTestBase {
     // retrains from the 100 TB text per workload — and the workload's
     // terms reach the postings scan as a pushed In filter, so the
     // sorted parquet's row-group stats prune to the workload slivers
-    Seq("q131_lex_index_serve" -> "lex-", "q132_incremental_lex" -> "lex0-")
+    Seq("q131_lex_index_serve" -> "lex-", "q132_incremental_lex" -> "lex0-",
+        "q133_lex_takedown" -> "lext-", "q134_lex_compact" -> "lexc-")
       .foreach { case (q, marker) =>
         val p = plan(graft.queries.LexIndex.queries(q)(spark, sfDir))
         assert(p.contains(marker), s"$q does not read the lexical index artifact")
