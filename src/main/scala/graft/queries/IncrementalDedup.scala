@@ -59,10 +59,18 @@ import graft.{QueryModule, Tables}
   */
 object IncrementalDedup extends QueryModule {
 
-  private def indexRoot: String =
+  /** Artifact root shared by every persisted-index family (dedup,
+    * media, prepare, pack, lexical): env var, then system property,
+    * then the tmpdir fallback. */
+  private[graft] def indexRoot: String =
     sys.env.get("SPARK_GRAFT_INDEX_DIR")
       .orElse(sys.props.get("graft.index.dir"))
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index")
+
+  /** Shard re-key base shared by the intake families: a day's doc ids
+    * land above every corpus id, making append order = doc_id order
+    * and additivity-by-disjointness true by construction. */
+  private[graft] val ShardBase = 1000000L
 
   private def md5key(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

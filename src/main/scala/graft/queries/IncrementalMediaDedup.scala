@@ -65,10 +65,7 @@ import graft.functions.Multimodal.MediaRow
   */
 object IncrementalMediaDedup extends QueryModule {
 
-  private def indexRoot: String =
-    sys.env.get("SPARK_GRAFT_INDEX_DIR")
-      .orElse(sys.props.get("graft.index.dir"))
-      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index")
+  private def indexRoot: String = IncrementalDedup.indexRoot
 
   private[graft] def indexPath(s: SparkSession, dir: String): String =
     s"$indexRoot/media-${IncrementalDedup.dataFingerprint(s, dir)}"

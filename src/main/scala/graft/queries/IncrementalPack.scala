@@ -69,12 +69,9 @@ object IncrementalPack extends QueryModule {
   private val PackBucket = 1000L
   /** Shard doc ids are re-keyed above every corpus id so pack order
     * (doc_id order) is arrival order: corpus first, then the day. */
-  private val ShardBase = 1000000L
+  private val ShardBase = IncrementalDedup.ShardBase
 
-  private def indexRoot: String =
-    sys.env.get("SPARK_GRAFT_INDEX_DIR")
-      .orElse(sys.props.get("graft.index.dir"))
-      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index")
+  private def indexRoot: String = IncrementalDedup.indexRoot
 
   private[graft] def indexPath(s: SparkSession, dir: String): String =
     s"$indexRoot/pack-${IncrementalDedup.dataFingerprint(s, dir)}"
@@ -187,6 +184,24 @@ object IncrementalPack extends QueryModule {
     val state = s.read.parquet(s"$idxPath/state")
     val newSeqs = packedWithContent(
       shard.crossJoin(broadcast(state.select(col("total_tokens").as("base_off")))))
+    // An EMPTY day's shard contributes no row at the boundary seq_id,
+    // so the stored partial must survive as its own row — otherwise
+    // serve drops it and ingest would persist a state whose tail_text
+    // resets to '' while total_tokens stays mid-sequence, corrupting
+    // every later day's boundary stitch. A non-empty shard ALWAYS
+    // lands its first token at seq_id = total div SeqLen (and every
+    // doc splits to ≥ 1 token), so the bare tail is needed EXACTLY
+    // when the shard's token total is zero — one narrow guard scan,
+    // no duplication of the packing subtree.
+    val bareTail = state.filter(col("total_tokens") % SeqLen > 0)
+      .crossJoin(broadcast(tokenTotal(shard)))
+      .filter(col("nt_sum") === 0)
+      .select(expr(s"total_tokens div $SeqLen").as("seq_id"),
+        (col("total_tokens") % SeqLen).cast("int").as("n_tokens"),
+        col("tail_n_docs").cast("int").as("n_docs"),
+        col("tail_first_doc").as("first_doc"),
+        col("tail_last_doc").as("last_doc"),
+        col("tail_text").as("content"))
     newSeqs.crossJoin(broadcast(state))
       // The tail exists iff the frozen total is mid-sequence. Keyed on
       // the arithmetic, not on tail_text != '': a tail of empty-string
@@ -205,6 +220,7 @@ object IncrementalPack extends QueryModule {
           .otherwise(col("last_doc")).as("last_doc"),
         when(col("is_b"), concat(col("tail_text"), lit(" "), col("content")))
           .otherwise(col("content")).as("content"))
+      .unionByName(bareTail)
   }
 
   /** The full new-generation relation: frozen full sequences ∪ the

@@ -49,10 +49,7 @@ import graft.{QueryModule, Tables}
   */
 object IncrementalPrepare extends QueryModule {
 
-  private def indexRoot: String =
-    sys.env.get("SPARK_GRAFT_INDEX_DIR")
-      .orElse(sys.props.get("graft.index.dir"))
-      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index")
+  private def indexRoot: String = IncrementalDedup.indexRoot
 
   private[graft] def indexPath(s: SparkSession, dir: String): String =
     s"$indexRoot/prep-${IncrementalDedup.dataFingerprint(s, dir)}"

@@ -60,12 +60,9 @@ import graft.{QueryModule, Tables}
   */
 object LexIndex extends QueryModule {
 
-  private val ShardBase = 1000000L
+  private val ShardBase = IncrementalDedup.ShardBase
 
-  private def indexRoot: String =
-    sys.env.get("SPARK_GRAFT_INDEX_DIR")
-      .orElse(sys.props.get("graft.index.dir"))
-      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index")
+  private def indexRoot: String = IncrementalDedup.indexRoot
 
   private[graft] def fullPath(s: SparkSession, dir: String): String =
     s"$indexRoot/lex-${IncrementalDedup.dataFingerprint(s, dir)}"
@@ -113,9 +110,12 @@ object LexIndex extends QueryModule {
     * so a removal request never needs the raw corpus (every doc has
     * ≥ 1 split token, so the roster covers every indexed doc). */
   private def writeGeneration(tmp: org.apache.hadoop.fs.Path, docs: DataFrame): Unit = {
-    val post = postingsOf(docs)
-    post.sort("term", "doc_id").write.mode("overwrite").parquet(s"$tmp/postings")
-    post.select("doc_id", "dl").distinct()
+    postingsOf(docs).sort("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    // doclens/stats are NARROW passes over docs (a scalar length per
+    // row, no explode) — the token explode + per-(doc, term) agg runs
+    // exactly once, for postings
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$tmp/doclens")
     statsOf(docs).write.mode("overwrite").parquet(s"$tmp/stats")
   }

@@ -14,8 +14,12 @@ class IncrementalPackSpec extends SparkTestBase {
   private val SeqLen = IncrementalPack.SeqLen.toInt
 
   private def withTempRoot[A](f: String => A): A = {
-    val root = java.nio.file.Files.createTempDirectory("graft_pack_test").toString
-    try f(root) finally ()
+    val root = java.nio.file.Files.createTempDirectory("graft_pack_test")
+    try f(root.toString) finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** doc i with exactly n tokens "d<i>_<j>" — no spaces inside tokens,
@@ -62,6 +66,28 @@ class IncrementalPackSpec extends SparkTestBase {
   private val corpus = Seq(doc(1, 1200), doc(2, 900), doc(3, 900))
   private val day1 = Seq(doc(101, 2500), doc(102, 1500), doc(103, 1000))
   private val day2 = Seq(doc(201, 300), doc(202, 2000))
+
+  test("an EMPTY day's shard preserves the stored tail through serve and ingest") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      // serve of an empty shard = exactly the from-scratch pack of the
+      // corpus alone, INCLUDING the 952-token partial boundary row
+      val got = served(Seq.empty, idx)
+      assert(got == replay(corpus),
+        s"empty-shard serve lost rows:\n got=$got\n exp=${replay(corpus)}")
+      assert(got.exists(_._2 < SeqLen), "the partial tail row must survive an empty day")
+      // ingest of the empty day advances nothing and corrupts nothing:
+      // the state row (frozen total + exact tail) is preserved
+      val g1 = IncrementalPack.ingest(spark, docsDf(Seq.empty), idx, s"$root/gen1")
+      assert(artifactContent(g1) == artifactContent(idx),
+        "empty-day ingest must be a content no-op")
+      // and a real day after the empty day still chains correctly
+      val g2 = IncrementalPack.ingest(spark, docsDf(day1), g1, s"$root/gen2")
+      val straight = IncrementalPack.ingest(spark, docsDf(day1), idx, s"$root/straight")
+      assert(artifactContent(g2) == artifactContent(straight),
+        "the chain through an empty day diverged from the straight chain")
+    }
+  }
 
   test("incremental serve equals the from-scratch repack, boundary stitch included") {
     withTempRoot { root =>
