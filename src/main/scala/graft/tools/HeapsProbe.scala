@@ -49,9 +49,13 @@ object HeapsProbe extends Serializable { // generator closures call the (statele
   // gram-explode relations — the stride-1 dup-span profiler and the
   // reference-gram novelty audit — so the realistic-vocabulary curve
   // covers every explode-bound member of the text stack.
+  // q130 joined in round 13: the vocabulary statistics report runs ON
+  // the probe's √T-growth corpus — the exact regime its Heaps section
+  // measures — so the probe times the reporter in the regime it reports.
   private val Queries = Seq("q32_ngram_jaccard", "q33_minhash_lsh", "q44_corpus_filter",
     "q46_neardup_components", "q51_decontaminate", "q85_bloom_decontaminate",
-    "q93_bigram_surprisal", "q103_dupspan_profile", "q111_novelty_audit")
+    "q93_bigram_surprisal", "q103_dupspan_profile", "q111_novelty_audit",
+    "q130_vocab_report")
 
   /** Zipf(s) CDF over ranks 1..v — tiny (V ≤ ~15k doubles), captured
     * into the generator closure. */
