@@ -473,15 +473,22 @@ object Corpus extends QueryModule {
   private val RrfK0 = 60
   private val RrfArmK = 10
   private val RrfTopK = 5
-  private def q129(s: SparkSession, dir: String): DataFrame = {
-    val lex = bm25Scored(s, dir)
-      .filter(col("doc_id") =!= col("qid"))
-      .withColumn("lex_rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("lex_rank") <= RrfArmK)
-      .select(col("qid"), col("doc_id"), col("lex_rank"))
-    val vec = Similarity.bruteRanks(s, dir, Bm25Queries.map(_._1), RrfArmK)
-      .select(col("qid"), col("vec_id").as("doc_id"), col("vrank").as("vec_rank"))
+
+  /** The lexical arm over any BM25-scored relation (qid, doc_id,
+    * score, n_hit): self row dropped, ranked, cut at the arm depth.
+    * Shared by q129 (fresh scores) and q135 (artifact-served scores). */
+  private def lexArm(scored: DataFrame): DataFrame = scored
+    .filter(col("doc_id") =!= col("qid"))
+    .withColumn("lex_rank", row_number().over(
+      Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))))
+    .filter(col("lex_rank") <= RrfArmK)
+    .select(col("qid"), col("doc_id"), col("lex_rank"))
+
+  /** The RRF fusion core over two arm-rank relations — lex = (qid,
+    * doc_id, lex_rank), vec = (qid, doc_id, vec_rank) — shared by q129
+    * and q135 so the two fusions cannot drift: integer ppb
+    * contributions, doc_id tiebreak, fused top-k. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
     lex.join(vec, Seq("qid", "doc_id"), "full_outer")
       .withColumn("rrf_ppb",
         coalesce(expr(s"1000000000L div CAST($RrfK0 + lex_rank AS BIGINT)"), lit(0L)) +
@@ -492,12 +499,18 @@ object Corpus extends QueryModule {
       .select(col("qid"), col("rank"), col("doc_id"), col("rrf_ppb"),
         col("lex_rank"), col("vec_rank"))
       .orderBy("qid", "rank")
-  }
 
-  private val q129Sql =
-    s"""WITH $bm25SqlCtes,
-      |${Similarity.bruteRanksSqlCtes(Bm25Queries.map(_._1), RrfArmK)},
-      |lexr AS (
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(lexArm(bm25Scored(s, dir)),
+      Similarity.bruteRanks(s, dir, Bm25Queries.map(_._1), RrfArmK)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("vrank").as("vec_rank")))
+
+  /** The fusion SQL tail shared by q129 and q135: expects a `scored`
+    * CTE (the fresh BM25 relation — for q135 the artifact-served arm
+    * is PROVEN ≡ fresh by q131's oracle) and a `vranks` CTE (either
+    * arm's (qid, vec_id, vrank) stack emits that name). */
+  private val rrfFusionSqlTail =
+    s"""lexr AS (
       |  SELECT qid, doc_id,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS lex_rank
       |  FROM scored WHERE doc_id != qid),
@@ -515,6 +528,37 @@ object Corpus extends QueryModule {
       |  FROM fused)
       |SELECT qid, rank, doc_id, rrf_ppb, lex_rank, vec_rank
       |FROM rankedf WHERE rank <= $RrfTopK ORDER BY qid, rank""".stripMargin
+
+  private val q129Sql =
+    s"""WITH $bm25SqlCtes,
+      |${Similarity.bruteRanksSqlCtes(Bm25Queries.map(_._1), RrfArmK)},
+      |$rrfFusionSqlTail""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q135 — SERVED HYBRID FUSION: q129's contract run the way production
+  // actually runs it — BOTH arms from their persisted artifacts. The
+  // lexical arm is the q131 inverted-index serve (pushed term filters,
+  // zero documents scans — and PROVEN bit-identical to the fresh BM25
+  // by q131's oracle), the vector arm is q79's PQ-index ADC serve
+  // (stored 8-nibble codes × broadcast distance tables — approximate
+  // by design), and the fusion core is q129's own rrfFuse, shared so
+  // exact and served fusions cannot drift. The result legitimately
+  // DIFFERS from q129 where ADC ranks differ from exact cosine ranks —
+  // which is the operator's point: it is the ranking the deployed
+  // system returns, and q86-style recall against q129 measures the gap
+  // (HybridSpec). Scale: nothing outside the two artifacts and the
+  // broadcast workload is read; per-query cost is arm-output-sized.
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(
+      lexArm(LexIndex.servedScored(s, Seq(LexIndex.fullIndex(s, dir)))),
+      Similarity.adcRanks(s, dir, Bm25Queries.map(_._1), RrfArmK)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("vrank").as("vec_rank")))
+
+  private val q135Sql =
+    s"""WITH $bm25SqlCtes,
+      |${Similarity.pqSqlCtes},
+      |${Similarity.adcRanksSqlCtes(Bm25Queries.map(_._1), RrfArmK)},
+      |$rrfFusionSqlTail""".stripMargin
 
   // ---------------------------------------------------------------------
   // q130 — VOCABULARY STATISTICS REPORT: the corpus-level relation a
@@ -1363,6 +1407,7 @@ object Corpus extends QueryModule {
     "q115_retrieval_eval"   -> (q115 _),
     "q129_hybrid_fusion"    -> (q129 _),
     "q130_vocab_report"     -> (q130 _),
+    "q135_served_hybrid"    -> (q135 _),
     "q92_corpus_shard"      -> (q92 _),
     "q93_bigram_surprisal"  -> (q93 _),
     "q96_corpus_prepare"    -> (q96 _),
@@ -1379,6 +1424,7 @@ object Corpus extends QueryModule {
     "q115_retrieval_eval"   -> q115Sql,
     "q129_hybrid_fusion"    -> q129Sql,
     "q130_vocab_report"     -> q130Sql,
+    "q135_served_hybrid"    -> q135Sql,
     "q92_corpus_shard"      -> q92Sql,
     "q93_bigram_surprisal"  -> q93Sql,
     "q96_corpus_prepare"    -> q96Sql,

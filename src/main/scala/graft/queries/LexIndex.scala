@@ -141,7 +141,14 @@ object LexIndex extends QueryModule {
     * stats row and an id list the postings anti-join — then the SHARED
     * scoring core + top-k cut. */
   private[graft] def serve(s: SparkSession, genPaths: Seq[String],
-                           tombPaths: Seq[String] = Nil): DataFrame = {
+                           tombPaths: Seq[String] = Nil): DataFrame =
+    Corpus.bm25TopK(servedScored(s, genPaths, tombPaths))
+
+  /** The artifact-served BM25 scored relation (qid, doc_id, score,
+    * n_hit) BEFORE the top-k cut — [[serve]]'s core, and the lexical
+    * arm of the served hybrid fusion (Corpus q135). */
+  private[graft] def servedScored(s: SparkSession, genPaths: Seq[String],
+                                  tombPaths: Seq[String] = Nil): DataFrame = {
     import s.implicits._
     val workTerms = Corpus.Bm25Queries.flatMap(_._2.split(" ")).distinct
     val terms = Corpus.Bm25Queries
@@ -156,8 +163,13 @@ object LexIndex extends QueryModule {
     val stats = (genPaths ++ tombPaths).map(g => s.read.parquet(s"$g/stats"))
       .reduce(_ unionByName _)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_toks")).as("n_toks"))
-    Corpus.bm25TopK(Corpus.bm25Score(tf, stats, terms))
+    Corpus.bm25Score(tf, stats, terms)
   }
+
+  /** Build-or-reuse the full-corpus index (q131's artifact) and return
+    * its path — the lexical-arm entry point for q135. */
+  private[graft] def fullIndex(s: SparkSession, dir: String): String =
+    build(s, Tables.documentsWide(s, dir).select("doc_id", "text"), fullPath(s, dir))
 
   /** Publish a TAKEDOWN generation for the given removal-request ids:
     * `ids/` (the anti-join list) and a NEGATIVE one-row stats delta.
@@ -208,11 +220,8 @@ object LexIndex extends QueryModule {
     outPath
   }
 
-  private def q131(s: SparkSession, dir: String): DataFrame = {
-    val idx = build(s, Tables.documentsWide(s, dir).select("doc_id", "text"),
-      fullPath(s, dir))
-    serve(s, Seq(idx))
-  }
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    serve(s, Seq(fullIndex(s, dir)))
 
   private def q132(s: SparkSession, dir: String): DataFrame = {
     val g0 = build(s, corpusDocs(s, dir), gen0Path(s, dir))

@@ -924,7 +924,57 @@ object Similarity extends QueryModule {
       |             ORDER BY score, cid) AS rk
       |    FROM scores2) WHERE rk = 1)""".stripMargin
 
-  private val pqSqlCtes = pqSqlCtesFor("TRUE")
+  private[graft] val pqSqlCtes = pqSqlCtesFor("TRUE")
+
+  /** ADC ranks served from the PERSISTED PQ index (q79's artifact) for
+    * a given query-id set at arm depth k: (qid INT, vec_id, vrank).
+    * The vector arm of the served hybrid fusion (Corpus q135) — same
+    * distance pairing as [[serveAdc]] (d = n2q + n2c − 2·dot per sub,
+    * summed over stored code assignments), kept here so the served arm
+    * cannot drift from the q79/q87 contract. */
+  private[graft] def adcRanks(s: SparkSession, dir: String,
+                              qids: Seq[Int], k: Int): DataFrame = {
+    buildPqIndex(s, dir)
+    val path = pqIndexPath(s, dir)
+    val codebook = s.read.parquet(s"$path/codebook")
+    val codes = s.read.parquet(s"$path/codes")
+    val qquant = pqQuantRows(Tables.embeddings(s, dir)
+        .filter(col("vec_id").isin(qids.map(_.toLong): _*)))
+      .withColumnRenamed("n2v", "n2q")
+    val dtab = qquant.join(broadcast(codebook), Seq("sub"))
+      .withColumn("dot", expr("graft_dot(qa, ca)"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        (col("n2q") + col("n2c") - lit(2L) * col("dot")).as("d"))
+    codes.join(broadcast(dtab), Seq("sub", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("vrank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("vrank") <= k)
+      .select(col("qid").cast("int").as("qid"), col("vec_id"), col("vrank"))
+  }
+
+  /** SQL twin of [[adcRanks]] over the `quants`/`scores2`/`a2` CTEs of
+    * [[pqSqlCtes]] — names prefixed `h` to compose with the BM25 stack
+    * in q135's oracle. */
+  private[graft] def adcRanksSqlCtes(qids: Seq[Int], k: Int): String =
+    s"""hn2q AS (
+      |  SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2q
+      |  FROM quants WHERE vec_id IN (${qids.mkString(", ")}) GROUP BY vec_id, sub),
+      |hdtab AS (
+      |  SELECT CAST(s.vec_id AS INTEGER) AS qid, s.sub, s.cid, n.n2q + s.score AS d
+      |  FROM scores2 s JOIN hn2q n ON s.vec_id = n.vec_id AND s.sub = n.sub),
+      |hadc AS (
+      |  SELECT t.qid, a.vec_id, CAST(SUM(t.d) AS BIGINT) AS adist
+      |  FROM a2 a JOIN hdtab t ON a.sub = t.sub AND a.cid = t.cid
+      |  WHERE t.qid != a.vec_id
+      |  GROUP BY t.qid, a.vec_id),
+      |vranks AS (
+      |  SELECT qid, vec_id, vrank FROM (
+      |    SELECT qid, vec_id,
+      |           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INT) AS vrank
+      |    FROM hadc) WHERE vrank <= $k)""".stripMargin
 
   private val q63Sql =
     s"""WITH $pqSqlCtes,
