@@ -72,6 +72,22 @@ object IncrementalDedup extends QueryModule {
     * and additivity-by-disjointness true by construction. */
   private[graft] val ShardBase = 1000000L
 
+  /** Fail-loud guard for the re-key disjointness precondition. Every
+    * intake family's correctness contract (q84's verdict precedence,
+    * q128's append order, q132's df/N additivity) rests on re-keyed
+    * shard ids landing ABOVE every corpus id — a corpus with doc_id ≥
+    * [[ShardBase]] would silently collide re-keyed ids with corpus ids
+    * and corrupt those results instead of failing. Called inside each
+    * family's corpus-generation publish, so it prices ONE bounded agg
+    * at build time and nothing on the serve path. */
+  private[graft] def assertRekeyDisjoint(corpus: DataFrame, family: String): Unit = {
+    val mx = corpus.agg(max(col("doc_id"))).head()
+    if (!mx.isNullAt(0))
+      require(mx.getLong(0) < ShardBase,
+        s"$family intake: corpus max doc_id ${mx.getLong(0)} >= ShardBase $ShardBase — " +
+          "re-keyed shard ids would collide with corpus ids; raise the re-key base")
+  }
+
   private def md5key(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -142,6 +158,7 @@ object IncrementalDedup extends QueryModule {
     val path = new org.apache.hadoop.fs.Path(indexPath(s, dir))
     publish(s, path) { tmp =>
       val corpus = corpusDocs(s, dir)
+      assertRekeyDisjoint(corpus, "dedup")
       corpus.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("keeper"))
         .write.mode("overwrite").parquet(s"$tmp/exact")

@@ -157,6 +157,7 @@ object IncrementalPack extends QueryModule {
   private[graft] def buildPackState(s: SparkSession, docs: DataFrame, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     IncrementalDedup.publish(s, p) { tmp =>
+      IncrementalDedup.assertRekeyDisjoint(docs, "pack")
       val packed = packedWithContent(docs.withColumn("base_off", lit(0L)))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       try writeGeneration(s, tmp,

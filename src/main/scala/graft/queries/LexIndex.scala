@@ -127,6 +127,22 @@ object LexIndex extends QueryModule {
     path
   }
 
+  /** The intake chain's corpus generation (q132–q134): [[build]] plus
+    * the fail-loud re-key disjointness guard — the additivity proofs
+    * assume shard ids land above every corpus id, so a corpus that
+    * breaks the precondition must refuse to build, not serve wrong
+    * df/N ([[IncrementalDedup.assertRekeyDisjoint]]). Priced once, at
+    * publish time. */
+  private def buildGen0(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(gen0Path(s, dir))
+    IncrementalDedup.publish(s, p) { tmp =>
+      val docs = corpusDocs(s, dir)
+      IncrementalDedup.assertRekeyDisjoint(docs, "lex")
+      writeGeneration(tmp, docs)
+    }
+    gen0Path(s, dir)
+  }
+
   /** Daily intake: the shard's postings and stats delta, computed from
     * the day's documents alone and published as a generation. */
   private[graft] def ingest(s: SparkSession, shard: DataFrame, outPath: String): String = {
@@ -177,14 +193,25 @@ object LexIndex extends QueryModule {
     * corpus is never touched (removal requests arrive as bare ids;
     * their lengths live in the index). BM25 is exactly SUBTRACTIVE the
     * way q132 shows it additive: dropping a doc's postings drops its
-    * df contributions, and N/token totals subtract via the roster. */
+    * df contributions, and N/token totals subtract via the roster.
+    *
+    * `tombPaths` = tombstone generations already published: the roster
+    * anti-joins their ids so a doc named by two OVERLAPPING removal
+    * requests subtracts from the summed stats exactly once (the
+    * postings anti-join was always idempotent; without this, the
+    * second tombstone's negative stats row would double-count it and
+    * skew N/avgdl for every later serve and compaction). */
   private[graft] def takedown(s: SparkSession, ids: DataFrame,
-                              genPaths: Seq[String], outPath: String): String = {
+                              genPaths: Seq[String], outPath: String,
+                              tombPaths: Seq[String] = Nil): String = {
     val p = new org.apache.hadoop.fs.Path(outPath)
     IncrementalDedup.publish(s, p) { tmp =>
-      val roster = genPaths.map(g => s.read.parquet(s"$g/doclens"))
+      val live = genPaths.map(g => s.read.parquet(s"$g/doclens"))
         .reduce(_ unionByName _)
         .join(broadcast(ids), "doc_id")
+      val roster = tombPaths.foldLeft(live) { (r, t) =>
+        r.join(broadcast(s.read.parquet(s"$t/ids")), Seq("doc_id"), "left_anti")
+      }
       roster.select("doc_id").write.mode("overwrite").parquet(s"$tmp/ids")
       roster.agg((-count(lit(1))).as("n_docs"), (-sum(col("dl"))).as("n_toks"))
         .write.mode("overwrite").parquet(s"$tmp/stats")
@@ -224,7 +251,7 @@ object LexIndex extends QueryModule {
     serve(s, Seq(fullIndex(s, dir)))
 
   private def q132(s: SparkSession, dir: String): DataFrame = {
-    val g0 = build(s, corpusDocs(s, dir), gen0Path(s, dir))
+    val g0 = buildGen0(s, dir)
     val g1 = ingest(s, shardDocs(s, dir), gen1Path(s, dir))
     serve(s, Seq(g0, g1))
   }
@@ -237,14 +264,14 @@ object LexIndex extends QueryModule {
       .filter(col("doc_id") % 7 === 3)
 
   private def q133(s: SparkSession, dir: String): DataFrame = {
-    val g0 = build(s, corpusDocs(s, dir), gen0Path(s, dir))
+    val g0 = buildGen0(s, dir)
     val g1 = ingest(s, shardDocs(s, dir), gen1Path(s, dir))
     val t = takedown(s, takedownIds(s, g0), Seq(g0, g1), tombPath(s, dir))
     serve(s, Seq(g0, g1), Seq(t))
   }
 
   private def q134(s: SparkSession, dir: String): DataFrame = {
-    val g0 = build(s, corpusDocs(s, dir), gen0Path(s, dir))
+    val g0 = buildGen0(s, dir)
     val g1 = ingest(s, shardDocs(s, dir), gen1Path(s, dir))
     val t = takedown(s, takedownIds(s, g0), Seq(g0, g1), tombPath(s, dir))
     val c = compact(s, Seq(g0, g1), Seq(t), compactPath(s, dir))

@@ -301,10 +301,15 @@ class CorpusSpec extends SparkTestBase {
 
   test("q129 hybrid fusion equals a plain-Scala replay of both arms and the RRF") {
     val k0 = 60; val armK = 10; val topK = 5
-    // lexical arm: the q91 BM25 math, self row dropped, cut at armK
+    // lexical arm: the q91 BM25 math, self row dropped, cut at armK.
+    // UNFILTERED split: the engine's dl/n_toks count every split token,
+    // empties included (bm25ScoredOn's documented length convention) —
+    // filtering here would only pass while the fixture has no
+    // consecutive spaces. Empty tokens never equal a workload term, so
+    // matching/tf are unaffected.
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty))
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
     val nDocs = docs.length.toLong
     val nToks = docs.map(_._2.length.toLong).sum
     val lexArm: Map[Int, Seq[(Long, Int)]] = graft.queries.Corpus.Bm25Queries.map {

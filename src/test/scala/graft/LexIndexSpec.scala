@@ -88,6 +88,39 @@ class LexIndexSpec extends SparkTestBase {
     assert((st.getLong(0), st.getLong(1)) == ((-1L, -1L)))
   }
 
+  test("overlapping takedown requests subtract each doc's stats exactly once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex").toFile
+    dir.deleteOnExit()
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text").limit(40)
+    val g0 = LexIndex.build(spark, corpus, s"${dir.getAbsolutePath}/g0")
+    // two requests with an overlap: {id%4=1} then {id%4=1 or id%8=2};
+    // the second names every doc of the first again
+    val roster = spark.read.parquet(s"$g0/doclens").select("doc_id")
+    val t1 = LexIndex.takedown(spark, roster.filter(col("doc_id") % 4 === 1),
+      Seq(g0), s"${dir.getAbsolutePath}/t1")
+    val t2 = LexIndex.takedown(spark,
+      roster.filter(col("doc_id") % 4 === 1 || col("doc_id") % 8 === 2),
+      Seq(g0), s"${dir.getAbsolutePath}/t2", tombPaths = Seq(t1))
+    // the second tombstone prices only the docs not already tombstoned
+    val t2ids = spark.read.parquet(s"$t2/ids").collect().map(_.getLong(0)).toSet
+    assert(t2ids.forall(_ % 8 == 2) && t2ids.forall(_ % 4 != 1),
+      s"second tombstone re-priced already-removed docs: $t2ids")
+    // summed stats across g0 ∪ t1 ∪ t2 equal a build that never saw the union
+    val survivors = corpus.filter(col("doc_id") % 4 =!= 1 && col("doc_id") % 8 =!= 2)
+    val clean = LexIndex.build(spark, survivors, s"${dir.getAbsolutePath}/clean")
+    val summed = Seq(g0, t1, t2).map(p => spark.read.parquet(s"$p/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")), sum(col("n_toks"))).collect().head
+    val fresh = spark.read.parquet(s"$clean/stats").collect().head
+    assert((summed.getLong(0), summed.getLong(1)) ==
+      ((fresh.getLong(0), fresh.getLong(1))),
+      "overlapping tombstones double-subtracted the shared docs")
+    // and the double-tombstone serve equals the never-saw-them serve
+    assert(rows(LexIndex.serve(spark, Seq(g0), Seq(t1, t2))) ==
+      rows(LexIndex.serve(spark, Seq(clean))))
+  }
+
   test("build is replay-idempotent: a second publish at the same path is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lex").toFile
     dir.deleteOnExit()
