@@ -561,6 +561,39 @@ object Corpus extends QueryModule {
       |$rrfFusionSqlTail""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q138 — SERVED HYBRID FUSION UNDER TAKEDOWN: q135's deployed stack
+  // honoring ONE removal request on BOTH arms — the lifecycle gap the
+  // vector takedown (q136) exists to close: before it, a removed doc's
+  // postings vanished from the lexical arm (q133) while its PQ codes
+  // kept serving, so the fused ranking leaked the takedown through the
+  // vector arm. The request is the shared bare id list {id % 7 = 3}
+  // (the fixture binds vec_id = doc_id, so one list masks both
+  // artifacts): the lexical arm serves q131's index ∪ its tombstone
+  // (exact BM25 subtraction, q133's proof), the vector arm serves
+  // q79's codes anti-joined against its tombstone (exact under the
+  // frozen codebook, q136's proof), and the fusion core is q129's own
+  // rrfFuse. The oracle rebuilds the lexical stack over the surviving
+  // documents and replays the vector stack with the removed ids
+  // excluded from serving only — a hash match proves the END-TO-END
+  // serving surface honors the removal exactly, not arm by arm.
+  // Scale: q135's plan plus one broadcast anti-join probe per arm.
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(
+      lexArm(LexIndex.servedScored(s, Seq(LexIndex.fullIndex(s, dir)),
+        Seq(LexIndex.fullTombstone(s, dir)))),
+      Similarity.adcRanks(s, dir, Bm25Queries.map(_._1), RrfArmK,
+        Seq(Similarity.fullPqTombstone(s, dir)))
+        .select(col("qid"), col("vec_id").as("doc_id"), col("vrank").as("vec_rank")))
+
+  private val q138Sql =
+    s"""WITH ${bm25SqlCtes.replace("FROM documents",
+           "FROM documents WHERE doc_id % 7 <> 3")},
+      |${Similarity.pqSqlCtes},
+      |${Similarity.adcRanksSqlCtes(Bm25Queries.map(_._1), RrfArmK,
+           serveWhere = "a.vec_id % 7 <> 3")},
+      |$rrfFusionSqlTail""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q130 — VOCABULARY STATISTICS REPORT: the corpus-level relation a
   // tokenizer/vocab-planning pass reads before training (and the input
   // Good-Turing smoothing needs). Two sections in one tidy schema
@@ -1408,6 +1441,7 @@ object Corpus extends QueryModule {
     "q129_hybrid_fusion"    -> (q129 _),
     "q130_vocab_report"     -> (q130 _),
     "q135_served_hybrid"    -> (q135 _),
+    "q138_hybrid_takedown"  -> (q138 _),
     "q92_corpus_shard"      -> (q92 _),
     "q93_bigram_surprisal"  -> (q93 _),
     "q96_corpus_prepare"    -> (q96 _),
@@ -1425,6 +1459,7 @@ object Corpus extends QueryModule {
     "q129_hybrid_fusion"    -> q129Sql,
     "q130_vocab_report"     -> q130Sql,
     "q135_served_hybrid"    -> q135Sql,
+    "q138_hybrid_takedown"  -> q138Sql,
     "q92_corpus_shard"      -> q92Sql,
     "q93_bigram_surprisal"  -> q93Sql,
     "q96_corpus_prepare"    -> q96Sql,

@@ -74,6 +74,8 @@ object LexIndex extends QueryModule {
     s"$indexRoot/lext-${IncrementalDedup.dataFingerprint(s, dir)}"
   private[graft] def compactPath(s: SparkSession, dir: String): String =
     s"$indexRoot/lexc-${IncrementalDedup.dataFingerprint(s, dir)}"
+  private[graft] def fullTombPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/lexft-${IncrementalDedup.dataFingerprint(s, dir)}"
 
   private def corpusDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documentsWide(s, dir).select("doc_id", "text")
@@ -258,10 +260,19 @@ object LexIndex extends QueryModule {
 
   /** Removal-request ids, derived from the index's own roster by id
     * arithmetic (every 7th corpus doc "opted out") — the request is a
-    * bare id list; the raw corpus is never read. */
-  private def takedownIds(s: SparkSession, g0: String): DataFrame =
+    * bare id list; the raw corpus is never read. The SAME arithmetic
+    * names the vector arm's removal set (Similarity.fullPqTombstone),
+    * so the fused serve (q138) masks one request on both artifacts. */
+  private[graft] def takedownIds(s: SparkSession, g0: String): DataFrame =
     s.read.parquet(s"$g0/doclens").select("doc_id")
       .filter(col("doc_id") % 7 === 3)
+
+  /** The FULL-index takedown twin for the served hybrid (Corpus q138):
+    * the shared removal request priced against q131's artifact. */
+  private[graft] def fullTombstone(s: SparkSession, dir: String): String = {
+    val idx = fullIndex(s, dir)
+    takedown(s, takedownIds(s, idx), Seq(idx), fullTombPath(s, dir))
+  }
 
   private def q133(s: SparkSession, dir: String): DataFrame = {
     val g0 = buildGen0(s, dir)

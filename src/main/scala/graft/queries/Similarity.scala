@@ -931,13 +931,16 @@ object Similarity extends QueryModule {
     * The vector arm of the served hybrid fusion (Corpus q135) — same
     * distance pairing as [[serveAdc]] (d = n2q + n2c − 2·dot per sub,
     * summed over stored code assignments), kept here so the served arm
-    * cannot drift from the q79/q87 contract. */
+    * cannot drift from the q79/q87 contract. `tombPaths` = published
+    * takedown generations whose ids the served codes anti-join (q138's
+    * vector arm — the [[pqTakedown]] contract). */
   private[graft] def adcRanks(s: SparkSession, dir: String,
-                              qids: Seq[Int], k: Int): DataFrame = {
+                              qids: Seq[Int], k: Int,
+                              tombPaths: Seq[String] = Nil): DataFrame = {
     buildPqIndex(s, dir)
     val path = pqIndexPath(s, dir)
     val codebook = s.read.parquet(s"$path/codebook")
-    val codes = s.read.parquet(s"$path/codes")
+    val codes = dropTombstoned(s, s.read.parquet(s"$path/codes"), tombPaths)
     val qquant = pqQuantRows(Tables.embeddings(s, dir)
         .filter(col("vec_id").isin(qids.map(_.toLong): _*)))
       .withColumnRenamed("n2v", "n2q")
@@ -957,8 +960,10 @@ object Similarity extends QueryModule {
 
   /** SQL twin of [[adcRanks]] over the `quants`/`scores2`/`a2` CTEs of
     * [[pqSqlCtes]] — names prefixed `h` to compose with the BM25 stack
-    * in q135's oracle. */
-  private[graft] def adcRanksSqlCtes(qids: Seq[Int], k: Int): String =
+    * in q135's oracle. `serveWhere` (in terms of `a`) excludes
+    * tombstoned ids from the served codes for q138's oracle. */
+  private[graft] def adcRanksSqlCtes(qids: Seq[Int], k: Int,
+                                     serveWhere: String = "TRUE"): String =
     s"""hn2q AS (
       |  SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2q
       |  FROM quants WHERE vec_id IN (${qids.mkString(", ")}) GROUP BY vec_id, sub),
@@ -968,7 +973,7 @@ object Similarity extends QueryModule {
       |hadc AS (
       |  SELECT t.qid, a.vec_id, CAST(SUM(t.d) AS BIGINT) AS adist
       |  FROM a2 a JOIN hdtab t ON a.sub = t.sub AND a.cid = t.cid
-      |  WHERE t.qid != a.vec_id
+      |  WHERE t.qid != a.vec_id AND ($serveWhere)
       |  GROUP BY t.qid, a.vec_id),
       |vranks AS (
       |  SELECT qid, vec_id, vrank FROM (
@@ -1087,8 +1092,12 @@ object Similarity extends QueryModule {
   /** q64's ADC search stack over whatever pq CTE prefix precedes it —
     * shared verbatim by q64 (train = encode = whole corpus), q79 (same
     * contract served from the artifact), and q87 (train = yesterday's
-    * corpus, encode = everything). */
-  private val adcSqlStack =
+    * corpus, encode = everything). `serveWhere` restricts the SERVED
+    * code set (in terms of `a`, the encoded-corpus alias) — q136/q137
+    * replay a takedown by excluding the removed ids from serving while
+    * the training/encode CTEs above stay untouched (the codebook is
+    * frozen; removal never retrains). */
+  private def adcSqlStackFor(serveWhere: String) =
     s"""n2q AS (
       |  SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2q
       |  FROM quants WHERE vec_id < $NumQueries GROUP BY vec_id, sub),
@@ -1099,7 +1108,7 @@ object Similarity extends QueryModule {
       |adc AS (
       |  SELECT t.qid, a.vec_id, CAST(SUM(t.d) AS BIGINT) AS adist
       |  FROM a2 a JOIN dtab t ON a.sub = t.sub AND a.cid = t.cid
-      |  WHERE t.qid != a.vec_id
+      |  WHERE t.qid != a.vec_id AND ($serveWhere)
       |  GROUP BY t.qid, a.vec_id),
       |ranked AS (
       |  SELECT qid, vec_id, adist,
@@ -1107,6 +1116,8 @@ object Similarity extends QueryModule {
       |  FROM adc)
       |SELECT qid, vec_id, adist, rank
       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private val adcSqlStack = adcSqlStackFor("TRUE")
 
   private val q64Sql = s"WITH $pqSqlCtes,\n$adcSqlStack"
 
@@ -1565,27 +1576,42 @@ object Similarity extends QueryModule {
     (0 to 2).map(i => s"$root/gen$i")
   }
 
-  /** Fold the generation chain into ONE artifact (codebook + all codes,
-    * provenance kept as `gen`): the q84 compaction pattern — after a
-    * compaction the chain is one directory pair again, and the next
-    * ingest starts a new (short) chain on top of it. Idempotent and
-    * marker-last like every other artifact. */
-  private[graft] def compactInc2(s: SparkSession, dir: String): String = {
-    val gens = buildInc2Chain(s, dir)
-    val out = new org.apache.hadoop.fs.Path(s"${inc2IndexRoot(s, dir)}/compact")
+  /** Anti-join served codes against every tombstone generation's id
+    * list — the serve-time takedown mask. Broadcast: a removal request
+    * is tiny next to the corpus, so the mask costs one hash probe per
+    * code row and nothing corpus-sized moves. */
+  private def dropTombstoned(s: SparkSession, codes: DataFrame,
+                             tombPaths: Seq[String]): DataFrame =
+    tombPaths.foldLeft(codes) { (c, t) =>
+      c.join(broadcast(s.read.parquet(s"$t/ids")), Seq("vec_id"), "left_anti")
+    }
+
+  /** Fold a generation chain ∪ tombstones into ONE artifact (codebook +
+    * surviving codes with `gen` provenance): the q84 compaction pattern
+    * — after a compaction the chain is one directory pair again, and
+    * the next ingest starts a new (short) chain on top of it.
+    * Tombstoned codes are PHYSICALLY dropped (the q134 move, vector
+    * edition); with no tombstones this is exactly q124's compaction.
+    * Idempotent and marker-last like every other artifact. */
+  private[graft] def compactChain(s: SparkSession, gens: Seq[String],
+                                  tombPaths: Seq[String], outPath: String): String = {
+    val out = new org.apache.hadoop.fs.Path(outPath)
     val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
     publishArtifact(fs, out) { tmp =>
       // rewrite, don't move: the source generations stay intact until
       // the compact artifact carries its marker (crash ⇒ still servable)
       s.read.parquet(s"${gens.head}/codebook")
         .write.mode("overwrite").parquet(s"$tmp/codebook")
-      gens.zipWithIndex.map { case (g, i) =>
+      dropTombstoned(s, gens.zipWithIndex.map { case (g, i) =>
         s.read.parquet(s"$g/codes").withColumn("gen", lit(i))
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _), tombPaths)
         .write.mode("overwrite").parquet(s"$tmp/codes")
     }
     out.toString
   }
+
+  private[graft] def compactInc2(s: SparkSession, dir: String): String =
+    compactChain(s, buildInc2Chain(s, dir), Nil, s"${inc2IndexRoot(s, dir)}/compact")
 
   private def q124(s: SparkSession, dir: String): DataFrame = {
     val compact = compactInc2(s, dir)
@@ -1654,6 +1680,113 @@ object Similarity extends QueryModule {
       |  SELECT 'top_code_share_max_ppm', g.share_max, $GateShareMaxPpm, g.share_max <= $GateShareMaxPpm FROM geo g)
       |ORDER BY criterion""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q136/q137 — PQ-INDEX TAKEDOWN + TAKEDOWN COMPACTION: the removal
+  // contract q133/q134 gave the lexical index, applied to the vector
+  // store — the gap that made a fused serving stack (q135) honor a
+  // takedown on one arm and leak it on the other. A removal request
+  // arrives as a bare id list; q136 publishes it as a TOMBSTONE
+  // generation (`ids/` = request ∩ the chain's own code roster — the
+  // raw corpus/embeddings are never read, mirroring q133's
+  // roster-priced accounting) and serving anti-joins the broadcast
+  // tombstone ids out of the served codes. Unlike BM25 there is NO
+  // stats relation to re-price: an ADC distance is per-vector (stored
+  // code × broadcast query table), so dropping a vector's codes removes
+  // it EXACTLY — survivors' distances and ranks are untouched, which
+  // the never-saw-them spec equality pins (IncrementalIndexSpec) and
+  // the oracle proves by replaying the q87 train/encode stack with the
+  // removed ids excluded from serving only. The codebook is FROZEN:
+  // removal never retrains (that is q124's gate decision — its
+  // stale-code criterion, not the takedown, owns codebook lifecycle).
+  // q137 is the lifecycle close: compaction folds generations ∪
+  // tombstones into ONE artifact with the tombstoned codes PHYSICALLY
+  // dropped (the shared compactChain core — q124's compaction with a
+  // non-empty tombstone list), and serving the compacted artifact must
+  // be indistinguishable from the logical union (same oracle as q136).
+  //
+  // Scale shape: the tombstone build is one broadcast semi-join over
+  // the chain's roster (fixed-width id rows); serving adds one
+  // broadcast anti-join probe per code row; compaction is the existing
+  // codes copy minus masked rows. Nothing corpus-sized shuffles beyond
+  // what q87/q124 already move.
+  private val PqTakedownWhere = "vec_id % 7 = 3"
+
+  /** Publish a TAKEDOWN generation for the vector index: `ids/` = the
+    * request intersected with the chain's own code roster (unknown ids
+    * are dropped — the q133 contract — so the artifact records exactly
+    * what it removes). Marker-last/idempotent like every generation. */
+  private[graft] def pqTakedown(s: SparkSession, ids: DataFrame,
+                                genPaths: Seq[String], outPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    publishArtifact(fs, p) { tmp =>
+      genPaths.map(g => s.read.parquet(s"$g/codes").select("vec_id"))
+        .reduce(_ unionByName _).distinct()
+        .join(broadcast(ids), "vec_id")
+        .write.mode("overwrite").parquet(s"$tmp/ids")
+    }
+    outPath
+  }
+
+  /** Encode raw vectors with a STORED codebook — ingest's per-vector
+    * kernel, exposed so the takedown spec can build the never-saw-them
+    * ground truth (encode only the survivors, same frozen codebook). */
+  private[graft] def encodeWith(emb: DataFrame, codebook: DataFrame): DataFrame =
+    pqAssign(pqQuantRows(emb), codebook).select("vec_id", "sub", "cid")
+
+  /** Removal-request ids, derived from the chain's own roster by id
+    * arithmetic (every 7th indexed vector "opted out" — the q133
+    * fixture contract); the request is a bare id list. */
+  private def pqTakedownIds(s: SparkSession, genPaths: Seq[String]): DataFrame =
+    genPaths.map(g => s.read.parquet(s"$g/codes").select("vec_id"))
+      .reduce(_ unionByName _).distinct()
+      .filter(expr(PqTakedownWhere))
+
+  /** The FULL-index (q78/q79 artifact) takedown twin for the served
+    * hybrid fusion (Corpus q138): the shared removal request
+    * ({id % 7 = 3} — LexIndex.takedownIds' arithmetic, so both arms
+    * mask the SAME list) priced against the chain's own code roster. */
+  private[graft] def fullPqTombstone(s: SparkSession, dir: String): String = {
+    buildPqIndex(s, dir)
+    val path = pqIndexPath(s, dir)
+    pqTakedown(s, pqTakedownIds(s, Seq(path)), Seq(path), s"$path-tomb")
+  }
+
+  /** The q87 chain's generation paths (building whatever is missing)
+    * plus its takedown tombstone — the shared setup of q136/q137. */
+  private def incChainWithTomb(s: SparkSession, dir: String): (Seq[String], String) = {
+    val gen1 = ingestIncBatch(s, dir)
+    val gen0 = s"${incIndexRoot(s, dir)}/gen0"
+    val t = pqTakedown(s, pqTakedownIds(s, Seq(gen0, gen1)), Seq(gen0, gen1),
+      s"${incIndexRoot(s, dir)}/tomb")
+    (Seq(gen0, gen1), t)
+  }
+
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val (gens, t) = incChainWithTomb(s, dir)
+    serveAdc(s, dir,
+      s.read.parquet(s"${gens.head}/codebook"),
+      dropTombstoned(s, gens.map(g => s.read.parquet(s"$g/codes"))
+        .reduce(_ unionByName _), Seq(t)))
+  }
+
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val (gens, t) = incChainWithTomb(s, dir)
+    val c = compactChain(s, gens, Seq(t), s"${incIndexRoot(s, dir)}/tombcompact")
+    serveAdc(s, dir,
+      s.read.parquet(s"$c/codebook"),
+      s.read.parquet(s"$c/codes"))
+  }
+
+  // The oracle replays q87's train-on-yesterday / encode-everything
+  // stack and excludes the removed ids from SERVING only — a hash match
+  // proves pure anti-join removal is exact under the frozen codebook
+  // (q136) and that physical compaction is indistinguishable from the
+  // logical union ∪ tombstone serve (q137, same SQL — the q133/q134
+  // oracle pairing).
+  private val q136Sql =
+    s"WITH ${pqSqlCtesFor(s"NOT ($IncBatchSql)")},\n${adcSqlStackFor(s"NOT (a.$PqTakedownWhere)")}"
 
   // ---------------------------------------------------------------------
   // q120 — IVF INDEX HEALTH REPORT: the operational dashboard for the
@@ -1946,6 +2079,8 @@ object Similarity extends QueryModule {
     "q78_pq_index_build"   -> (q78 _),
     "q79_pq_index_search"  -> (q79 _),
     "q87_pq_index_ingest"  -> (q87 _),
+    "q136_pq_takedown"     -> (q136 _),
+    "q137_pq_takedown_compact" -> (q137 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -1970,5 +2105,7 @@ object Similarity extends QueryModule {
     "q78_pq_index_build"   -> q78Sql,
     "q79_pq_index_search"  -> q64Sql, // identical contract, served from the artifact
     "q87_pq_index_ingest"  -> q87Sql,
+    "q136_pq_takedown"     -> q136Sql,
+    "q137_pq_takedown_compact" -> q136Sql, // compaction must be invisible (the q133/q134 pairing)
   )
 }

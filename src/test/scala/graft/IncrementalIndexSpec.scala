@@ -100,6 +100,43 @@ class IncrementalIndexSpec extends SparkTestBase {
     }
   }
 
+  test("pq takedown: serve equals encoding only the survivors; compaction physically drops them") {
+    import org.apache.spark.sql.functions._
+    withTempRoot { _ =>
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+      val served = rows(SparkEntry.queries("q136_pq_takedown")(spark, sfDir))
+      val root = Similarity.incIndexRoot(spark, sfDir)
+      // the tombstone priced exactly the roster's % 7 = 3 slice
+      val tombIds = spark.read.parquet(s"$root/tomb/ids")
+        .collect().map(_.getLong(0)).toSet
+      val all = Tables.embeddings(spark, sfDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(tombIds.nonEmpty && tombIds == all.filter(_ % 7 == 3),
+        s"tombstone ids drifted from the request: $tombIds")
+      // NEVER-SAW-THEM equality: encode ONLY the survivors with the
+      // same frozen codebook — per-vector ADC independence means the
+      // anti-join serve must match it exactly
+      val codebook = spark.read.parquet(s"$root/gen0/codebook")
+      val fresh = rows(Similarity.serveAdc(spark, sfDir, codebook,
+        Similarity.encodeWith(
+          Tables.embeddings(spark, sfDir).filter(col("vec_id") % 7 =!= 3), codebook)))
+      assert(served == fresh,
+        "takedown serve differs from an index that never coded the removed vectors")
+      // q137: compaction is serve-invisible and PHYSICALLY drops the codes
+      val comp = rows(SparkEntry.queries("q137_pq_takedown_compact")(spark, sfDir))
+      assert(comp == served, "compacted serve differs from the tombstone serve")
+      val compCodes = spark.read.parquet(s"$root/tombcompact/codes")
+      assert(compCodes.filter(col("vec_id") % 7 === 3).count() == 0L,
+        "compaction left tombstoned codes in the artifact")
+      // provenance (gen column) survives the fold, survivors only
+      val genIds = compCodes.select("vec_id", "gen").distinct().collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(genIds.keySet == all.filter(_ % 7 != 3), "compacted roster != survivors")
+      assert(genIds.values.toSet == Set(0, 1), "generation provenance lost in compaction")
+    }
+  }
+
   test("incremental index: a damaged gen1 is rebuilt identically without touching gen0") {
     withTempRoot { _ =>
       val want = SparkEntry.queries("q87_pq_index_ingest")(spark, sfDir).collect().toSeq
