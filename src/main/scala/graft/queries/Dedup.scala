@@ -1002,50 +1002,92 @@ object Dedup extends QueryModule {
   // ---------------------------------------------------------------------
   // q107 — NEAR-DUP THRESHOLD CALIBRATION CURVE: the sweep a data
   // engineer runs BEFORE committing a dedup threshold — for every
-  // Hamming radius t, how many candidate pairs fire, how many documents
-  // would drop (min-doc_id-canonical: a doc drops once any
-  // smaller-id neighbor sits within t), and what fraction of the corpus
-  // that is (integer ppm). One detector pass produces the whole curve:
-  // pairs are materialized ONCE at the widest radius (4×8-bit simhash
-  // bands — pigeonhole-complete at Hamming ≤ 3, with the same 64-entry
-  // bucket-cap discipline as q35; note this calibrates the CAPPED
-  // wide-radius 4×8 detector, not q35's production 2×16 configuration —
-  // 8-bit band keys collide far more than 16-bit ones, so the cap trips
-  // differently and the curve's t = 1 point need not equal q35's pair
-  // set; what the curve shares with production is the cap discipline
-  // and the hash, not the banding), then each
-  // pair/doc contributes to every t ≥ its distance via a bounded
-  // explode — never re-running the detector per threshold.
+  // detector CONFIG and Hamming radius t, how many candidate pairs
+  // fire, how many documents would drop (min-doc_id-canonical: a doc
+  // drops once any smaller-id neighbor sits within t), and what
+  // fraction of the corpus that is (integer ppm). Two configs in one
+  // relation, each from ONE detector pass at its widest radius:
+  //  - '4x8'  — the wide-radius survey: 4×8-bit simhash bands,
+  //    pigeonhole-complete at Hamming ≤ 3, so the curve sweeps
+  //    t ∈ 0..3. 8-bit band keys collide far more than 16-bit ones, so
+  //    the 64-entry bucket cap trips differently than production's —
+  //    this arm maps the NEIGHBORHOOD of the operating point.
+  //  - '2x16' — the PRODUCTION configuration (q35's exact banding:
+  //    2×16-bit bands, pigeonhole-complete at Hamming ≤ 1, t ∈ 0..1,
+  //    same cap discipline): the rows the threshold decision actually
+  //    reads, tied to the deployed detector — its t = 1 row counts
+  //    exactly q35's registered pair set (TextQualitySpec pins both
+  //    arms against plain-Scala capped-detector replays).
+  // Within each config, pairs materialize ONCE at the widest radius and
+  // each pair/doc contributes to every t ≥ its distance via a bounded
+  // explode — never re-running a detector per threshold.
   //
-  // Scale: the only corpus-sized work is q35's banding machinery
-  // (capped buckets, codegen'd graft_hamming); the curve itself
-  // aggregates the pair relation into ≤ 4 rows with map-side partials.
-  // The pair relation is cached between its two consumers (pair curve +
-  // per-doc minimum) — one detector pass, two tiny aggregations.
+  // Scale: the one corpus-sized relation is the SHARED simhash
+  // signature pass (tracked cache — both bandings read it, the corpus
+  // explodes once); each banding is q35's machinery (capped buckets,
+  // codegen'd graft_hamming), and each curve aggregates its pair
+  // relation into ≤ 4 rows with map-side partials. Pair relations are
+  // cached between their two consumers (pair curve + per-doc minimum).
   private def q107(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.Caches.track(
-      bandedHammingPairs(simhashDf(s, dir), "simhash",
-        nBands = 4, bandBits = 8, hamMax = 3))
-    val ts = s.range(0, 4).select(col("id").as("t"))
-    val pairCurve = pairs
-      .select(explode(expr("sequence(CAST(hamming AS BIGINT), 3L)")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("n_pairs"))
-    val docCurve = pairs.groupBy(col("d2").as("doc_id"))
-      .agg(min(col("hamming")).as("dmin"))
-      .select(explode(expr("sequence(CAST(dmin AS BIGINT), 3L)")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("n_docs_dropped"))
+    val sh = graft.Caches.track(simhashDf(s, dir))
     val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_total"))
-    ts.join(pairCurve, Seq("t"), "left")
-      .join(docCurve, Seq("t"), "left")
-      .crossJoin(broadcast(total))
-      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
-      .withColumn("n_docs_dropped", coalesce(col("n_docs_dropped"), lit(0L)))
-      .withColumn("drop_ppm", expr("(1000000 * n_docs_dropped) div n_total"))
-      .select("t", "n_pairs", "n_docs_dropped", "drop_ppm")
-      .orderBy("t")
+    def curve(config: String, nBands: Int, bandBits: Int, hamMax: Int): DataFrame = {
+      val pairs = graft.Caches.track(
+        bandedHammingPairs(sh, "simhash", nBands, bandBits, hamMax))
+      val ts = s.range(0, hamMax + 1).select(col("id").as("t"))
+      val pairCurve = pairs
+        .select(explode(expr(s"sequence(CAST(hamming AS BIGINT), ${hamMax}L)")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n_pairs"))
+      val docCurve = pairs.groupBy(col("d2").as("doc_id"))
+        .agg(min(col("hamming")).as("dmin"))
+        .select(explode(expr(s"sequence(CAST(dmin AS BIGINT), ${hamMax}L)")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n_docs_dropped"))
+      ts.join(pairCurve, Seq("t"), "left")
+        .join(docCurve, Seq("t"), "left")
+        .crossJoin(broadcast(total))
+        .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+        .withColumn("n_docs_dropped", coalesce(col("n_docs_dropped"), lit(0L)))
+        .withColumn("drop_ppm", expr("(1000000 * n_docs_dropped) div n_total"))
+        .select(lit(config).as("config"), col("t"), col("n_pairs"),
+          col("n_docs_dropped"), col("drop_ppm"))
+    }
+    curve("4x8", nBands = 4, bandBits = 8, hamMax = 3)
+      .unionByName(curve("2x16", nBands = 2, bandBits = 16, hamMax = 1))
+      .orderBy("config", "t")
   }
 
-  private val q107Sql =
+  private val q107Sql = {
+    def stack(sfx: String, nBands: Int, bandBits: Int, hamMax: Int) =
+      s"""bands$sfx AS (
+        |  SELECT doc_id, simhash, b AS band, substring(simhash, b * $bandBits + 1, $bandBits) AS bk
+        |  FROM sh CROSS JOIN (SELECT unnest(range($nBands)) AS b)),
+        |bsz$sfx AS (SELECT band, bk, COUNT(*) AS c FROM bands$sfx GROUP BY band, bk),
+        |cand$sfx AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
+        |  FROM bands$sfx a JOIN bands$sfx b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |  JOIN bsz$sfx k ON k.band = a.band AND k.bk = a.bk
+        |  WHERE k.c <= $BucketCap),
+        |ham$sfx AS (
+        |  SELECT d1, d2,
+        |         len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 33)], x -> x)) AS hamming
+        |  FROM cand$sfx),
+        |pairs$sfx AS (SELECT * FROM ham$sfx WHERE hamming <= $hamMax),
+        |pc$sfx AS (
+        |  SELECT t, COUNT(*) AS n_pairs
+        |  FROM (SELECT unnest(range(hamming, ${hamMax + 1})) AS t FROM pairs$sfx) GROUP BY t),
+        |dm$sfx AS (SELECT d2 AS doc_id, MIN(hamming) AS dmin FROM pairs$sfx GROUP BY d2),
+        |dc$sfx AS (
+        |  SELECT t, COUNT(*) AS n_docs_dropped
+        |  FROM (SELECT unnest(range(dmin, ${hamMax + 1})) AS t FROM dm$sfx) GROUP BY t),
+        |curve$sfx AS (
+        |  SELECT ts.t,
+        |         CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |         CAST(COALESCE(dc.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped,
+        |         (1000000 * CAST(COALESCE(dc.n_docs_dropped, 0) AS BIGINT)) // tot.n_total AS drop_ppm
+        |  FROM (SELECT unnest(range(0, ${hamMax + 1})) AS t) ts
+        |  LEFT JOIN pc$sfx pc ON ts.t = pc.t
+        |  LEFT JOIN dc$sfx dc ON ts.t = dc.t
+        |  CROSS JOIN tot)""".stripMargin
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |bits AS (
       |  SELECT doc_id, b,
@@ -1056,37 +1098,14 @@ object Dedup extends QueryModule {
       |sh AS (
       |  SELECT doc_id, string_agg(CASE WHEN sgn >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
       |  FROM sgns GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id, simhash, b AS band, substring(simhash, b * 8 + 1, 8) AS bk
-      |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS b)),
-      |bsz AS (SELECT band, bk, COUNT(*) AS c FROM bands GROUP BY band, bk),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS h1, b.simhash AS h2
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-      |  JOIN bsz k ON k.band = a.band AND k.bk = a.bk
-      |  WHERE k.c <= $BucketCap),
-      |ham AS (
-      |  SELECT d1, d2,
-      |         len(list_filter([substring(h1, i, 1) != substring(h2, i, 1) for i in range(1, 33)], x -> x)) AS hamming
-      |  FROM cand),
-      |pairs AS (SELECT * FROM ham WHERE hamming <= 3),
-      |pc AS (
-      |  SELECT t, COUNT(*) AS n_pairs
-      |  FROM (SELECT unnest(range(hamming, 4)) AS t FROM pairs) GROUP BY t),
-      |dm AS (SELECT d2 AS doc_id, MIN(hamming) AS dmin FROM pairs GROUP BY d2),
-      |dc AS (
-      |  SELECT t, COUNT(*) AS n_docs_dropped
-      |  FROM (SELECT unnest(range(dmin, 4)) AS t FROM dm) GROUP BY t),
-      |tot AS (SELECT COUNT(*) AS n_total FROM documents)
-      |SELECT ts.t,
-      |       CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
-      |       CAST(COALESCE(dc.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped,
-      |       (1000000 * CAST(COALESCE(dc.n_docs_dropped, 0) AS BIGINT)) // tot.n_total AS drop_ppm
-      |FROM (SELECT unnest(range(0, 4)) AS t) ts
-      |LEFT JOIN pc ON ts.t = pc.t
-      |LEFT JOIN dc ON ts.t = dc.t
-      |CROSS JOIN tot
-      |ORDER BY ts.t""".stripMargin
+      |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+      |${stack("4", 4, 8, 3)},
+      |${stack("16", 2, 16, 1)}
+      |SELECT '4x8' AS config, t, n_pairs, n_docs_dropped, drop_ppm FROM curve4
+      |UNION ALL
+      |SELECT '2x16' AS config, t, n_pairs, n_docs_dropped, drop_ppm FROM curve16
+      |ORDER BY config, t""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q119 — DEDUP DETECTOR AGREEMENT MATRIX: which near-dup detector

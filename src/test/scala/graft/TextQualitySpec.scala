@@ -311,13 +311,14 @@ class TextQualitySpec extends SparkTestBase {
       "degenerate corpus must fail every criterion")
   }
 
-  test("q107 calibration curve equals a plain-Scala replay of the capped detector") {
+  test("q107 calibration curve equals plain-Scala replays of BOTH capped detectors") {
     val sh = SparkEntry.queries("q34_simhash")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    // replay the 4×8 banding with the production bucket cap (64): a
-    // bucket over cap drops whole, in-bucket pairs dedup across bands
-    val pairs = sh.flatMap { case (id, h) =>
-      (0 until 4).map(b => ((b, h.substring(b * 8, b * 8 + 8))) -> ((id, h))) }
+    // replay a banding with the production bucket cap (64): a bucket
+    // over cap drops whole, in-bucket pairs dedup across bands
+    def pairsOf(nBands: Int, bandBits: Int, hamMax: Int) = sh.flatMap { case (id, h) =>
+      (0 until nBands).map(b =>
+        ((b, h.substring(b * bandBits, b * bandBits + bandBits))) -> ((id, h))) }
       .groupBy(_._1).values
       .map(_.map(_._2).sortBy(_._1))
       .filter(v => v.size >= 2 && v.size <= 64)
@@ -326,18 +327,30 @@ class TextQualitySpec extends SparkTestBase {
       .toSet[(Long, Long, String, String)]
       .map { case (a, b, ha, hb) =>
         (a, b, ha.zip(hb).count { case (x, y) => x != y }) }
-      .filter(_._3 <= 3)
-    val nPairs = (0 to 3).map(t => pairs.count(_._3 <= t).toLong)
-    val dmin = pairs.groupBy(_._2).map { case (d, v) => d -> v.map(_._3).min }
-    val nDrop = (0 to 3).map(t => dmin.count(_._2 <= t).toLong)
+      .filter(_._3 <= hamMax)
     val got = SparkEntry.queries("q107_threshold_curve")(spark, sfDir).collect()
-      .map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    (0 to 3).foreach { t =>
-      val expect = (nPairs(t), nDrop(t), 1000000L * nDrop(t) / sh.length)
-      assert(got(t) == expect, s"t=$t: got=${got(t)} expect=$expect")
+      .map(r => (r.getString(0), r.getLong(1).toInt) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    Seq(("4x8", 4, 8, 3), ("2x16", 2, 16, 1)).foreach {
+      case (config, nBands, bandBits, hamMax) =>
+        val pairs = pairsOf(nBands, bandBits, hamMax)
+        val dmin = pairs.groupBy(_._2).map { case (d, v) => d -> v.map(_._3).min }
+        (0 to hamMax).foreach { t =>
+          val nP = pairs.count(_._3 <= t).toLong
+          val nD = dmin.count(_._2 <= t).toLong
+          val expect = (nP, nD, 1000000L * nD / sh.length)
+          assert(got((config, t)) == expect,
+            s"$config t=$t: got=${got((config, t))} expect=$expect")
+        }
+        // each config's curve is cumulative by construction
+        assert((1 to hamMax).forall(t => got((config, t))._1 >= got((config, t - 1))._1 &&
+          got((config, t))._2 >= got((config, t - 1))._2))
     }
-    // the curve is cumulative by construction
-    assert((1 to 3).forall(t => got(t)._1 >= got(t - 1)._1 && got(t)._2 >= got(t - 1)._2))
+    // the production arm is the DEPLOYED detector: its widest point
+    // counts exactly q35's registered pair set
+    val q35n = SparkEntry.queries("q35_simhash_pairs")(spark, sfDir).count()
+    assert(got(("2x16", 1))._1 == q35n,
+      s"production point ${got(("2x16", 1))._1} != q35 pair count $q35n")
   }
 
   test("q108 fertility report equals per-lang recomputation with the q30 tokenizers") {
