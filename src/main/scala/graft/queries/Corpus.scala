@@ -280,6 +280,27 @@ object Corpus extends QueryModule {
     * and the persisted-index path (`LexIndex`), so the two cannot
     * drift: identical idf/weight expression trees and the identical
     * canonical-order fold. */
+  /** The per-term idf over (df, n_docs) columns — ONE expression tree
+    * shared by the batch core and the streaming serve (Streams
+    * .lexScore), so the two cannot produce different doubles. */
+  private[graft] def bm25Idf: org.apache.spark.sql.Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+
+  /** The per-(doc, term) weight over (tf, dl, n_docs, n_toks) columns:
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with avgdl = n_toks/n_docs,
+    * cleared to one division: k1 = Bm25K1Num/10, b = Bm25BNum/4. */
+  private[graft] def bm25Weight: org.apache.spark.sql.Column =
+    (col("tf") * (Bm25K1Num + 10) * col("n_toks")).cast("double") /
+      (lit(10) * col("n_toks") * col("tf") +
+        lit(Bm25K1Num * (4 - Bm25BNum) / 4.0) * col("n_toks") +
+        lit(Bm25K1Num * Bm25BNum / 4.0) * col("dl") * col("n_docs"))
+
+  /** The canonical-order score fold over (term, idf, w) rows:
+    * ascending-term left fold — bit-identical on any partitioning and
+    * any engine (see the q91 header). */
+  private[graft] val Bm25FoldSql =
+    "aggregate(array_sort(collect_list(named_struct('term', term, 'ts', idf * w))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.ts)"
+
   private[graft] def bm25Score(tf: DataFrame, stats: DataFrame,
                                terms: DataFrame): DataFrame = {
     val dfRel = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
@@ -287,19 +308,10 @@ object Corpus extends QueryModule {
       .join(broadcast(dfRel), "term")
       .crossJoin(broadcast(stats))
       .join(broadcast(terms), "term")
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      // tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with avgdl = n_toks/n_docs,
-      // cleared to one division: k1 = Bm25K1Num/10, b = Bm25BNum/4.
-      .withColumn("w",
-        (col("tf") * (Bm25K1Num + 10) * col("n_toks")).cast("double") /
-          (lit(10) * col("n_toks") * col("tf") +
-            lit(Bm25K1Num * (4 - Bm25BNum) / 4.0) * col("n_toks") +
-            lit(Bm25K1Num * Bm25BNum / 4.0) * col("dl") * col("n_docs")))
+      .withColumn("idf", bm25Idf)
+      .withColumn("w", bm25Weight)
       .groupBy("qid", "doc_id")
-      // canonical-order fold (see header): ascending-term left fold,
-      // bit-identical on any partitioning and any engine
-      .agg(expr("aggregate(array_sort(collect_list(named_struct('term', term, 'ts', idf * w))), CAST(0 AS DOUBLE), (acc, x) -> acc + x.ts)").as("score"),
+      .agg(expr(Bm25FoldSql).as("score"),
         count(lit(1)).cast("int").as("n_hit"))
   }
 

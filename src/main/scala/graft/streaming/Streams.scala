@@ -547,6 +547,60 @@ object Streams {
       .select("doc_id", "n_grams", "n_seen", "novelty_ppm", "flag_overlap")
   }
 
+  case class LexQuery(qid: Int, ts: Timestamp, text: String)
+
+  /** The lexical index's ONLINE serve (q131's batch/stream twin,
+    * completing the retrieval family's symmetry with the other artifact
+    * families): a continuous stream of QUERIES scored against the
+    * FROZEN postings/stats artifact. The offline/online split of
+    * [[bigramScore]]/[[mediaVerdicts]]: the artifact's one-row stats
+    * relation is read ONCE at stream start (two scalars — the
+    * broadcast-model shape), each query's terms fan out in a narrow
+    * flatMap, match postings in ONE stream-static equi-join on `term`
+    * plus the per-term df attachment, and the per-(query, doc) score is
+    * a watermark-bounded event-time windowed aggregation running the
+    * IDENTICAL idf/weight/canonical-fold expression trees as the batch
+    * core ([[graft.queries.Corpus.bm25Idf]]/`bm25Weight`/`Bm25FoldSql`
+    * — shared, so stream and batch scores are the same doubles).
+    *
+    * Emits the SCORED relation (qid, doc_id, score, n_hit): the final
+    * top-k is the consumer's bounded per-query re-rank (exactly
+    * [[graft.queries.Corpus.bm25TopK]]'s contract over ≤ matched-docs
+    * rows), which StreamingSpec applies to pin row identity with q131.
+    * State is the window store keyed (window, qid, doc) — bounded by
+    * the watermark and the day's query volume, never corpus-sized.
+    *
+    * Scale note: per-term df is derived inline from the postings
+    * relation (the artifact deliberately does not materialize a df
+    * relation a merge could corrupt — LexIndex's design); a deployment
+    * serving high-rate query streams would materialize the df-annotated
+    * postings once per generation (one narrow per-term count) so the
+    * static side of the join is a plain scan. */
+  def lexScore(queries: Dataset[LexQuery], postings: DataFrame,
+               stats: DataFrame): DataFrame = {
+    import queries.sparkSession.implicits._
+    // frozen artifact normalizers: a one-row control-plane read
+    val st = stats.select(col("n_docs"), col("n_toks")).collect().head
+    val (nDocs, nToks) = (st.getLong(0), st.getLong(1))
+    val terms = queries
+      .flatMap(q => q.text.split(" ").map(t => (q.qid, q.ts, t)))
+      .toDF("qid", "ts", "term")
+      .withWatermark("ts", "1 day") // pre-join: every query advances it
+    val dfRel = postings.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    terms
+      .join(postings, Seq("term"))
+      .join(dfRel, Seq("term"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("n_toks", lit(nToks))
+      .withColumn("idf", graft.queries.Corpus.bm25Idf)
+      .withColumn("w", graft.queries.Corpus.bm25Weight)
+      .groupBy(window(col("ts"), "1 day"), col("qid"), col("doc_id"))
+      .agg(expr(graft.queries.Corpus.Bm25FoldSql).as("score"),
+        count(lit(1)).cast("int").as("n_hit"))
+      .select("qid", "doc_id", "score", "n_hit")
+  }
+
   def bigramScore(docs: Dataset[Doc], model: Map[String, Long]): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.queries.Corpus.{LmHi, LmLo, LmOovBits}

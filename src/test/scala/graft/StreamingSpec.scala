@@ -544,4 +544,40 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch,
       s"stream ${streamed.size} rows vs batch ${batch.size}")
   }
+
+  test("lexScore query stream over the frozen index equals q131's serve") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = graft.queries.LexIndex.fullIndex(spark, sfDir)
+    val mem = MemoryStream[Streams.LexQuery]
+    val query = Streams.lexScore(mem.toDS(),
+        spark.read.parquet(s"$idx/postings"), spark.read.parquet(s"$idx/stats"))
+      .writeStream.format("memory").queryName("lex_stream")
+      .outputMode("append").start()
+    mem.addData(graft.queries.Corpus.Bm25Queries.map { case (qid, txt) =>
+      Streams.LexQuery(qid, ts("2024-01-01 01:00:00"), txt) }: _*)
+    query.processAllAvailable()
+    // a later query advances the watermark past the workload's window
+    // (its terms need not match anything — the watermark rides the
+    // pre-join term relation)
+    mem.addData(Streams.LexQuery(999, ts("2024-01-10 00:00:00"), "zzz_unmatched"))
+    query.processAllAvailable()
+    val streamed = spark.table("lex_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    query.stop()
+    assert(streamed.nonEmpty && streamed.forall(_._1 != 999))
+    // the consumer's bounded per-query cut (bm25TopK's exact contract:
+    // score desc / doc_id, depth 5, HALF_UP 4-decimal rounding) over
+    // the streamed scored rows must reproduce q131 row for row
+    val top = streamed.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy { case (_, doc, sc, _) => (-sc, doc) }.take(5).zipWithIndex
+        .map { case ((_, doc, sc, nh), i) =>
+          (qid, i + 1, doc,
+            BigDecimal(sc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, nh)
+        }
+    }.sortBy(r => (r._1, r._2))
+    val batch = SparkEntry.queries("q131_lex_index_serve")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toSeq
+    assert(top == batch, s"stream+cut:\n$top\nbatch q131:\n$batch")
+  }
 }
