@@ -73,8 +73,11 @@ object IncrementalPack extends QueryModule {
 
   private def indexRoot: String = IncrementalDedup.indexRoot
 
+  // "pack2": the round-14 layout adds the docspans/ roster; the bumped
+  // prefix keys past any pre-roster artifact a completed marker would
+  // otherwise serve (fingerprints key the DATA, not the layout).
   private[graft] def indexPath(s: SparkSession, dir: String): String =
-    s"$indexRoot/pack-${IncrementalDedup.dataFingerprint(s, dir)}"
+    s"$indexRoot/pack2-${IncrementalDedup.dataFingerprint(s, dir)}"
   private[graft] def shardPath(s: SparkSession, dir: String): String =
     s"$indexRoot/pack-shard-${IncrementalDedup.dataFingerprint(s, dir)}"
 
@@ -90,13 +93,12 @@ object IncrementalPack extends QueryModule {
       .filter(col("doc_id") % 5 === 4)
       .select((col("doc_id") + ShardBase).as("doc_id"), col("text"))
 
-  /** Pack a (doc_id, text, base_off) relation into per-sequence rows
-    * WITH the exact in-order token content string; token positions
-    * start at `base_off` (lit 0 for the offline pack, the frozen
-    * broadcast total for serving). Offsets via the q60 two-phase
-    * prefix sum — never a one-partition global cumsum; the grouped
-    * collect is bounded at SeqLen elements per group by construction. */
-  private def packedWithContent(docs: DataFrame): DataFrame = {
+  /** Per-doc packed offsets of a (doc_id, text, base_off) relation —
+    * (doc_id, ts, n_tokens, start_off) via the q60 two-phase prefix
+    * sum, never a one-partition global cumsum. The shared NARROW front
+    * half of [[packedFromOffsets]] (the token explode) and
+    * [[docSpansFromOffsets]] (the roster — no explode at all). */
+  private def offsetsOf(docs: DataFrame): DataFrame = {
     val n = docs
       .select(col("doc_id"), col("base_off"), split(col("text"), " ").as("ts"))
       .withColumn("n_tokens", size(col("ts")).cast("long"))
@@ -112,30 +114,56 @@ object IncrementalPack extends QueryModule {
     inBucket.join(broadcast(bucketTotals), "bucket")
       .withColumn("start_off",
         col("base_off") + col("boffset") + col("cum_in_bucket") - col("n_tokens"))
-      .select(col("doc_id"), col("start_off"), posexplode(col("ts")).as(Seq("i", "tok")))
-      .withColumn("p", col("start_off") + col("i"))
-      .withColumn("seq_id", expr(s"p div $SeqLen"))
-      .withColumn("pos", expr(s"p % $SeqLen"))
-      .groupBy("seq_id")
-      .agg(count(lit(1)).cast("int").as("n_tokens"),
-        countDistinct(col("doc_id")).cast("int").as("n_docs"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"),
-        expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
-          .as("content"))
+      .select("doc_id", "ts", "n_tokens", "start_off")
   }
+
+  /** Pack per-doc offsets into per-sequence rows WITH the exact
+    * in-order token content string; the grouped collect is bounded at
+    * SeqLen elements per group by construction. */
+  private def packedFromOffsets(offs: DataFrame): DataFrame = offs
+    .select(col("doc_id"), col("start_off"), posexplode(col("ts")).as(Seq("i", "tok")))
+    .withColumn("p", col("start_off") + col("i"))
+    .withColumn("seq_id", expr(s"p div $SeqLen"))
+    .withColumn("pos", expr(s"p % $SeqLen"))
+    .groupBy("seq_id")
+    .agg(count(lit(1)).cast("int").as("n_tokens"),
+      countDistinct(col("doc_id")).cast("int").as("n_docs"),
+      min(col("doc_id")).as("first_doc"),
+      max(col("doc_id")).as("last_doc"),
+      expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+        .as("content"))
+
+  /** Pack a (doc_id, text, base_off) relation into per-sequence rows;
+    * token positions start at `base_off` (lit 0 for the offline pack,
+    * the frozen broadcast total for serving). */
+  private def packedWithContent(docs: DataFrame): DataFrame =
+    packedFromOffsets(offsetsOf(docs))
+
+  /** The doc→sequence-span roster (doc_id, first_seq, last_seq): which
+    * sequences hold each doc's tokens — pure arithmetic on the offsets,
+    * no explode. This is what a removal request joins (q139): packed
+    * token positions are global state, so the artifact must be able to
+    * answer "where are this doc's tokens" without re-exploding a
+    * single sequence. */
+  private def docSpansFromOffsets(offs: DataFrame): DataFrame = offs
+    .select(col("doc_id"),
+      expr(s"start_off div $SeqLen").as("first_seq"),
+      expr(s"(start_off + n_tokens - 1) div $SeqLen").as("last_seq"))
 
   private def tokenTotal(docs: DataFrame): DataFrame = docs
     .select(size(split(col("text"), " ")).cast("long").as("nt"))
     .agg(coalesce(sum(col("nt")), lit(0L)).as("nt_sum"))
 
-  /** seqs/ + state/ writer shared by the offline build and [[ingest]]:
-    * `fullSeqs` are the hash rows to freeze, `packed` the content-
-    * bearing rows whose (at most one) partial row becomes the tail. */
+  /** seqs/ + state/ + docspans/ writer shared by the offline build and
+    * [[ingest]]: `fullSeqs` are the hash rows to freeze, `packed` the
+    * content-bearing rows whose (at most one) partial row becomes the
+    * tail, `spans` the doc→sequence-span roster (the removal-request
+    * surface — q139). */
   private def writeGeneration(s: SparkSession, tmp: org.apache.hadoop.fs.Path,
                               fullSeqs: DataFrame, packed: DataFrame,
-                              total: DataFrame): Unit = {
+                              total: DataFrame, spans: DataFrame): Unit = {
     fullSeqs.write.mode("overwrite").parquet(s"$tmp/seqs")
+    spans.write.mode("overwrite").parquet(s"$tmp/docspans")
     val tail = packed.filter(col("n_tokens") < SeqLen)
       .select(col("content").as("tail_text"), col("n_docs").as("tail_n_docs"),
         col("first_doc").as("tail_first_doc"), col("last_doc").as("tail_last_doc"))
@@ -158,11 +186,16 @@ object IncrementalPack extends QueryModule {
     val p = new org.apache.hadoop.fs.Path(path)
     IncrementalDedup.publish(s, p) { tmp =>
       IncrementalDedup.assertRekeyDisjoint(docs, "pack")
-      val packed = packedWithContent(docs.withColumn("base_off", lit(0L)))
+      // offsets run twice (token rows + the narrow spans roster): the
+      // prefix sum is cheap next to the explode it feeds, and only the
+      // per-seq explode result is worth a disk persist
+      val offs = offsetsOf(docs.withColumn("base_off", lit(0L)))
+      val packed = packedFromOffsets(offs)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       try writeGeneration(s, tmp,
         hashRows(packed.filter(col("n_tokens") === SeqLen)), packed,
-        tokenTotal(docs).select(col("nt_sum").as("total_tokens")))
+        tokenTotal(docs).select(col("nt_sum").as("total_tokens")),
+        docSpansFromOffsets(offs))
       finally packed.unpersist()
     }
     path
@@ -249,10 +282,17 @@ object IncrementalPack extends QueryModule {
         val total = s.read.parquet(s"$idxPath/state").select("total_tokens")
           .crossJoin(tokenTotal(shard))
           .select((col("total_tokens") + col("nt_sum")).as("total_tokens"))
+        // roster fold: stored spans stay VALID under append (a doc's
+        // tokens never move — that immobility is exactly why removal
+        // is a rewrite, q139's design note); the day's docs span from
+        // the frozen offset on
+        val shardSpans = docSpansFromOffsets(offsetsOf(shard.crossJoin(broadcast(
+          s.read.parquet(s"$idxPath/state").select(col("total_tokens").as("base_off"))))))
         writeGeneration(s, tmp,
           s.read.parquet(s"$idxPath/seqs")
             .unionByName(hashRows(tail.filter(col("n_tokens") === SeqLen))),
-          tail, total)
+          tail, total,
+          s.read.parquet(s"$idxPath/docspans").unionByName(shardSpans))
       } finally tail.unpersist()
     }
     outPath
@@ -297,11 +337,94 @@ object IncrementalPack extends QueryModule {
       |       md5(string_agg(tok, ' ' ORDER BY pos)) AS content_hash
       |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q139 — PACK TAKEDOWN AUDIT: the removal contract, stated honestly.
+  // Packed training data is the one artifact family where a takedown
+  // CANNOT be a tombstone: token positions are global state (every
+  // sequence after a removed token shifts), so post-materialization
+  // removal is either a PAD-rewrite of exactly the sequences holding
+  // the doc's tokens (offsets preserved; the trainer must mask holes)
+  // or a REPACK of everything from the first affected sequence onward.
+  // The production contract is therefore: takedowns GATE UPSTREAM
+  // (q133's lexical and q136's vector tombstones run before packing),
+  // and a post-hoc request against an already-shipped pack is priced by
+  // THIS audit before anyone commits to a rewrite. Per sequence:
+  //   n_tomb_docs  — removed docs with tokens in the sequence;
+  //   direct_hit   — the PAD-rewrite set (n_tomb_docs > 0);
+  //   must_rewrite — the REPACK set (everything from the first hit on).
+  // The request is a bare id list priced against the artifact's own
+  // docspans/ roster — the corpus is never re-read, no sequence is
+  // re-exploded (PlanSpec: zero documents scans).
+  //
+  // Scale shape: the roster join is request-sized × a narrow broadcast;
+  // only request docs explode their ≤ (len div SeqLen)+2-sequence
+  // spans; the seq universe comes from the artifact's own distributed
+  // seqs/ relation (∪ the one tail id from state) — never a driver-side
+  // or single-task range materialization; the first-hit scalar rides a
+  // broadcast 1-row aggregate.
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildPackState(s, corpusDocs(s, dir), indexPath(s, dir))
+    val spans = s.read.parquet(s"$idx/docspans")
+    // the request: every 7th packed doc opted out (the q133/q136
+    // fixture arithmetic), priced against the roster
+    val hit = spans.filter(col("doc_id") % 7 === 3)
+      .select(explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
+      .groupBy("seq_id").agg(count(lit(1)).as("n_tomb_docs"))
+    val state = s.read.parquet(s"$idx/state")
+    val allSeqs = s.read.parquet(s"$idx/seqs").select("seq_id")
+      .unionByName(state.filter(col("total_tokens") % SeqLen > 0)
+        .select(expr(s"total_tokens div $SeqLen").as("seq_id")))
+    val firstHit = hit.agg(min(col("seq_id")).as("first_hit"))
+    allSeqs.join(hit, Seq("seq_id"), "left")
+      .crossJoin(broadcast(firstHit))
+      .select(col("seq_id"),
+        coalesce(col("n_tomb_docs"), lit(0L)).as("n_tomb_docs"),
+        (coalesce(col("n_tomb_docs"), lit(0L)) > 0).as("direct_hit"),
+        (col("first_hit").isNotNull && col("seq_id") >= col("first_hit"))
+          .as("must_rewrite"))
+      .orderBy("seq_id")
+  }
+
+  // The oracle replays the corpus pack's offsets from raw documents (the
+  // plain global cumsum) and derives spans, hits, and both rewrite sets
+  // independently — a hash match proves the artifact roster prices the
+  // request exactly as a from-scratch repack analysis would.
+  private val q139Sql =
+    s"""WITH cdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+      |n AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM cdocs),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+      |  FROM n),
+      |spans AS (
+      |  SELECT doc_id, start_off // $SeqLen AS first_seq,
+      |         (start_off + n_tokens - 1) // $SeqLen AS last_seq
+      |  FROM c),
+      |hit AS (
+      |  SELECT unnest(range(first_seq, last_seq + 1)) AS seq_id
+      |  FROM spans WHERE doc_id % 7 = 3),
+      |hc AS (SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_tomb_docs FROM hit GROUP BY seq_id),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM n),
+      |allseq AS (
+      |  SELECT unnest(range(0, (total + ${SeqLen - 1}) // $SeqLen)) AS seq_id FROM tot),
+      |fh AS (SELECT MIN(seq_id) AS first_hit FROM hc)
+      |SELECT a.seq_id,
+      |       COALESCE(h.n_tomb_docs, 0) AS n_tomb_docs,
+      |       COALESCE(h.n_tomb_docs, 0) > 0 AS direct_hit,
+      |       fh.first_hit IS NOT NULL AND a.seq_id >= fh.first_hit AS must_rewrite
+      |FROM allseq a LEFT JOIN hc h USING (seq_id) CROSS JOIN fh
+      |ORDER BY a.seq_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_incremental_pack" -> ((s, dir) => q128(s, dir)),
+    "q139_pack_takedown_audit" -> ((s, dir) => q139(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
     "q128_incremental_pack" -> q128Sql,
+    "q139_pack_takedown_audit" -> q139Sql,
   )
 }

@@ -179,6 +179,37 @@ class IncrementalPackSpec extends SparkTestBase {
     }
   }
 
+  test("docspans roster equals the replay and stays valid across ingest") {
+    // the q139 surface: (doc -> first_seq/last_seq) from the artifact
+    // must match a plain concatenate-in-id-order walk, and APPEND must
+    // leave stored spans untouched (a doc's tokens never move — the
+    // immobility that makes pack removal a rewrite, q139's contract)
+    def replaySpans(rows: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+      var off = 0L
+      rows.sortBy(_._1).map { case (id, t) =>
+        val n = t.split(" ").length
+        val s0 = off; off += n
+        id -> ((s0 / SeqLen, (s0 + n - 1) / SeqLen))
+      }.toMap
+    }
+    def spans(p: String): Map[Long, (Long, Long)] =
+      spark.read.parquet(s"$p/docspans").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      val s0 = spans(idx)
+      assert(s0 == replaySpans(corpus), s"corpus roster drifted: $s0")
+      // fixture sanity: doc 1 (1200 toks) ends mid-seq-0, doc 2 straddles
+      assert(s0(1L) == ((0L, 0L)) && s0(2L) == ((0L, 1L)))
+      val g1 = IncrementalPack.ingest(spark, docsDf(day1), idx, s"$root/gen1")
+      val s1 = spans(g1)
+      assert(s1 == replaySpans(corpus ++ day1), s"post-ingest roster drifted: $s1")
+      // frozen spans byte-identical under append
+      assert(s0.forall { case (k, v) => s1(k) == v },
+        "ingest moved a stored doc's span")
+    }
+  }
+
   test("multi-day chain stays equal to the full repack") {
     withTempRoot { root =>
       val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")

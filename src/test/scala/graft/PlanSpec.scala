@@ -242,9 +242,22 @@ class PlanSpec extends SparkTestBase {
     // the 100 TB token stream is re-exploded per daily append
     val p = plan(graft.queries.IncrementalPack
       .queries("q128_incremental_pack")(spark, sfDir))
-    assert(p.contains("pack-"), "plan does not read the pack artifact")
+    assert(p.contains("pack2-"), "plan does not read the pack artifact")
     assert(!p.contains("documents.parquet"),
       "q128 rescans the documents table:\n" +
+        p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
+  }
+
+  test("q139 prices a removal request from the artifact roster: corpus never re-read") {
+    // the pack-takedown claim: the audit joins the bare request ids
+    // against the artifact's docspans/ roster and the frozen seqs/ ids
+    // — a documents scan would mean pricing a takedown re-reads the
+    // 100 TB corpus; re-exploding a sequence would mean it re-packs one
+    val p = plan(graft.queries.IncrementalPack
+      .queries("q139_pack_takedown_audit")(spark, sfDir))
+    assert(p.contains("docspans"), "plan does not read the docspans roster")
+    assert(!p.contains("documents.parquet"),
+      "q139 rescans the documents table:\n" +
         p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
   }
 
