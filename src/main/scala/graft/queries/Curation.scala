@@ -152,8 +152,12 @@ object Curation extends QueryModule {
       .select(col("doc_id").as("eval_doc"), col("tok"))
     val tr = rare.filter(col("doc_id") % EvalMod =!= EvalPhase)
 
-    // offline half: the filter over the eval side's distinct keys
-    val evKeys = ev.select("tok").distinct()
+    // offline half: the filter over the eval side's distinct keys.
+    // Tracked cache: the key set feeds TWO control-plane jobs (the
+    // sizing count, then the word-packing collect) — uncached, each
+    // re-ran the distinct over the rare relation (r14 adjudication:
+    // q85's calm drift vs its row traced to exactly these extra jobs).
+    val evKeys = graft.Caches.track(ev.select("tok").distinct())
     val nEval = evKeys.count() // control-plane scalar: sizes the filter
     val mBits = math.max(16384L, 16L * nEval) // 16 bits/key, K=4 -> fpr ~0.2%
     val nWords = ((mBits + 63) / 64).toInt
