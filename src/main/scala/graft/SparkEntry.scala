@@ -19,6 +19,7 @@ object SparkEntry {
     _root_.graft.queries.IncrementalPrepare,
     _root_.graft.queries.IncrementalPack,
     _root_.graft.queries.LexIndex,
+    _root_.graft.queries.Takedown,
     _root_.graft.queries.Similarity,
     _root_.graft.queries.TextPipeline,
     _root_.graft.queries.Curation,

@@ -362,8 +362,13 @@ object IncrementalPack extends QueryModule {
   // seqs/ relation (∪ the one tail id from state) — never a driver-side
   // or single-task range materialization; the first-hit scalar rides a
   // broadcast 1-row aggregate.
+  /** Build-or-reuse the corpus pack artifact and return its path — the
+    * pack-family entry point for the cross-family ledger (q140). */
+  private[graft] def corpusIndex(s: SparkSession, dir: String): String =
+    buildPackState(s, corpusDocs(s, dir), indexPath(s, dir))
+
   private def q139(s: SparkSession, dir: String): DataFrame = {
-    val idx = buildPackState(s, corpusDocs(s, dir), indexPath(s, dir))
+    val idx = corpusIndex(s, dir)
     val spans = s.read.parquet(s"$idx/docspans")
     // the request: every 7th packed doc opted out (the q133/q136
     // fixture arithmetic), priced against the roster

@@ -800,7 +800,7 @@ object Similarity extends QueryModule {
   // broadcast-sized centroid rows; assignment is a (vec, subspace)
   // partial-agg shuffle. Nothing is per-pair; the corpus is touched
   // twice per Lloyd iteration, identically to single-space k-means.
-  private val PqM = 8        // subspaces
+  private[graft] val PqM = 8 // subspaces
   private val PqDim = 8      // dims per subspace
   private val PqK = 16       // codewords per subspace
 

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryModule
+
+/** q140 — CROSS-FAMILY TAKEDOWN COMPLIANCE LEDGER: the governance
+  * relation a removal request actually produces in a 2026 training-data
+  * pipeline. One bare-id request ({id % 7 = 3} — the fixture arithmetic
+  * every takedown operator shares) arrives from user-ops/legal knowing
+  * NOTHING about which artifacts hold the data; the ledger prices it
+  * against every persisted family's own roster and states, per family,
+  * the mechanism that honors it and the rows it touches:
+  *
+  *  - `lexical / tombstone`  — q133's contract on the q131 index:
+  *    n_priced = request ∩ the doclens roster, n_rows = the postings
+  *    rows the tombstone anti-join masks.
+  *  - `vector / tombstone`   — q136's contract on the q79 index:
+  *    n_priced = request ∩ the code roster, n_rows = the code rows
+  *    masked (PqM per vector).
+  *  - `pack / pad_rewrite` and `pack / repack` — q139's contract on the
+  *    packed corpus, where a tombstone is IMPOSSIBLE (global token
+  *    positions): the two rewrite options priced from the docspans
+  *    roster — sequences holding removed tokens (pad-rewrite set) and
+  *    everything from the first hit onward (repack set).
+  *
+  * This is the relation a compliance review diffs before sign-off: it
+  * proves the request was priced on every surface (the q138 serving
+  * mask is the enforcement; this is the audit trail), and it makes the
+  * pack family's gate-upstream contract VISIBLE — its rows cost
+  * rewrites, not masks.
+  *
+  * Everything reads the artifacts' own rosters — the raw corpus and
+  * embeddings tables are never touched (PlanSpec), exactly the
+  * q133/q136/q139 discipline. Every count is a bounded one-row
+  * aggregate over a roster ⋈ broadcast-request join; the ledger is 4
+  * rows at any corpus size.
+  *
+  * The oracle recomputes each family's pricing from the RAW tables
+  * (documents token explode for postings rows, embeddings × PqM for
+  * code rows, the q139 cumsum replay for the pack sets) — a hash match
+  * proves the artifact rosters price the request exactly as a
+  * from-scratch audit would.
+  */
+object Takedown extends QueryModule {
+
+  private val SeqLen = IncrementalPack.SeqLen
+
+  private def one(family: String, mechanism: String,
+                  priced: DataFrame, rows: DataFrame): DataFrame =
+    priced.crossJoin(rows).select(
+      lit(family).as("family"), lit(mechanism).as("mechanism"),
+      col("n_priced"), col("n_rows"))
+
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    // lexical: the q131 artifact's roster and postings
+    val lexIdx = LexIndex.fullIndex(s, dir)
+    val lexIds = s.read.parquet(s"$lexIdx/doclens")
+      .select("doc_id").filter(col("doc_id") % 7 === 3)
+    val lex = one("lexical", "tombstone",
+      lexIds.agg(count(lit(1)).as("n_priced")),
+      s.read.parquet(s"$lexIdx/postings").join(broadcast(lexIds), "doc_id")
+        .agg(count(lit(1)).as("n_rows")))
+
+    // vector: the q79 artifact's code roster
+    Similarity.buildPqIndex(s, dir)
+    val codes = s.read.parquet(s"${Similarity.pqIndexPath(s, dir)}/codes")
+    val vecIds = codes.select("vec_id").distinct().filter(col("vec_id") % 7 === 3)
+    val vec = one("vector", "tombstone",
+      vecIds.agg(count(lit(1)).as("n_priced")),
+      codes.join(broadcast(vecIds), "vec_id").agg(count(lit(1)).as("n_rows")))
+
+    // pack: the q139 audit's two rewrite sets from the docspans roster
+    val packIdx = IncrementalPack.corpusIndex(s, dir)
+    val spans = s.read.parquet(s"$packIdx/docspans")
+    val tombSpans = spans.filter(col("doc_id") % 7 === 3)
+    val packPriced = tombSpans.agg(count(lit(1)).as("n_priced"))
+    val hitSeqs = tombSpans
+      .select(explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
+      .distinct()
+    val state = s.read.parquet(s"$packIdx/state")
+    val allSeqs = s.read.parquet(s"$packIdx/seqs").select("seq_id")
+      .unionByName(state.filter(col("total_tokens") % SeqLen > 0)
+        .select(expr(s"total_tokens div $SeqLen").as("seq_id")))
+    val firstHit = hitSeqs.agg(min(col("seq_id")).as("first_hit"))
+    val pad = one("pack", "pad_rewrite", packPriced,
+      hitSeqs.agg(count(lit(1)).as("n_rows")))
+    val repack = one("pack", "repack", packPriced,
+      allSeqs.crossJoin(broadcast(firstHit))
+        .filter(col("first_hit").isNotNull && col("seq_id") >= col("first_hit"))
+        .agg(count(lit(1)).as("n_rows")))
+
+    lex.unionByName(pad).unionByName(repack).unionByName(vec)
+      .orderBy("family", "mechanism")
+  }
+
+  private val q140Sql =
+    s"""WITH lids AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3),
+      |lp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM lids),
+      |lr AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM (
+      |    SELECT DISTINCT doc_id, tok FROM (
+      |      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM lids))),
+      |vp AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM embeddings WHERE vec_id % 7 = 3),
+      |pdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+      |pn AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM pdocs),
+      |pc AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+      |  FROM pn),
+      |pspans AS (
+      |  SELECT doc_id, start_off // $SeqLen AS first_seq,
+      |         (start_off + n_tokens - 1) // $SeqLen AS last_seq
+      |  FROM pc),
+      |pp AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM pspans WHERE doc_id % 7 = 3),
+      |phit AS (
+      |  SELECT DISTINCT unnest(range(first_seq, last_seq + 1)) AS seq_id
+      |  FROM pspans WHERE doc_id % 7 = 3),
+      |ptot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM pn),
+      |pnseq AS (SELECT (total + ${SeqLen - 1}) // $SeqLen AS n_seqs FROM ptot),
+      |ppad AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM phit),
+      |prepack AS (
+      |  SELECT CASE WHEN (SELECT COUNT(*) FROM phit) = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(n.n_seqs - (SELECT MIN(seq_id) FROM phit) AS BIGINT) END AS n_rows
+      |  FROM pnseq n)
+      |SELECT 'lexical' AS family, 'tombstone' AS mechanism, lp.n_priced, lr.n_rows
+      |FROM lp, lr
+      |UNION ALL
+      |SELECT 'pack', 'pad_rewrite', pp.n_priced, ppad.n_rows FROM pp, ppad
+      |UNION ALL
+      |SELECT 'pack', 'repack', pp.n_priced, prepack.n_rows FROM pp, prepack
+      |UNION ALL
+      |SELECT 'vector', 'tombstone', vp.n_priced,
+      |       CAST(${Similarity.PqM} * vp.n_priced AS BIGINT) AS n_rows
+      |FROM vp
+      |ORDER BY family, mechanism""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_takedown_ledger" -> ((s, dir) => q140(s, dir)),
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q140_takedown_ledger" -> q140Sql,
+  )
+}

@@ -261,6 +261,19 @@ class PlanSpec extends SparkTestBase {
         p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
   }
 
+  test("q140 prices the request from artifact rosters only: no raw-table scan") {
+    // the ledger's claim: compliance pricing reads doclens/postings,
+    // the code roster, and docspans/seqs/state — never the corpus or
+    // the embeddings (the q133/q136/q139 discipline, audited end-to-end)
+    val p = plan(graft.queries.Takedown.queries("q140_takedown_ledger")(spark, sfDir))
+    assert(p.contains("docspans") && p.contains("doclens"),
+      "ledger plan does not read the family rosters")
+    Seq("documents.parquet", "embeddings.parquet").foreach { t =>
+      assert(!p.contains(t), s"q140 rescans $t:\n" +
+        p.split("\n").filter(_.contains(t)).mkString("\n"))
+    }
+  }
+
   test("q33 bucket membership is count-pruned and collected with the capped aggregate") {
     // the round-8 shape: a codegen'd count aggregation prunes singleton/
     // over-cap band keys BEFORE any member buffer is built, and the
