@@ -13,13 +13,18 @@ class HybridSpec extends SparkTestBase {
 
   private val K0 = 60; private val ArmK = 10; private val TopK = 5
 
-  /** Collected fused rows: (qid, rank, doc_id, rrf_ppb, lex_rank?, vec_rank?). */
+  /** Collected fused rows: (qid, rank, doc_id, rrf_ppb, lex_rank?, vec_rank?).
+    * Memoized — several tests read the same fusion, and each engine run
+    * rebuilds nothing but still pays job scheduling (suite-time watch). */
+  private val fusedCache =
+    scala.collection.mutable.Map.empty[String, Seq[(Int, Int, Long, Long, Option[Int], Option[Int])]]
   private def fused(name: String): Seq[(Int, Int, Long, Long, Option[Int], Option[Int])] =
-    SparkEntry.queries(name)(spark, sfDir).collect().map { r =>
-      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
-        if (r.isNullAt(4)) None else Some(r.getInt(4)),
-        if (r.isNullAt(5)) None else Some(r.getInt(5)))
-    }.toSeq
+    fusedCache.getOrElseUpdate(name,
+      SparkEntry.queries(name)(spark, sfDir).collect().map { r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getInt(4)),
+          if (r.isNullAt(5)) None else Some(r.getInt(5)))
+      }.toSeq)
 
   /** Plain-Scala RRF over two arm relations — the q129/q135 fusion
     * contract: integer ppb contributions 1e9 div (k0 + rank), doc_id
