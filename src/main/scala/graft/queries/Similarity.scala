@@ -801,7 +801,7 @@ object Similarity extends QueryModule {
   // partial-agg shuffle. Nothing is per-pair; the corpus is touched
   // twice per Lloyd iteration, identically to single-space k-means.
   private[graft] val PqM = 8 // subspaces
-  private val PqDim = 8      // dims per subspace
+  private[graft] val PqDim = 8 // dims per subspace
   private val PqK = 16       // codewords per subspace
 
   /** PQ subvector relation (vec_id, sub, qa[PqDim], n2v) at 1e4

@@ -601,6 +601,57 @@ object Streams {
       .select("qid", "doc_id", "score", "n_hit")
   }
 
+  case class VecQuery(qid: Long, ts: Timestamp, embedding: Seq[Float])
+
+  /** The PQ index's ONLINE serve (q79's batch/stream twin — with
+    * [[lexScore]], BOTH retrieval arms now have the symmetry every
+    * other artifact family carries): a continuous stream of query
+    * VECTORS scored against the FROZEN codebook + codes artifact by
+    * asymmetric distance computation. Per query, a stateless narrow
+    * flatMap emits its M subvector rows (the EXACT pqQuantRows
+    * quantization — HALF_UP at 1e4 — in plain Scala, so stream and
+    * batch distances are the same integers); the per-query distance
+    * tables form in ONE stream-static equi-join with the K·M-row
+    * codebook (M×K rows per query — the broadcast-table shape), the
+    * stored codes attach in a second stream-static join on (sub, cid),
+    * and the per-(query, vec) distance sum is a watermark-bounded
+    * windowed aggregation. Emits the SCORED relation (qid, vec_id,
+    * adist); the consumer's bounded top-k cut is serveAdc's exact
+    * contract (adist asc, vec_id tiebreak, depth 3), which
+    * StreamingSpec applies to pin row identity with q79.
+    *
+    * State note, stated honestly: ADC against the FULL code set scores
+    * every stored vector per query — the window store holds exactly the
+    * relation the batch shuffle materializes (index-sized per in-window
+    * query, released at the watermark). A production serve bounds it
+    * the way q71 does — probe IVF cells first and pass the PROBED
+    * subset as `codes`; the twin is parameterized on the codes relation
+    * so that bound drops in unchanged. */
+  def adcScore(queries: Dataset[VecQuery], codebook: DataFrame,
+               codes: DataFrame): DataFrame = {
+    import queries.sparkSession.implicits._
+    val m = graft.queries.Similarity.PqM
+    val dsub = graft.queries.Similarity.PqDim
+    val sub = queries.flatMap { q =>
+      (0 until m).map { s =>
+        val qa = (0 until dsub).map { p =>
+          val x = q.embedding(s * dsub + p).toDouble * 10000.0
+          (math.signum(x) * math.floor(math.abs(x) + 0.5)).toLong
+        }
+        (q.qid, q.ts, s, qa, qa.map(v => v * v).sum)
+      }
+    }.toDF("qid", "ts", "sub", "qa", "n2q")
+      .withWatermark("ts", "1 day")
+    val dtab = sub.join(codebook, Seq("sub"))
+      .withColumn("d", col("n2q") + col("n2c") - lit(2L) * expr("graft_dot(qa, ca)"))
+      .select("qid", "ts", "sub", "cid", "d")
+    dtab.join(codes, Seq("sub", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(window(col("ts"), "1 day"), col("qid"), col("vec_id"))
+      .agg(sum(col("d")).as("adist"))
+      .select("qid", "vec_id", "adist")
+  }
+
   def bigramScore(docs: Dataset[Doc], model: Map[String, Long]): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.queries.Corpus.{LmHi, LmLo, LmOovBits}

@@ -580,4 +580,36 @@ class StreamingSpec extends SparkTestBase {
       .toSeq
     assert(top == batch, s"stream+cut:\n$top\nbatch q131:\n$batch")
   }
+
+  test("adcScore vector-query stream over the frozen PQ index equals q79's serve") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("q79_pq_index_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val idx = graft.queries.Similarity.pqIndexPath(spark, sfDir) // q79 just built it
+    val qvecs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 8).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[Streams.VecQuery]
+    val query = Streams.adcScore(mem.toDS(),
+        spark.read.parquet(s"$idx/codebook"), spark.read.parquet(s"$idx/codes"))
+      .writeStream.format("memory").queryName("adc_stream")
+      .outputMode("append").start()
+    mem.addData(qvecs.map { case (qid, v) =>
+      Streams.VecQuery(qid, ts("2024-01-01 01:00:00"), v) }.toIndexedSeq: _*)
+    query.processAllAvailable()
+    // close the window: a later query advances the watermark
+    mem.addData(Streams.VecQuery(999999L, ts("2024-01-10 00:00:00"),
+      qvecs.head._2))
+    query.processAllAvailable()
+    val streamed = spark.table("adc_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    query.stop()
+    assert(streamed.nonEmpty && streamed.forall(_._1 != 999999L))
+    // serveAdc's exact consumer cut: adist asc, vec_id tiebreak, depth 3
+    val top = streamed.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy { case (_, vec, d) => (d, vec) }.take(3).zipWithIndex
+        .map { case ((_, vec, d), i) => (qid, vec, d, i + 1) }
+    }.sortBy(r => (r._1, r._4))
+    assert(top == batch, s"stream+cut:\n$top\nbatch q79:\n$batch")
+  }
 }
