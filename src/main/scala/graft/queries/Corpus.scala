@@ -499,12 +499,13 @@ object Corpus extends QueryModule {
   /** The RRF fusion core over two arm-rank relations — lex = (qid,
     * doc_id, lex_rank), vec = (qid, doc_id, vec_rank) — shared by q129
     * and q135 so the two fusions cannot drift: integer ppb
-    * contributions, doc_id tiebreak, fused top-k. */
-  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
+    * contributions, doc_id tiebreak, fused top-k. `k0` defaults to the
+    * committed constant; q141 sweeps it. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame, k0: Int = RrfK0): DataFrame =
     lex.join(vec, Seq("qid", "doc_id"), "full_outer")
       .withColumn("rrf_ppb",
-        coalesce(expr(s"1000000000L div CAST($RrfK0 + lex_rank AS BIGINT)"), lit(0L)) +
-        coalesce(expr(s"1000000000L div CAST($RrfK0 + vec_rank AS BIGINT)"), lit(0L)))
+        coalesce(expr(s"1000000000L div CAST($k0 + lex_rank AS BIGINT)"), lit(0L)) +
+        coalesce(expr(s"1000000000L div CAST($k0 + vec_rank AS BIGINT)"), lit(0L)))
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("rrf_ppb").desc, col("doc_id"))))
       .filter(col("rank") <= RrfTopK)
@@ -604,6 +605,99 @@ object Corpus extends QueryModule {
       |${Similarity.adcRanksSqlCtes(Bm25Queries.map(_._1), RrfArmK,
            serveWhere = "a.vec_id % 7 <> 3")},
       |$rrfFusionSqlTail""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q141 — RRF k0 SENSITIVITY CURVE: the tuning-knob measurement for
+  // the hybrid family (the q122/q107 discipline — one detector pass,
+  // the whole curve). RRF's single parameter k0 sets the blend's
+  // top-heaviness: small k0 makes rank-1 hits dominate (the arms'
+  // winners crowd the fusion), large k0 flattens contributions toward
+  // arm-overlap consensus. The committed default is 60 (Cormack et
+  // al.); before changing it, an engineer reads THIS relation — per
+  // candidate k0 over the EXACT arms (q129's): agreement with the
+  // committed fusion (mean top-5 overlap, ppm) and the blend
+  // composition (share of fused rows contributed by the lexical arm
+  // only / both arms / the vector arm only, ppm). All integer.
+  //
+  // The composition column is the curve's KEY: k0 only reorders docs
+  // the arms SHARE — a doc in one arm contributes the single term
+  // 1e9/(k0+r), monotone in r with the same k0 shift for every doc, so
+  // on disjoint arms the fused ordering is k0-INVARIANT (a structural
+  // theorem, pinned by HybridSpec: both_ppm = 0 forces agree60_ppm =
+  // 1e6 at every k0, and a hand-built overlapping pair shows the knob
+  // flip). When this relation shows both_ppm ≈ 0 the right move is to
+  // tune the ARMS (depth, candidate generation), not k0 — exactly the
+  // decision the curve exists to inform.
+  //
+  // Scale shape: the two arms compute ONCE (each its parent's audited
+  // plan) into tracked caches of ≤ |workload|×armK rows; every per-k0
+  // fusion and the final rollup run over those bounded relations only
+  // — corpus cost is exactly one q129 regardless of grid size.
+  private val RrfK0Grid = Seq(10, 30, 60, 120)
+
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.Caches.track(lexArm(bm25Scored(s, dir)))
+    val vec = graft.Caches.track(
+      Similarity.bruteRanks(s, dir, Bm25Queries.map(_._1), RrfArmK)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("vrank").as("vec_rank")))
+    val fusedAll = graft.Caches.track(
+      RrfK0Grid.map(k => rrfFuse(lex, vec, k).withColumn("k0", lit(k)))
+        .reduce(_ unionByName _))
+    val base = fusedAll.filter(col("k0") === RrfK0)
+      .select(col("qid"), col("doc_id"), lit(1).as("in_base"))
+    fusedAll
+      .join(base, Seq("qid", "doc_id"), "left")
+      .groupBy("k0")
+      .agg(
+        expr(s"(1000000 * sum(coalesce(in_base, 0))) div (${RrfTopK * Bm25Queries.size})")
+          .as("agree60_ppm"),
+        expr("(1000000 * sum(CASE WHEN vec_rank IS NULL THEN 1 ELSE 0 END)) div count(1)")
+          .as("lex_only_ppm"),
+        expr("(1000000 * sum(CASE WHEN lex_rank IS NOT NULL AND vec_rank IS NOT NULL THEN 1 ELSE 0 END)) div count(1)")
+          .as("both_ppm"),
+        expr("(1000000 * sum(CASE WHEN lex_rank IS NULL THEN 1 ELSE 0 END)) div count(1)")
+          .as("vec_only_ppm"))
+      .orderBy("k0")
+  }
+
+  private val q141Sql = {
+    val k0vals = RrfK0Grid.map(k => s"($k)").mkString(", ")
+    s"""WITH $bm25SqlCtes,
+      |${Similarity.bruteRanksSqlCtes(Bm25Queries.map(_._1), RrfArmK)},
+      |k0s(k0) AS (VALUES $k0vals),
+      |lexr AS (
+      |  SELECT qid, doc_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+      |  FROM scored WHERE doc_id != qid),
+      |lex AS (SELECT qid, doc_id, lex_rank FROM lexr WHERE lex_rank <= $RrfArmK),
+      |vecn AS (SELECT qid, vec_id AS doc_id, vrank AS vec_rank FROM vranks),
+      |pairs AS (
+      |  SELECT COALESCE(l.qid, v.qid) AS qid, COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |         l.lex_rank, v.vec_rank
+      |  FROM lex l FULL OUTER JOIN vecn v ON l.qid = v.qid AND l.doc_id = v.doc_id),
+      |fusedk AS (
+      |  SELECT k.k0, p.qid, p.doc_id, p.lex_rank, p.vec_rank,
+      |         COALESCE(CAST(1000000000 // (k.k0 + p.lex_rank) AS BIGINT), CAST(0 AS BIGINT)) +
+      |         COALESCE(CAST(1000000000 // (k.k0 + p.vec_rank) AS BIGINT), CAST(0 AS BIGINT)) AS ppb
+      |  FROM pairs p CROSS JOIN k0s k),
+      |rankedk AS (
+      |  SELECT k0, qid, doc_id, lex_rank, vec_rank,
+      |         ROW_NUMBER() OVER (PARTITION BY k0, qid ORDER BY ppb DESC, doc_id) AS rk
+      |  FROM fusedk),
+      |topk AS (SELECT * FROM rankedk WHERE rk <= $RrfTopK),
+      |basek AS (SELECT qid, doc_id FROM topk WHERE k0 = $RrfK0)
+      |SELECT t.k0,
+      |       (1000000 * CAST(SUM(CASE WHEN b.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+      |         // ${RrfTopK * Bm25Queries.size} AS agree60_ppm,
+      |       (1000000 * CAST(SUM(CASE WHEN t.vec_rank IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+      |         // COUNT(*) AS lex_only_ppm,
+      |       (1000000 * CAST(SUM(CASE WHEN t.lex_rank IS NOT NULL AND t.vec_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+      |         // COUNT(*) AS both_ppm,
+      |       (1000000 * CAST(SUM(CASE WHEN t.lex_rank IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+      |         // COUNT(*) AS vec_only_ppm
+      |FROM topk t LEFT JOIN basek b ON t.qid = b.qid AND t.doc_id = b.doc_id
+      |GROUP BY t.k0 ORDER BY t.k0""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q130 — VOCABULARY STATISTICS REPORT: the corpus-level relation a
@@ -1454,6 +1548,7 @@ object Corpus extends QueryModule {
     "q130_vocab_report"     -> (q130 _),
     "q135_served_hybrid"    -> (q135 _),
     "q138_hybrid_takedown"  -> (q138 _),
+    "q141_rrf_k0_curve"     -> (q141 _),
     "q92_corpus_shard"      -> (q92 _),
     "q93_bigram_surprisal"  -> (q93 _),
     "q96_corpus_prepare"    -> (q96 _),
@@ -1472,6 +1567,7 @@ object Corpus extends QueryModule {
     "q130_vocab_report"     -> q130Sql,
     "q135_served_hybrid"    -> q135Sql,
     "q138_hybrid_takedown"  -> q138Sql,
+    "q141_rrf_k0_curve"     -> q141Sql,
     "q92_corpus_shard"      -> q92Sql,
     "q93_bigram_surprisal"  -> q93Sql,
     "q96_corpus_prepare"    -> q96Sql,

@@ -30,13 +30,14 @@ class HybridSpec extends SparkTestBase {
     * contract: integer ppb contributions 1e9 div (k0 + rank), doc_id
     * tiebreak, fused top-k. */
   private def replayFuse(lex: Map[Int, Seq[(Long, Int)]],
-                         vec: Map[Int, Seq[(Long, Int)]]): Seq[(Int, Int, Long, Long, Option[Int], Option[Int])] =
+                         vec: Map[Int, Seq[(Long, Int)]],
+                         k0: Int = K0): Seq[(Int, Int, Long, Long, Option[Int], Option[Int])] =
     Corpus.Bm25Queries.map(_._1).flatMap { qid =>
       val l = lex.getOrElse(qid, Nil).toMap
       val v = vec.getOrElse(qid, Nil).toMap
       (l.keySet ++ v.keySet).toSeq.map { doc =>
-        val ppb = l.get(doc).map(r => 1000000000L / (K0 + r)).getOrElse(0L) +
-          v.get(doc).map(r => 1000000000L / (K0 + r)).getOrElse(0L)
+        val ppb = l.get(doc).map(r => 1000000000L / (k0 + r)).getOrElse(0L) +
+          v.get(doc).map(r => 1000000000L / (k0 + r)).getOrElse(0L)
         (doc, ppb, l.get(doc), v.get(doc))
       }.sortBy { case (doc, ppb, _, _) => (-ppb, doc) }.take(TopK)
         .zipWithIndex.map { case ((doc, ppb, lr, vr), i) => (qid, i + 1, doc, ppb, lr, vr) }
@@ -101,6 +102,52 @@ class HybridSpec extends SparkTestBase {
     val avg = recalls.sum / recalls.size
     assert(avg >= 0.5, f"served-fusion recall collapsed: avg=$avg%.2f per-q=$recalls")
     assert(recalls.forall(_ >= 0.2), s"a query lost nearly all exact picks: $recalls")
+  }
+
+  test("q141 k0 curve equals a plain-Scala sweep over the exact arms") {
+    val lex = lexArmOf(LexIndex.servedScored(spark,
+      Seq(LexIndex.fullIndex(spark, sfDir)))
+      .select("qid", "doc_id", "score").collect()) // ≡ fresh BM25 (q131's proof)
+    val vec = vecArmOf(Similarity.bruteRanks(spark, sfDir,
+      Corpus.Bm25Queries.map(_._1), ArmK)
+      .select("qid", "vec_id", "vrank").collect())
+    val grid = Seq(10, 30, 60, 120)
+    val byK0 = grid.map(k => k -> replayFuse(lex, vec, k)).toMap
+    val base = byK0(K0).map(r => (r._1, r._3)).toSet
+    val nRows = TopK * Corpus.Bm25Queries.size
+    val expect = grid.map { k =>
+      val rows = byK0(k)
+      (k.toLong,
+        1000000L * rows.count(r => base((r._1, r._3))) / nRows,
+        1000000L * rows.count(_._6.isEmpty) / rows.size,
+        1000000L * rows.count(r => r._5.nonEmpty && r._6.nonEmpty) / rows.size,
+        1000000L * rows.count(_._5.isEmpty) / rows.size)
+    }
+    val got = SparkEntry.queries("q141_rrf_k0_curve")(spark, sfDir).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expect, s"curve mismatch:\n got=$got\n exp=$expect")
+    assert(got.map(r => r._1 -> r._2).toMap.apply(K0.toLong) == 1000000L)
+    // STRUCTURAL theorem the curve's composition column encodes: k0
+    // only reorders docs the arms SHARE. On disjoint arms each doc's
+    // one contribution 1e9/(k0+r) shifts identically, so zero overlap
+    // FORCES perfect agreement at every k0 — which is what this fixture
+    // exhibits (both arms never name the same (qid, doc)):
+    got.foreach { r =>
+      if (r._4 == 0L) assert(r._2 == 1000000L,
+        s"k0=${r._1}: disjoint arms yet agreement ${r._2} — fusion arithmetic broken")
+    }
+    // and the knob IS live exactly on overlap mass — a hand-built
+    // shared pair flips between grid points: X = (lex 1, vec 9) beats
+    // Y = (lex 4, vec 5) at k0 = 10 (the rank-1 term dominates) and
+    // loses from k0 = 30 on (flat contributions favor Y's better sum)
+    val lexH = Map(1 -> Seq((100L, 1), (200L, 4)))
+    val vecH = Map(1 -> Seq((100L, 9), (200L, 5)))
+    def order(k0: Int) = replayFuse(lexH, vecH, k0).map(_._3)
+    assert(order(10) == Seq(100L, 200L), s"k0=10 order: ${order(10)}")
+    Seq(30, 60, 120).foreach { k =>
+      assert(order(k) == Seq(200L, 100L), s"k0=$k order: ${order(k)}")
+    }
   }
 
   test("q138 masks the SAME takedown list on both arms, end to end") {
