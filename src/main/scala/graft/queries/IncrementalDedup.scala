@@ -235,6 +235,76 @@ object IncrementalDedup extends QueryModule {
     verdictsAgainst(s, s.read.parquet(s"$shard/docs"), idx)
   }
 
+  // ---------------------------------------------------------------------
+  // q142 — DEDUP-INDEX TAKEDOWN (redact, don't re-admit): the removal
+  // contract for the hash-state families, completing the census —
+  // lexical/vector tombstone (q133/q136), pack rewrite-audit (q139),
+  // and now the dedup state. A removed doc appears in this index only
+  // as a KEEPER reference in `exact/`; the committed policy is
+  // REDACTION, not deletion: dropping the hash row would re-admit the
+  // next crawl of the removed content (the content the request wants
+  // gone would re-enter the corpus through the front door), so the
+  // hash stays and blocks — but the verdict must stop CITING the
+  // removed doc's id (serving a takedown target's identity in every
+  // dup verdict is itself a leak). `bands/` is membership-only (no doc
+  // ids), so it carries nothing to redact — the near-dup probe is
+  // already takedown-clean by construction.
+  //
+  // Mechanics: the tombstone generation is the q133 shape (`ids/` =
+  // request ∩ the index's own keeper roster — the corpus is never
+  // read); serving is q84's verdict plan plus ONE broadcast left join
+  // on the keeper id that nulls corpus_keeper for redacted rows —
+  // verdicts, keeps, and every non-request row are bit-identical to
+  // q84's (the oracle proves it: q84's composed ground truth with a
+  // CASE redaction on the cited keeper).
+  //
+  // The same redaction contract transfers verbatim to the other two
+  // hash-state families (media q101, prepare q102): their exact/
+  // relations cite keepers the same way and their band relations are
+  // id-free, so one policy covers the trio; q142 lands it on the
+  // family whose verdict relation the ledger and specs already audit.
+  private[graft] def tombPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/dedup-tomb-${dataFingerprint(s, dir)}"
+
+  /** Publish the redaction tombstone: the request priced against the
+    * index's own keeper roster (unknown ids drop — the q133 contract). */
+  private[graft] def takedown(s: SparkSession, ids: DataFrame,
+                              idxPath: String, outPath: String): String = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
+    publish(s, path) { tmp =>
+      s.read.parquet(s"$idxPath/exact").select(col("keeper").as("doc_id"))
+        .join(broadcast(ids), "doc_id").distinct()
+        .write.mode("overwrite").parquet(s"$tmp/ids")
+    }
+    outPath
+  }
+
+  /** q84's serve with redaction: corpus_keeper nulls where the cited
+    * keeper is tombstoned; verdict/keep are untouched (the content
+    * stays blocked — that is the policy). */
+  private[graft] def verdictsRedacted(s: SparkSession, shard: DataFrame,
+                                      idxPath: String, tombPaths: Seq[String]): DataFrame = {
+    val dead = tombPaths.map(t => s.read.parquet(s"$t/ids"))
+      .reduce(_ unionByName _)
+      .select(col("doc_id").as("corpus_keeper"), lit(true).as("redact"))
+    verdictsAgainst(s, shard, idxPath)
+      .join(broadcast(dead), Seq("corpus_keeper"), "left")
+      .select(col("doc_id"), col("verdict"), col("keep"),
+        when(col("redact").isNotNull, lit(null).cast("long"))
+          .otherwise(col("corpus_keeper")).as("corpus_keeper"))
+      .orderBy("doc_id")
+  }
+
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildIndex(s, dir)
+    val shard = stageShard(s, dir)
+    val t = takedown(s,
+      s.read.parquet(s"$idx/exact").select(col("keeper").as("doc_id"))
+        .filter(col("doc_id") % 7 === 3),
+      idx, tombPath(s, dir))
+    verdictsRedacted(s, s.read.parquet(s"$shard/docs"), idx, Seq(t))
+  }
+
   // The oracle recomputes the COMPOSED (corpus ∪ shard) ground truth from
   // the raw documents table — it never sees the artifact, so a hash match
   // proves the index-only serving path reproduces exactly what a full
@@ -280,11 +350,23 @@ object IncrementalDedup extends QueryModule {
       |SELECT doc_id, verdict, verdict = 'kept' AS keep, corpus_keeper
       |FROM verdicts ORDER BY doc_id""".stripMargin
 
+  // q142's oracle: q84's composed ground truth with the CASE redaction
+  // on the cited keeper — every roster keeper matching the request
+  // arithmetic redacts; everything else is q84 verbatim, so a hash
+  // match proves redaction touches ONLY the citation column.
+  private val q142Sql = q84Sql.replace(
+    "SELECT doc_id, verdict, verdict = 'kept' AS keep, corpus_keeper",
+    """SELECT doc_id, verdict, verdict = 'kept' AS keep,
+      |       CASE WHEN corpus_keeper % 7 = 3 THEN NULL ELSE corpus_keeper END AS corpus_keeper"""
+      .stripMargin)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_incremental_dedup" -> ((s, dir) => q84(s, dir)),
+    "q142_dedup_takedown"   -> ((s, dir) => q142(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
     "q84_incremental_dedup" -> q84Sql,
+    "q142_dedup_takedown"   -> q142Sql,
   )
 }

@@ -13,6 +13,11 @@ import graft.QueryModule
   * against every persisted family's own roster and states, per family,
   * the mechanism that honors it and the rows it touches:
   *
+  *  - `dedup / redact`       — q142's contract on the q84 index: the
+  *    hash rows stay (removed content keeps BLOCKING — re-admission
+  *    would bring it back through the front door), the keeper
+  *    citations null; rows redacted = docs priced, structurally (one
+  *    text per doc ⇒ at most one kept hash per doc).
   *  - `lexical / tombstone`  — q133's contract on the q131 index:
   *    n_priced = request ∩ the doclens roster, n_rows = the postings
   *    rows the tombstone anti-join masks.
@@ -54,6 +59,19 @@ object Takedown extends QueryModule {
       col("n_priced"), col("n_rows"))
 
   private def q140(s: SparkSession, dir: String): DataFrame = {
+    // dedup: the q84 artifact's keeper roster — the REDACTION contract
+    // (q142): the hash rows stay (content keeps blocking), the keeper
+    // citations null; a doc keeps at most one hash (one text each), so
+    // rows redacted = docs priced, structurally
+    val dedupIdx = IncrementalDedup.buildIndex(s, dir)
+    val exact = s.read.parquet(s"$dedupIdx/exact")
+    val dIds = exact.select(col("keeper").as("doc_id"))
+      .filter(col("doc_id") % 7 === 3)
+    val ded = one("dedup", "redact",
+      dIds.agg(count(lit(1)).as("n_priced")),
+      exact.join(broadcast(dIds.select(col("doc_id").as("keeper"))), "keeper")
+        .agg(count(lit(1)).as("n_rows")))
+
     // lexical: the q131 artifact's roster and postings
     val lexIdx = LexIndex.fullIndex(s, dir)
     val lexIds = s.read.parquet(s"$lexIdx/doclens")
@@ -91,12 +109,16 @@ object Takedown extends QueryModule {
         .filter(col("first_hit").isNotNull && col("seq_id") >= col("first_hit"))
         .agg(count(lit(1)).as("n_rows")))
 
-    lex.unionByName(pad).unionByName(repack).unionByName(vec)
+    ded.unionByName(lex).unionByName(pad).unionByName(repack).unionByName(vec)
       .orderBy("family", "mechanism")
   }
 
   private val q140Sql =
-    s"""WITH lids AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3),
+    s"""WITH dkeep AS (
+      |  SELECT md5(text) AS h, MIN(doc_id) AS keeper
+      |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1),
+      |dp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM dkeep WHERE keeper % 7 = 3),
+      |lids AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3),
       |lp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM lids),
       |lr AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM (
@@ -129,7 +151,10 @@ object Takedown extends QueryModule {
       |  SELECT CASE WHEN (SELECT COUNT(*) FROM phit) = 0 THEN CAST(0 AS BIGINT)
       |         ELSE CAST(n.n_seqs - (SELECT MIN(seq_id) FROM phit) AS BIGINT) END AS n_rows
       |  FROM pnseq n)
-      |SELECT 'lexical' AS family, 'tombstone' AS mechanism, lp.n_priced, lr.n_rows
+      |SELECT 'dedup' AS family, 'redact' AS mechanism, dp.n_priced, dp.n_priced AS n_rows
+      |FROM dp
+      |UNION ALL
+      |SELECT 'lexical', 'tombstone', lp.n_priced, lr.n_rows
       |FROM lp, lr
       |UNION ALL
       |SELECT 'pack', 'pad_rewrite', pp.n_priced, ppad.n_rows FROM pp, ppad

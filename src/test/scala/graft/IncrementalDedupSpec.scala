@@ -91,4 +91,30 @@ class IncrementalDedupSpec extends SparkTestBase {
         s"exact table grew by ${e2.size - e1.size}, expected ${kept1.size}")
     }
   }
+
+  test("q142 redaction nulls only the cited keeper; content stays blocked") {
+    val base = SparkEntry.queries("q84_incremental_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    val red = SparkEntry.queries("q142_dedup_takedown")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(base.size == red.size)
+    var redacted = 0
+    base.zip(red).foreach { case ((d1, v1, k1, c1), (d2, v2, k2, c2)) =>
+      // verdict and keep are UNTOUCHED by the policy: the content of a
+      // removed doc stays blocked (redact, don't re-admit)
+      assert(d1 == d2 && v1 == v2 && k1 == k2, s"doc $d1 changed verdict under redaction")
+      (c1, c2) match {
+        case (Some(k), None) =>
+          redacted += 1
+          assert(k % 7 == 3, s"doc $d1 redacted a non-request keeper $k")
+          assert(v1 == "exact_dup_corpus", s"doc $d1 redacted but verdict $v1")
+        case (a, b) =>
+          assert(a == b, s"doc $d1 keeper drifted: $a -> $b")
+          a.foreach(k => assert(k % 7 != 3, s"doc $d1 still cites removed keeper $k"))
+      }
+    }
+    assert(redacted > 0, "fixture exercises no redaction - mask untested")
+  }
 }
