@@ -258,11 +258,12 @@ object IncrementalMediaDedup extends QueryModule {
   // a hash match proves (a) the three checked codec round-trips and
   // (b) that index-only serving reproduces exactly what a full corpus
   // rescan would conclude.
-  private val q101Sql = {
-    val cap = Dedup.BucketCap
-    val iMax = TextPipeline.AHashHamMax
-    val aMax = TextPipeline.EnvHamMax
-    s"""WITH i_img AS (
+  /** Oracle CTE chain `i_img`..`hash`: the (doc_id, media_type, fhash)
+    * replay of every document's synthetic media hash in plain SQL — the
+    * shared prefix of q101's oracle and the q140 ledger's media row
+    * (the ledger prices the same keeper roster this replay derives). */
+  private[graft] val oracleHashCtes: String =
+    """i_img AS (
       |  SELECT doc_id,
       |         CAST(8 + doc_id % 120 AS INT) AS w,
       |         CAST(8 + (doc_id * 7) % 120 AS INT) AS h
@@ -329,7 +330,13 @@ object IncrementalMediaDedup extends QueryModule {
       |hash AS (
       |  SELECT doc_id, 'image' AS media_type, fhash FROM i_ah
       |  UNION ALL SELECT doc_id, 'audio', fhash FROM a_ah
-      |  UNION ALL SELECT doc_id, 'video', fhash FROM v_sig),
+      |  UNION ALL SELECT doc_id, 'video', fhash FROM v_sig)""".stripMargin
+
+  private val q101Sql = {
+    val cap = Dedup.BucketCap
+    val iMax = TextPipeline.AHashHamMax
+    val aMax = TextPipeline.EnvHamMax
+    s"""WITH $oracleHashCtes,
       |corpus AS (SELECT * FROM hash WHERE doc_id % 5 <> 4),
       |smap AS (
       |  SELECT doc_id AS new_id, doc_id AS src FROM documents WHERE doc_id % 5 = 4
@@ -387,11 +394,69 @@ object IncrementalMediaDedup extends QueryModule {
       |FROM verdicts ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q143 — MEDIA-INDEX TAKEDOWN: q142's redact-don't-re-admit contract
+  // executed on the second hash-state family (the SURVEY L104 transfer
+  // claim, made concrete): a removed doc appears in the media index
+  // only as a keeper citation in `exact/` — the perceptual hash stays
+  // and keeps blocking re-uploads of the removed media, the verdict
+  // stops citing the removed id. `bands/` carries member HASHES, not
+  // doc ids, so the near-dup probe is already takedown-clean. Tombstone
+  // = request ∩ the keeper roster (media never re-decoded, corpus never
+  // read); serving = q101's plan + ONE broadcast left join nulling the
+  // citation. Oracle = q101's composed three-codec ground truth with
+  // the CASE redaction — a hash match proves only the citation column
+  // moves.
+  private[graft] def tombPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/media-tomb-${IncrementalDedup.dataFingerprint(s, dir)}"
+
+  private[graft] def takedown(s: SparkSession, ids: DataFrame,
+                              idxPath: String, outPath: String): String = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
+    IncrementalDedup.publish(s, path) { tmp =>
+      s.read.parquet(s"$idxPath/exact").select(col("keeper").as("doc_id"))
+        .join(broadcast(ids), "doc_id").distinct()
+        .write.mode("overwrite").parquet(s"$tmp/ids")
+    }
+    outPath
+  }
+
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = buildIndex(s, dir)
+    val shard = stageShard(s, dir)
+    val t = takedown(s,
+      s.read.parquet(s"$idx/exact").select(col("keeper").as("doc_id"))
+        .filter(col("doc_id") % 7 === 3),
+      idx, tombPath(s, dir))
+    val dead = s.read.parquet(s"$t/ids")
+      .select(col("doc_id").as("corpus_keeper"), lit(true).as("redact"))
+    verdictsAgainst(s, s.read.parquet(s"$shard/media").as[MediaRow], idx)
+      .join(broadcast(dead), Seq("corpus_keeper"), "left")
+      .select(col("doc_id"), col("media_type"), col("verdict"), col("keep"),
+        when(col("redact").isNotNull, lit(null).cast("long"))
+          .otherwise(col("corpus_keeper")).as("corpus_keeper"))
+      .orderBy("doc_id")
+  }
+
+  // Each doc_id carries one media payload (one modality), so — as with
+  // q142 — a keeper cites at most one exact row, and every cited
+  // keeper sits in the roster by construction: the redaction condition
+  // in the replayed truth is exactly `corpus_keeper % 7 = 3`.
+  private val q143Sql = q101Sql.replace(
+    "SELECT doc_id, media_type, verdict, verdict = 'kept' AS keep, corpus_keeper",
+    """SELECT doc_id, media_type, verdict, verdict = 'kept' AS keep,
+      |       CASE WHEN corpus_keeper % 7 = 3 THEN NULL ELSE corpus_keeper END AS corpus_keeper"""
+      .stripMargin)
+  require(q143Sql != q101Sql, "q143 oracle redaction splice did not fire")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_incremental_media_dedup" -> ((s, dir) => q101(s, dir)),
+    "q143_media_takedown"          -> ((s, dir) => q143(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
     "q101_incremental_media_dedup" -> q101Sql,
+    "q143_media_takedown"          -> q143Sql,
   )
 }

@@ -178,24 +178,17 @@ object IncrementalPrepare extends QueryModule {
   // then the shard stripped against the CORPUS-frozen boilerplate and
   // verdicted — never seeing the artifact: a hash match proves
   // artifact-only serving reproduces the full recomputation.
-  private val q102Sql = {
+  /** Oracle CTE chain `base`..`cex`: the corpus's boilerplate-stripped
+    * cleaned-hash keeper roster in plain SQL — the shared prefix of
+    * q102's oracle and the q140 ledger's prepare row. */
+  private[graft] val oracleCexCtes: String = {
     val segLen = Corpus.BoilerSegLen
     val minDf = Corpus.BoilerMinDf
-    val minToks = Corpus.MinCleanToks
-    val nShards = Corpus.NumShards
-    s"""WITH base AS (
+    s"""base AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS ts,
       |         len(string_split(text, ' ')) AS n
       |  FROM documents),
       |corpus AS (SELECT * FROM base WHERE doc_id % 5 <> 4),
-      |smap AS (
-      |  SELECT doc_id AS new_id, doc_id AS src FROM documents WHERE doc_id % 5 = 4
-      |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 10 = 0
-      |  UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 10 = 0
-      |  UNION ALL SELECT doc_id + 3000000, doc_id FROM documents WHERE doc_id % 20 = 4),
-      |shardb AS (
-      |  SELECT m.new_id AS doc_id, b.source, b.ts, b.n
-      |  FROM smap m JOIN base b ON b.doc_id = m.src),
       |csegs AS (
       |  SELECT doc_id, source, CAST(seg_id AS INT) AS seg_id,
       |         array_to_string(ts[(seg_id * $segLen + 1):(seg_id * $segLen + $segLen)], ' ') AS seg
@@ -210,7 +203,22 @@ object IncrementalPrepare extends QueryModule {
       |  GROUP BY s.doc_id),
       |cex AS (
       |  SELECT md5(clean_text) AS clean_hash, MIN(doc_id) AS keeper
-      |  FROM ccleaned GROUP BY 1),
+      |  FROM ccleaned GROUP BY 1)""".stripMargin
+  }
+
+  private val q102Sql = {
+    val segLen = Corpus.BoilerSegLen
+    val minToks = Corpus.MinCleanToks
+    val nShards = Corpus.NumShards
+    s"""WITH $oracleCexCtes,
+      |smap AS (
+      |  SELECT doc_id AS new_id, doc_id AS src FROM documents WHERE doc_id % 5 = 4
+      |  UNION ALL SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 3000000, doc_id FROM documents WHERE doc_id % 20 = 4),
+      |shardb AS (
+      |  SELECT m.new_id AS doc_id, b.source, b.ts, b.n
+      |  FROM smap m JOIN base b ON b.doc_id = m.src),
       |ssegs AS (
       |  SELECT doc_id, source, CAST(seg_id AS INT) AS seg_id,
       |         array_to_string(ts[(seg_id * $segLen + 1):(seg_id * $segLen + $segLen)], ' ') AS seg
@@ -254,11 +262,66 @@ object IncrementalPrepare extends QueryModule {
       |ORDER BY v.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q144 — PREPARE-INDEX TAKEDOWN: the redact-don't-re-admit contract
+  // (q142/q143) on the third and last hash-state family, so EVERY
+  // artifact family now carries an explicit removal operator (dedup
+  // q142, media q143, prepare q144, pack q139, lexical q133, vector
+  // q136 — priced together by the q140 ledger). A removed doc appears
+  // here only as a cleaned-hash keeper citation; the hash stays (a
+  // re-crawl of the removed page still verdicts exact_dup_corpus — the
+  // content cannot re-enter), the citation nulls. `segdf/` is
+  // (source, skey, df) counts — no doc ids, takedown-clean; shard/pos
+  // placement keys on the SHARD's ids only. Tombstone = request ∩ the
+  // keeper roster; serving = q102's plan + ONE broadcast left join.
+  // Oracle = q102's composed ground truth with the CASE redaction.
+  private[graft] def tombPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/prep-tomb-${IncrementalDedup.dataFingerprint(s, dir)}"
+
+  private[graft] def takedown(s: SparkSession, ids: DataFrame,
+                              idxPath: String, outPath: String): String = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
+    IncrementalDedup.publish(s, path) { tmp =>
+      s.read.parquet(s"$idxPath/exact").select(col("keeper").as("doc_id"))
+        .join(broadcast(ids), "doc_id").distinct()
+        .write.mode("overwrite").parquet(s"$tmp/ids")
+    }
+    outPath
+  }
+
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildIndex(s, dir)
+    val shard = stageShard(s, dir)
+    val t = takedown(s,
+      s.read.parquet(s"$idx/exact").select(col("keeper").as("doc_id"))
+        .filter(col("doc_id") % 7 === 3),
+      idx, tombPath(s, dir))
+    val dead = s.read.parquet(s"$t/ids")
+      .select(col("doc_id").as("corpus_keeper"), lit(true).as("redact"))
+    verdictsAgainst(s, s.read.parquet(s"$shard/docs"), idx)
+      .join(broadcast(dead), Seq("corpus_keeper"), "left")
+      .select(col("doc_id"), col("n_segs"), col("n_kept"), col("n_clean_toks"),
+        col("verdict"),
+        when(col("redact").isNotNull, lit(null).cast("long"))
+          .otherwise(col("corpus_keeper")).as("corpus_keeper"),
+        col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  private val q144Sql = q102Sql.replace(
+    "SELECT v.doc_id, v.n_segs, v.n_kept, v.n_clean_toks, v.verdict,\n      |       v.corpus_keeper, p.shard, p.pos".stripMargin,
+    """SELECT v.doc_id, v.n_segs, v.n_kept, v.n_clean_toks, v.verdict,
+      |       CASE WHEN v.corpus_keeper % 7 = 3 THEN NULL ELSE v.corpus_keeper END AS corpus_keeper,
+      |       p.shard, p.pos""".stripMargin)
+  require(q144Sql != q102Sql, "q144 oracle redaction splice did not fire")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_incremental_prepare" -> ((s, dir) => q102(s, dir)),
+    "q144_prepare_takedown"    -> ((s, dir) => q144(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
     "q102_incremental_prepare" -> q102Sql,
+    "q144_prepare_takedown"    -> q144Sql,
   )
 }

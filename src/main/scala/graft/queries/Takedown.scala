@@ -18,6 +18,11 @@ import graft.QueryModule
   *    would bring it back through the front door), the keeper
   *    citations null; rows redacted = docs priced, structurally (one
   *    text per doc ⇒ at most one kept hash per doc).
+  *  - `media / redact` and `prepare / redact` — the q142 contract
+  *    carried to the other two hash-state families by q143/q144: the
+  *    perceptual/cleaned hashes stay blocking, the keeper citations
+  *    null; one media payload (resp. one cleaned text) per doc makes
+  *    rows redacted = docs priced structurally, exactly as for dedup.
   *  - `lexical / tombstone`  — q133's contract on the q131 index:
   *    n_priced = request ∩ the doclens roster, n_rows = the postings
   *    rows the tombstone anti-join masks.
@@ -39,8 +44,9 @@ import graft.QueryModule
   * Everything reads the artifacts' own rosters — the raw corpus and
   * embeddings tables are never touched (PlanSpec), exactly the
   * q133/q136/q139 discipline. Every count is a bounded one-row
-  * aggregate over a roster ⋈ broadcast-request join; the ledger is 4
-  * rows at any corpus size.
+  * aggregate over a roster ⋈ broadcast-request join; the ledger is 7
+  * rows at any corpus size — one per (family, mechanism) across all
+  * six persisted families.
   *
   * The oracle recomputes each family's pricing from the RAW tables
   * (documents token explode for postings rows, embeddings × PqM for
@@ -70,6 +76,30 @@ object Takedown extends QueryModule {
     val ded = one("dedup", "redact",
       dIds.agg(count(lit(1)).as("n_priced")),
       exact.join(broadcast(dIds.select(col("doc_id").as("keeper"))), "keeper")
+        .agg(count(lit(1)).as("n_rows")))
+
+    // media: the q101 artifact's keeper roster — q143's redaction
+    // contract (one media payload per doc ⇒ a keeper cites exactly its
+    // own hash group, so rows redacted = docs priced, structurally —
+    // the same arithmetic as the dedup row)
+    val mediaIdx = IncrementalMediaDedup.buildIndex(s, dir)
+    val mExact = s.read.parquet(s"$mediaIdx/exact")
+    val mIds = mExact.select(col("keeper").as("doc_id"))
+      .filter(col("doc_id") % 7 === 3)
+    val med = one("media", "redact",
+      mIds.agg(count(lit(1)).as("n_priced")),
+      mExact.join(broadcast(mIds.select(col("doc_id").as("keeper"))), "keeper")
+        .agg(count(lit(1)).as("n_rows")))
+
+    // prepare: the q102 artifact's cleaned-hash keeper roster — q144's
+    // redaction contract (one cleaned text per doc ⇒ same structure)
+    val prepIdx = IncrementalPrepare.buildIndex(s, dir)
+    val pExact = s.read.parquet(s"$prepIdx/exact")
+    val prIds = pExact.select(col("keeper").as("doc_id"))
+      .filter(col("doc_id") % 7 === 3)
+    val prep = one("prepare", "redact",
+      prIds.agg(count(lit(1)).as("n_priced")),
+      pExact.join(broadcast(prIds.select(col("doc_id").as("keeper"))), "keeper")
         .agg(count(lit(1)).as("n_rows")))
 
     // lexical: the q131 artifact's roster and postings
@@ -109,12 +139,20 @@ object Takedown extends QueryModule {
         .filter(col("first_hit").isNotNull && col("seq_id") >= col("first_hit"))
         .agg(count(lit(1)).as("n_rows")))
 
-    ded.unionByName(lex).unionByName(pad).unionByName(repack).unionByName(vec)
+    ded.unionByName(lex).unionByName(med).unionByName(prep)
+      .unionByName(pad).unionByName(repack).unionByName(vec)
       .orderBy("family", "mechanism")
   }
 
   private val q140Sql =
-    s"""WITH dkeep AS (
+    s"""WITH ${IncrementalMediaDedup.oracleHashCtes},
+      |${IncrementalPrepare.oracleCexCtes},
+      |mcex AS (
+      |  SELECT media_type, fhash, MIN(doc_id) AS keeper
+      |  FROM hash WHERE doc_id % 5 <> 4 GROUP BY 1, 2),
+      |mp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM mcex WHERE keeper % 7 = 3),
+      |prp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM cex WHERE keeper % 7 = 3),
+      |dkeep AS (
       |  SELECT md5(text) AS h, MIN(doc_id) AS keeper
       |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1),
       |dp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM dkeep WHERE keeper % 7 = 3),
@@ -156,6 +194,10 @@ object Takedown extends QueryModule {
       |UNION ALL
       |SELECT 'lexical', 'tombstone', lp.n_priced, lr.n_rows
       |FROM lp, lr
+      |UNION ALL
+      |SELECT 'media', 'redact', mp.n_priced, mp.n_priced AS n_rows FROM mp
+      |UNION ALL
+      |SELECT 'prepare', 'redact', prp.n_priced, prp.n_priced AS n_rows FROM prp
       |UNION ALL
       |SELECT 'pack', 'pad_rewrite', pp.n_priced, ppad.n_rows FROM pp, ppad
       |UNION ALL

@@ -89,4 +89,28 @@ class IncrementalMediaDedupSpec extends SparkTestBase {
         "poisoned blobs changed real verdicts or leaked verdict rows")
     }
   }
+
+  test("q143 redaction nulls only the cited keeper; re-uploads stay blocked") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    val base = rows("q101_incremental_media_dedup")
+    val red = rows("q143_media_takedown")
+    assert(base.size == red.size)
+    var redacted = 0
+    base.zip(red).foreach { case ((d1, m1, v1, k1, c1), (d2, m2, v2, k2, c2)) =>
+      assert(d1 == d2 && m1 == m2 && v1 == v2 && k1 == k2,
+        s"doc $d1 changed verdict under redaction")
+      (c1, c2) match {
+        case (Some(k), None) =>
+          redacted += 1
+          assert(k % 7 == 3, s"doc $d1 redacted a non-request keeper $k")
+          assert(v1 == "exact_dup_corpus", s"doc $d1 redacted but verdict $v1")
+        case (a, b) =>
+          assert(a == b, s"doc $d1 keeper drifted: $a -> $b")
+          a.foreach(k => assert(k % 7 != 3, s"doc $d1 still cites removed keeper $k"))
+      }
+    }
+    assert(redacted > 0, "fixture exercises no media redaction - mask untested")
+  }
 }

@@ -88,4 +88,28 @@ class IncrementalPrepareSpec extends SparkTestBase {
       assert(v2(8000003L)._1 == "kept", v2.toString)
     }
   }
+
+  test("q144 redaction nulls only the cited keeper; re-crawled content stays blocked") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    val base = rows("q102_incremental_prepare")
+    val red = rows("q144_prepare_takedown")
+    assert(base.size == red.size)
+    var redacted = 0
+    base.zip(red).foreach { case ((d1, a1, b1, t1, v1, c1), (d2, a2, b2, t2, v2, c2)) =>
+      assert(d1 == d2 && a1 == a2 && b1 == b2 && t1 == t2 && v1 == v2,
+        s"doc $d1 changed verdict columns under redaction")
+      (c1, c2) match {
+        case (Some(k), None) =>
+          redacted += 1
+          assert(k % 7 == 3, s"doc $d1 redacted a non-request keeper $k")
+          assert(v1 == "exact_dup_corpus", s"doc $d1 redacted but verdict $v1")
+        case (a, b) =>
+          assert(a == b, s"doc $d1 keeper drifted: $a -> $b")
+          a.foreach(k => assert(k % 7 != 3, s"doc $d1 still cites removed keeper $k"))
+      }
+    }
+    assert(redacted > 0, "fixture exercises no prepare redaction - mask untested")
+  }
 }
