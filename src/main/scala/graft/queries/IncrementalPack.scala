@@ -73,11 +73,14 @@ object IncrementalPack extends QueryModule {
 
   private def indexRoot: String = IncrementalDedup.indexRoot
 
-  // "pack2": the round-14 layout adds the docspans/ roster; the bumped
-  // prefix keys past any pre-roster artifact a completed marker would
-  // otherwise serve (fingerprints key the DATA, not the layout).
+  // "pack3": the roster carries (start_off, n_tokens) alongside the
+  // sequence span so the pad-rewrite (q145) can place a removed doc's
+  // hole positions from the artifact alone — without ever reading the
+  // removed content. The bumped prefix keys past any earlier-layout
+  // artifact a completed marker would otherwise serve (fingerprints
+  // key the DATA, not the layout; "pack2" added the roster itself).
   private[graft] def indexPath(s: SparkSession, dir: String): String =
-    s"$indexRoot/pack2-${IncrementalDedup.dataFingerprint(s, dir)}"
+    s"$indexRoot/pack3-${IncrementalDedup.dataFingerprint(s, dir)}"
   private[graft] def shardPath(s: SparkSession, dir: String): String =
     s"$indexRoot/pack-shard-${IncrementalDedup.dataFingerprint(s, dir)}"
 
@@ -148,7 +151,8 @@ object IncrementalPack extends QueryModule {
   private def docSpansFromOffsets(offs: DataFrame): DataFrame = offs
     .select(col("doc_id"),
       expr(s"start_off div $SeqLen").as("first_seq"),
-      expr(s"(start_off + n_tokens - 1) div $SeqLen").as("last_seq"))
+      expr(s"(start_off + n_tokens - 1) div $SeqLen").as("last_seq"),
+      col("start_off"), col("n_tokens"))
 
   private def tokenTotal(docs: DataFrame): DataFrame = docs
     .select(size(split(col("text"), " ")).cast("long").as("nt"))
@@ -423,13 +427,140 @@ object IncrementalPack extends QueryModule {
       |FROM allseq a LEFT JOIN hc h USING (seq_id) CROSS JOIN fh
       |ORDER BY a.seq_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q145 — PACK PAD-REWRITE: the bounded removal EXECUTION q139 priced.
+  // q139's contract says a post-hoc takedown against shipped packed
+  // data is either a pad-rewrite of the direct-hit sequences or a
+  // repack from the first hit onward; this operator EXECUTES the
+  // cheaper branch. Every sequence holding a removed doc's tokens is
+  // rebuilt with the removed positions replaced by `<PAD>` (offsets
+  // and sequence boundaries preserved — the trainer masks holes, no
+  // later sequence moves); every other row of the artifact is emitted
+  // byte-identical. Metadata on rewritten rows re-derives over the
+  // SURVIVORS (n_docs/first_doc/last_doc exclude the removed ids —
+  // citing them would itself leak, q142's lesson), n_tokens keeps the
+  // positional count, and n_pad prices the holes.
+  //
+  // Scale shape — why this is bounded at 100 TB:
+  //  * the hit set and overlap set come from the artifact's own
+  //    docspans/ roster (request-sized explodes over ≤ span-length
+  //    rows, equi-joined against the BROADCAST hit set — codegen'd
+  //    BHJs, never a nested loop);
+  //  * the only corpus read is the overlapping SURVIVORS' text — the
+  //    request-bounded neighborhood of the holes, not the corpus (the
+  //    honest cost of a rewrite: pack data files must be re-written,
+  //    and only the affected files are touched);
+  //  * the REMOVED docs' content is never read: their hole positions
+  //    come from the roster's (start_off, n_tokens) arithmetic alone —
+  //    the rewrite works even after the removed content is already
+  //    legally deleted from the document store;
+  //  * the rebuild groups on seq_id with groups bounded at SeqLen
+  //    (the q127 collect discipline), over hit sequences only.
+  //
+  // The oracle replays the padded pack from raw documents (the plain
+  // cumsum with the CASE substitution) — the hash match proves both
+  // that rewritten rows hold exactly the padded content and that
+  // untouched rows are byte-identical to the frozen artifact.
+  private[graft] val PadTok = "<PAD>"
+
+  private[graft] def padRewrite(s: SparkSession, ids: DataFrame,
+                                idxPath: String, docStore: DataFrame): DataFrame = {
+    val spans = s.read.parquet(s"$idxPath/docspans")
+    val tomb = spans.join(broadcast(ids.select("doc_id")), "doc_id")
+    val hitSeqs = tomb
+      .select(explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
+      .distinct()
+    // docs overlapping any hit sequence: explode each roster span and
+    // equi-join the broadcast hit set
+    val overlap = spans
+      .select(col("doc_id"), col("start_off"), col("n_tokens"),
+        explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
+      .join(broadcast(hitSeqs), "seq_id")
+      .select("doc_id", "start_off", "n_tokens").distinct()
+    val tombIds = tomb.select("doc_id").distinct()
+    val surv = overlap.join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+    val survToks = docStore.join(broadcast(surv), "doc_id")
+      .select(col("doc_id"), col("start_off"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+      .select(col("doc_id"), (col("start_off") + col("i")).as("p"),
+        col("tok"), lit(0).as("is_pad"))
+    val padToks = tomb
+      .select(explode(expr("sequence(start_off, start_off + n_tokens - 1)")).as("p"))
+      .select(lit(null).cast("long").as("doc_id"), col("p"),
+        lit(PadTok).as("tok"), lit(1).as("is_pad"))
+    val rebuilt = survToks.unionByName(padToks)
+      .withColumn("seq_id", expr(s"p div $SeqLen"))
+      .join(broadcast(hitSeqs), "seq_id")
+      .withColumn("pos", expr(s"p % $SeqLen"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        countDistinct(col("doc_id")).cast("int").as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("is_pad")).cast("int").as("n_pad"),
+        md5(expr(
+          "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"))
+          .as("content_hash"))
+    val state = s.read.parquet(s"$idxPath/state")
+    val stored = s.read.parquet(s"$idxPath/seqs")
+      .unionByName(state.filter(col("total_tokens") % SeqLen > 0)
+        .select(expr(s"total_tokens div $SeqLen").as("seq_id"),
+          (col("total_tokens") % SeqLen).cast("int").as("n_tokens"),
+          col("tail_n_docs").cast("int").as("n_docs"),
+          col("tail_first_doc").as("first_doc"),
+          col("tail_last_doc").as("last_doc"),
+          md5(col("tail_text")).as("content_hash")))
+    stored.join(broadcast(hitSeqs), Seq("seq_id"), "left_anti")
+      .withColumn("n_pad", lit(0).cast("int"))
+      .unionByName(rebuilt)
+      .select("seq_id", "n_tokens", "n_docs", "first_doc", "last_doc",
+        "n_pad", "content_hash")
+      .orderBy("seq_id")
+  }
+
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val idx = corpusIndex(s, dir)
+    padRewrite(s,
+      s.read.parquet(s"$idx/docspans").select("doc_id")
+        .filter(col("doc_id") % 7 === 3),
+      idx, corpusDocs(s, dir))
+  }
+
+  private val q145Sql =
+    s"""WITH cdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+      |n AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM cdocs),
+      |c AS (
+      |  SELECT doc_id, ts,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+      |  FROM n),
+      |tok AS (
+      |  SELECT doc_id, start_off + u.i - 1 AS p, ts[u.i] AS tok
+      |  FROM c, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u),
+      |seqs AS (
+      |  SELECT p // $SeqLen AS seq_id, p % $SeqLen AS pos, doc_id, tok FROM tok)
+      |SELECT seq_id,
+      |       CAST(COUNT(*) AS INT) AS n_tokens,
+      |       CAST(COUNT(DISTINCT CASE WHEN doc_id % 7 <> 3 THEN doc_id END) AS INT) AS n_docs,
+      |       MIN(CASE WHEN doc_id % 7 <> 3 THEN doc_id END) AS first_doc,
+      |       MAX(CASE WHEN doc_id % 7 <> 3 THEN doc_id END) AS last_doc,
+      |       CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS INT) AS n_pad,
+      |       md5(string_agg(CASE WHEN doc_id % 7 = 3 THEN '$PadTok' ELSE tok END,
+      |                      ' ' ORDER BY pos)) AS content_hash
+      |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_incremental_pack" -> ((s, dir) => q128(s, dir)),
     "q139_pack_takedown_audit" -> ((s, dir) => q139(s, dir)),
+    "q145_pack_pad_rewrite" -> ((s, dir) => q145(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
     "q128_incremental_pack" -> q128Sql,
     "q139_pack_takedown_audit" -> q139Sql,
+    "q145_pack_pad_rewrite" -> q145Sql,
   )
 }

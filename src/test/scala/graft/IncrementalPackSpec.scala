@@ -210,6 +210,53 @@ class IncrementalPackSpec extends SparkTestBase {
     }
   }
 
+  test("q145 pad-rewrite: holes exactly the removed spans, untouched rows byte-identical") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      // remove doc 2 (900 toks straddling the full seq 0 AND the
+      // partial tail seq 1): both rows rewrite — including the
+      // tail-rebuild path — holes = exactly its token count, and the
+      // survivors' tokens stay in place around them
+      val got = IncrementalPack.padRewrite(
+        spark, docsDf(Seq(doc(2, 1))).select("doc_id"), idx, docsDf(corpus))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          r.getInt(5), r.getString(6))).toSeq.sortBy(_._1)
+      // plain-Scala replay with the PAD substitution
+      val toks = corpus.sortBy(_._1).flatMap { case (id, t) =>
+        t.split(" ").map(tok => (id, tok)) }
+      val exp = toks.zipWithIndex.groupBy(_._2 / SeqLen).toSeq.sortBy(_._1)
+        .map { case (seq, elems) =>
+          val surv = elems.map(_._1._1).filter(_ != 2L)
+          val padded = elems.map { case ((id, tok), _) =>
+            if (id == 2L) IncrementalPack.PadTok else tok }
+          (seq.toLong, elems.size, surv.distinct.size,
+            if (surv.isEmpty) -1L else surv.min,
+            if (surv.isEmpty) -1L else surv.max,
+            elems.count(_._1._1 == 2L), md5hex(padded.mkString(" ")))
+        }
+      assert(got == exp, s"pad-rewrite drifted:\n got=$got\n exp=$exp")
+      assert(got.map(_._6).sum == 900, "hole count != removed doc's tokens")
+      assert(got.filter(_._6 > 0).map(_._1) == Seq(0L, 1L),
+        "rewritten set != the straddled sequences")
+
+      // a request hitting only seq 0 (doc 1) leaves the tail row
+      // BYTE-identical to the artifact's stored tail
+      val got1 = IncrementalPack.padRewrite(
+        spark, docsDf(Seq(doc(1, 1))).select("doc_id"), idx, docsDf(corpus))
+        .collect().map(r => (r.getLong(0), r.getInt(5), r.getString(6))).toSeq
+      val storedTailHash = md5hex(
+        spark.read.parquet(s"$idx/state").collect().head.getString(1))
+      assert(got1.find(_._1 == 1L).map(t => (t._2, t._3))
+        .contains((0, storedTailHash)),
+        "untouched tail row drifted from the stored artifact")
+      assert(got1.find(_._1 == 0L).exists(_._2 == 1200),
+        "seq-0 rewrite lost doc 1's holes")
+    }
+  }
+
   test("multi-day chain stays equal to the full repack") {
     withTempRoot { root =>
       val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")

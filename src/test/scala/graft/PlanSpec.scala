@@ -242,7 +242,7 @@ class PlanSpec extends SparkTestBase {
     // the 100 TB token stream is re-exploded per daily append
     val p = plan(graft.queries.IncrementalPack
       .queries("q128_incremental_pack")(spark, sfDir))
-    assert(p.contains("pack2-"), "plan does not read the pack artifact")
+    assert(p.contains("pack3-"), "plan does not read the pack artifact")
     assert(!p.contains("documents.parquet"),
       "q128 rescans the documents table:\n" +
         p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
@@ -259,6 +259,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("documents.parquet"),
       "q139 rescans the documents table:\n" +
         p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
+  }
+
+  test("q145 pad-rewrite: untouched rows served from the artifact, corpus read broadcast-gated") {
+    // the rewrite claim: hole positions come from the docspans roster's
+    // offset arithmetic (removed content never read) and the only
+    // corpus input is the overlapping survivors' text, joined against a
+    // BROADCAST request-derived set — a shuffle of the documents table
+    // would mean a takedown rewrite re-keys the 100 TB corpus
+    val p = plan(graft.queries.IncrementalPack
+      .queries("q145_pack_pad_rewrite")(spark, sfDir))
+    assert(p.contains("pack3-") && p.contains("docspans"),
+      "plan does not serve from the pack artifact + roster")
+    val docScans = p.split("\n").filter(s =>
+      s.contains("FileScan") && s.contains("documents.parquet"))
+    assert(docScans.length == 1, // the overlapping survivors' text, nothing else
+      s"unexpected documents scans:\n${docScans.mkString("\n")}")
   }
 
   test("q140 prices the request from artifact rosters only: no raw-table scan") {
