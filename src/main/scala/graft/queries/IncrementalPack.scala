@@ -101,11 +101,27 @@ object IncrementalPack extends QueryModule {
     * sum, never a one-partition global cumsum. The shared NARROW front
     * half of [[packedFromOffsets]] (the token explode) and
     * [[docSpansFromOffsets]] (the roster — no explode at all). */
-  private def offsetsOf(docs: DataFrame): DataFrame = {
-    val n = docs
-      .select(col("doc_id"), col("base_off"), split(col("text"), " ").as("ts"))
-      .withColumn("n_tokens", size(col("ts")).cast("long"))
-      .withColumn("bucket", expr(s"doc_id div $PackBucket"))
+  private def offsetsOf(docs: DataFrame): DataFrame =
+    offsetsOfTs(docs.select(col("doc_id"), col("base_off"),
+      split(col("text"), " ").as("ts")))
+
+  /** [[offsetsOf]] over an already-tokenized (doc_id, base_off, ts)
+    * relation. */
+  private def offsetsOfTs(docs: DataFrame): DataFrame =
+    withStartOff(docs.select(col("doc_id"), col("base_off"), col("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast("long")))
+      .select("doc_id", "ts", "n_tokens", "start_off")
+
+  /** Add `start_off` to any (doc_id, base_off, n_tokens, …) relation
+    * via the q60 two-phase prefix sum — per-bucket partials, a tiny
+    * bucket-offset window, broadcast join back; extra columns ride
+    * through. The sum references its input TWICE (window branch +
+    * bucket totals), so callers whose input embeds an expensive scan
+    * pay it twice — the roster-only path (q146) therefore runs it over
+    * the artifact's own narrow token counts and joins corpus text in
+    * exactly once, downstream (PlanSpec). */
+  private def withStartOff(rel: DataFrame): DataFrame = {
+    val n = rel.withColumn("bucket", expr(s"doc_id div $PackBucket"))
     val inBucket = n.withColumn("cum_in_bucket",
       sum(col("n_tokens")).over(Window.partitionBy("bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -117,7 +133,7 @@ object IncrementalPack extends QueryModule {
     inBucket.join(broadcast(bucketTotals), "bucket")
       .withColumn("start_off",
         col("base_off") + col("boffset") + col("cum_in_bucket") - col("n_tokens"))
-      .select("doc_id", "ts", "n_tokens", "start_off")
+      .drop("bucket", "cum_in_bucket", "boffset")
   }
 
   /** Pack per-doc offsets into per-sequence rows WITH the exact
@@ -463,6 +479,20 @@ object IncrementalPack extends QueryModule {
   // untouched rows are byte-identical to the frozen artifact.
   private[graft] val PadTok = "<PAD>"
 
+  /** Every materialized sequence row of the artifact — the frozen full
+    * sequences plus the trailing partial (from `state/`) as a hash row:
+    * the relation a rewrite treats as "the shipped pack". */
+  private def storedRows(s: SparkSession, idxPath: String): DataFrame =
+    s.read.parquet(s"$idxPath/seqs")
+      .unionByName(s.read.parquet(s"$idxPath/state")
+        .filter(col("total_tokens") % SeqLen > 0)
+        .select(expr(s"total_tokens div $SeqLen").as("seq_id"),
+          (col("total_tokens") % SeqLen).cast("int").as("n_tokens"),
+          col("tail_n_docs").cast("int").as("n_docs"),
+          col("tail_first_doc").as("first_doc"),
+          col("tail_last_doc").as("last_doc"),
+          md5(col("tail_text")).as("content_hash")))
+
   private[graft] def padRewrite(s: SparkSession, ids: DataFrame,
                                 idxPath: String, docStore: DataFrame): DataFrame = {
     val spans = s.read.parquet(s"$idxPath/docspans")
@@ -501,16 +531,7 @@ object IncrementalPack extends QueryModule {
         md5(expr(
           "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"))
           .as("content_hash"))
-    val state = s.read.parquet(s"$idxPath/state")
-    val stored = s.read.parquet(s"$idxPath/seqs")
-      .unionByName(state.filter(col("total_tokens") % SeqLen > 0)
-        .select(expr(s"total_tokens div $SeqLen").as("seq_id"),
-          (col("total_tokens") % SeqLen).cast("int").as("n_tokens"),
-          col("tail_n_docs").cast("int").as("n_docs"),
-          col("tail_first_doc").as("first_doc"),
-          col("tail_last_doc").as("last_doc"),
-          md5(col("tail_text")).as("content_hash")))
-    stored.join(broadcast(hitSeqs), Seq("seq_id"), "left_anti")
+    storedRows(s, idxPath).join(broadcast(hitSeqs), Seq("seq_id"), "left_anti")
       .withColumn("n_pad", lit(0).cast("int"))
       .unionByName(rebuilt)
       .select("seq_id", "n_tokens", "n_docs", "first_doc", "last_doc",
@@ -552,15 +573,122 @@ object IncrementalPack extends QueryModule {
       |                      ' ' ORDER BY pos)) AS content_hash
       |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q146 — PACK REPACK-FROM-FIRST-HIT: the OTHER branch of the q139
+  // contract, executed against the SAME request q145 pads. Where the
+  // pad-rewrite freezes offsets and leaves holes, the repack closes
+  // them: every sequence before the first hit is served byte-identical
+  // from the artifact, and from the cut (= first_hit · SeqLen) onward
+  // the surviving tokens pack contiguously — the suffix a full
+  // survivor repack would produce, which is exactly what the oracle
+  // rebuilds. Running both branches on one request makes q139's
+  // pricing table executable end to end: q145 touches only direct-hit
+  // sequences, q146 honestly pays for the whole must_rewrite set.
+  //
+  // The key structural fact (why NO per-doc shift join is needed): no
+  // removed token exists below the cut, so no survivor below it moves;
+  // above it, survivors in doc order ARE the new stream. At most ONE
+  // survivor straddles the cut — its frozen prefix is trimmed at token
+  // granularity, and the trim is pure ROSTER arithmetic: the suffix
+  // survivors' new offsets come from the module's own two-phase prefix
+  // sum run over the roster's (doc_id, n_tokens − trim) counts based
+  // at the cut — no token array enters the sum, so the corpus text
+  // joins in exactly once, at the explode (PlanSpec: one documents
+  // scan), where `slice` drops the straddler's frozen prefix.
+  //
+  // Scale shape: the roster passes and the 1-row cut aggregate are
+  // narrow; the ONE corpus-sized cost is reading + re-packing the
+  // suffix survivors' text — q139's must_rewrite pricing, paid for
+  // real (this is the branch you take when trainers can't mask pads;
+  // the artifact prefix is never re-exploded, PlanSpec).
+  private[graft] def repackFrom(s: SparkSession, ids: DataFrame,
+                                idxPath: String, docStore: DataFrame): DataFrame = {
+    val spans = s.read.parquet(s"$idxPath/docspans")
+    val tomb = spans.join(broadcast(ids.select("doc_id")), "doc_id")
+    val cutRel = tomb.agg(min(expr(s"start_off div $SeqLen")).as("first_hit"))
+      .select(col("first_hit"), (col("first_hit") * SeqLen).as("cut"))
+    val frozen = storedRows(s, idxPath).crossJoin(broadcast(cutRel))
+      .filter(col("first_hit").isNull || col("seq_id") < col("first_hit"))
+      .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+        col("first_doc"), col("last_doc"), lit(false).as("rebuilt"),
+        col("content_hash"))
+    val rebuildOffs = withStartOff(spans
+      .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
+      .crossJoin(broadcast(cutRel))
+      .filter(col("cut").isNotNull && col("start_off") + col("n_tokens") > col("cut"))
+      .select(col("doc_id"),
+        greatest(lit(0L), col("cut") - col("start_off")).as("trim"),
+        (col("n_tokens") - greatest(lit(0L), col("cut") - col("start_off")))
+          .as("n_tokens"),
+        col("cut").as("base_off")))
+      .select("doc_id", "trim", "start_off")
+    val trimmed = docStore.join(rebuildOffs, "doc_id")
+      .withColumn("ts0", split(col("text"), " "))
+      .select(col("doc_id"), col("start_off"),
+        expr("slice(ts0, CAST(trim AS INT) + 1, size(ts0))").as("ts"))
+    val rebuilt = hashRows(packedFromOffsets(trimmed))
+      .withColumn("rebuilt", lit(true))
+      .select("seq_id", "n_tokens", "n_docs", "first_doc", "last_doc",
+        "rebuilt", "content_hash")
+    frozen.unionByName(rebuilt).orderBy("seq_id")
+  }
+
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val idx = corpusIndex(s, dir)
+    repackFrom(s,
+      s.read.parquet(s"$idx/docspans").select("doc_id")
+        .filter(col("doc_id") % 7 === 3),
+      idx, corpusDocs(s, dir))
+  }
+
+  // The oracle repacks the SURVIVORS from raw documents (the plain
+  // cumsum with the removed docs excluded) and derives the cut from the
+  // original pack's offsets — a hash match proves the frozen prefix is
+  // byte-identical to the artifact AND the rebuilt suffix equals the
+  // full survivor repack.
+  private val q146Sql =
+    s"""WITH cdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+      |n AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM cdocs),
+      |c AS (
+      |  SELECT doc_id, ts, n_tokens,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+      |  FROM n),
+      |fh AS (SELECT MIN(start_off // $SeqLen) AS first_hit FROM c WHERE doc_id % 7 = 3),
+      |sc AS (
+      |  SELECT doc_id, ts,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+      |  FROM n WHERE doc_id % 7 <> 3),
+      |tok AS (
+      |  SELECT doc_id, start_off + u.i - 1 AS p, ts[u.i] AS tok
+      |  FROM sc, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u),
+      |seqs AS (
+      |  SELECT p // $SeqLen AS seq_id, p % $SeqLen AS pos, doc_id, tok FROM tok)
+      |SELECT seq_id,
+      |       CAST(COUNT(*) AS INT) AS n_tokens,
+      |       CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+      |       MIN(doc_id) AS first_doc,
+      |       MAX(doc_id) AS last_doc,
+      |       fh.first_hit IS NOT NULL AND seq_id >= fh.first_hit AS rebuilt,
+      |       md5(string_agg(tok, ' ' ORDER BY pos)) AS content_hash
+      |FROM seqs CROSS JOIN fh GROUP BY seq_id, fh.first_hit
+      |ORDER BY seq_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_incremental_pack" -> ((s, dir) => q128(s, dir)),
     "q139_pack_takedown_audit" -> ((s, dir) => q139(s, dir)),
     "q145_pack_pad_rewrite" -> ((s, dir) => q145(s, dir)),
+    "q146_pack_repack" -> ((s, dir) => q146(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
     "q128_incremental_pack" -> q128Sql,
     "q139_pack_takedown_audit" -> q139Sql,
     "q145_pack_pad_rewrite" -> q145Sql,
+    "q146_pack_repack" -> q146Sql,
   )
 }

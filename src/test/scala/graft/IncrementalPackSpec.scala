@@ -257,6 +257,36 @@ class IncrementalPackSpec extends SparkTestBase {
     }
   }
 
+  test("q146 repack: frozen prefix is the stored artifact row, suffix equals the survivor repack") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      def run(removed: Long) = IncrementalPack.repackFrom(
+        spark, docsDf(Seq(doc(removed, 1))).select("doc_id"), idx, docsDf(corpus))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5), r.getString(6))).toSeq
+      def exp(removed: Long, firstHit: Long) =
+        replay(corpus.filter(_._1 != removed)).map { case (s, nt, nd, fd, ld, _, h) =>
+          (s, nt, nd, fd, ld, s >= firstHit, h) }
+      // doc 3 starts at offset 2100 (seq 1): seq 0 frozen, the tail
+      // rebuilt from doc 2's straddle suffix (52 tokens past the cut —
+      // the token-granular trim under test)
+      val got3 = run(3)
+      assert(got3 == exp(3, 1L), s"repack(3) drifted:\n got=$got3\n exp=${exp(3, 1L)}")
+      val stored0 = spark.read.parquet(s"$idx/seqs").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), false, r.getString(5))).find(_._1 == 0L).get
+      assert(got3.head == stored0, "frozen row differs from the stored artifact row")
+      assert(got3.last == ((1L, 52, 1, 2L, 2L, true,
+        md5hex((848 until 900).map(j => s"d2_$j").mkString(" ")))),
+        "straddle-trimmed tail wrong")
+      // doc 2 starts at offset 1200 (seq 0): cut = 0, nothing frozen —
+      // the repack honestly pays for the whole stream
+      val got2 = run(2)
+      assert(got2 == exp(2, 0L), s"repack(2) drifted:\n got=$got2\n exp=${exp(2, 0L)}")
+      assert(got2.forall(_._6), "cut at 0 must rebuild every row")
+    }
+  }
+
   test("multi-day chain stays equal to the full repack") {
     withTempRoot { root =>
       val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")

@@ -126,8 +126,11 @@ class PlanSpec extends SparkTestBase {
     // q128's serving prefix sum runs its bucket-offset window over the
     // DAY'S SHARD buckets (|shard|/PackBucket rows — intake-sized, not
     // corpus-sized), the same bounded relation class.
+    // q146's repack suffix re-runs the same two-phase sum over the
+    // rebuild docs' buckets — the identical bounded bucket relation.
     val exempt = Map("q60_sequence_packing" -> 1, "q69_vocab_coverage" -> 1,
-      "q127_pack_materialize" -> 1, "q128_incremental_pack" -> 1)
+      "q127_pack_materialize" -> 1, "q128_incremental_pack" -> 1,
+      "q146_pack_repack" -> 1)
     // Caches.disabled + clearCache: see the cartesian sweep — a
     // partition-less window inside a cached subtree must not hide
     // behind an InMemoryRelation
@@ -274,6 +277,20 @@ class PlanSpec extends SparkTestBase {
     val docScans = p.split("\n").filter(s =>
       s.contains("FileScan") && s.contains("documents.parquet"))
     assert(docScans.length == 1, // the overlapping survivors' text, nothing else
+      s"unexpected documents scans:\n${docScans.mkString("\n")}")
+  }
+
+  test("q146 repack: artifact prefix never re-exploded, one suffix-survivor corpus read") {
+    // the repack claim: sequences before the first hit are served as
+    // stored hash rows (re-exploding them would re-pay the corpus pack
+    // below the cut); the rebuilt suffix reads the survivors' text once
+    val p = plan(graft.queries.IncrementalPack
+      .queries("q146_pack_repack")(spark, sfDir))
+    assert(p.contains("pack3-") && p.contains("docspans"),
+      "plan does not serve from the pack artifact + roster")
+    val docScans = p.split("\n").filter(s =>
+      s.contains("FileScan") && s.contains("documents.parquet"))
+    assert(docScans.length == 1, // the suffix survivors' text, nothing else
       s"unexpected documents scans:\n${docScans.mkString("\n")}")
   }
 
