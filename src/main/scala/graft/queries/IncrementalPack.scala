@@ -387,16 +387,19 @@ object IncrementalPack extends QueryModule {
   private[graft] def corpusIndex(s: SparkSession, dir: String): String =
     buildPackState(s, corpusDocs(s, dir), indexPath(s, dir))
 
-  private def q139(s: SparkSession, dir: String): DataFrame = {
-    val idx = corpusIndex(s, dir)
-    val spans = s.read.parquet(s"$idx/docspans")
-    // the request: every 7th packed doc opted out (the q133/q136
-    // fixture arithmetic), priced against the roster
-    val hit = spans.filter(col("doc_id") % 7 === 3)
+  /** Price a removal request against the pack artifact's own roster —
+    * q139's body, factored so IncrementalPackSpec can assert the
+    * pricing ↔ execution identity: `direct_hit` is exactly the set
+    * [[padRewrite]] rewrites, `must_rewrite` exactly the set
+    * [[repackFrom]] rebuilds. */
+  private[graft] def priceTakedown(s: SparkSession, ids: DataFrame,
+                                   idxPath: String): DataFrame = {
+    val spans = s.read.parquet(s"$idxPath/docspans")
+    val hit = spans.join(broadcast(ids.select("doc_id")), "doc_id")
       .select(explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
       .groupBy("seq_id").agg(count(lit(1)).as("n_tomb_docs"))
-    val state = s.read.parquet(s"$idx/state")
-    val allSeqs = s.read.parquet(s"$idx/seqs").select("seq_id")
+    val state = s.read.parquet(s"$idxPath/state")
+    val allSeqs = s.read.parquet(s"$idxPath/seqs").select("seq_id")
       .unionByName(state.filter(col("total_tokens") % SeqLen > 0)
         .select(expr(s"total_tokens div $SeqLen").as("seq_id")))
     val firstHit = hit.agg(min(col("seq_id")).as("first_hit"))
@@ -408,6 +411,16 @@ object IncrementalPack extends QueryModule {
         (col("first_hit").isNotNull && col("seq_id") >= col("first_hit"))
           .as("must_rewrite"))
       .orderBy("seq_id")
+  }
+
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val idx = corpusIndex(s, dir)
+    // the request: every 7th packed doc opted out (the q133/q136
+    // fixture arithmetic), priced against the roster
+    priceTakedown(s,
+      s.read.parquet(s"$idx/docspans").select("doc_id")
+        .filter(col("doc_id") % 7 === 3),
+      idx)
   }
 
   // The oracle replays the corpus pack's offsets from raw documents (the

@@ -287,6 +287,37 @@ class IncrementalPackSpec extends SparkTestBase {
     }
   }
 
+  test("q139 pricing is exactly what q145/q146 execute: direct_hit = padded rows, must_rewrite = rebuilt rows") {
+    // the contract's two-plans-one-answer check: the audit PRICES from
+    // roster arithmetic alone; both executions must touch exactly the
+    // priced sets — nothing more (over-rewriting wastes the 100 TB
+    // budget), nothing less (under-rewriting leaks the takedown)
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      for (removed <- Seq(2L, 3L)) {
+        val ids = docsDf(Seq(doc(removed, 1))).select("doc_id")
+        val price = IncrementalPack.priceTakedown(spark, ids, idx).collect()
+          .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+        val padded = IncrementalPack.padRewrite(spark, ids, idx, docsDf(corpus))
+          .collect().map(r => r.getLong(0) -> (r.getInt(5) > 0)).toMap
+        val rebuilt = IncrementalPack.repackFrom(spark, ids, idx, docsDf(corpus))
+          .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+        val directHits = price.filter(_._2).map(_._1).toSet
+        assert(padded.filter(_._2).keySet == directHits,
+          s"removed=$removed: pad-rewrite touched ${padded.filter(_._2).keySet}, priced $directHits")
+        assert(price.filter(_._3).map(_._1).toSet == rebuilt.filter(_._2).keySet,
+          s"removed=$removed: repack rebuilt ${rebuilt.filter(_._2).keySet}, priced ${price.filter(_._3).map(_._1).toSet}")
+        // same universe: every priced seq_id appears in both executions
+        assert(padded.keySet == price.map(_._1).toSet && {
+          // the repack CLOSES holes, so its seq universe may shrink —
+          // but only past the cut, and never below the priced count of
+          // surviving tokens' sequences
+          rebuilt.keySet.subsetOf(price.map(_._1).toSet)
+        }, s"removed=$removed: seq universes drifted")
+      }
+    }
+  }
+
   test("multi-day chain stays equal to the full repack") {
     withTempRoot { root =>
       val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
