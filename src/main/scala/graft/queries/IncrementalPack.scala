@@ -614,19 +614,21 @@ object IncrementalPack extends QueryModule {
   // suffix survivors' text — q139's must_rewrite pricing, paid for
   // real (this is the branch you take when trainers can't mask pads;
   // the artifact prefix is never re-exploded, PlanSpec).
-  private[graft] def repackFrom(s: SparkSession, ids: DataFrame,
-                                idxPath: String, docStore: DataFrame): DataFrame = {
-    val spans = s.read.parquet(s"$idxPath/docspans")
-    val tomb = spans.join(broadcast(ids.select("doc_id")), "doc_id")
-    val cutRel = tomb.agg(min(expr(s"start_off div $SeqLen")).as("first_hit"))
+  /** The (first_hit, cut) 1-row relation of a takedown request's tomb
+    * spans — null first_hit when the request misses the pack. */
+  private def takedownCut(tomb: DataFrame): DataFrame =
+    tomb.agg(min(expr(s"start_off div $SeqLen")).as("first_hit"))
       .select(col("first_hit"), (col("first_hit") * SeqLen).as("cut"))
-    val frozen = storedRows(s, idxPath).crossJoin(broadcast(cutRel))
-      .filter(col("first_hit").isNull || col("seq_id") < col("first_hit"))
-      .select(col("seq_id"), col("n_tokens"), col("n_docs"),
-        col("first_doc"), col("last_doc"), lit(false).as("rebuilt"),
-        col("content_hash"))
+
+  /** The re-packed suffix WITH content ([[packedFromOffsets]] columns):
+    * survivors overlapping or past the cut, trimmed at token
+    * granularity by roster arithmetic, corpus text joined exactly
+    * once. Shared by q146 (hash + union with the frozen prefix) and
+    * [[applyTakedown]] (persists content so the new tail survives). */
+  private def rebuiltSuffix(spans: DataFrame, tombIds: DataFrame,
+                            cutRel: DataFrame, docStore: DataFrame): DataFrame = {
     val rebuildOffs = withStartOff(spans
-      .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
+      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
       .crossJoin(broadcast(cutRel))
       .filter(col("cut").isNotNull && col("start_off") + col("n_tokens") > col("cut"))
       .select(col("doc_id"),
@@ -639,7 +641,20 @@ object IncrementalPack extends QueryModule {
       .withColumn("ts0", split(col("text"), " "))
       .select(col("doc_id"), col("start_off"),
         expr("slice(ts0, CAST(trim AS INT) + 1, size(ts0))").as("ts"))
-    val rebuilt = hashRows(packedFromOffsets(trimmed))
+    packedFromOffsets(trimmed)
+  }
+
+  private[graft] def repackFrom(s: SparkSession, ids: DataFrame,
+                                idxPath: String, docStore: DataFrame): DataFrame = {
+    val spans = s.read.parquet(s"$idxPath/docspans")
+    val tomb = spans.join(broadcast(ids.select("doc_id")), "doc_id")
+    val cutRel = takedownCut(tomb)
+    val frozen = storedRows(s, idxPath).crossJoin(broadcast(cutRel))
+      .filter(col("first_hit").isNull || col("seq_id") < col("first_hit"))
+      .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+        col("first_doc"), col("last_doc"), lit(false).as("rebuilt"),
+        col("content_hash"))
+    val rebuilt = hashRows(rebuiltSuffix(spans, tomb.select("doc_id"), cutRel, docStore))
       .withColumn("rebuilt", lit(true))
       .select("seq_id", "n_tokens", "n_docs", "first_doc", "last_doc",
         "rebuilt", "content_hash")
@@ -653,6 +668,129 @@ object IncrementalPack extends QueryModule {
         .filter(col("doc_id") % 7 === 3),
       idx, corpusDocs(s, dir))
   }
+
+  // ---------------------------------------------------------------------
+  // q147 — PACK TAKEDOWN FOLD: persist the repack as a new artifact
+  // GENERATION, so the multi-day chain continues after a removal. q146
+  // computes the repacked relation; without a fold the artifact still
+  // carries the removed doc's roster row, a stale total, and sequence
+  // hashes that no longer exist — the next day's ingest would append at
+  // the WRONG offset. The fold writes the full gen1 contract:
+  //  - seqs/     — frozen prefix rows byte-identical + the re-packed
+  //                suffix's full sequences;
+  //  - state/    — total drops the removed token mass; the tail is the
+  //                re-packed suffix's partial row (its exact text, so
+  //                later boundary stitches keep working);
+  //  - docspans/ — survivors shift down by the removed mass BEFORE
+  //                them, computed as a delta prefix sum over the roster
+  //                itself (delta = n_tokens on removed rows, 0 on
+  //                survivors — the same two-phase sum, so survivors
+  //                below the cut shift by exactly 0 with no cut logic).
+  // A request that misses the pack folds to the identity (stored tail
+  // passes through). The fold is deterministic and marker-published:
+  // a same-path replay is a no-op (IncrementalDedup.publish).
+  //
+  // q147 serves gen1's ROSTER — the one relation q146 doesn't already
+  // prove — against an oracle that re-derives survivor offsets from
+  // raw documents via the plain cumsum. The chain proof (ingest a new
+  // day onto gen1 equals the from-scratch pack of survivors ∪ day) is
+  // IncrementalPackSpec's, since DuckDB cannot see generations.
+  //
+  // Scale shape: everything but the suffix re-pack (q146's honest
+  // must_rewrite cost, already priced) is roster arithmetic — the
+  // shift pass is one narrow two-phase sum over the roster, no text,
+  // no explode, no corpus read beyond the suffix survivors'.
+  private[graft] def applyTakedown(s: SparkSession, ids: DataFrame,
+                                   idxPath: String, docStore: DataFrame,
+                                   outPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    IncrementalDedup.publish(s, p) { tmp =>
+      val spans = s.read.parquet(s"$idxPath/docspans")
+      val tomb = spans.join(broadcast(ids.select("doc_id")), "doc_id")
+      val cutRel = takedownCut(tomb)
+      val rebuilt = rebuiltSuffix(spans, tomb.select("doc_id"), cutRel, docStore)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        val state = s.read.parquet(s"$idxPath/state")
+        val frozenSeqs = s.read.parquet(s"$idxPath/seqs")
+          .crossJoin(broadcast(cutRel))
+          .filter(col("first_hit").isNull || col("seq_id") < col("first_hit"))
+          .select("seq_id", "n_tokens", "n_docs", "first_doc", "last_doc",
+            "content_hash")
+        // identity fold: when the request misses the pack, the rebuilt
+        // suffix is empty and the stored tail must pass through as the
+        // packed row (otherwise the new state would reset tail_text to
+        // '' while total stays mid-sequence — the q128 empty-day lesson)
+        val storedTailPacked = state.filter(col("total_tokens") % SeqLen > 0)
+          .crossJoin(broadcast(cutRel)).filter(col("first_hit").isNull)
+          .select(expr(s"total_tokens div $SeqLen").as("seq_id"),
+            (col("total_tokens") % SeqLen).cast("int").as("n_tokens"),
+            col("tail_n_docs").cast("int").as("n_docs"),
+            col("tail_first_doc").as("first_doc"),
+            col("tail_last_doc").as("last_doc"),
+            col("tail_text").as("content"))
+        val total = state.select("total_tokens")
+          .crossJoin(broadcast(tomb.agg(
+            coalesce(sum(col("n_tokens")), lit(0L)).as("rm"))))
+          .select((col("total_tokens") - col("rm")).as("total_tokens"))
+        val marked = spans.join(
+          broadcast(ids.select("doc_id").withColumn("is_rm", lit(1))),
+          Seq("doc_id"), "left")
+        val shifted = withStartOff(marked.select(col("doc_id"),
+          col("start_off").as("old_start"), col("n_tokens").as("real_n"),
+          when(col("is_rm") === 1, col("n_tokens")).otherwise(lit(0L))
+            .as("n_tokens"),
+          lit(0L).as("base_off"), col("is_rm")))
+        // withStartOff emits base + cum − own delta: for a survivor
+        // (delta 0) that is exactly the removed mass strictly before it
+        val newSpans = shifted.filter(col("is_rm").isNull)
+          .select(col("doc_id"),
+            expr(s"(old_start - start_off) div $SeqLen").as("first_seq"),
+            expr(s"(old_start - start_off + real_n - 1) div $SeqLen").as("last_seq"),
+            (col("old_start") - col("start_off")).as("start_off"),
+            col("real_n").as("n_tokens"))
+        writeGeneration(s, tmp,
+          frozenSeqs.unionByName(
+            hashRows(rebuilt.filter(col("n_tokens") === SeqLen))),
+          rebuilt.unionByName(storedTailPacked), total, newSpans)
+      } finally rebuilt.unpersist()
+    }
+    outPath
+  }
+
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val idx = corpusIndex(s, dir)
+    val gen1 = applyTakedown(s,
+      s.read.parquet(s"$idx/docspans").select("doc_id")
+        .filter(col("doc_id") % 7 === 3),
+      idx, corpusDocs(s, dir),
+      s"$indexRoot/pack3rm-${IncrementalDedup.dataFingerprint(s, dir)}")
+    s.read.parquet(s"$gen1/docspans")
+      .select("doc_id", "first_seq", "last_seq", "start_off", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  // The oracle re-derives the survivor roster from raw documents (the
+  // plain cumsum over the corpus minus the removed docs) — a match
+  // proves the folded generation's spans equal a from-scratch survivor
+  // pack's, i.e. the shift-by-removed-mass arithmetic is exact.
+  private val q147Sql =
+    s"""WITH cdocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 3),
+      |n AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM cdocs),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+      |  FROM n)
+      |SELECT doc_id,
+      |       start_off // $SeqLen AS first_seq,
+      |       (start_off + n_tokens - 1) // $SeqLen AS last_seq,
+      |       start_off, n_tokens
+      |FROM c ORDER BY doc_id""".stripMargin
 
   // The oracle repacks the SURVIVORS from raw documents (the plain
   // cumsum with the removed docs excluded) and derives the cut from the
@@ -696,6 +834,7 @@ object IncrementalPack extends QueryModule {
     "q139_pack_takedown_audit" -> ((s, dir) => q139(s, dir)),
     "q145_pack_pad_rewrite" -> ((s, dir) => q145(s, dir)),
     "q146_pack_repack" -> ((s, dir) => q146(s, dir)),
+    "q147_pack_takedown_fold" -> ((s, dir) => q147(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -703,5 +842,6 @@ object IncrementalPack extends QueryModule {
     "q139_pack_takedown_audit" -> q139Sql,
     "q145_pack_pad_rewrite" -> q145Sql,
     "q146_pack_repack" -> q146Sql,
+    "q147_pack_takedown_fold" -> q147Sql,
   )
 }

@@ -318,6 +318,40 @@ class IncrementalPackSpec extends SparkTestBase {
     }
   }
 
+  test("q147 fold: the chain continues after a takedown — ingest onto gen1 equals the survivor repack") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      val survivors = corpus.filter(_._1 != 3L)
+      val gen1 = IncrementalPack.applyTakedown(spark,
+        docsDf(Seq(doc(3, 1))).select("doc_id"), idx, docsDf(corpus), s"$root/gen1")
+      // the folded roster IS the from-scratch survivor roster
+      val roster = spark.read.parquet(s"$gen1/docspans").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      val offs = survivors.sortBy(_._1)
+        .scanLeft((0L, 0L, 0L)) { case ((_, off, n), (id, t)) =>
+          (id, off + n, t.split(" ").length.toLong) }.tail
+        .map { case (id, off, n) => (id, off, n) }
+      assert(roster == offs, s"folded roster drifted:\n got=$roster\n exp=$offs")
+      // serve of gen1 alone = the survivor repack; then the chain
+      // continues exactly as if the pack had been built without doc 3
+      assert(served(Seq.empty, gen1) == replay(survivors),
+        "gen1 serve != from-scratch survivor pack")
+      assert(served(day1, gen1) == replay(survivors ++ day1),
+        "day-1 serve onto the folded generation drifted")
+      val gen2 = IncrementalPack.ingest(spark, docsDf(day1), gen1, s"$root/gen2")
+      assert(served(day2, gen2) == replay(survivors ++ day1 ++ day2),
+        "day-2 serve after post-takedown ingest drifted")
+      // a request that misses the pack folds to the identity
+      val genId = IncrementalPack.applyTakedown(spark,
+        docsDf(Seq(doc(999, 1))).select("doc_id"), idx, docsDf(corpus), s"$root/genid")
+      assert(artifactContent(genId) == artifactContent(idx),
+        "identity fold changed seqs/state")
+      assert(spark.read.parquet(s"$genId/docspans").collect().toSet
+        == spark.read.parquet(s"$idx/docspans").collect().toSet,
+        "identity fold changed the roster")
+    }
+  }
+
   test("multi-day chain stays equal to the full repack") {
     withTempRoot { root =>
       val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
