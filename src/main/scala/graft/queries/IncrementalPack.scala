@@ -506,8 +506,14 @@ object IncrementalPack extends QueryModule {
           col("tail_last_doc").as("last_doc"),
           md5(col("tail_text")).as("content_hash")))
 
-  private[graft] def padRewrite(s: SparkSession, ids: DataFrame,
-                                idxPath: String, docStore: DataFrame): DataFrame = {
+  /** The direct-hit sequences rebuilt WITH their padded content
+    * (q145's agg, hash deferred): survivor tokens at their frozen
+    * positions, removed positions as [[PadTok]] from roster arithmetic
+    * alone. Shared by q145 (hash + anti-join union) and
+    * [[applyPadTakedown]] (persists content so a padded tail's exact
+    * text survives into the new generation's state). */
+  private def paddedHitSeqs(s: SparkSession, ids: DataFrame,
+                            idxPath: String, docStore: DataFrame): DataFrame = {
     val spans = s.read.parquet(s"$idxPath/docspans")
     val tomb = spans.join(broadcast(ids.select("doc_id")), "doc_id")
     val hitSeqs = tomb
@@ -531,7 +537,7 @@ object IncrementalPack extends QueryModule {
       .select(explode(expr("sequence(start_off, start_off + n_tokens - 1)")).as("p"))
       .select(lit(null).cast("long").as("doc_id"), col("p"),
         lit(PadTok).as("tok"), lit(1).as("is_pad"))
-    val rebuilt = survToks.unionByName(padToks)
+    survToks.unionByName(padToks)
       .withColumn("seq_id", expr(s"p div $SeqLen"))
       .join(broadcast(hitSeqs), "seq_id")
       .withColumn("pos", expr(s"p % $SeqLen"))
@@ -541,10 +547,27 @@ object IncrementalPack extends QueryModule {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"),
         sum(col("is_pad")).cast("int").as("n_pad"),
-        md5(expr(
-          "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"))
-          .as("content_hash"))
-    storedRows(s, idxPath).join(broadcast(hitSeqs), Seq("seq_id"), "left_anti")
+        expr(
+          "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("content"))
+  }
+
+  /** The distinct hit-sequence ids of a request — the pad-rewrite's
+    * touch set (q139's direct_hit column as a relation). */
+  private def hitSeqIds(s: SparkSession, ids: DataFrame, idxPath: String): DataFrame =
+    s.read.parquet(s"$idxPath/docspans")
+      .join(broadcast(ids.select("doc_id")), "doc_id")
+      .select(explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
+      .distinct()
+
+  private[graft] def padRewrite(s: SparkSession, ids: DataFrame,
+                                idxPath: String, docStore: DataFrame): DataFrame = {
+    val rebuilt = paddedHitSeqs(s, ids, idxPath, docStore)
+      .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+        col("first_doc"), col("last_doc"), col("n_pad"),
+        md5(col("content")).as("content_hash"))
+    storedRows(s, idxPath)
+      .join(broadcast(hitSeqIds(s, ids, idxPath)), Seq("seq_id"), "left_anti")
       .withColumn("n_pad", lit(0).cast("int"))
       .unionByName(rebuilt)
       .select("seq_id", "n_tokens", "n_docs", "first_doc", "last_doc",
@@ -829,12 +852,111 @@ object IncrementalPack extends QueryModule {
       |FROM seqs CROSS JOIN fh GROUP BY seq_id, fh.first_hit
       |ORDER BY seq_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q148 — PACK PAD FOLD: persist the pad-rewrite as a new artifact
+  // generation, completing the symmetry with q147 — BOTH executed
+  // takedown branches now fold, so whichever branch q139's pricing
+  // selects, the chain continues. The pad branch's fold is the
+  // structurally simple one (that's WHY it's the cheaper branch):
+  // offsets are frozen, so state total and every survivor's roster row
+  // are unchanged — the fold only (a) swaps the direct-hit sequences'
+  // hash rows, (b) drops the removed docs' roster rows (their spans
+  // must not price a second request — the positions are pads now), and
+  // (c) carries the padded tail TEXT into state when the tail is a hit
+  // (later boundary stitches concatenate onto the pads, exactly as a
+  // from-scratch padded pack would).
+  //
+  // q148 serves the folded generation through the UNCHANGED q128
+  // serving path (empty shard) — the artifact round-trip proof, q131's
+  // discipline: the oracle replays the padded pack from raw documents,
+  // so a hash match proves the persisted generation IS the padded pack
+  // as far as every downstream consumer can observe.
+  private[graft] def applyPadTakedown(s: SparkSession, ids: DataFrame,
+                                      idxPath: String, docStore: DataFrame,
+                                      outPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    IncrementalDedup.publish(s, p) { tmp =>
+      val hits = hitSeqIds(s, ids, idxPath)
+      val rebuilt = paddedHitSeqs(s, ids, idxPath, docStore)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        val state = s.read.parquet(s"$idxPath/state")
+        val frozenSeqs = s.read.parquet(s"$idxPath/seqs")
+          .join(broadcast(hits), Seq("seq_id"), "left_anti")
+        // the stored tail passes through UNLESS its sequence is a hit,
+        // in which case rebuilt carries the padded tail row instead
+        val storedTailPacked = state.filter(col("total_tokens") % SeqLen > 0)
+          .select(expr(s"total_tokens div $SeqLen").as("seq_id"),
+            (col("total_tokens") % SeqLen).cast("int").as("n_tokens"),
+            col("tail_n_docs").cast("int").as("n_docs"),
+            col("tail_first_doc").as("first_doc"),
+            col("tail_last_doc").as("last_doc"),
+            col("tail_text").as("content"))
+          .join(broadcast(hits), Seq("seq_id"), "left_anti")
+        val packedOut = rebuilt.drop("n_pad").unionByName(storedTailPacked)
+        writeGeneration(s, tmp,
+          frozenSeqs.unionByName(
+            rebuilt.filter(col("n_tokens") === SeqLen)
+              .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+                col("first_doc"), col("last_doc"),
+                md5(col("content")).as("content_hash"))),
+          packedOut,
+          state.select("total_tokens"),
+          s.read.parquet(s"$idxPath/docspans")
+            .join(broadcast(ids.select("doc_id")), Seq("doc_id"), "left_anti"))
+      } finally rebuilt.unpersist()
+    }
+    outPath
+  }
+
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val idx = corpusIndex(s, dir)
+    val gen1 = applyPadTakedown(s,
+      s.read.parquet(s"$idx/docspans").select("doc_id")
+        .filter(col("doc_id") % 7 === 3),
+      idx, corpusDocs(s, dir),
+      s"$indexRoot/pack3pad-${IncrementalDedup.dataFingerprint(s, dir)}")
+    serve(s, corpusDocs(s, dir).filter(lit(false)), gen1)
+  }
+
+  // The oracle replays the PADDED pack from raw documents (q145's
+  // replay with q128's serve columns) — a hash match proves the folded
+  // generation, served through the unchanged q128 path (boundary-tail
+  // stitch included), is indistinguishable from a from-scratch padded
+  // pack.
+  private val q148Sql =
+    s"""WITH cdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+      |n AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM cdocs),
+      |c AS (
+      |  SELECT doc_id, ts,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+      |  FROM n),
+      |tok AS (
+      |  SELECT doc_id, start_off + u.i - 1 AS p, ts[u.i] AS tok
+      |  FROM c, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u),
+      |seqs AS (
+      |  SELECT p // $SeqLen AS seq_id, p % $SeqLen AS pos, doc_id, tok FROM tok)
+      |SELECT seq_id,
+      |       CAST(COUNT(*) AS INT) AS n_tokens,
+      |       CAST(COUNT(DISTINCT CASE WHEN doc_id % 7 <> 3 THEN doc_id END) AS INT) AS n_docs,
+      |       MIN(CASE WHEN doc_id % 7 <> 3 THEN doc_id END) AS first_doc,
+      |       MAX(CASE WHEN doc_id % 7 <> 3 THEN doc_id END) AS last_doc,
+      |       (1000000 * COUNT(*)) // $SeqLen AS fill_ppm,
+      |       md5(string_agg(CASE WHEN doc_id % 7 = 3 THEN '$PadTok' ELSE tok END,
+      |                      ' ' ORDER BY pos)) AS content_hash
+      |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_incremental_pack" -> ((s, dir) => q128(s, dir)),
     "q139_pack_takedown_audit" -> ((s, dir) => q139(s, dir)),
     "q145_pack_pad_rewrite" -> ((s, dir) => q145(s, dir)),
     "q146_pack_repack" -> ((s, dir) => q146(s, dir)),
     "q147_pack_takedown_fold" -> ((s, dir) => q147(s, dir)),
+    "q148_pack_pad_fold" -> ((s, dir) => q148(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -843,5 +965,6 @@ object IncrementalPack extends QueryModule {
     "q145_pack_pad_rewrite" -> q145Sql,
     "q146_pack_repack" -> q146Sql,
     "q147_pack_takedown_fold" -> q147Sql,
+    "q148_pack_pad_fold" -> q148Sql,
   )
 }

@@ -352,6 +352,51 @@ class IncrementalPackSpec extends SparkTestBase {
     }
   }
 
+  /** [[replay]] with the removed docs' tokens as `<PAD>` attributed to
+    * no document — the from-scratch padded pack the pad fold must
+    * serve. */
+  private def replayPadded(rows: Seq[(Long, String)], removed: Set[Long]) = {
+    val toks = rows.sortBy(_._1).flatMap { case (id, t) =>
+      t.split(" ").map(tok =>
+        if (removed(id)) (None: Option[Long], IncrementalPack.PadTok)
+        else (Some(id), tok)) }
+    toks.zipWithIndex.groupBy(_._2 / SeqLen).toSeq.sortBy(_._1).map { case (seq, elems) =>
+      val ids = elems.flatMap(_._1._1)
+      (seq.toLong, elems.size, ids.distinct.size, ids.min, ids.max,
+        1000000L * elems.size / SeqLen, md5hex(elems.map(_._1._2).mkString(" ")))
+    }
+  }
+
+  test("q148 pad fold: the chain continues over frozen offsets — serve and ingest stitch onto the pads") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      val gen1 = IncrementalPack.applyPadTakedown(spark,
+        docsDf(Seq(doc(3, 1))).select("doc_id"), idx, docsDf(corpus), s"$root/gen1")
+      // the folded generation serves the padded pack (tail text padded)
+      assert(served(Seq.empty, gen1) == replayPadded(corpus, Set(3L)),
+        "gen1 serve != from-scratch padded pack")
+      // the roster drops the removed doc, survivors keep frozen spans
+      val roster = spark.read.parquet(s"$gen1/docspans").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(roster == Seq((1L, 0L, 1200L), (2L, 1200L, 900L)),
+        s"pad-fold roster drifted: $roster")
+      // the next day stitches onto the padded tail at the FROZEN total
+      assert(served(day1, gen1) == replayPadded(corpus ++ day1, Set(3L)),
+        "day-1 serve onto the pad-folded generation drifted")
+      val gen2 = IncrementalPack.ingest(spark, docsDf(day1), gen1, s"$root/gen2")
+      assert(served(day2, gen2) == replayPadded(corpus ++ day1 ++ day2, Set(3L)),
+        "day-2 serve after pad-fold ingest drifted")
+      // a request that misses the pack folds to the identity
+      val genId = IncrementalPack.applyPadTakedown(spark,
+        docsDf(Seq(doc(999, 1))).select("doc_id"), idx, docsDf(corpus), s"$root/genid")
+      assert(artifactContent(genId) == artifactContent(idx),
+        "identity pad fold changed seqs/state")
+      assert(spark.read.parquet(s"$genId/docspans").collect().toSet
+        == spark.read.parquet(s"$idx/docspans").collect().toSet,
+        "identity pad fold changed the roster")
+    }
+  }
+
   test("multi-day chain stays equal to the full repack") {
     withTempRoot { root =>
       val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")

@@ -294,6 +294,20 @@ class PlanSpec extends SparkTestBase {
       s"unexpected documents scans:\n${docScans.mkString("\n")}")
   }
 
+  test("q148 pad fold serves from the generation artifact alone: zero documents scans") {
+    // the fold already paid the rewrite; SERVING a padded generation is
+    // pure artifact reads (the empty-shard corpus relation folds to an
+    // empty LocalRelation) — a documents scan here would mean the serve
+    // path re-derives what the generation persisted
+    val p = plan(graft.queries.IncrementalPack
+      .queries("q148_pack_pad_fold")(spark, sfDir))
+    assert(p.contains("pack3pad-"), "plan does not serve from the folded generation")
+    val docScans = p.split("\n").filter(s =>
+      s.contains("FileScan") && s.contains("documents.parquet"))
+    assert(docScans.isEmpty,
+      s"unexpected documents scans:\n${docScans.mkString("\n")}")
+  }
+
   test("q140 prices the request from artifact rosters only: no raw-table scan") {
     // the ledger's claim: compliance pricing reads doclens/postings,
     // the code roster, and docspans/seqs/state — never the corpus or
