@@ -950,6 +950,116 @@ object IncrementalPack extends QueryModule {
       |                      ' ' ORDER BY pos)) AS content_hash
       |FROM seqs GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q149 — TAKEDOWN BRANCH GATE: the decision q139's pricing exists to
+  // inform, made explicit (the q123/q124 gate discipline). Completes
+  // the arc: price (q139) → DECIDE (q149) → execute (q145/q146) → fold
+  // (q147/q148). One row per request, from roster + state arithmetic
+  // ONLY (PlanSpec: zero documents scans — you decide BEFORE paying
+  // for any rewrite):
+  //   n_hit_seqs          — sequences the pad branch rewrites;
+  //   n_rewrite_seqs      — sequences the repack branch rebuilds;
+  //   pad_touch_tokens    — survivor tokens the pad branch re-explodes
+  //                         (the overlap neighborhood; pads are
+  //                         GENERATED, not read);
+  //   repack_touch_tokens — survivor tokens the repack re-packs
+  //                         (everything past the cut minus the removed
+  //                         mass — removed spans never precede the cut
+  //                         by construction);
+  //   removed_tokens      — the request's token mass;
+  //   pad_debt_ppm        — the dead weight the pad branch would leave
+  //                         in the artifact (what accumulating requests
+  //                         eventually turn into a repack anyway);
+  //   verdict             — 'pad' iff its token touch is no larger.
+  // The oracle re-derives every number from raw documents via the
+  // plain cumsum — a match proves the roster prices the decision
+  // exactly as a from-scratch analysis would.
+  private[graft] def branchGate(s: SparkSession, ids: DataFrame,
+                                idx: String): DataFrame = {
+    val spans = s.read.parquet(s"$idx/docspans")
+    val tomb = spans.join(broadcast(ids.select("doc_id")), "doc_id")
+    val hits = hitSeqIds(s, ids, idx)
+    val overlapSurv = spans
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
+      .join(broadcast(hits), "seq_id")
+      .select("doc_id", "n_tokens").distinct()
+      .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
+    val total = s.read.parquet(s"$idx/state").select("total_tokens")
+    broadcast(hits.agg(count(lit(1)).as("n_hit_seqs")))
+      .crossJoin(broadcast(overlapSurv.agg(
+        coalesce(sum(col("n_tokens")), lit(0L)).as("pad_touch_tokens"))))
+      .crossJoin(broadcast(tomb.agg(
+        coalesce(sum(col("n_tokens")), lit(0L)).as("removed_tokens"),
+        min(expr(s"start_off div $SeqLen")).as("first_hit"))))
+      .crossJoin(broadcast(total))
+      .select(
+        col("n_hit_seqs"),
+        when(col("first_hit").isNull, lit(0L))
+          .otherwise(expr(s"(total_tokens + ${SeqLen - 1}) div $SeqLen") - col("first_hit"))
+          .as("n_rewrite_seqs"),
+        col("pad_touch_tokens"),
+        when(col("first_hit").isNull, lit(0L))
+          .otherwise(col("total_tokens") - col("first_hit") * SeqLen - col("removed_tokens"))
+          .as("repack_touch_tokens"),
+        col("removed_tokens"),
+        expr("(1000000 * removed_tokens) div total_tokens").as("pad_debt_ppm"),
+        when(col("pad_touch_tokens") <=
+          when(col("first_hit").isNull, lit(0L))
+            .otherwise(col("total_tokens") - col("first_hit") * SeqLen - col("removed_tokens")),
+          lit("pad")).otherwise(lit("repack")).as("verdict"))
+  }
+
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val idx = corpusIndex(s, dir)
+    branchGate(s,
+      s.read.parquet(s"$idx/docspans").select("doc_id")
+        .filter(col("doc_id") % 7 === 3),
+      idx)
+  }
+
+  private val q149Sql =
+    s"""WITH cdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+      |n AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM cdocs),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+      |  FROM n),
+      |spans AS (
+      |  SELECT doc_id, n_tokens, start_off,
+      |         start_off // $SeqLen AS first_seq,
+      |         (start_off + n_tokens - 1) // $SeqLen AS last_seq
+      |  FROM c),
+      |hits AS (
+      |  SELECT DISTINCT unnest(range(first_seq, last_seq + 1)) AS seq_id
+      |  FROM spans WHERE doc_id % 7 = 3),
+      |osurv AS (
+      |  SELECT DISTINCT s.doc_id, s.n_tokens
+      |  FROM spans s, LATERAL (SELECT unnest(range(s.first_seq, s.last_seq + 1)) AS seq_id) u
+      |  WHERE u.seq_id IN (SELECT seq_id FROM hits) AND s.doc_id % 7 <> 3),
+      |agg AS (
+      |  SELECT
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hit_seqs,
+      |    (SELECT COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM osurv) AS pad_touch_tokens,
+      |    (SELECT COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) FROM spans WHERE doc_id % 7 = 3) AS removed_tokens,
+      |    (SELECT MIN(first_seq) FROM spans WHERE doc_id % 7 = 3) AS first_hit,
+      |    (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM n) AS total_tokens)
+      |SELECT n_hit_seqs,
+      |       CASE WHEN first_hit IS NULL THEN 0
+      |            ELSE (total_tokens + ${SeqLen - 1}) // $SeqLen - first_hit END AS n_rewrite_seqs,
+      |       pad_touch_tokens,
+      |       CASE WHEN first_hit IS NULL THEN 0
+      |            ELSE total_tokens - first_hit * $SeqLen - removed_tokens END AS repack_touch_tokens,
+      |       removed_tokens,
+      |       (1000000 * removed_tokens) // total_tokens AS pad_debt_ppm,
+      |       CASE WHEN pad_touch_tokens <= (CASE WHEN first_hit IS NULL THEN 0
+      |            ELSE total_tokens - first_hit * $SeqLen - removed_tokens END)
+      |            THEN 'pad' ELSE 'repack' END AS verdict
+      |FROM agg""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_incremental_pack" -> ((s, dir) => q128(s, dir)),
     "q139_pack_takedown_audit" -> ((s, dir) => q139(s, dir)),
@@ -957,6 +1067,7 @@ object IncrementalPack extends QueryModule {
     "q146_pack_repack" -> ((s, dir) => q146(s, dir)),
     "q147_pack_takedown_fold" -> ((s, dir) => q147(s, dir)),
     "q148_pack_pad_fold" -> ((s, dir) => q148(s, dir)),
+    "q149_takedown_branch_gate" -> ((s, dir) => q149(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -966,5 +1077,6 @@ object IncrementalPack extends QueryModule {
     "q146_pack_repack" -> q146Sql,
     "q147_pack_takedown_fold" -> q147Sql,
     "q148_pack_pad_fold" -> q148Sql,
+    "q149_takedown_branch_gate" -> q149Sql,
   )
 }

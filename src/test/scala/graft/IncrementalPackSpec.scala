@@ -397,6 +397,34 @@ class IncrementalPackSpec extends SparkTestBase {
     }
   }
 
+  test("q149 gate: the decision numbers tie to q139's sets and the fixture's exact token arithmetic") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      def gate(removed: Long) = {
+        val r = IncrementalPack.branchGate(spark,
+          docsDf(Seq(doc(removed, 1))).select("doc_id"), idx).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6))
+      }
+      def priced(removed: Long) = {
+        val rows = IncrementalPack.priceTakedown(spark,
+          docsDf(Seq(doc(removed, 1))).select("doc_id"), idx).collect()
+        (rows.count(_.getBoolean(2)).toLong, rows.count(_.getBoolean(3)).toLong)
+      }
+      // doc 3 (start 2100, seq 1 only): pad re-explodes doc 2's 900
+      // tokens to fill one sequence; repack reads just the 52-token
+      // straddle suffix — the gate must pick repack
+      val g3 = gate(3)
+      assert(g3 == ((1L, 1L, 900L, 52L, 900L, 300000L, "repack")), s"gate(3)=$g3")
+      assert((g3._1, g3._2) == priced(3), "gate(3) counts != q139 sets")
+      // doc 2 (straddles seq 0/1): both branches touch 2100 survivor
+      // tokens — the tie goes to pad (no hole in the artifact's seq ids)
+      val g2 = gate(2)
+      assert(g2 == ((2L, 2L, 2100L, 2100L, 900L, 300000L, "pad")), s"gate(2)=$g2")
+      assert((g2._1, g2._2) == priced(2), "gate(2) counts != q139 sets")
+    }
+  }
+
   test("multi-day chain stays equal to the full repack") {
     withTempRoot { root =>
       val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")

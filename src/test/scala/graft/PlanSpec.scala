@@ -308,6 +308,19 @@ class PlanSpec extends SparkTestBase {
       s"unexpected documents scans:\n${docScans.mkString("\n")}")
   }
 
+  test("q149 decides the takedown branch from roster+state arithmetic: zero documents scans") {
+    // the gate's whole point: pick pad vs repack BEFORE paying for any
+    // rewrite — a corpus read here would mean the decision costs what
+    // it is trying to avoid
+    val p = plan(graft.queries.IncrementalPack
+      .queries("q149_takedown_branch_gate")(spark, sfDir))
+    assert(p.contains("docspans"), "plan does not price from the roster")
+    val docScans = p.split("\n").filter(s =>
+      s.contains("FileScan") && s.contains("documents.parquet"))
+    assert(docScans.isEmpty,
+      s"unexpected documents scans:\n${docScans.mkString("\n")}")
+  }
+
   test("q140 prices the request from artifact rosters only: no raw-table scan") {
     // the ledger's claim: compliance pricing reads doclens/postings,
     // the code roster, and docspans/seqs/state — never the corpus or
