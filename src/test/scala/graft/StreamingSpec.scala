@@ -581,6 +581,50 @@ class StreamingSpec extends SparkTestBase {
     assert(top == batch, s"stream+cut:\n$top\nbatch q131:\n$batch")
   }
 
+  test("lexScore honors a takedown: the tombstone-masked stream equals the tombstoned batch serve") {
+    // the streaming arm must not leak removals the batch arm honors
+    // (round-13's q135 lesson, applied to the ONLINE serve): the caller
+    // passes the masked postings + summed stats — the same relations
+    // q133's batch serve reads — and the stream's bounded cut must
+    // reproduce the tombstoned batch row for row, with the removed ids
+    // absent from the raw stream entirely
+    implicit val sqlCtx = spark.sqlContext
+    val idx = graft.queries.LexIndex.fullIndex(spark, sfDir)
+    val tomb = graft.queries.LexIndex.fullTombstone(spark, sfDir)
+    val removed = spark.read.parquet(s"$tomb/ids").collect().map(_.getLong(0)).toSet
+    assert(removed.nonEmpty, "fixture request removed nothing — test is vacuous")
+    val postings = spark.read.parquet(s"$idx/postings")
+      .join(broadcast(spark.read.parquet(s"$tomb/ids")), Seq("doc_id"), "left_anti")
+    val stats = spark.read.parquet(s"$idx/stats")
+      .unionByName(spark.read.parquet(s"$tomb/stats"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+    val mem = MemoryStream[Streams.LexQuery]
+    val query = Streams.lexScore(mem.toDS(), postings, stats)
+      .writeStream.format("memory").queryName("lex_tomb_stream")
+      .outputMode("append").start()
+    mem.addData(graft.queries.Corpus.Bm25Queries.map { case (qid, txt) =>
+      Streams.LexQuery(qid, ts("2024-01-01 01:00:00"), txt) }: _*)
+    query.processAllAvailable()
+    mem.addData(Streams.LexQuery(999, ts("2024-01-10 00:00:00"), "zzz_unmatched"))
+    query.processAllAvailable()
+    val streamed = spark.table("lex_tomb_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    query.stop()
+    assert(streamed.nonEmpty && streamed.forall(r => !removed(r._2)),
+      "a removed doc id surfaced in the takedown-masked stream")
+    val top = streamed.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy { case (_, doc, sc, _) => (-sc, doc) }.take(5).zipWithIndex
+        .map { case ((_, doc, sc, nh), i) =>
+          (qid, i + 1, doc,
+            BigDecimal(sc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, nh)
+        }
+    }.sortBy(r => (r._1, r._2))
+    val batch = graft.queries.LexIndex.serve(spark, Seq(idx), Seq(tomb)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toSeq
+    assert(top == batch, s"stream+cut:\n$top\ntombstoned batch serve:\n$batch")
+  }
+
   test("adcScore vector-query stream over the frozen PQ index equals q79's serve") {
     implicit val sqlCtx = spark.sqlContext
     val batch = SparkEntry.queries("q79_pq_index_search")(spark, sfDir).collect()
@@ -611,5 +655,47 @@ class StreamingSpec extends SparkTestBase {
         .map { case ((_, vec, d), i) => (qid, vec, d, i + 1) }
     }.sortBy(r => (r._1, r._4))
     assert(top == batch, s"stream+cut:\n$top\nbatch q79:\n$batch")
+  }
+
+  test("adcScore honors a takedown: the tombstone-masked stream equals the tombstoned batch arm") {
+    // the vector twin of the lexScore takedown test — both ONLINE arms
+    // now provably honor the same removal list the batch arms do (the
+    // q136/q138 contract): the caller passes the anti-joined codes, and
+    // the stream's cut must equal adcRanks over the same tombstone
+    implicit val sqlCtx = spark.sqlContext
+    graft.queries.Similarity.queries("q79_pq_index_search")(spark, sfDir).collect()
+    val idx = graft.queries.Similarity.pqIndexPath(spark, sfDir)
+    val tomb = graft.queries.Similarity.fullPqTombstone(spark, sfDir)
+    val removed = spark.read.parquet(s"$tomb/ids").collect().map(_.getLong(0)).toSet
+    assert(removed.nonEmpty, "fixture request removed nothing — test is vacuous")
+    val codes = spark.read.parquet(s"$idx/codes")
+      .join(broadcast(spark.read.parquet(s"$tomb/ids")), Seq("vec_id"), "left_anti")
+    val qvecs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 8).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[Streams.VecQuery]
+    val query = Streams.adcScore(mem.toDS(),
+        spark.read.parquet(s"$idx/codebook"), codes)
+      .writeStream.format("memory").queryName("adc_tomb_stream")
+      .outputMode("append").start()
+    mem.addData(qvecs.map { case (qid, v) =>
+      Streams.VecQuery(qid, ts("2024-01-01 01:00:00"), v) }.toIndexedSeq: _*)
+    query.processAllAvailable()
+    mem.addData(Streams.VecQuery(999999L, ts("2024-01-10 00:00:00"), qvecs.head._2))
+    query.processAllAvailable()
+    val streamed = spark.table("adc_tomb_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    query.stop()
+    assert(streamed.nonEmpty && streamed.forall(r => !removed(r._2)),
+      "a removed vec_id surfaced in the takedown-masked stream")
+    val top = streamed.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.sortBy { case (_, vec, d) => (d, vec) }.take(3).zipWithIndex
+        .map { case ((_, vec, _), i) => (qid.toInt, vec, i + 1) }
+    }.sortBy(r => (r._1, r._3))
+    val batch = graft.queries.Similarity
+      .adcRanks(spark, sfDir, (0 until 8), 3, Seq(tomb)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+      .sortBy(r => (r._1, r._3))
+    assert(top == batch, s"stream+cut:\n$top\ntombstoned batch arm:\n$batch")
   }
 }
