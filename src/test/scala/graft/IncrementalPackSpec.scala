@@ -425,6 +425,48 @@ class IncrementalPackSpec extends SparkTestBase {
     }
   }
 
+  test("takedown folds at the edges: first doc, multiple docs, and the whole corpus") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      def ids(rm: Long*) = docsDf(rm.map(doc(_, 1))).select("doc_id")
+      // removing the FIRST doc: cut = 0, nothing frozen, every survivor
+      // shifts by the full removed mass
+      val gFirst = IncrementalPack.applyTakedown(spark, ids(1), idx,
+        docsDf(corpus), s"$root/gfirst")
+      assert(served(Seq.empty, gFirst) == replay(corpus.filter(_._1 != 1L)),
+        "remove-first repack fold drifted")
+      val rFirst = spark.read.parquet(s"$gFirst/docspans").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+      assert(rFirst == Seq((2L, 0L), (3L, 900L)), s"remove-first roster: $rFirst")
+      // removing TWO docs: the shift prefix sum must accumulate both
+      // masses (doc 2 removed → doc 3 shifts by 900; doc 1 also removed
+      // → doc 3 shifts by 2100 total)
+      val gTwo = IncrementalPack.applyTakedown(spark, ids(1, 2), idx,
+        docsDf(corpus), s"$root/gtwo")
+      assert(served(Seq.empty, gTwo) == replay(corpus.filter(_._1 == 3L)),
+        "two-doc repack fold drifted")
+      assert(spark.read.parquet(s"$gTwo/docspans").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq == Seq((3L, 0L)),
+        "two-doc roster shift wrong")
+      // removing EVERYTHING: the generation must be validly EMPTY
+      // (total 0, no tail) and the chain must restart cleanly on it
+      val gAll = IncrementalPack.applyTakedown(spark, ids(1, 2, 3), idx,
+        docsDf(corpus), s"$root/gall")
+      assert(served(Seq.empty, gAll).isEmpty, "remove-all still serves rows")
+      val gNext = IncrementalPack.ingest(spark, docsDf(day1), gAll, s"$root/gnext")
+      assert(served(Seq.empty, gNext) == replay(day1),
+        "ingest onto the emptied generation drifted")
+      // pad fold with TWO removed docs: both hole spans pad, survivors
+      // keep frozen offsets, and the chain stitches onto the pads
+      val gPad = IncrementalPack.applyPadTakedown(spark, ids(1, 3), idx,
+        docsDf(corpus), s"$root/gpad")
+      assert(served(Seq.empty, gPad) == replayPadded(corpus, Set(1L, 3L)),
+        "two-doc pad fold drifted")
+      assert(served(day1, gPad) == replayPadded(corpus ++ day1, Set(1L, 3L)),
+        "day-1 serve onto the two-doc pad fold drifted")
+    }
+  }
+
   test("multi-day chain stays equal to the full repack") {
     withTempRoot { root =>
       val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
