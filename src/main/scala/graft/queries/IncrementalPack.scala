@@ -308,6 +308,8 @@ object IncrementalPack extends QueryModule {
         // the frozen offset on
         val shardSpans = docSpansFromOffsets(offsetsOf(shard.crossJoin(broadcast(
           s.read.parquet(s"$idxPath/state").select(col("total_tokens").as("base_off"))))))
+        // holes never move under append — the pad roster rides along
+        padsOf(s, idxPath).write.mode("overwrite").parquet(s"$tmp/pads")
         writeGeneration(s, tmp,
           s.read.parquet(s"$idxPath/seqs")
             .unionByName(hashRows(tail.filter(col("n_tokens") === SeqLen))),
@@ -492,6 +494,26 @@ object IncrementalPack extends QueryModule {
   // untouched rows are byte-identical to the frozen artifact.
   private[graft] val PadTok = "<PAD>"
 
+  /** The artifact's positional HOLES — `pads/` rows (start_off,
+    * n_tokens), written by [[applyPadTakedown]] and carried forward by
+    * [[ingest]]/[[applyTakedown]]. No doc ids are retained (q142's
+    * lesson: the artifact must not cite what it removed); offsets are
+    * enough, because holes never move while they exist (pad folds
+    * freeze offsets) and a repack fold consumes the holes at/after its
+    * cut. Empty when the relation was never written — a pristine
+    * chain's folds behave exactly as before. */
+  private def padsOf(s: SparkSession, idxPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$idxPath/pads")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(p.toString)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("start_off",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   /** Every materialized sequence row of the artifact — the frozen full
     * sequences plus the trailing partial (from `state/`) as a hash row:
     * the relation a rewrite treats as "the shipped pack". */
@@ -533,7 +555,12 @@ object IncrementalPack extends QueryModule {
         posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
       .select(col("doc_id"), (col("start_off") + col("i")).as("p"),
         col("tok"), lit(0).as("is_pad"))
-    val padToks = tomb
+    // hole positions: the request's spans PLUS any stored pads/ holes
+    // landing in a hit sequence — a rebuild reconstructs the sequence
+    // from document text, and earlier folds' pads live in NO document,
+    // so they must re-inject from the artifact's own hole roster
+    val padToks = tomb.select("start_off", "n_tokens")
+      .unionByName(padsOf(s, idxPath))
       .select(explode(expr("sequence(start_off, start_off + n_tokens - 1)")).as("p"))
       .select(lit(null).cast("long").as("doc_id"), col("p"),
         lit(PadTok).as("tok"), lit(1).as("is_pad"))
@@ -648,9 +675,16 @@ object IncrementalPack extends QueryModule {
     * granularity by roster arithmetic, corpus text joined exactly
     * once. Shared by q146 (hash + union with the frozen prefix) and
     * [[applyTakedown]] (persists content so the new tail survives). */
-  private def rebuiltSuffix(spans: DataFrame, tombIds: DataFrame,
-                            cutRel: DataFrame, docStore: DataFrame): DataFrame = {
-    val rebuildOffs = withStartOff(spans
+  /** Survivors overlapping or past the cut with their REPACKED offsets
+    * (doc_id, trim, start_off, full_n): the prefix sum runs over the
+    * roster's trimmed token counts based at the cut — pads and removed
+    * spans contribute NOTHING, so the result is correct on padded
+    * generations for free. `start_off − trim` is each survivor's new
+    * roster start (for the straddler that reproduces its old start —
+    * its frozen-prefix tokens never move). */
+  private def rebuildOffsOf(spans: DataFrame, tombIds: DataFrame,
+                            cutRel: DataFrame): DataFrame =
+    withStartOff(spans
       .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
       .crossJoin(broadcast(cutRel))
       .filter(col("cut").isNotNull && col("start_off") + col("n_tokens") > col("cut"))
@@ -658,9 +692,13 @@ object IncrementalPack extends QueryModule {
         greatest(lit(0L), col("cut") - col("start_off")).as("trim"),
         (col("n_tokens") - greatest(lit(0L), col("cut") - col("start_off")))
           .as("n_tokens"),
+        col("n_tokens").as("full_n"),
         col("cut").as("base_off")))
-      .select("doc_id", "trim", "start_off")
-    val trimmed = docStore.join(rebuildOffs, "doc_id")
+      .select("doc_id", "trim", "start_off", "full_n")
+
+  private def rebuiltSuffix(spans: DataFrame, tombIds: DataFrame,
+                            cutRel: DataFrame, docStore: DataFrame): DataFrame = {
+    val trimmed = docStore.join(rebuildOffsOf(spans, tombIds, cutRel), "doc_id")
       .withColumn("ts0", split(col("text"), " "))
       .select(col("doc_id"), col("start_off"),
         expr("slice(ts0, CAST(trim AS INT) + 1, size(ts0))").as("ts"))
@@ -752,30 +790,54 @@ object IncrementalPack extends QueryModule {
             col("tail_first_doc").as("first_doc"),
             col("tail_last_doc").as("last_doc"),
             col("tail_text").as("content"))
+        // a repack CONSUMES the holes at/after its cut (their positions
+        // are not re-created — the suffix packs survivor TEXT); holes
+        // fully below the cut stay, a hole straddling it keeps only its
+        // below-cut part. The vanished hole mass must leave the total
+        // alongside the removed mass.
+        val pads = padsOf(s, idxPath).crossJoin(broadcast(cutRel))
+        val padCutMass = pads.agg(coalesce(sum(
+          when(col("cut").isNotNull,
+            greatest(lit(0L), col("start_off") + col("n_tokens")
+              - greatest(col("start_off"), col("cut"))))
+            .otherwise(lit(0L))), lit(0L)).as("pad_rm"))
+        pads.withColumn("keep_n",
+            when(col("cut").isNotNull,
+              least(col("n_tokens"),
+                greatest(lit(0L), col("cut") - col("start_off"))))
+              .otherwise(col("n_tokens")))
+          .filter(col("keep_n") > 0)
+          .select(col("start_off"), col("keep_n").as("n_tokens"))
+          .write.mode("overwrite").parquet(s"$tmp/pads")
         val total = state.select("total_tokens")
           .crossJoin(broadcast(tomb.agg(
             coalesce(sum(col("n_tokens")), lit(0L)).as("rm"))))
-          .select((col("total_tokens") - col("rm")).as("total_tokens"))
-        val marked = spans.join(
-          broadcast(ids.select("doc_id").withColumn("is_rm", lit(1))),
-          Seq("doc_id"), "left")
-        val shifted = withStartOff(marked.select(col("doc_id"),
-          col("start_off").as("old_start"), col("n_tokens").as("real_n"),
-          when(col("is_rm") === 1, col("n_tokens")).otherwise(lit(0L))
-            .as("n_tokens"),
-          lit(0L).as("base_off"), col("is_rm")))
-        // withStartOff emits base + cum − own delta: for a survivor
-        // (delta 0) that is exactly the removed mass strictly before it
-        val newSpans = shifted.filter(col("is_rm").isNull)
+          .crossJoin(broadcast(padCutMass))
+          .select((col("total_tokens") - col("rm") - col("pad_rm"))
+            .as("total_tokens"))
+        // roster: survivors starting below the cut never move (their
+        // tokens are frozen or, for the straddler, land back at their
+        // old positions); survivors at/after the cut take their
+        // repacked offsets straight from the rebuild's own prefix sum —
+        // correct on padded generations for free, since the sum counts
+        // survivor tokens only
+        val keptSpans = spans
+          .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
+          .crossJoin(broadcast(cutRel))
+          .filter(col("cut").isNull || col("start_off") < col("cut"))
+          .select("doc_id", "first_seq", "last_seq", "start_off", "n_tokens")
+        val movedSpans = rebuildOffsOf(spans, tomb.select("doc_id"), cutRel)
+          .filter(col("trim") === 0L) // straddler (trim>0) is in keptSpans
           .select(col("doc_id"),
-            expr(s"(old_start - start_off) div $SeqLen").as("first_seq"),
-            expr(s"(old_start - start_off + real_n - 1) div $SeqLen").as("last_seq"),
-            (col("old_start") - col("start_off")).as("start_off"),
-            col("real_n").as("n_tokens"))
+            expr(s"start_off div $SeqLen").as("first_seq"),
+            expr(s"(start_off + full_n - 1) div $SeqLen").as("last_seq"),
+            col("start_off"),
+            col("full_n").as("n_tokens"))
         writeGeneration(s, tmp,
           frozenSeqs.unionByName(
             hashRows(rebuilt.filter(col("n_tokens") === SeqLen))),
-          rebuilt.unionByName(storedTailPacked), total, newSpans)
+          rebuilt.unionByName(storedTailPacked), total,
+          keptSpans.unionByName(movedSpans))
       } finally rebuilt.unpersist()
     }
     outPath
@@ -881,6 +943,13 @@ object IncrementalPack extends QueryModule {
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       try {
         val state = s.read.parquet(s"$idxPath/state")
+        // the hole roster accumulates: earlier folds' pads ∪ this
+        // request's spans (offsets frozen, so stored holes never move)
+        padsOf(s, idxPath).unionByName(
+          s.read.parquet(s"$idxPath/docspans")
+            .join(broadcast(ids.select("doc_id")), "doc_id")
+            .select("start_off", "n_tokens"))
+          .write.mode("overwrite").parquet(s"$tmp/pads")
         val frozenSeqs = s.read.parquet(s"$idxPath/seqs")
           .join(broadcast(hits), Seq("seq_id"), "left_anti")
         // the stored tail passes through UNLESS its sequence is a hit,
@@ -986,27 +1055,36 @@ object IncrementalPack extends QueryModule {
       .select("doc_id", "n_tokens").distinct()
       .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
     val total = s.read.parquet(s"$idx/state").select("total_tokens")
+    val tombAgg = broadcast(tomb.agg(
+      coalesce(sum(col("n_tokens")), lit(0L)).as("removed_tokens"),
+      min(expr(s"start_off div $SeqLen")).as("first_hit")))
+    // on a padded generation, the holes at/after the cut vanish in a
+    // repack without being read — they must not price as touch
+    val padRm = broadcast(padsOf(s, idx).crossJoin(tombAgg)
+      .agg(coalesce(sum(when(col("first_hit").isNotNull,
+        greatest(lit(0L), col("start_off") + col("n_tokens")
+          - greatest(col("start_off"), col("first_hit") * SeqLen)))
+        .otherwise(lit(0L))), lit(0L)).as("pad_rm")))
     broadcast(hits.agg(count(lit(1)).as("n_hit_seqs")))
       .crossJoin(broadcast(overlapSurv.agg(
         coalesce(sum(col("n_tokens")), lit(0L)).as("pad_touch_tokens"))))
-      .crossJoin(broadcast(tomb.agg(
-        coalesce(sum(col("n_tokens")), lit(0L)).as("removed_tokens"),
-        min(expr(s"start_off div $SeqLen")).as("first_hit"))))
+      .crossJoin(tombAgg)
+      .crossJoin(padRm)
       .crossJoin(broadcast(total))
+      .withColumn("repack_touch_tokens",
+        when(col("first_hit").isNull, lit(0L))
+          .otherwise(col("total_tokens") - col("first_hit") * SeqLen
+            - col("removed_tokens") - col("pad_rm")))
       .select(
         col("n_hit_seqs"),
         when(col("first_hit").isNull, lit(0L))
           .otherwise(expr(s"(total_tokens + ${SeqLen - 1}) div $SeqLen") - col("first_hit"))
           .as("n_rewrite_seqs"),
         col("pad_touch_tokens"),
-        when(col("first_hit").isNull, lit(0L))
-          .otherwise(col("total_tokens") - col("first_hit") * SeqLen - col("removed_tokens"))
-          .as("repack_touch_tokens"),
+        col("repack_touch_tokens"),
         col("removed_tokens"),
         expr("(1000000 * removed_tokens) div total_tokens").as("pad_debt_ppm"),
-        when(col("pad_touch_tokens") <=
-          when(col("first_hit").isNull, lit(0L))
-            .otherwise(col("total_tokens") - col("first_hit") * SeqLen - col("removed_tokens")),
+        when(col("pad_touch_tokens") <= col("repack_touch_tokens"),
           lit("pad")).otherwise(lit("repack")).as("verdict"))
   }
 

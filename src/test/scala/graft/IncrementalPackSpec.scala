@@ -362,7 +362,10 @@ class IncrementalPackSpec extends SparkTestBase {
         else (Some(id), tok)) }
     toks.zipWithIndex.groupBy(_._2 / SeqLen).toSeq.sortBy(_._1).map { case (seq, elems) =>
       val ids = elems.flatMap(_._1._1)
-      (seq.toLong, elems.size, ids.distinct.size, ids.min, ids.max,
+      // an ALL-pad trailing sequence stores first/last = -1 (the
+      // writeGeneration no-tail coalesce convention)
+      (seq.toLong, elems.size, ids.distinct.size,
+        if (ids.isEmpty) -1L else ids.min, if (ids.isEmpty) -1L else ids.max,
         1000000L * elems.size / SeqLen, md5hex(elems.map(_._1._2).mkString(" ")))
     }
   }
@@ -464,6 +467,46 @@ class IncrementalPackSpec extends SparkTestBase {
         "two-doc pad fold drifted")
       assert(served(day1, gPad) == replayPadded(corpus ++ day1, Set(1L, 3L)),
         "day-1 serve onto the two-doc pad fold drifted")
+    }
+  }
+
+  test("fold composition: pads are roster state — a later repack consumes them, a later pad fold re-injects them") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      def ids(rm: Long*) = docsDf(rm.map(doc(_, 1))).select("doc_id")
+      // pad(3) then pad(2): doc 2's rebuild touches seq 1, which
+      // already holds doc 3's pads — they must re-inject from pads/
+      // (they live in NO document's text); seq 1 ends all-pad
+      val p3 = IncrementalPack.applyPadTakedown(spark, ids(3), idx,
+        docsDf(corpus), s"$root/p3")
+      val p32 = IncrementalPack.applyPadTakedown(spark, ids(2), p3,
+        docsDf(corpus), s"$root/p32")
+      assert(served(Seq.empty, p32) == replayPadded(corpus, Set(2L, 3L)),
+        "pad∘pad lost the earlier fold's holes")
+      // pad(3) then REPACK(2): cut 0 — the repack closes doc 2's hole
+      // AND consumes doc 3's pads; the total must drop BOTH masses
+      val r32 = IncrementalPack.applyTakedown(spark, ids(2), p3,
+        docsDf(corpus), s"$root/r32")
+      assert(served(Seq.empty, r32) == replay(Seq(doc(1, 1200))),
+        "pad∘repack left holes in the rebuilt stream")
+      assert(spark.read.parquet(s"$r32/state").collect()(0).getLong(0) == 1200L,
+        "total still counts vanished pad positions")
+      assert(served(day1, r32) == replay(Seq(doc(1, 1200)) ++ day1),
+        "chain after pad∘repack drifted")
+      // pad(1) then REPACK(3): the cut lands at seq 1 — doc 1's pads
+      // sit entirely below it, stay frozen in seq 0's content, and
+      // survive in pads/ (a later rebuild of seq 0 still needs them)
+      val p1 = IncrementalPack.applyPadTakedown(spark, ids(1), idx,
+        docsDf(corpus), s"$root/p1")
+      val r13 = IncrementalPack.applyTakedown(spark, ids(3), p1,
+        docsDf(corpus), s"$root/r13")
+      assert(served(Seq.empty, r13) == replayPadded(corpus.filter(_._1 != 3L), Set(1L)),
+        "below-cut pads did not survive the repack")
+      assert(spark.read.parquet(s"$r13/pads").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1200L)),
+        "pad roster not carried below the cut")
+      assert(served(day1, r13) == replayPadded(corpus.filter(_._1 != 3L) ++ day1, Set(1L)),
+        "chain after a below-cut-padded repack drifted")
     }
   }
 
