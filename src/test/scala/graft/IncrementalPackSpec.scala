@@ -510,6 +510,29 @@ class IncrementalPackSpec extends SparkTestBase {
     }
   }
 
+  test("pads ride through ingest: a fold after an append still re-injects the old holes") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      val p3 = IncrementalPack.applyPadTakedown(spark,
+        docsDf(Seq(doc(3, 1))).select("doc_id"), idx, docsDf(corpus), s"$root/p3")
+      val g1 = IncrementalPack.ingest(spark, docsDf(day1), p3, s"$root/g1")
+      // doc 2's request hits seq 1, which holds doc 3's pre-append
+      // pads — the hole roster must have survived the ingest for the
+      // rebuild to re-inject them
+      val g2 = IncrementalPack.applyPadTakedown(spark,
+        docsDf(Seq(doc(2, 1))).select("doc_id"), g1,
+        docsDf(corpus ++ day1), s"$root/g2")
+      assert(served(Seq.empty, g2) == replayPadded(corpus ++ day1, Set(2L, 3L)),
+        "post-ingest fold lost the pre-append holes")
+      // and the repack branch consumes BOTH eras' holes the same way
+      val r2 = IncrementalPack.applyTakedown(spark,
+        docsDf(Seq(doc(2, 1))).select("doc_id"), g1,
+        docsDf(corpus ++ day1), s"$root/r2")
+      assert(served(Seq.empty, r2) == replay(Seq(doc(1, 1200)) ++ day1),
+        "post-ingest repack left holes")
+    }
+  }
+
   test("multi-day chain stays equal to the full repack") {
     withTempRoot { root =>
       val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
