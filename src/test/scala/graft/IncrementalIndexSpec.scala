@@ -47,6 +47,40 @@ class IncrementalIndexSpec extends SparkTestBase {
     }
   }
 
+  test("a takedown against the COMPACTED vector artifact composes: compaction is invisible to later lifecycle ops") {
+    // the lexical family's claim (LexIndexSpec), vector edition: after
+    // a tombstone is physically folded in, a later request that
+    // RE-LISTS the compacted-away ids prices only the ids still in the
+    // roster — no tombPaths plumbing needed, the compacted codes ARE
+    // the clean roster
+    withTempRoot { root =>
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val compact = Similarity.compactInc2(spark, sfDir)
+      val codes0 = spark.read.parquet(s"$compact/codes").drop("gen")
+      val roster = codes0.select("vec_id").distinct()
+      val t1 = Similarity.pqTakedown(spark,
+        roster.filter(col("vec_id") % 4 === 1), Seq(compact), s"$root/t1")
+      val c2 = Similarity.compactChain(spark, Seq(compact), Seq(t1), s"$root/c2")
+      val t2 = Similarity.pqTakedown(spark,
+        roster.filter(col("vec_id") % 4 === 1 || col("vec_id") % 8 === 2),
+        Seq(c2), s"$root/t2")
+      val t2ids = spark.read.parquet(s"$t2/ids").collect().map(_.getLong(0)).toSet
+      assert(t2ids.nonEmpty && t2ids.forall(i => i % 8 == 2 && i % 4 != 1),
+        s"takedown against the compacted artifact re-priced compacted-away ids: $t2ids")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+      val served = rows(Similarity.serveAdc(spark, sfDir,
+        spark.read.parquet(s"$c2/codebook"),
+        spark.read.parquet(s"$c2/codes").drop("gen")
+          .join(broadcast(spark.read.parquet(s"$t2/ids")), Seq("vec_id"), "left_anti")))
+      val want = rows(Similarity.serveAdc(spark, sfDir,
+        spark.read.parquet(s"$compact/codebook"),
+        codes0.filter(col("vec_id") % 4 =!= 1 && col("vec_id") % 8 =!= 2)))
+      assert(served.nonEmpty && served == want,
+        "post-compaction takedown serve drifted from the direct survivor serve")
+    }
+  }
+
   test("two-batch chain: ingest twice, compact once — serving identical before/after, compaction idempotent") {
     withTempRoot { _ =>
       val compact = Similarity.compactInc2(spark, sfDir)

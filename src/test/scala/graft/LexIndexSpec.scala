@@ -121,6 +121,34 @@ class LexIndexSpec extends SparkTestBase {
       rows(LexIndex.serve(spark, Seq(clean))))
   }
 
+  test("a takedown against the COMPACTED artifact composes: compaction is invisible to later lifecycle ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex").toFile
+    dir.deleteOnExit()
+    val d = dir.getAbsolutePath
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text").limit(40)
+    val g0 = LexIndex.build(spark, corpus, s"$d/g0")
+    val roster = spark.read.parquet(s"$g0/doclens").select("doc_id")
+    val t1 = LexIndex.takedown(spark, roster.filter(col("doc_id") % 4 === 1),
+      Seq(g0), s"$d/t1")
+    val c = LexIndex.compact(spark, Seq(g0), Seq(t1), s"$d/c")
+    // the second request RE-LISTS the already-compacted-away docs plus
+    // new ones: the compacted roster no longer holds the former, so the
+    // new tombstone prices only the latter — correct double-removal
+    // accounting with NO tombPaths plumbing, because compaction left
+    // the roster itself clean
+    val t2 = LexIndex.takedown(spark,
+      roster.filter(col("doc_id") % 4 === 1 || col("doc_id") % 8 === 2),
+      Seq(c), s"$d/t2")
+    val t2ids = spark.read.parquet(s"$t2/ids").collect().map(_.getLong(0)).toSet
+    assert(t2ids.nonEmpty && t2ids.forall(i => i % 8 == 2 && i % 4 != 1),
+      s"takedown against the compacted artifact re-priced compacted-away docs: $t2ids")
+    val clean = LexIndex.build(spark,
+      corpus.filter(col("doc_id") % 4 =!= 1 && col("doc_id") % 8 =!= 2), s"$d/clean")
+    assert(rows(LexIndex.serve(spark, Seq(c), Seq(t2))) ==
+      rows(LexIndex.serve(spark, Seq(clean))),
+      "post-compaction takedown serve drifted from the never-saw-them build")
+  }
+
   test("build is replay-idempotent: a second publish at the same path is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lex").toFile
     dir.deleteOnExit()
