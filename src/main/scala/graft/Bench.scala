@@ -114,44 +114,61 @@ object Bench {
     // drop below a threshold (default cpus/4; our own just-finished
     // catalog run decays out of the 1-min average during this wait too),
     // bounded by a timeout so a persistently-busy host still reports.
-    // The observed load and wait are published in the bench line
-    // (`recheck_load`/`recheck_wait_sec`) so a flag can be read against
-    // the conditions it was measured under.
-    val recheckedOrig = mutable.LinkedHashMap[String, Double]()
+    //
+    // The settle gate alone is not enough either: round 14's run
+    // settled at load 7.87 (threshold 8.0), then a load burst landed
+    // MID-FLIGHT and published recheck rows up to 34× their main-run
+    // values (q22 16.93 s vs 0.50 s) — numbers that poison later
+    // adjudications. So each rechecked query now samples loadavg
+    // around its own runs and publishes it per row, and a recheck
+    // whose observed load exceeds the threshold is SUPPRESSED: its
+    // time is recorded for the reader but never replaces the main-run
+    // time, and it cannot clear (or confirm) a flag. The `rechecked`
+    // map therefore carries objects {orig, recheck, load, usable},
+    // plus the pass-level `recheck_load`/`recheck_wait_sec`.
+    final case class Recheck(orig: Double, re: Double, load: Double, usable: Boolean)
+    val recheckInfo = mutable.LinkedHashMap[String, Recheck]()
     var recheckLoad = -1.0
     var recheckWait = 0.0
+    val settleThreshold = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD",
+      (cpus.toInt / 4.0).toString).toDouble
     def load1(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     def waitForCalm(): Unit = {
-      val threshold = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD",
-        (cpus.toInt / 4.0).toString).toDouble
       val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_TIMEOUT_MS", "180000").toLong
       val t0 = System.nanoTime()
       var l = load1()
-      while (l > threshold && (System.nanoTime() - t0) < timeoutMs * 1000000L) {
+      while (l > settleThreshold && (System.nanoTime() - t0) < timeoutMs * 1000000L) {
         Thread.sleep(5000); l = load1()
       }
       recheckWait = (System.nanoTime() - t0) / 1e9
       recheckLoad = l
-      if (l > threshold)
-        System.err.println(f"[bench] recheck proceeding on a busy host (load1=$l%.1f > $threshold%.1f after $recheckWait%.0f s)")
+      if (l > settleThreshold)
+        System.err.println(f"[bench] recheck proceeding on a busy host (load1=$l%.1f > $settleThreshold%.1f after $recheckWait%.0f s)")
     }
     val anyTrips = results.exists { case (name, t) => t > 0 && trips(name, t) }
     if (anyTrips) waitForCalm()
     val rechecked = results.map { case (name, t) =>
       if (t > 0 && trips(name, t)) {
+        var maxLoad = load1()
         val t2 = (1 to 2).map { _ =>
           Caches.release(); spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          try {
+          val dt = try {
             SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           } catch { case _: Throwable => t }
+          maxLoad = math.max(maxLoad, load1())
+          dt
         }.min
-        recheckedOrig(name) = t
-        name -> math.min(t, t2)
+        // a load sample the gate can't read (-1) is not proof of calm
+        val usable = maxLoad >= 0 && maxLoad <= settleThreshold
+        recheckInfo(name) = Recheck(t, t2, maxLoad, usable)
+        if (!usable)
+          System.err.println(f"[bench] recheck of $name ran at load1=$maxLoad%.1f > $settleThreshold%.1f — row marked unusable, main-run time stands")
+        if (usable) name -> math.min(t, t2) else name -> t
       } else name -> t
     }
     val overBudget = rechecked.collect {
@@ -195,7 +212,9 @@ object Bench {
       System.err.println(f"[bench] TRIPWIRE: $name is $ratio%.1f× baseline for the second consecutive round")
     }
     val qs = rechecked.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val rechk = recheckedOrig.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val rechk = recheckInfo.map { case (k, r) =>
+      s"""${q(k)}:{"orig":${r.orig},"recheck":${r.re},"load":${math.round(r.load * 10) / 10.0},"usable":${r.usable}}"""
+    }.mkString("{", ",", "}")
     def ratios(m: Seq[(String, Double)]) =
       m.map { case (k, r) => s"${q(k)}:${math.round(r * 10) / 10.0}" }.mkString("{", ",", "}")
     val over = ratios(overBudget)

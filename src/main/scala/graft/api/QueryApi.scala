@@ -32,6 +32,44 @@ object QueryApi {
       .orderBy("glass_id", "glass_start_time", "step_id")
   }
 
+  /** The reference's typed miss signal (dbs/auto.py:13, raised at :37
+    * when a history lookup returns no rows). A distributed lookup can't
+    * raise per-id mid-plan, so the primary surface is [[missingIds]];
+    * this exception is the strict-caller adapter over it. */
+  final case class GlassDoesNotExist(glassIds: Seq[Long])
+    extends IllegalArgumentException(s"(type=${glassIds.mkString(",")})")
+
+  /** The miss surface of [[glassHistory]] (reference GlassDoesNotExist,
+    * dbs/auto.py:13,37): the requested ids with NO history row, as a
+    * relation — the K8 dead-letter shape, so a caller routes misses to
+    * an error sink (or checks them) instead of getting silence on a
+    * typo'd id. `glassHistory(ids)`'s key set and `missingIds(ids)`
+    * partition the request: every requested id appears in exactly one.
+    *
+    * Shape: ONE broadcast semi pass over orders (the same probe
+    * glassHistory runs) reduces to the ≤|ids| distinct hit keys, and
+    * the miss is a broadcast anti over the request itself — orders is
+    * never shuffled and the anti join is request-sized × request-sized. */
+  def missingIds(s: SparkSession, dir: String, ids: DataFrame): DataFrame = {
+    val keyed = ids.toDF("custkey")
+    val hit = Tables.orders(s, dir)
+      .join(broadcast(keyed), col("o_custkey") === col("custkey"), "left_semi")
+      .select(col("o_custkey").as("custkey")).distinct()
+    keyed.join(broadcast(hit), Seq("custkey"), "left_anti")
+      .select(col("custkey").as("glass_id")).distinct()
+      .orderBy("glass_id")
+  }
+
+  /** [[glassHistory]] with the reference's raise-on-miss contract: any
+    * requested id absent from history throws [[GlassDoesNotExist]]
+    * naming ALL missing ids (the relational check is request-bounded —
+    * the one collect is over [[missingIds]], never over history). */
+  def glassHistoryStrict(s: SparkSession, dir: String, ids: DataFrame): DataFrame = {
+    val miss = missingIds(s, dir, ids).collect().map(_.getLong(0)).toSeq
+    if (miss.nonEmpty) throw GlassDoesNotExist(miss)
+    glassHistory(s, dir, ids)
+  }
+
   /** glass_data (reference eda_query.py:174-187, dbs/auto.py:41-62): the
     * per-(glass, step, start_time) detail lookup — the 50-process pool
     * becomes one equi-join from the history relation. */

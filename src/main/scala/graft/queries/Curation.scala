@@ -140,9 +140,13 @@ object Curation extends QueryModule {
   // the row identity, PlanSpec pins the probe below the join. This is
   // the explicit form of the bloom semi-join reduction Spark's own
   // InjectRuntimeFilter applies when statistics let it; here it is an
-  // operator, deterministic and always-on. The two driver actions
-  // (count to size the filter, word-collect bounded by mBits/64 rows)
-  // are control-plane, the q68-audited pattern.
+  // operator, deterministic and always-on. The offline half is ONE
+  // driver action (the word-collect, bounded by mBits/64 rows): the
+  // filter-sizing count rides the packing job as a broadcast 1-row
+  // aggregate over the same cached key relation, and each packed row
+  // carries m_bits back to the driver — control-plane, the q68-audited
+  // pattern (r15: the sizing used to be a separate count() action; the
+  // extra job was q85's calm drift vs its committed row).
   private val BloomK = 4
 
   private def q85(s: SparkSession, dir: String): DataFrame = {
@@ -153,19 +157,25 @@ object Curation extends QueryModule {
     val tr = rare.filter(col("doc_id") % EvalMod =!= EvalPhase)
 
     // offline half: the filter over the eval side's distinct keys.
-    // Tracked cache: the key set feeds TWO control-plane jobs (the
-    // sizing count, then the word-packing collect) — uncached, each
-    // re-ran the distinct over the rare relation (r14 adjudication:
-    // q85's calm drift vs its row traced to exactly these extra jobs).
+    // Tracked cache: the key set feeds the sizing aggregate AND the
+    // packing explode inside the one collect below — uncached, each
+    // subtree re-ran the distinct over the rare relation.
     val evKeys = graft.Caches.track(ev.select("tok").distinct())
-    val nEval = evKeys.count() // control-plane scalar: sizes the filter
-    val mBits = math.max(16384L, 16L * nEval) // 16 bits/key, K=4 -> fpr ~0.2%
-    val nWords = ((mBits + 63) / 64).toInt
-    val packed = evKeys.select(explode(expr(
-        s"transform(sequence(0, ${BloomK - 1}), k -> pmod(xxhash64(tok, k), ${mBits}L))")).as("pos"))
+    // 16 bits/key, K=4 -> fpr ~0.2%; m_bits is a broadcast scalar so
+    // sizing and packing are the same job, not count() + collect()
+    val sizing = evKeys.agg(
+      greatest(lit(16384L), lit(16L) * count(lit(1))).as("m_bits"))
+    val packed = evKeys.crossJoin(broadcast(sizing))
+      .select(col("m_bits"), explode(expr(
+        s"transform(sequence(0, ${BloomK - 1}), k -> pmod(xxhash64(tok, k), m_bits))")).as("pos"))
       .groupBy(expr("cast(pos div 64 AS int)").as("w"))
-      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 AS int)))").as("bits"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 AS int)))").as("bits"),
+        min(col("m_bits")).as("m_bits"))
       .collect() // control plane: ≤ mBits/64 rows by construction
+    // empty eval side -> no packed rows; any m_bits works (all-zero
+    // words reject every probe, and the exact join is empty anyway)
+    val mBits = if (packed.isEmpty) 16384L else packed.head.getLong(2)
+    val nWords = ((mBits + 63) / 64).toInt
     val words = new Array[Long](nWords)
     packed.foreach(r => words(r.getInt(0)) = r.getLong(1))
     val bloom = Seq(Tuple1(words.toSeq)).toDF("bloom")

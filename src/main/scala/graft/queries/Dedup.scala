@@ -1000,6 +1000,100 @@ object Dedup extends QueryModule {
       |ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q150 — STRIDE-1 duplicate-span STRIP (the execution arm of q103,
+  // completing the Lee et al. 2107.06499 ExactSubstr recipe): q103
+  // DETECTS arbitrary-offset duplicate spans; q66 STRIPS, but only at
+  // 8-token segment alignment. This operator removes q103's profiled
+  // positions at TOKEN granularity — every position covered by a
+  // window whose content occurred anywhere earlier in the corpus
+  // (first occurrence = lexicographic min (doc_id, pos), exactly
+  // q103's definition) is deleted, the survivors reassemble in order,
+  // and the row reports the removed/kept split plus the md5 of the
+  // cleaned bytes — so a shifted-by-one copied passage, invisible to
+  // q66, is actually excised, not just measured.
+  //
+  // Scale shape: q103's audited geometry verbatim — the ONE
+  // corpus-sized shuffle keys on the window's md5-int60 (fixed-width,
+  // uniform; first occurrences via min(struct) partial agg, never a
+  // row_number window — zero WindowExec, PlanSpec), and the strip is
+  // per-document ARRAY land: the covered set is doc-length-bounded
+  // (q66's buffer class), the reassembly one codegen-friendly
+  // filter-with-index over the token array. No second corpus-sized
+  // exchange beyond the per-doc partial agg.
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsWide(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+    val wins = toks.filter(col("n") >= WinLen)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, n - $WinLen)")).as("p0"))
+      .withColumn("pos", col("p0").cast("int"))
+      .withColumn("wkey", conv(substring(md5(concat_ws(" ",
+        slice(col("ts"), col("pos") + 1, lit(WinLen)))), 1, 15), 16, 10).cast("long"))
+      .select("doc_id", "pos", "wkey")
+    val firsts = wins.groupBy("wkey")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dups = wins.join(firsts, "wkey")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select("doc_id", "pos")
+    val covered = dups.groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("starts"))
+      .withColumn("cov", expr(
+        s"array_sort(array_distinct(flatten(transform(starts, st -> sequence(st, st + ${WinLen - 1})))))"))
+      .select("doc_id", "cov")
+    toks.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS array<int>)")))
+      .select(col("doc_id"),
+        col("n").cast("int").as("n_toks"),
+        size(col("cov")).as("n_removed"),
+        (col("n") - size(col("cov"))).cast("int").as("n_kept"),
+        md5(expr("array_join(filter(ts, (tok, i) -> NOT array_contains(cov, i)), ' ')"))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  // The oracle replays q103's detection (the exact dups CTE) and strips
+  // RELATIONALLY — tokens anti-joined against the covered positions,
+  // string_agg in position order — where the Spark side strips in array
+  // land; a hash match cross-checks the two formulations byte-for-byte.
+  private val q150Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts, len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, CAST(p AS INT) AS pos,
+      |         array_to_string(ts[(p + 1):(p + $WinLen)], ' ') AS w
+      |  FROM (SELECT doc_id, ts, unnest(range(0, n - $WinLen + 1)) AS p
+      |        FROM t WHERE n >= $WinLen)),
+      |dups AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, ROW_NUMBER() OVER (
+      |      PARTITION BY CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT)
+      |      ORDER BY doc_id, pos) AS rk
+      |    FROM wins) WHERE rk > 1),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, CAST(pos + u AS INT) AS cp
+      |  FROM (SELECT doc_id, pos, unnest(range(0, $WinLen)) AS u FROM dups)),
+      |tok AS (
+      |  SELECT doc_id, CAST(u.i - 1 AS INT) AS p, ts[u.i] AS tok
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u),
+      |nrem AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_removed FROM covered GROUP BY 1),
+      |clean AS (
+      |  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.p) AS cleaned
+      |  FROM (SELECT tok.doc_id, tok.p, tok.tok
+      |        FROM tok LEFT JOIN covered c
+      |          ON tok.doc_id = c.doc_id AND tok.p = c.cp
+      |        WHERE c.cp IS NULL) k
+      |  GROUP BY k.doc_id)
+      |SELECT t.doc_id, CAST(t.n AS INT) AS n_toks,
+      |       CAST(COALESCE(nrem.n_removed, 0) AS INT) AS n_removed,
+      |       CAST(t.n - COALESCE(nrem.n_removed, 0) AS INT) AS n_kept,
+      |       md5(COALESCE(clean.cleaned, '')) AS clean_hash
+      |FROM t LEFT JOIN nrem ON t.doc_id = nrem.doc_id
+      |LEFT JOIN clean ON t.doc_id = clean.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q107 — NEAR-DUP THRESHOLD CALIBRATION CURVE: the sweep a data
   // engineer runs BEFORE committing a dedup threshold — for every
   // detector CONFIG and Hamming radius t, how many candidate pairs
@@ -1204,6 +1298,7 @@ object Dedup extends QueryModule {
     "q31_exact_dedup"        -> (q31 _),
     "q66_span_dedup"         -> (q66 _),
     "q103_dupspan_profile"   -> (q103 _),
+    "q150_dupspan_strip"     -> (q150 _),
     "q32_ngram_jaccard"      -> (q32 _),
     "q33_minhash_lsh"        -> (q33 _),
     "q34_simhash"            -> (q34 _),
@@ -1218,6 +1313,7 @@ object Dedup extends QueryModule {
     "q31_exact_dedup"        -> q31Sql,
     "q66_span_dedup"         -> q66Sql,
     "q103_dupspan_profile"   -> q103Sql,
+    "q150_dupspan_strip"     -> q150Sql,
     "q32_ngram_jaccard"      -> q32Sql,
     "q33_minhash_lsh"        -> q33Sql,
     "q34_simhash"            -> q34Sql,

@@ -284,8 +284,12 @@ object IncrementalDedup extends QueryModule {
     * stays blocked — that is the policy). */
   private[graft] def verdictsRedacted(s: SparkSession, shard: DataFrame,
                                       idxPath: String, tombPaths: Seq[String]): DataFrame = {
+    // distinct: overlapping tombstone generations may both name the
+    // same keeper, and a duplicated redact row would duplicate every
+    // verdict row citing it through the left join
     val dead = tombPaths.map(t => s.read.parquet(s"$t/ids"))
       .reduce(_ unionByName _)
+      .distinct()
       .select(col("doc_id").as("corpus_keeper"), lit(true).as("redact"))
     verdictsAgainst(s, shard, idxPath)
       .join(broadcast(dead), Seq("corpus_keeper"), "left")
@@ -359,6 +363,7 @@ object IncrementalDedup extends QueryModule {
     """SELECT doc_id, verdict, verdict = 'kept' AS keep,
       |       CASE WHEN corpus_keeper % 7 = 3 THEN NULL ELSE corpus_keeper END AS corpus_keeper"""
       .stripMargin)
+  require(q142Sql != q84Sql, "q142 oracle redaction splice did not fire")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_incremental_dedup" -> ((s, dir) => q84(s, dir)),

@@ -389,6 +389,17 @@ object IncrementalPack extends QueryModule {
   private[graft] def corpusIndex(s: SparkSession, dir: String): String =
     buildPackState(s, corpusDocs(s, dir), indexPath(s, dir))
 
+  /** Normalize an external removal request to distinct bare ids.
+    * Removal requests are legal input the pipeline does not control: a
+    * request may name the same doc twice, and without this every
+    * takedown/pricing operator would double-join the roster — tomb
+    * rows duplicate, `applyTakedown` double-counts the removed mass
+    * (total_tokens folds too small, later ingests append at the wrong
+    * offset), and the pad rewrite emits duplicate <PAD> tokens at the
+    * same positions. Mirrors pqTakedown's roster `.distinct()`. */
+  private def requestIds(ids: DataFrame): DataFrame =
+    ids.select("doc_id").distinct()
+
   /** Price a removal request against the pack artifact's own roster —
     * q139's body, factored so IncrementalPackSpec can assert the
     * pricing ↔ execution identity: `direct_hit` is exactly the set
@@ -396,8 +407,9 @@ object IncrementalPack extends QueryModule {
     * [[repackFrom]] rebuilds. */
   private[graft] def priceTakedown(s: SparkSession, ids: DataFrame,
                                    idxPath: String): DataFrame = {
+    val req = requestIds(ids)
     val spans = s.read.parquet(s"$idxPath/docspans")
-    val hit = spans.join(broadcast(ids.select("doc_id")), "doc_id")
+    val hit = spans.join(broadcast(req), "doc_id")
       .select(explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
       .groupBy("seq_id").agg(count(lit(1)).as("n_tomb_docs"))
     val state = s.read.parquet(s"$idxPath/state")
@@ -589,12 +601,13 @@ object IncrementalPack extends QueryModule {
 
   private[graft] def padRewrite(s: SparkSession, ids: DataFrame,
                                 idxPath: String, docStore: DataFrame): DataFrame = {
-    val rebuilt = paddedHitSeqs(s, ids, idxPath, docStore)
+    val req = requestIds(ids)
+    val rebuilt = paddedHitSeqs(s, req, idxPath, docStore)
       .select(col("seq_id"), col("n_tokens"), col("n_docs"),
         col("first_doc"), col("last_doc"), col("n_pad"),
         md5(col("content")).as("content_hash"))
     storedRows(s, idxPath)
-      .join(broadcast(hitSeqIds(s, ids, idxPath)), Seq("seq_id"), "left_anti")
+      .join(broadcast(hitSeqIds(s, req, idxPath)), Seq("seq_id"), "left_anti")
       .withColumn("n_pad", lit(0).cast("int"))
       .unionByName(rebuilt)
       .select("seq_id", "n_tokens", "n_docs", "first_doc", "last_doc",
@@ -708,7 +721,7 @@ object IncrementalPack extends QueryModule {
   private[graft] def repackFrom(s: SparkSession, ids: DataFrame,
                                 idxPath: String, docStore: DataFrame): DataFrame = {
     val spans = s.read.parquet(s"$idxPath/docspans")
-    val tomb = spans.join(broadcast(ids.select("doc_id")), "doc_id")
+    val tomb = spans.join(broadcast(requestIds(ids)), "doc_id")
     val cutRel = takedownCut(tomb)
     val frozen = storedRows(s, idxPath).crossJoin(broadcast(cutRel))
       .filter(col("first_hit").isNull || col("seq_id") < col("first_hit"))
@@ -767,7 +780,7 @@ object IncrementalPack extends QueryModule {
     val p = new org.apache.hadoop.fs.Path(outPath)
     IncrementalDedup.publish(s, p) { tmp =>
       val spans = s.read.parquet(s"$idxPath/docspans")
-      val tomb = spans.join(broadcast(ids.select("doc_id")), "doc_id")
+      val tomb = spans.join(broadcast(requestIds(ids)), "doc_id")
       val cutRel = takedownCut(tomb)
       val rebuilt = rebuiltSuffix(spans, tomb.select("doc_id"), cutRel, docStore)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -938,8 +951,9 @@ object IncrementalPack extends QueryModule {
                                       outPath: String): String = {
     val p = new org.apache.hadoop.fs.Path(outPath)
     IncrementalDedup.publish(s, p) { tmp =>
-      val hits = hitSeqIds(s, ids, idxPath)
-      val rebuilt = paddedHitSeqs(s, ids, idxPath, docStore)
+      val req = requestIds(ids)
+      val hits = hitSeqIds(s, req, idxPath)
+      val rebuilt = paddedHitSeqs(s, req, idxPath, docStore)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       try {
         val state = s.read.parquet(s"$idxPath/state")
@@ -947,7 +961,7 @@ object IncrementalPack extends QueryModule {
         // request's spans (offsets frozen, so stored holes never move)
         padsOf(s, idxPath).unionByName(
           s.read.parquet(s"$idxPath/docspans")
-            .join(broadcast(ids.select("doc_id")), "doc_id")
+            .join(broadcast(req), "doc_id")
             .select("start_off", "n_tokens"))
           .write.mode("overwrite").parquet(s"$tmp/pads")
         val frozenSeqs = s.read.parquet(s"$idxPath/seqs")
@@ -972,7 +986,7 @@ object IncrementalPack extends QueryModule {
           packedOut,
           state.select("total_tokens"),
           s.read.parquet(s"$idxPath/docspans")
-            .join(broadcast(ids.select("doc_id")), Seq("doc_id"), "left_anti"))
+            .join(broadcast(req), Seq("doc_id"), "left_anti"))
       } finally rebuilt.unpersist()
     }
     outPath
@@ -1045,9 +1059,10 @@ object IncrementalPack extends QueryModule {
   // exactly as a from-scratch analysis would.
   private[graft] def branchGate(s: SparkSession, ids: DataFrame,
                                 idx: String): DataFrame = {
+    val req = requestIds(ids)
     val spans = s.read.parquet(s"$idx/docspans")
-    val tomb = spans.join(broadcast(ids.select("doc_id")), "doc_id")
-    val hits = hitSeqIds(s, ids, idx)
+    val tomb = spans.join(broadcast(req), "doc_id")
+    val hits = hitSeqIds(s, req, idx)
     val overlapSurv = spans
       .select(col("doc_id"), col("n_tokens"),
         explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))

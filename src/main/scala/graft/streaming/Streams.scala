@@ -626,9 +626,16 @@ object Streams {
     * query, released at the watermark). A production serve bounds it
     * the way q71 does — probe IVF cells first and pass the PROBED
     * subset as `codes`; the twin is parameterized on the codes relation
-    * so that bound drops in unchanged. */
+    * so that bound drops in unchanged.
+    *
+    * `excludeSelf` exists for the q79 fixture geometry, where query
+    * vectors ARE corpus vectors and qid shares the stored vec_id space
+    * (a vector must not retrieve itself). For genuinely EXTERNAL query
+    * streams the qid space is unrelated to vec_ids, and an id collision
+    * must not drop a stored vector from that query's scoring — so the
+    * exclusion defaults OFF; only the batch-twin callers turn it on. */
   def adcScore(queries: Dataset[VecQuery], codebook: DataFrame,
-               codes: DataFrame): DataFrame = {
+               codes: DataFrame, excludeSelf: Boolean = false): DataFrame = {
     import queries.sparkSession.implicits._
     val m = graft.queries.Similarity.PqM
     val dsub = graft.queries.Similarity.PqDim
@@ -645,8 +652,8 @@ object Streams {
     val dtab = sub.join(codebook, Seq("sub"))
       .withColumn("d", col("n2q") + col("n2c") - lit(2L) * expr("graft_dot(qa, ca)"))
       .select("qid", "ts", "sub", "cid", "d")
-    dtab.join(codes, Seq("sub", "cid"))
-      .filter(col("qid") =!= col("vec_id"))
+    val joined = dtab.join(codes, Seq("sub", "cid"))
+    (if (excludeSelf) joined.filter(col("qid") =!= col("vec_id")) else joined)
       .groupBy(window(col("ts"), "1 day"), col("qid"), col("vec_id"))
       .agg(sum(col("d")).as("adist"))
       .select("qid", "vec_id", "adist")

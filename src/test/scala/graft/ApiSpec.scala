@@ -32,6 +32,25 @@ class ApiSpec extends SparkTestBase {
       .foreach(k => assert(hKeys.contains(k)))
   }
 
+  test("missingIds surfaces unknown ids instead of silence (GlassDoesNotExist, dbs/auto.py:13,37)") {
+    // 999999999 has no orders row by construction; the known ids do
+    val req = Seq(1L, 7L, 999999999L).toDF("id")
+    val miss = QueryApi.missingIds(spark, sfDir, req).as[Long].collect().toSeq
+    assert(miss == Seq(999999999L), s"miss surface was $miss")
+    // hit keys ∪ misses partition the request — no id is silently dropped
+    val hits = QueryApi.glassHistory(spark, sfDir, req)
+      .select("glass_id").distinct().as[Long].collect().toSet
+    assert(hits ++ miss == Set(1L, 7L, 999999999L) && hits.intersect(miss.toSet).isEmpty)
+    // the strict adapter raises the typed signal naming the missing ids
+    val e = intercept[QueryApi.GlassDoesNotExist] {
+      QueryApi.glassHistoryStrict(spark, sfDir, req)
+    }
+    assert(e.glassIds == Seq(999999999L))
+    // and passes through untouched when every id exists
+    val ok = QueryApi.glassHistoryStrict(spark, sfDir, ids)
+    assert(ok.count() == QueryApi.glassHistory(spark, sfDir, ids).count())
+  }
+
   test("grouped edge result: one entry per glass, rows preserved") {
     val hist = QueryApi.glassHistory(spark, sfDir, ids)
     val m = QueryApi.grouped(hist, "glass_id").collect().toMap

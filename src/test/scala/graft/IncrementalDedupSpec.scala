@@ -117,4 +117,34 @@ class IncrementalDedupSpec extends SparkTestBase {
     }
     assert(redacted > 0, "fixture exercises no redaction - mask untested")
   }
+
+  test("overlapping tombstone generations redact once: no duplicated verdict rows") {
+    // two removal requests can both name the same keeper (external legal
+    // input); the redaction serve unions the generations' id rosters,
+    // and without the distinct a doubled id would duplicate every
+    // verdict row citing it through the left join
+    withTempRoot { root =>
+      import org.apache.spark.sql.functions.col
+      val idx = IncrementalDedup.buildIndex(spark, sfDir)
+      val shard = spark.read.parquet(s"${IncrementalDedup.stageShard(spark, sfDir)}/docs")
+      val roster = spark.read.parquet(s"$idx/exact")
+        .select(col("keeper").as("doc_id"))
+      val t1 = IncrementalDedup.takedown(spark,
+        roster.filter(col("doc_id") % 7 === 3), idx, s"$root/tomb1")
+      val t2 = IncrementalDedup.takedown(spark,
+        roster.filter(col("doc_id") % 7 === 3 || col("doc_id") % 7 === 5),
+        idx, s"$root/tomb2")
+      val overlap = spark.read.parquet(s"$t1/ids")
+        .join(spark.read.parquet(s"$t2/ids"), "doc_id").count()
+      assert(overlap > 0, "fixture generations do not overlap — test vacuous")
+      val both = IncrementalDedup.verdictsRedacted(spark, shard, idx, Seq(t1, t2))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.get(3))).toSeq
+      val wide = IncrementalDedup.verdictsRedacted(spark, shard, idx, Seq(t2))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.get(3))).toSeq
+      assert(both.map(_._1).distinct.size == both.size,
+        "overlapping tombstones duplicated verdict rows")
+      // t1 ⊂ t2, so serving both generations equals serving the wider one
+      assert(both == wide, "overlapping-generation serve drifted from the union redaction")
+    }
+  }
 }

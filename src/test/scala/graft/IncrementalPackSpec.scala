@@ -533,6 +533,49 @@ class IncrementalPackSpec extends SparkTestBase {
     }
   }
 
+  test("a removal request naming a doc twice behaves exactly as the distinct request") {
+    // removal requests are EXTERNAL legal input — nothing upstream
+    // guarantees distinct ids. Before normalization, a repeated id
+    // duplicated its tomb rows: applyTakedown double-counted the removed
+    // mass (total folded too small, later ingests appended at the wrong
+    // offset) and the pad rewrite emitted duplicate <PAD> tokens at the
+    // same positions (inflated n_tokens/n_pad, corrupt content hashes).
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      import spark.implicits._
+      val dup = Seq(2L, 2L, 3L, 2L).toDF("doc_id")
+      val one = Seq(2L, 3L).toDF("doc_id")
+      def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+      assert(rows(IncrementalPack.priceTakedown(spark, dup, idx)) ==
+             rows(IncrementalPack.priceTakedown(spark, one, idx)),
+        "pricing counts a doc per mention, not per identity")
+      assert(rows(IncrementalPack.branchGate(spark, dup, idx)) ==
+             rows(IncrementalPack.branchGate(spark, one, idx)),
+        "branch gate double-prices a repeated id")
+      assert(rows(IncrementalPack.padRewrite(spark, dup, idx, docsDf(corpus))) ==
+             rows(IncrementalPack.padRewrite(spark, one, idx, docsDf(corpus))),
+        "pad rewrite double-injects <PAD> for a repeated id")
+      assert(rows(IncrementalPack.repackFrom(spark, dup, idx, docsDf(corpus))) ==
+             rows(IncrementalPack.repackFrom(spark, one, idx, docsDf(corpus))),
+        "repack drifts under a repeated id")
+      // the folds: the duplicated request must produce the SAME generation
+      val gDup = IncrementalPack.applyTakedown(spark, dup, idx,
+        docsDf(corpus), s"$root/gdup")
+      assert(served(Seq.empty, gDup) == replay(Seq(doc(1, 1200))),
+        "repack fold drifted under a duplicated request")
+      assert(spark.read.parquet(s"$gDup/state").collect()(0).getLong(0) == 1200L,
+        "removed mass double-counted: folded total is wrong")
+      // ...and the chain continues at the RIGHT offset
+      val gNext = IncrementalPack.ingest(spark, docsDf(day1), gDup, s"$root/gnext")
+      assert(served(Seq.empty, gNext) == replay(Seq(doc(1, 1200)) ++ day1),
+        "ingest after a duplicated-request fold appended at the wrong offset")
+      val pDup = IncrementalPack.applyPadTakedown(spark, dup, idx,
+        docsDf(corpus), s"$root/pdup")
+      assert(served(Seq.empty, pDup) == replayPadded(corpus, Set(2L, 3L)),
+        "pad fold drifted under a duplicated request")
+    }
+  }
+
   test("multi-day chain stays equal to the full repack") {
     withTempRoot { root =>
       val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")

@@ -82,6 +82,28 @@ class PlanSpec extends SparkTestBase {
       s"scoring join does not broadcast the model:\n${p.take(2000)}")
   }
 
+  test("q150 strips via aggregation: zero WindowExec, one window-key exchange class") {
+    // the q103-geometry contract on the execution arm: first occurrences
+    // come from a min(struct) partial agg, never a row_number window (a
+    // WindowExec keyed on the stride-1 window hash would sort ~n rows/doc
+    // corpus-wide), and the only corpus-sized exchanges key on the
+    // fixed-width wkey or the per-doc partial agg — reassembly is array
+    // land inside the doc row
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.Caches.release(); spark.catalog.clearCache()
+    val exec = graft.Caches.disabled(
+      graft.queries.Dedup.queries("q150_dupspan_strip")(spark, sfDir)
+        .queryExecution.executedPlan)
+    assert(exec.collect { case w: WindowExec => w }.isEmpty,
+      "q150 contains a WindowExec over the stride-1 window relation")
+    val wkeyExchanges = exec.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.toString.contains("wkey") => e
+    }
+    assert(wkeyExchanges.size <= 2,
+      s"q150 shuffles the window relation ${wkeyExchanges.size} times (agg + join sides expected)")
+  }
+
   test("no query plan contains a cartesian product over fact-sized inputs") {
     val exempt = Set("q07_grid") // deliberate small-distinct cross join (R4/J9)
     // Caches.disabled: with tracking on, every persisted subtree plans

@@ -635,7 +635,8 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     val mem = MemoryStream[Streams.VecQuery]
     val query = Streams.adcScore(mem.toDS(),
-        spark.read.parquet(s"$idx/codebook"), spark.read.parquet(s"$idx/codes"))
+        spark.read.parquet(s"$idx/codebook"), spark.read.parquet(s"$idx/codes"),
+        excludeSelf = true) // fixture qids ARE corpus vec_ids (q79 geometry)
       .writeStream.format("memory").queryName("adc_stream")
       .outputMode("append").start()
     mem.addData(qvecs.map { case (qid, v) =>
@@ -675,7 +676,8 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     val mem = MemoryStream[Streams.VecQuery]
     val query = Streams.adcScore(mem.toDS(),
-        spark.read.parquet(s"$idx/codebook"), codes)
+        spark.read.parquet(s"$idx/codebook"), codes,
+        excludeSelf = true) // fixture qids ARE corpus vec_ids (q79 geometry)
       .writeStream.format("memory").queryName("adc_tomb_stream")
       .outputMode("append").start()
     mem.addData(qvecs.map { case (qid, v) =>
@@ -697,5 +699,36 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
       .sortBy(r => (r._1, r._3))
     assert(top == batch, s"stream+cut:\n$top\ntombstoned batch arm:\n$batch")
+  }
+
+  test("adcScore external queries: a qid colliding with a stored vec_id is NOT dropped by default") {
+    // external query streams have a qid space unrelated to vec_ids — an
+    // id collision must not silently remove that stored vector from the
+    // query's scoring (the exclusion is the q79 fixture's, opt-in only)
+    implicit val sqlCtx = spark.sqlContext
+    graft.queries.Similarity.queries("q79_pq_index_search")(spark, sfDir).collect()
+    val idx = graft.queries.Similarity.pqIndexPath(spark, sfDir)
+    val nVecs = spark.read.parquet(s"$idx/codes")
+      .select("vec_id").distinct().count()
+    val emb = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+    val mem = MemoryStream[Streams.VecQuery]
+    // qid 0 collides with stored vec_id 0 by construction
+    val query = Streams.adcScore(mem.toDS(),
+        spark.read.parquet(s"$idx/codebook"), spark.read.parquet(s"$idx/codes"))
+      .writeStream.format("memory").queryName("adc_ext_stream")
+      .outputMode("append").start()
+    mem.addData(Streams.VecQuery(0L, ts("2024-01-01 01:00:00"), emb))
+    query.processAllAvailable()
+    mem.addData(Streams.VecQuery(999999L, ts("2024-01-10 00:00:00"), emb))
+    query.processAllAvailable()
+    val streamed = spark.table("adc_ext_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    query.stop()
+    val scoredForQ0 = streamed.filter(_._1 == 0L)
+    assert(scoredForQ0.map(_._2).contains(0L),
+      "external default dropped the vec_id == qid vector")
+    assert(scoredForQ0.size.toLong == nVecs,
+      s"external default scored ${scoredForQ0.size} of $nVecs stored vectors")
   }
 }

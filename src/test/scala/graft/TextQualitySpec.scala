@@ -97,6 +97,45 @@ class TextQualitySpec extends SparkTestBase {
     assert(got.values.exists(v => v._7 > W), "no merged span longer than one window")
   }
 
+  test("q150 strips q103's profiled spans at token granularity, md5-verified bytes") {
+    val W = 8
+    val got = SparkEntry.queries("q150_dupspan_strip")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    // the same global first-occurrence sweep as q103's, then the strip:
+    // remove every covered position, reassemble the survivors in order
+    val seen = scala.collection.mutable.Set[String]()
+    docs.foreach { case (id, text, _) =>
+      val ts = text.split(" ", -1)
+      val n = ts.length
+      val nWins = math.max(n - W + 1, 0)
+      val dupStarts = (0 until nWins).filter { p =>
+        !seen.add(ts.slice(p, p + W).mkString(" "))
+      }
+      val covered = dupStarts.flatMap(p => p until (p + W)).toSet
+      val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      val expect = (n, covered.size, n - covered.size, md5hex(kept.mkString(" ")))
+      assert(got(id) == expect, s"doc $id: got=${got(id)} expect=$expect")
+    }
+    // the strip must actually remove something on this corpus (the
+    // planted re-ingests guarantee offset duplication exists)
+    assert(got.values.exists(_._2 > 0), "nothing stripped — operator untested")
+    assert(got.values.exists(_._2 == 0), "everything stripped — fixture degenerate")
+  }
+
+  test("q150 removal mass equals q103's profiled coverage per document") {
+    // the detect/execute contract: the strip removes EXACTLY the
+    // positions the profiler reported (dup_pos), document by document
+    val profile = SparkEntry.queries("q103_dupspan_profile")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    val strip = SparkEntry.queries("q150_dupspan_strip")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(profile.keySet == strip.keySet)
+    profile.foreach { case (id, dupPos) =>
+      assert(strip(id) == dupPos, s"doc $id: stripped ${strip(id)} != profiled $dupPos")
+    }
+  }
+
   test("q103 sees offset-shifted duplication that block-aligned q66 misses") {
     // a copied passage shifted by 1 token: q66's boundary-aligned segments
     // hash differently, q103's stride-1 windows still match
