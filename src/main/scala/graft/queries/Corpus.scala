@@ -1540,8 +1540,68 @@ object Corpus extends QueryModule {
       |       (1000000 * CAST(SUM(CASE WHEN status != 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS churn_ppm
       |FROM diff GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q154 — SHUFFLE-KEY SKEW PROFILER (L116): the pre-flight audit a
+  // 100 TB job runs BEFORE hashing a corpus on a candidate key. Every
+  // text-family shuffle in this catalog keys on the token (postings
+  // builds, vocab aggregations, df joins); under Zipf the head token
+  // carries a constant FRACTION of the corpus, so the partition that
+  // receives it scales linearly with data while every other partition
+  // stays balanced — the one straggler that turns a 30-minute stage
+  // into a 10-hour one. This profiles the key's heavy hitters and
+  // prices the fix: per top token, its corpus share (ppm) and the
+  // SALT FACTOR — the number of sub-keys `(token, hash % salt)` must
+  // fan into so no sub-key exceeds an even partition's share at the
+  // catalog's parallelism (the salting recipe q33's bucket cap and
+  // AQE skew-join both implement downstream; this is the report that
+  // says WHICH keys need it and by how much). `n_keys`/`total` ride
+  // along so the reader can see the balanced-world denominator.
+  //
+  // Scale shape: ONE uniform (token) aggregation — the profiler costs
+  // exactly the shuffle it is auditing, once, offline — then the
+  // TakeOrdered top-16 (never a vocab-wide window) and a broadcast
+  // 1-row totals attach. Pure integer arithmetic throughout.
+  private val SkewTopK = 16
+  private val SkewParts = 32L
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val cnt = graft.Caches.track(Tables.documentsWide(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt")))
+    val tot = cnt.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    graft.functions.TopK.ranked(cnt, SkewTopK,
+      order = Seq(col("cnt").desc, col("token")),
+      ascKeys = Seq(-col("cnt"), col("token")),
+      cols = Seq("token", "cnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("cnt * 1000000 div total"))
+      .withColumn("salt_factor",
+        expr(s"(cnt + (total div $SkewParts + 1) - 1) div (total div $SkewParts + 1)"))
+      .select("rank", "token", "cnt", "share_ppm", "salt_factor",
+        "n_keys", "total")
+      .orderBy("rank")
+  }
+
+  private val q154Sql =
+    s"""WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+      |tot AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM cnt),
+      |ranked AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+      |         token, cnt
+      |  FROM cnt)
+      |SELECT rank, token, cnt,
+      |       (cnt * 1000000) // total AS share_ppm,
+      |       (cnt + (total // $SkewParts + 1) - 1) // (total // $SkewParts + 1) AS salt_factor,
+      |       n_keys, total
+      |FROM ranked CROSS JOIN tot
+      |WHERE rank <= $SkewTopK ORDER BY rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_boilerplate_strip" -> (q90 _),
+    "q154_skew_profile"     -> (q154 _),
     "q91_bm25_topk"         -> (q91 _),
     "q115_retrieval_eval"   -> (q115 _),
     "q129_hybrid_fusion"    -> (q129 _),
@@ -1561,6 +1621,7 @@ object Corpus extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q90_boilerplate_strip" -> q90Sql,
+    "q154_skew_profile"     -> q154Sql,
     "q91_bm25_topk"         -> q91Sql,
     "q115_retrieval_eval"   -> q115Sql,
     "q129_hybrid_fusion"    -> q129Sql,

@@ -1323,8 +1323,106 @@ object Curation extends QueryModule {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q156 — TOKEN-BUDGET CURRICULUM SCHEDULE (L118): the allocation step
+  // between scoring and packing. Curriculum training (Bengio et al.
+  // 2009; applied to LM data ordering in e.g. DoReMi-style pipelines)
+  // consumes data easy→hard: the most model-predictable documents feed
+  // the warm-up phase, the long tail lands late. Given per-doc
+  // difficulty (the corpus-self-trained unigram millibits — q67's
+  // exact integer scoring, LOW = predictable = easy) and a phase plan
+  // stated in TOKEN budgets (phase 1 = first 20 % of corpus tokens,
+  // phase 2 = next 30 %, phase 3 = the rest — budgets are always in
+  // tokens, because steps are), assign every document to the phase
+  // where its tokens START in the (millibits, doc_id) curriculum
+  // order, and report each phase's realized size and difficulty band.
+  // This relation is the epoch-materializer's (q104/q105) input: it
+  // says which docs each phase's pack job may read.
+  //
+  // Scale shape: scoring is q67's (one vocab-sized model aggregation,
+  // one corpus re-scan); the curriculum ORDER then needs a global
+  // token prefix sum over corpus-sized rows — which runs as the q60
+  // TWO-PHASE prefix sum keyed on the BOUNDED millibits domain
+  // (≤ 64·1000 values): within-bucket windows partition by millibits,
+  // bucket offsets cumsum over the bounded bucket relation, and no
+  // corpus-sized relation ever visits a single partition. Pure integer
+  // arithmetic end to end.
+  private val CurrPct1 = 20L // phase 1: first 20 % of tokens
+  private val CurrPct2 = 50L // phase 2: through 50 % cumulative
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsWide(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val total = model.agg(sum(col("freq")).as("total"))
+    val bits = model.crossJoin(broadcast(total))
+      .withColumn("bits", (length(bin(expr("total div freq"))) - 1).cast("long"))
+      .select("tok", "bits")
+    val mb = graft.Caches.track(toks.join(broadcast(bits), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+      .withColumn("millibits", expr("total_bits * 1000 div n_tokens"))
+      .select("doc_id", "n_tokens", "millibits"))
+    // two-phase prefix sum of n_tokens in (millibits, doc_id) order
+    val wIn = Window.partitionBy("millibits").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inB = mb.withColumn("cum_in",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wOff = Window.orderBy("millibits")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = mb.groupBy("millibits").agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("cum_off", coalesce(sum(col("bsum")).over(wOff), lit(0L)))
+      .select("millibits", "cum_off")
+    val tt = mb.agg(sum(col("n_tokens")).as("tt"))
+    inB.join(broadcast(offs), "millibits")
+      .withColumn("cum_before", col("cum_off") + col("cum_in"))
+      .crossJoin(broadcast(tt))
+      .withColumn("phase",
+        when(col("cum_before") < expr(s"tt * $CurrPct1 div 100"), lit(1))
+          .when(col("cum_before") < expr(s"tt * $CurrPct2 div 100"), lit(2))
+          .otherwise(lit(3)))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("millibits")).as("min_millibits"),
+        max(col("millibits")).as("max_millibits"))
+      .orderBy("phase")
+  }
+
+  private val q156Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |model AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+      |n AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM model),
+      |bits AS (
+      |  SELECT tok, CAST(length(bin(total // freq)) - 1 AS BIGINT) AS bits
+      |  FROM model CROSS JOIN n),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(bits) AS BIGINT) AS total_bits
+      |  FROM toks JOIN bits USING (tok) GROUP BY doc_id),
+      |mb AS (
+      |  SELECT doc_id, n_tokens, (total_bits * 1000) // n_tokens AS millibits
+      |  FROM scored),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM mb),
+      |c AS (
+      |  SELECT doc_id, n_tokens, millibits,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY millibits, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           - n_tokens AS cum_before
+      |  FROM mb),
+      |ph AS (
+      |  SELECT CASE WHEN cum_before < tt * $CurrPct1 // 100 THEN 1
+      |              WHEN cum_before < tt * $CurrPct2 // 100 THEN 2
+      |              ELSE 3 END AS phase,
+      |         n_tokens, millibits
+      |  FROM c CROSS JOIN tot)
+      |SELECT phase, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |       MIN(millibits) AS min_millibits,
+      |       MAX(millibits) AS max_millibits
+      |FROM ph GROUP BY phase ORDER BY phase""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_decontaminate"     -> (q51 _),
+    "q156_curriculum_plan"  -> (q156 _),
     "q85_bloom_decontaminate" -> (q85 _),
     "q88_quality_classifier" -> (q88 _),
     "q72_curation_verdict"  -> (q72 _),
@@ -1347,6 +1445,7 @@ object Curation extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q51_decontaminate"     -> q51Sql,
+    "q156_curriculum_plan"  -> q156Sql,
     // q85 is q51's serving twin: same exact output, different physical
     // plan — the bloom admits no false negatives and its false
     // positives die in the exact join, so the one oracle covers both

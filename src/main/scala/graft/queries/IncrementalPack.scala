@@ -1153,6 +1153,97 @@ object IncrementalPack extends QueryModule {
       |            THEN 'pad' ELSE 'repack' END AS verdict
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q151 — PROVENANCE ATTRIBUTION SERVE (L113): the INVERSE of packing.
+  // Every governance question about a shipped training artifact
+  // eventually arrives as "this global token position (a memorized
+  // span, an eval-set hit, a flagged completion) — which source
+  // document is it, and what does the source say there?". The takedown
+  // family (q139/q145–q149) prices whole-document requests forward;
+  // this answers the position→document direction: an audit request of
+  // bare global token positions maps through the artifact's own
+  // docspans/ roster to (sequence, source doc, in-doc offset) and
+  // fetches the attributed token from the raw corpus for exactly the
+  // hit documents — the attribution a memorization audit or a
+  // copyright claim review actually files.
+  //
+  // Scale shape: the request is audit-sized (bounded), so it rides a
+  // BROADCAST range join against the roster — ONE narrow pass over the
+  // corpus-proportional docspans relation, zero shuffle of it (the
+  // roster's (start_off, n_tokens) arithmetic alone resolves the doc
+  // and offset; positions never explode). The raw corpus is then read
+  // ONCE, narrowly, with the bounded hit set as the broadcast build
+  // side — only attributed documents' texts are token-indexed. No step
+  // re-derives offsets: the roster IS the provenance record (that is
+  // why q147/q148's folds maintain it), so attribution stays correct
+  // across the artifact's whole generation chain.
+  private val ProvStride = 997L
+  private val ProvOffset = 13L
+  private val ProvK = 32L
+
+  /** Map bare global token positions `req` (column `p`) through the
+    * artifact's docspans roster and the given raw corpus to
+    * (p, seq_id, doc_id, off, tok). Factored so IncrementalPackSpec
+    * can assert attribution against hand-packed fixtures and across
+    * fold generations. */
+  private[graft] def attribute(s: SparkSession, req: DataFrame,
+                               idxPath: String, docs: DataFrame): DataFrame = {
+    val spans = s.read.parquet(s"$idxPath/docspans")
+    val hits = spans.join(broadcast(req),
+        col("p") >= col("start_off") &&
+          col("p") < col("start_off") + col("n_tokens"))
+      .select(col("p"), expr(s"p div $SeqLen").as("seq_id"), col("doc_id"),
+        (col("p") - col("start_off")).as("off"))
+    docs.join(broadcast(hits), "doc_id")
+      .select(col("p"), col("seq_id"), col("doc_id"), col("off"),
+        element_at(split(col("text"), " "),
+          (col("off") + 1).cast("int")).as("tok"))
+      .orderBy("p")
+  }
+
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val idx = corpusIndex(s, dir)
+    // the audit request: a deterministic stride of global positions,
+    // clipped to the artifact's own token total (state/, not the
+    // corpus) — bare positions, exactly how a memorization-audit hit
+    // list arrives
+    val total = s.read.parquet(s"$idx/state").select("total_tokens")
+    val req = s.range(ProvK)
+      .select((col("id") * ProvStride + ProvOffset).as("p"))
+      .crossJoin(broadcast(total))
+      .filter(col("p") < col("total_tokens"))
+      .select("p")
+    attribute(s, req, idx, corpusDocs(s, dir))
+  }
+
+  // The oracle replays the pack offsets from raw documents (the plain
+  // global cumsum), regenerates the same position stride, and resolves
+  // each position by the containment join — a hash match proves the
+  // artifact's roster attributes every audited position to exactly the
+  // document, offset, and token a from-scratch repack analysis would.
+  private val q151Sql =
+    s"""WITH cdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+      |n AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM cdocs),
+      |c AS (
+      |  SELECT doc_id, ts, n_tokens,
+      |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start_off
+      |  FROM n),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM n),
+      |req AS (
+      |  SELECT CAST(k * $ProvStride + $ProvOffset AS BIGINT) AS p
+      |  FROM (SELECT unnest(range(0, $ProvK)) AS k) CROSS JOIN tot
+      |  WHERE k * $ProvStride + $ProvOffset < total)
+      |SELECT r.p, r.p // $SeqLen AS seq_id, c.doc_id,
+      |       r.p - c.start_off AS off,
+      |       c.ts[CAST(r.p - c.start_off + 1 AS INT)] AS tok
+      |FROM req r JOIN c
+      |  ON r.p >= c.start_off AND r.p < c.start_off + c.n_tokens
+      |ORDER BY r.p""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_incremental_pack" -> ((s, dir) => q128(s, dir)),
     "q139_pack_takedown_audit" -> ((s, dir) => q139(s, dir)),
@@ -1161,6 +1252,7 @@ object IncrementalPack extends QueryModule {
     "q147_pack_takedown_fold" -> ((s, dir) => q147(s, dir)),
     "q148_pack_pad_fold" -> ((s, dir) => q148(s, dir)),
     "q149_takedown_branch_gate" -> ((s, dir) => q149(s, dir)),
+    "q151_pack_provenance" -> ((s, dir) => q151(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -1171,5 +1263,6 @@ object IncrementalPack extends QueryModule {
     "q147_pack_takedown_fold" -> q147Sql,
     "q148_pack_pad_fold" -> q148Sql,
     "q149_takedown_branch_gate" -> q149Sql,
+    "q151_pack_provenance" -> q151Sql,
   )
 }

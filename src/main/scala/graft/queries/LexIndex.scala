@@ -316,8 +316,113 @@ object LexIndex extends QueryModule {
       |        SELECT doc_id + $ShardBase AS doc_id, text FROM documents
       |        WHERE doc_id % 5 = 4) documents""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // q155 — POSITIONAL PHRASE INDEX (L117): the retrieval capability the
+  // bag-of-words family structurally cannot express. BM25 (q91/q131)
+  // scores term MULTISETS — "slow fast" and "fast slow" are the same
+  // query to it — but dedup forensics, quote attribution, and exact-
+  // phrase search all need ORDER: "which documents contain this exact
+  // word sequence, and how often?". The standard answer is positional
+  // postings (Manning/Raghavan/Schütze IR ch. 2.4): the inverted index
+  // keyed (term, doc, POSITION), with a phrase match = an adjacency
+  // chain p(w₀)=k, p(w₁)=k+1, … — the same artifact Lucene stores for
+  // its PhraseQuery.
+  //
+  // The artifact (`positions/`, fingerprinted + marker-last like every
+  // index in this family) is sorted (term, doc_id, pos), so the serve's
+  // workload-literal term filter is an `In` pushed to the parquet scan
+  // and reads only the phrase terms' slivers. The adjacency chain is a
+  // cascade of equi-joins on the uniform (doc_id, start-position) key —
+  // each join step prunes to docs still matching the prefix, so
+  // selectivity only tightens left to right. Occurrence counting is a
+  // per-(qid, doc) aggregate; the final cut is the family's shared
+  // per-qid top-k discipline (candidates are already bounded by the
+  // rarest phrase term's postings). The corpus is never re-read at
+  // serve time.
+  private val PhraseTopK = 5
+  private[graft] val PhraseQueries: Seq[(Int, String)] = Seq(
+    1 -> "table value",
+    2 -> "row scan",
+    3 -> "value table part",
+    4 -> "data window",
+    5 -> "slow fast")
+
+  private[graft] def phrasePath(s: SparkSession, dir: String): String =
+    s"$indexRoot/phr-${IncrementalDedup.dataFingerprint(s, dir)}"
+
+  /** Offline build: one corpus-sized posexplode into the sorted
+    * positional postings — the only pass that ever reads the text. */
+  private[graft] def buildPhraseIndex(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(phrasePath(s, dir))
+    IncrementalDedup.publish(s, p) { tmp =>
+      Tables.documentsWide(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+        .sort("term", "doc_id", "pos")
+        .write.mode("overwrite").parquet(s"$tmp/positions")
+    }
+    phrasePath(s, dir)
+  }
+
+  /** Phrase-occurrence serve over a positional postings relation:
+    * (qid, doc_id, p0) — one row per occurrence, p0 = the phrase's
+    * start position. Factored for LexIndexSpec. */
+  private[graft] def phraseOccurrences(pos: DataFrame): DataFrame =
+    PhraseQueries.map { case (qid, phrase) =>
+      phrase.split(" ").zipWithIndex.map { case (w, i) =>
+        pos.filter(col("term") === w)
+          .select(col("doc_id"), (col("pos") - i).as("p0"))
+      }.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+        .select(lit(qid).as("qid"), col("doc_id"), col("p0"))
+    }.reduce(_ unionByName _)
+
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildPhraseIndex(s, dir)
+    phraseOccurrences(s.read.parquet(s"$idx/positions"))
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_occ"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("n_occ").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= PhraseTopK)
+      .select("qid", "rank", "doc_id", "n_occ")
+      .orderBy("qid", "rank")
+  }
+
+  // The oracle replays positions from raw text (the q128 LATERAL
+  // ordinal-unnest pattern) and chains the same adjacency joins — a
+  // hash match proves the persisted positional artifact serves exactly
+  // the from-scratch phrase scan.
+  private val q155Sql = {
+    val occs = PhraseQueries.map { case (qid, phrase) =>
+      val ws = phrase.split(" ")
+      val joins = ws.indices.drop(1).map(i =>
+        s"JOIN toks t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i")
+        .mkString(" ")
+      val preds = ws.zipWithIndex
+        .map { case (w, i) => s"t$i.term = '$w'" }.mkString(" AND ")
+      s"SELECT $qid AS qid, t0.doc_id FROM toks t0 $joins WHERE $preds"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ts[u.i] AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u),
+      |occ AS (
+      |  $occs),
+      |cnt AS (
+      |  SELECT qid, doc_id, COUNT(*) AS n_occ FROM occ GROUP BY qid, doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, n_occ,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY n_occ DESC, doc_id) AS INT) AS rank
+      |  FROM cnt)
+      |SELECT qid, rank, doc_id, n_occ FROM ranked
+      |WHERE rank <= $PhraseTopK ORDER BY qid, rank""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_lex_index_serve"  -> ((s, dir) => q131(s, dir)),
+    "q155_phrase_index"     -> ((s, dir) => q155(s, dir)),
     "q132_incremental_lex"  -> ((s, dir) => q132(s, dir)),
     "q133_lex_takedown"     -> ((s, dir) => q133(s, dir)),
     "q134_lex_compact"      -> ((s, dir) => q134(s, dir)),
@@ -325,6 +430,7 @@ object LexIndex extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "q131_lex_index_serve"  -> q131Sql,
+    "q155_phrase_index"     -> q155Sql,
     "q132_incremental_lex"  -> q132Sql,
     "q133_lex_takedown"     -> q133Sql,
     "q134_lex_compact"      -> q133Sql,

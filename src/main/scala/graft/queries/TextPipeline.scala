@@ -1613,8 +1613,205 @@ object TextPipeline extends QueryModule {
       |         CAST($GateShortPpm AS BIGINT), (1000000 * shorts) // n <= $GateShortPpm FROM g_a)
       |ORDER BY criterion""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q152 — VOCABULARY DRIFT / OOV RATE between corpus generations
+  // (L114): the tokenizer-governance twin of the intake family. A
+  // deployed tokenizer is FROZEN against the corpus generation it was
+  // trained on (q69/q89); every later intake shard drifts away from it
+  // — new domains, new languages, new spellings — and the number that
+  // decides "retrain the tokenizer" vs "ship as-is" is the intake's
+  // out-of-vocabulary rate against the frozen generation's type set,
+  // split by language (drift is never uniform: one new source language
+  // can hide behind a calm aggregate). Per intake language: token
+  // volume, OOV token count and ppm rate, distinct types, NEW types
+  // (never seen by the frozen generation), and the heaviest new type's
+  // frequency (a spike there = one systematic novelty — a new markup
+  // token, a new boilerplate string — rather than organic tail drift).
+  //
+  // Fixture split: the frozen generation is the corpus slice
+  // (doc_id % 5 <> 4 — the catalog's standing corpus convention), the
+  // intake is the held-out shard (% 5 = 4), exactly the q84/q132
+  // intake geometry. Types are non-empty split tokens (q130's
+  // convention).
+  //
+  // Scale shape: the intake aggregates to (lang, type, cnt) FIRST —
+  // a shard-sized explode into a vocab-sized relation — so the
+  // frozen-vocab comparison joins two Heaps-law vocabularies on the
+  // uniform `tok` key (never corpus-sized rows against the vocab, and
+  // never a broadcast of the vocab: Heaps-law-unbounded relations are
+  // not broadcastable at 100 TB). One explode per side, one
+  // vocab-keyed join, a 5-row rollup.
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsWide(s, dir)
+    val frozen = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("base_freq"))
+    val intake = docs.filter(col("doc_id") % 5 === 4)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    intake.join(frozen, Seq("tok"), "left")
+      .withColumn("oov", col("base_freq").isNull)
+      .groupBy("lang")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("oov"), col("cnt")).otherwise(lit(0L))).as("n_oov"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("oov"), lit(1L)).otherwise(lit(0L))).as("n_new_types"),
+        max(when(col("oov"), col("cnt"))).as("max_new_freq"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .select("lang", "n_tokens", "n_oov", "oov_ppm", "n_types",
+        "n_new_types", "max_new_freq")
+      .orderBy("lang")
+  }
+
+  private val q152Sql =
+    """WITH frozen AS (
+      |  SELECT tok, COUNT(*) AS base_freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE doc_id % 5 <> 4)
+      |  WHERE length(tok) > 0 GROUP BY tok),
+      |intake AS (
+      |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE doc_id % 5 = 4)
+      |  WHERE length(tok) > 0 GROUP BY lang, tok),
+      |flagged AS (
+      |  SELECT i.lang, i.cnt, f.base_freq IS NULL AS oov
+      |  FROM intake i LEFT JOIN frozen f USING (tok))
+      |SELECT lang,
+      |       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(CASE WHEN oov THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+      |       (CAST(SUM(CASE WHEN oov THEN cnt ELSE 0 END) AS BIGINT) * 1000000)
+      |         // CAST(SUM(cnt) AS BIGINT) AS oov_ppm,
+      |       COUNT(*) AS n_types,
+      |       CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_new_types,
+      |       MAX(CASE WHEN oov THEN cnt END) AS max_new_freq
+      |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q153 — REFERENCE-MODEL PERPLEXITY BUCKETS (L115): the CCNet
+  // head/middle/tail split (Wenzek et al. 1911.00359 §4.3), the step
+  // q67 deliberately is not. q67 scores each document under the
+  // corpus's OWN unigram table (a self-referential repetition filter);
+  // CCNet's production move is different: train a language model per
+  // language on a REFERENCE-QUALITY corpus (Wikipedia there; the
+  // `source = 'src0'` slice here), score the whole crawl under that
+  // frozen model, and split each language's documents into perplexity
+  // TERTILES — `head` (most reference-like) feeds training directly,
+  // `middle` is kept, `tail` is dropped or down-weighted. The split is
+  // per language by construction (a zh document scored under an en
+  // model is gibberish, not quality signal).
+  //
+  // Determinism: per-token bits are the integer ⌊log₂(total div
+  // freq)⌋ (q67's transcendental-free formulation); a token unseen by
+  // the reference model costs ⌊log₂ total⌋ + 1 bits — one more than
+  // the rarest possible observed token — and a language absent from
+  // the reference slice entirely falls back to a flat 20 bits/token.
+  // Tertile cuts are RANK selection (q58's k(q) = ⌊(n−1)q⌋ + 1 at
+  // q = 33, 67) read off the per-(lang, millibits) histogram: the
+  // bucket boundary is an actual scored value, ties share a bucket,
+  // and both engines pick identical cuts in pure integer arithmetic.
+  //
+  // Scale shape: the reference model is a slice-sized explode into a
+  // vocab-sized (lang, tok) aggregation; scoring joins the corpus
+  // explode against the model on the uniform (lang, tok) key — never
+  // a broadcast of a Heaps-law-unbounded vocabulary — plus a 5-row
+  // broadcast of per-language OOV costs. The tertile machinery runs
+  // ENTIRELY on the (lang, millibits) histogram — a bounded relation
+  // (millibits ≤ 64·1000) — so no corpus-sized window exists anywhere:
+  // the q68 selection lesson, applied to quantile CUTS.
+  private val PplOovDefaultBits = 20L
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsWide(s, dir)
+    val model = docs.filter(col("source") === "src0")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+    val totals = model.groupBy("lang").agg(sum(col("freq")).as("total"))
+    val bits = model.join(broadcast(totals), "lang")
+      .withColumn("bits", (length(bin(expr("total div freq"))) - 1).cast("long"))
+      .select("lang", "tok", "bits")
+    val oov = totals.select(col("lang"),
+      length(bin(col("total"))).cast("long").as("oov_bits"))
+    val mb = graft.Caches.track(docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .join(bits, Seq("lang", "tok"), "left")
+      .join(broadcast(oov), Seq("lang"), "left")
+      .withColumn("b",
+        coalesce(col("bits"), col("oov_bits"), lit(PplOovDefaultBits)))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("b")).as("total_bits"))
+      .withColumn("millibits", expr("total_bits * 1000 div n_tokens"))
+      .select("lang", "millibits", "n_tokens"))
+    val hist = mb.groupBy("lang", "millibits").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("lang").orderBy("millibits")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+    val cuts = cum.groupBy("lang").agg(
+      min(when(col("cum") >= expr("(n - 1) * 33 div 100 + 1"),
+        col("millibits"))).as("cut1"),
+      min(when(col("cum") >= expr("(n - 1) * 67 div 100 + 1"),
+        col("millibits"))).as("cut2"))
+    mb.join(broadcast(cuts), "lang")
+      .withColumn("bucket", when(col("millibits") <= col("cut1"), "head")
+        .when(col("millibits") <= col("cut2"), "middle")
+        .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("millibits")).as("min_millibits"),
+        max(col("millibits")).as("max_millibits"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val q153Sql =
+    s"""WITH ref AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE source = 'src0'),
+      |model AS (SELECT lang, tok, COUNT(*) AS freq FROM ref GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(SUM(freq) AS BIGINT) AS total FROM model GROUP BY 1),
+      |bits AS (
+      |  SELECT m.lang, m.tok, CAST(length(bin(t.total // m.freq)) - 1 AS BIGINT) AS bits
+      |  FROM model m JOIN tot t USING (lang)),
+      |oov AS (SELECT lang, CAST(length(bin(total)) AS BIGINT) AS oov_bits FROM tot),
+      |toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |scored AS (
+      |  SELECT doc_id, t.lang, COUNT(*) AS n_tokens,
+      |         CAST(SUM(COALESCE(b.bits, o.oov_bits, $PplOovDefaultBits)) AS BIGINT) AS total_bits
+      |  FROM toks t LEFT JOIN bits b ON t.lang = b.lang AND t.tok = b.tok
+      |       LEFT JOIN oov o ON t.lang = o.lang
+      |  GROUP BY doc_id, t.lang),
+      |mb AS (
+      |  SELECT lang, (total_bits * 1000) // n_tokens AS millibits, n_tokens
+      |  FROM scored),
+      |hist AS (SELECT lang, millibits, COUNT(*) AS c FROM mb GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, millibits,
+      |         SUM(c) OVER (PARTITION BY lang ORDER BY millibits) AS cum,
+      |         SUM(c) OVER (PARTITION BY lang) AS n
+      |  FROM hist),
+      |cuts AS (
+      |  SELECT lang,
+      |         MIN(CASE WHEN cum >= (n - 1) * 33 // 100 + 1 THEN millibits END) AS cut1,
+      |         MIN(CASE WHEN cum >= (n - 1) * 67 // 100 + 1 THEN millibits END) AS cut2
+      |  FROM cum GROUP BY lang)
+      |SELECT m.lang,
+      |       CASE WHEN millibits <= cut1 THEN 'head'
+      |            WHEN millibits <= cut2 THEN 'middle'
+      |            ELSE 'tail' END AS bucket,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |       MIN(millibits) AS min_millibits,
+      |       MAX(millibits) AS max_millibits
+      |FROM mb m JOIN cuts USING (lang)
+      |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats"     -> (q30 _),
+    "q152_oov_drift"     -> (q152 _),
+    "q153_ppl_buckets"   -> (q153 _),
     "q108_tokenizer_fertility" -> (q108 _),
     "q114_source_health" -> (q114 _),
     "q116_vocab_profile" -> (q116 _),
@@ -1645,6 +1842,8 @@ object TextPipeline extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q30_text_stats"     -> q30Sql,
+    "q152_oov_drift"     -> q152Sql,
+    "q153_ppl_buckets"   -> q153Sql,
     "q108_tokenizer_fertility" -> q108Sql,
     "q114_source_health" -> q114Sql,
     "q116_vocab_profile" -> q116Sql,

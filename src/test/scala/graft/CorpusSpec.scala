@@ -483,4 +483,27 @@ class CorpusSpec extends SparkTestBase {
     // sanity: some group genuinely folds >1 term
     assert(base.exists(_._2._2 > 1))
   }
+
+  test("q154 skew profile: the planted heavy hitter tops the ranking with the right salt") {
+    // a Zipf cartoon: one token carrying ~92% of the corpus, nine
+    // singletons — the exact geometry the salt factor exists for
+    val dir = docsFixture(Seq(
+      (0L, (1 to 100).map(_ => "h").mkString(" "), "s"),
+      (1L, (1 to 9).map(i => s"u$i").mkString(" "), "s")))
+    val got = SparkEntry.queries("q154_skew_profile")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // plain-Scala replay of the integer arithmetic
+    val counts = Map("h" -> 100L) ++ (1 to 9).map(i => s"u$i" -> 1L)
+    val total = 109L
+    val target = total / 32 + 1
+    val want = counts.toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex.map {
+      case ((t, c), i) =>
+        (i + 1, t, c, c * 1000000L / total, (c + target - 1) / target,
+          counts.size.toLong, total)
+    }
+    assert(got == want, s"skew profile mismatch:\n got=$got\nwant=$want")
+    // the headline number: the hitter needs salting, the tail does not
+    assert(got.head._5 == 25L && got.tail.forall(_._5 == 1L))
+  }
 }

@@ -509,4 +509,54 @@ class CurationSpec extends SparkTestBase {
     assert(topup > 0 && topup < eligible,
       s"fractional draw degenerate: $topup of $eligible kept")
   }
+
+  test("q156 curriculum phases equal a plain-Scala prefix-sum replay on a mixed-difficulty corpus") {
+    import spark.implicits._
+    // 18 docs over a two-tier vocabulary: docs heavy in the common pool
+    // score low millibits (easy), docs of unique rares score high, and
+    // lengths vary so phase boundaries land mid-difficulty-band — the
+    // assignment must follow the TOKEN prefix sum, not the doc count
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 18L).map { id =>
+      val n = 4 + rnd.nextInt(9) // 4..12 tokens
+      val toks = (0 until n).map { j =>
+        if (rnd.nextInt(3) < 2) s"c${rnd.nextInt(4)}" else s"r${id}_$j"
+      }
+      (id, toks.mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_curr").toFile
+    dir.deleteOnExit()
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = SparkEntry.queries("q156_curriculum_plan")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // replay: integer-log2 self-surprisal, then the global token cumsum
+    // in (millibits, doc_id) order with phase cuts at 20% / 50%
+    val allToks = docs.flatMap(_._2.split(" "))
+    val freq = allToks.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val total = allToks.size.toLong
+    def bits(t: String): Long = 63 - java.lang.Long.numberOfLeadingZeros(total / freq(t))
+    val mb = docs.map { case (id, t) =>
+      val ts = t.split(" ")
+      (id, ts.length.toLong, ts.map(bits).sum * 1000L / ts.length)
+    }.sortBy(d => (d._3, d._1))
+    val tt = mb.map(_._2).sum
+    var cum = 0L
+    val assigned = mb.map { case (_, n, m) =>
+      val phase = if (cum < tt * 20 / 100) 1 else if (cum < tt * 50 / 100) 2 else 3
+      cum += n
+      (phase, n, m)
+    }
+    val want = assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (ph, xs) =>
+      (ph, xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).min, xs.map(_._3).max)
+    }
+    assert(got == want, s"curriculum mismatch:\n got=$got\nwant=$want")
+    // non-vacuous: all three phases exist and difficulty is monotone
+    assert(got.map(_._1) == Seq(1, 2, 3))
+    assert(got(0)._5 <= got(1)._4 && got(1)._5 <= got(2)._4,
+      "phases are not difficulty-ordered")
+  }
 }

@@ -591,4 +591,32 @@ class IncrementalPackSpec extends SparkTestBase {
         "two-day incremental chain diverged from the from-scratch artifact")
     }
   }
+
+  test("q151 attribution maps every position to the replayed (seq, doc, offset, token)") {
+    withTempRoot { root =>
+      val idx = IncrementalPack.buildPackState(spark, docsDf(corpus), s"$root/gen0")
+      import spark.implicits._
+      // positions exercising both doc boundaries (1199→1200, 2099→2100)
+      // and the sequence boundary (2047→2048), plus first and last token
+      val ps = Seq(0L, 13L, 1199L, 1200L, 2047L, 2048L, 2099L, 2100L, 2999L)
+      val got = IncrementalPack.attribute(spark, ps.toDF("p"), idx, docsDf(corpus))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSeq
+      // plain-Scala replay: flatten docs in id order, index directly
+      val flat = corpus.sortBy(_._1).flatMap { case (id, t) =>
+        t.split(" ").zipWithIndex.map { case (tok, j) => (id, j.toLong, tok) }
+      }
+      val want = ps.map { p =>
+        val (id, off, tok) = flat(p.toInt)
+        (p, p / SeqLen, id, off, tok)
+      }
+      assert(got == want, s"attribution mismatch:\n got=$got\nwant=$want")
+      // the fixture tokens are "d<id>_<j>", so a correct row is
+      // self-certifying: the token NAMES its doc and offset
+      got.foreach { case (_, _, id, off, tok) =>
+        assert(tok == s"d${id}_$off", s"token does not certify its source: $tok vs d${id}_$off")
+      }
+    }
+  }
 }

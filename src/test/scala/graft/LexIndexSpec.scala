@@ -181,4 +181,38 @@ class LexIndexSpec extends SparkTestBase {
     val stats = spark.read.parquet(s"$path/stats").collect().head
     assert((stats.getLong(0), stats.getLong(1)) == ((3L, 8L)))
   }
+
+  test("q155 phrase serve: adjacency, overlap counting, doc-boundary isolation") {
+    import spark.implicits._
+    // every phrase behavior the oracle's uniform corpus cannot pin:
+    //  - doc 0: "table value" occurs TWICE (occurrence counting, not
+    //    boolean matching);
+    //  - doc 1: the second "row scan" starts where the first ended
+    //    (adjacent restarts both count);
+    //  - docs 2/3: doc 2 ENDS with "table" and doc 3 STARTS with
+    //    "value" — positions are per-document, so the seam must NOT
+    //    match "table value" (a global-offset index would);
+    //  - ranks break n_occ ties by doc_id.
+    val dir = java.nio.file.Files.createTempDirectory("graft_phr").toFile
+    dir.deleteOnExit()
+    Seq(
+      (0L, "table value table value part"),
+      (1L, "row scan row scan row"),
+      (2L, "slow fast data window table"),
+      (3L, "value data window slow"),
+      (4L, "value table part slow fast"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = SparkEntry.queries("q155_phrase_index")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = Seq(
+      (1, 1, 0L, 2L),               // "table value" ×2 in doc 0; no seam hit
+      (2, 1, 1L, 2L),               // "row scan" ×2, back to back
+      (3, 1, 4L, 1L),               // "value table part" only as a true triple
+      (4, 1, 2L, 1L), (4, 2, 3L, 1L),
+      (5, 1, 2L, 1L), (5, 2, 4L, 1L))
+    assert(got == want, s"phrase serve mismatch:\n got=$got\nwant=$want")
+  }
 }

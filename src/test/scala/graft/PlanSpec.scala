@@ -150,9 +150,13 @@ class PlanSpec extends SparkTestBase {
     // corpus-sized), the same bounded relation class.
     // q146's repack suffix re-runs the same two-phase sum over the
     // rebuild docs' buckets — the identical bounded bucket relation.
+    // q156's curriculum prefix sum buckets on the millibits value
+    // itself — a DOMAIN-bounded key (≤ 64·1000 integer values
+    // regardless of corpus size), so its bucket-offset window joins
+    // the same exemption class.
     val exempt = Map("q60_sequence_packing" -> 1, "q69_vocab_coverage" -> 1,
       "q127_pack_materialize" -> 1, "q128_incremental_pack" -> 1,
-      "q146_pack_repack" -> 1)
+      "q146_pack_repack" -> 1, "q156_curriculum_plan" -> 1)
     // Caches.disabled + clearCache: see the cartesian sweep — a
     // partition-less window inside a cached subtree must not hide
     // behind an InMemoryRelation
@@ -354,6 +358,40 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains(t), s"q140 rescans $t:\n" +
         p.split("\n").filter(_.contains(t)).mkString("\n"))
     }
+  }
+
+  test("q151 attribution resolves positions from the roster, corpus read once broadcast-gated") {
+    // the provenance claim: the position→doc mapping is the docspans
+    // roster's offset arithmetic (broadcast range join — the roster is
+    // never shuffled against the request), and the raw corpus is read
+    // exactly ONCE, joined against the bounded hit set as a broadcast
+    // build side, to fetch the attributed tokens
+    val p = plan(graft.queries.IncrementalPack
+      .queries("q151_pack_provenance")(spark, sfDir))
+    assert(p.contains("docspans"), "plan does not read the docspans roster")
+    val docScans = p.split("\n").filter(s =>
+      s.contains("FileScan") && s.contains("documents.parquet"))
+    assert(docScans.length == 1,
+      s"corpus must be scanned exactly once (token fetch), got ${docScans.length}:\n" +
+        docScans.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "request/hit joins are not broadcast-shaped")
+    assert(!p.contains("SortMergeJoin"),
+      "a bounded request fell back to a corpus-shuffling SMJ")
+  }
+
+  test("q155 phrase serve reads the positional artifact only, terms pushed to the scan") {
+    // the positional-index claim: the serve never re-reads text (the
+    // artifact IS the corpus for phrase queries) and each adjacency
+    // branch's term literal reaches the parquet scan as a pushed filter
+    val p = plan(graft.queries.LexIndex.queries("q155_phrase_index")(spark, sfDir))
+    assert(p.contains("phr-"), "plan does not read the phrase artifact")
+    assert(!p.contains("documents.parquet"),
+      "q155 rescans the documents table:\n" +
+        p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(term.*"),
+      "phrase terms not pushed to the positions scan:\n" +
+        "PushedFilters:.*".r.findAllIn(p).take(3).mkString("\n"))
   }
 
   test("q33 bucket membership is count-pruned and collected with the capped aggregate") {

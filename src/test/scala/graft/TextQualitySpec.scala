@@ -410,4 +410,63 @@ class TextQualitySpec extends SparkTestBase {
     // whitespace word yields at least one regex token)
     assert(got.values.forall(_._5 >= 1000L))
   }
+
+  /** Write a (doc_id, text, lang, source) documents fixture dir — the
+    * testdata's degenerate shared vocabulary cannot produce OOV or
+    * per-language model divergence, so q152/q153 pin their semantics
+    * on hand-built corpora. */
+  private def langFixture(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val dir = java.nio.file.Files.createTempDirectory("graft_tq").toFile
+    dir.deleteOnExit()
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    dir.getAbsolutePath
+  }
+
+  test("q152 OOV drift: planted novel types are counted per language, seen types are not") {
+    val dir = langFixture(Seq(
+      // frozen generation (doc_id % 5 <> 4): vocabulary {a, b, c}
+      (0L, "a b a c", "en", "s"),
+      (1L, "b c b", "de", "s"),
+      (2L, "a a", "en", "s"),
+      // intake shard (doc_id % 5 = 4)
+      (4L, "a x x y", "en", "s"),   // 3 OOV tokens, 2 new types, x twice
+      (9L, "b b z", "de", "s")))    // 1 OOV token, 1 new type
+    val got = SparkEntry.queries("q152_oov_drift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val want = Seq(
+      ("de", 3L, 1L, 333333L, 2L, 1L, 1L),
+      ("en", 4L, 3L, 750000L, 3L, 2L, 2L))
+    assert(got == want, s"drift mismatch:\n got=$got\nwant=$want")
+  }
+
+  test("q153 tertile buckets: value-ordered bands per language, no-reference fallback") {
+    // en reference (src0): eight 'a' tokens → bits(a)=0, oov cost
+    // ⌊log₂ 8⌋+1 = 4 bits/token. Nine scored docs with k = 0..8 OOV
+    // tokens out of 8 → millibits = 500k, plus the reference doc
+    // itself at 0: n = 10, k(33) = 3, k(67) = 7 → cuts at 500, 2500.
+    val ref = (100L, (1 to 8).map(_ => "a").mkString(" "), "en", "src0")
+    val scored = (0 until 9).map { k =>
+      val toks = (0 until k).map(j => s"x${k}_$j") ++ (k until 8).map(_ => "a")
+      (k.toLong, toks.mkString(" "), "en", "srcX")
+    }
+    // one 'de' doc with NO de reference slice: every token costs the
+    // flat 20 bits fallback → millibits 20000, a 1-doc language whose
+    // single value is its own cut → bucket 'head'
+    val de = (50L, "u v w x", "de", "srcX")
+    val got = SparkEntry.queries("q153_ppl_buckets")(spark,
+        langFixture(scored :+ ref :+ de))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val want = Seq(
+      ("de", "head", 1L, 4L, 20000L, 20000L),
+      ("en", "head", 3L, 24L, 0L, 500L),      // millibits 0 (×2), 500
+      ("en", "middle", 4L, 32L, 1000L, 2500L),
+      ("en", "tail", 3L, 24L, 3000L, 4000L))
+    assert(got == want, s"bucket mismatch:\n got=$got\nwant=$want")
+  }
 }
