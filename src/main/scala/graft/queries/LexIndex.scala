@@ -349,21 +349,35 @@ object LexIndex extends QueryModule {
 
   private[graft] def phrasePath(s: SparkSession, dir: String): String =
     s"$indexRoot/phr-${IncrementalDedup.dataFingerprint(s, dir)}"
+  private[graft] def phrGen0Path(s: SparkSession, dir: String): String =
+    s"$indexRoot/phr0-${IncrementalDedup.dataFingerprint(s, dir)}"
+  private[graft] def phrGen1Path(s: SparkSession, dir: String): String =
+    s"$indexRoot/phr1-${IncrementalDedup.dataFingerprint(s, dir)}"
 
-  /** Offline build: one corpus-sized posexplode into the sorted
-    * positional postings — the only pass that ever reads the text. */
-  private[graft] def buildPhraseIndex(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(phrasePath(s, dir))
+  /** The positional postings relation of a (doc_id, text) corpus:
+    * (term, doc_id, pos) for every token occurrence. */
+  private def positionsOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** One positional generation under `path`: one corpus-sized
+    * posexplode into (term, doc_id, pos)-sorted postings — the only
+    * pass that ever reads the text. */
+  private[graft] def buildPhraseGen(s: SparkSession, docs: DataFrame,
+                                    path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
     IncrementalDedup.publish(s, p) { tmp =>
-      Tables.documentsWide(s, dir)
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-        .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
-        .sort("term", "doc_id", "pos")
+      positionsOf(docs).sort("term", "doc_id", "pos")
         .write.mode("overwrite").parquet(s"$tmp/positions")
     }
-    phrasePath(s, dir)
+    path
   }
+
+  /** Build-or-reuse the full-corpus positional index (q155's artifact). */
+  private[graft] def buildPhraseIndex(s: SparkSession, dir: String): String =
+    buildPhraseGen(s, Tables.documentsWide(s, dir).select("doc_id", "text"),
+      phrasePath(s, dir))
 
   /** Phrase-occurrence serve over a positional postings relation:
     * (qid, doc_id, p0) — one row per occurrence, p0 = the phrase's
@@ -377,9 +391,15 @@ object LexIndex extends QueryModule {
         .select(lit(qid).as("qid"), col("doc_id"), col("p0"))
     }.reduce(_ unionByName _)
 
-  private def q155(s: SparkSession, dir: String): DataFrame = {
-    val idx = buildPhraseIndex(s, dir)
-    phraseOccurrences(s.read.parquet(s"$idx/positions"))
+  /** Serve the phrase workload from positional generations: postings
+    * union (positions are PER-DOCUMENT, so phrase matching composes
+    * across generations with no reconciliation at all — the property
+    * the pack family's GLOBAL positions famously lack), adjacency
+    * chains, per-qid top-k. */
+  private[graft] def servePhrases(s: SparkSession, genPaths: Seq[String]): DataFrame = {
+    val pos = genPaths.map(g => s.read.parquet(s"$g/positions"))
+      .reduce(_ unionByName _)
+    phraseOccurrences(pos)
       .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_occ"))
       .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
@@ -387,6 +407,23 @@ object LexIndex extends QueryModule {
       .filter(col("rank") <= PhraseTopK)
       .select("qid", "rank", "doc_id", "n_occ")
       .orderBy("qid", "rank")
+  }
+
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    servePhrases(s, Seq(buildPhraseIndex(s, dir)))
+
+  // q157 — POSITIONAL INTAKE (L119): the daily-generation move (q132's
+  // discipline) on the phrase artifact. Because positions are
+  // per-document, phrase postings are EXACTLY additive under disjoint
+  // doc ids — no stats row to advance, no df to reconcile, no boundary
+  // to stitch: the day's shard posexplodes alone, publishes as a
+  // generation, and the union serve is definitionally the from-scratch
+  // build (the oracle proves it by rebuilding over corpus ∪ re-keyed
+  // shard, never seeing the artifact). The corpus is re-read by no
+  // step after its generation-0 build.
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val (g0, g1) = phraseChain(s, dir)
+    servePhrases(s, Seq(g0, g1))
   }
 
   // The oracle replays positions from raw text (the q128 LATERAL
@@ -420,9 +457,142 @@ object LexIndex extends QueryModule {
       |WHERE rank <= $PhraseTopK ORDER BY qid, rank""".stripMargin
   }
 
+  // q159/q160 — the REMOVAL half of the positional lifecycle, matching
+  // the family discipline (q133 tombstone / q134 compaction on the BM25
+  // index): phrase matching carries NO corpus-level statistics — no df,
+  // no N, no avgdl — so a takedown is the PUREST tombstone in the
+  // catalog: an id list whose anti-join masks postings, with literally
+  // nothing to subtract (the property that makes positions per-doc also
+  // makes removal stateless). Compaction physically drops the masked
+  // rows and re-sorts, and serving the compacted artifact must be
+  // indistinguishable from the logical union — q160's oracle IS
+  // q159's SQL, the q134 move.
+  private[graft] def phrTombPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/phrt-${IncrementalDedup.dataFingerprint(s, dir)}"
+  private[graft] def phrCompactPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/phrc-${IncrementalDedup.dataFingerprint(s, dir)}"
+
+  /** Serve phrases from generations minus tombstoned ids: the postings
+    * union anti-joins each tombstone's broadcast id list before the
+    * adjacency chains (state-free subtractivity — see q159's header). */
+  private[graft] def servePhrasesTomb(s: SparkSession, genPaths: Seq[String],
+                                      tombPaths: Seq[String]): DataFrame = {
+    val pos = genPaths.map(g => s.read.parquet(s"$g/positions"))
+      .reduce(_ unionByName _)
+    val live = tombPaths.foldLeft(pos) { (p, t) =>
+      p.join(broadcast(s.read.parquet(s"$t/ids")), Seq("doc_id"), "left_anti")
+    }
+    phraseOccurrences(live)
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_occ"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("n_occ").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= PhraseTopK)
+      .select("qid", "rank", "doc_id", "n_occ")
+      .orderBy("qid", "rank")
+  }
+
+  /** Publish a positional tombstone: just the bare id list — phrase
+    * serving has no statistics to adjust. */
+  private[graft] def phraseTakedown(s: SparkSession, ids: DataFrame,
+                                    outPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    IncrementalDedup.publish(s, p) { tmp =>
+      ids.select("doc_id").distinct()
+        .write.mode("overwrite").parquet(s"$tmp/ids")
+    }
+    outPath
+  }
+
+  /** Compact positional generations ∪ tombstones into one artifact:
+    * masked rows physically dropped, (term, doc_id, pos) order
+    * restored for scan pruning. */
+  private[graft] def phraseCompact(s: SparkSession, genPaths: Seq[String],
+                                   tombPaths: Seq[String], outPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    IncrementalDedup.publish(s, p) { tmp =>
+      val dead = tombPaths.map(t => s.read.parquet(s"$t/ids"))
+        .reduce(_ unionByName _)
+      genPaths.map(g => s.read.parquet(s"$g/positions"))
+        .reduce(_ unionByName _)
+        .join(broadcast(dead), Seq("doc_id"), "left_anti")
+        .sort("term", "doc_id", "pos")
+        .write.mode("overwrite").parquet(s"$tmp/positions")
+    }
+    outPath
+  }
+
+  /** The positional chain's generations (gen0 + intake), built-or-
+    * reused — shared by q157/q159/q160. */
+  private def phraseChain(s: SparkSession, dir: String): (String, String) = {
+    val g0Path = phrGen0Path(s, dir)
+    val p = new org.apache.hadoop.fs.Path(g0Path)
+    IncrementalDedup.publish(s, p) { tmp =>
+      val docs = corpusDocs(s, dir)
+      IncrementalDedup.assertRekeyDisjoint(docs, "phrase")
+      positionsOf(docs).sort("term", "doc_id", "pos")
+        .write.mode("overwrite").parquet(s"$tmp/positions")
+    }
+    (g0Path, buildPhraseGen(s, shardDocs(s, dir), phrGen1Path(s, dir)))
+  }
+
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val (g0, g1) = phraseChain(s, dir)
+    // the standing removal-request arithmetic (q133/q136's fixture):
+    // ids from the artifact's own postings roster, never the corpus
+    val ids = s.read.parquet(s"$g0/positions").select("doc_id").distinct()
+      .filter(col("doc_id") % 7 === 3)
+    val t = phraseTakedown(s, ids, phrTombPath(s, dir))
+    servePhrasesTomb(s, Seq(g0, g1), Seq(t))
+  }
+
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val (g0, g1) = phraseChain(s, dir)
+    val ids = s.read.parquet(s"$g0/positions").select("doc_id").distinct()
+      .filter(col("doc_id") % 7 === 3)
+    val t = phraseTakedown(s, ids, phrTombPath(s, dir))
+    val c = phraseCompact(s, Seq(g0, g1), Seq(t), phrCompactPath(s, dir))
+    servePhrases(s, Seq(c))
+  }
+
+  // q157's oracle: the q155 replay over corpus ∪ re-keyed shard — a
+  // hash match proves the generation union serves exactly the
+  // from-scratch positional build (phrase additivity made exact).
+  private val q157Sql = {
+    val sql = q155Sql.replace(
+      "string_split(text, ' ') AS ts FROM documents)",
+      s"""string_split(text, ' ') AS ts FROM (
+        |    SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+        |    UNION ALL
+        |    SELECT doc_id + $ShardBase AS doc_id, text FROM documents
+        |    WHERE doc_id % 5 = 4))""".stripMargin)
+    require(sql != q155Sql, "q157 oracle corpus∪shard splice did not fire")
+    sql
+  }
+
+  // q159's oracle: the q155 replay over (corpus MINUS the takedown
+  // set) ∪ re-keyed shard — exact phrase subtractivity, never seeing
+  // the artifact. q160's oracle IS q159's SQL: physical compaction
+  // must be indistinguishable from the logical union (the q134 move).
+  private val q159Sql = {
+    val sql = q155Sql.replace(
+      "string_split(text, ' ') AS ts FROM documents)",
+      s"""string_split(text, ' ') AS ts FROM (
+        |    SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 5 <> 4 AND doc_id % 7 <> 3
+        |    UNION ALL
+        |    SELECT doc_id + $ShardBase AS doc_id, text FROM documents
+        |    WHERE doc_id % 5 = 4))""".stripMargin)
+    require(sql != q155Sql, "q159 oracle takedown splice did not fire")
+    sql
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_lex_index_serve"  -> ((s, dir) => q131(s, dir)),
     "q155_phrase_index"     -> ((s, dir) => q155(s, dir)),
+    "q157_phrase_intake"    -> ((s, dir) => q157(s, dir)),
+    "q159_phrase_takedown"  -> ((s, dir) => q159(s, dir)),
+    "q160_phrase_compact"   -> ((s, dir) => q160(s, dir)),
     "q132_incremental_lex"  -> ((s, dir) => q132(s, dir)),
     "q133_lex_takedown"     -> ((s, dir) => q133(s, dir)),
     "q134_lex_compact"      -> ((s, dir) => q134(s, dir)),
@@ -431,6 +601,9 @@ object LexIndex extends QueryModule {
   override def oracle: Map[String, String] = Map(
     "q131_lex_index_serve"  -> q131Sql,
     "q155_phrase_index"     -> q155Sql,
+    "q157_phrase_intake"    -> q157Sql,
+    "q159_phrase_takedown"  -> q159Sql,
+    "q160_phrase_compact"   -> q159Sql,
     "q132_incremental_lex"  -> q132Sql,
     "q133_lex_takedown"     -> q133Sql,
     "q134_lex_compact"      -> q133Sql,

@@ -2057,8 +2057,74 @@ object Similarity extends QueryModule {
       |SELECT qid, vec_id, neg_label, ROUND(cos, 6) AS cosine, rank
       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q158 — EMBEDDING-DISTRIBUTION DRIFT between corpus generations
+  // (L120): the vector-space twin of q73 (text-stat drift) and q152
+  // (vocabulary drift). A similarity/dedup stack (SemDeDup, the IVF
+  // centroids, the q88 classifier's geometry) is calibrated against
+  // the corpus generation it was built on; when an intake shard's
+  // embedding distribution moves — a new encoder checkpoint, a new
+  // domain, silent preprocessing drift upstream — every
+  // distance-threshold decision quietly degrades. The monitored number
+  // is the per-LABEL centroid shift: for each class present in both
+  // generations, the squared L2 distance between the frozen corpus
+  // centroid and the intake centroid (plus the worst single dimension
+  // — a spike there = one feature moved, i.e. a preprocessing bug, vs
+  // a uniform shift = genuine domain drift).
+  //
+  // Determinism: components quantize to integer 1e-4 units at the scan
+  // (the q59 `quant4` convention, hash-proven) and centroids are the
+  // integer floor-mean per (label, dim) — every number downstream is
+  // BIGINT arithmetic both engines replay bit-exactly.
+  //
+  // Scale shape: ONE posexplode per slice into a (label, dim)-keyed
+  // aggregation — the partial-agg shuffle carries |labels|·|dims|
+  // bounded rows regardless of corpus size — then a bounded
+  // centroid-to-centroid join. No vector ever compares to another
+  // vector: drift monitoring is O(corpus) scan + O(labels·dims) state,
+  // exactly like q73's ppb counters.
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
+        round(col("v").cast("double") * 10000.0).cast("long").as("q"))
+    def cents(slice: DataFrame) = slice.groupBy("label", "pos")
+      .agg(expr("sum(q) div count(1)").as("c"), count(lit(1)).as("n"))
+    val corp = cents(q.filter(col("vec_id") % 5 =!= 4))
+      .select(col("label"), col("pos"), col("c").as("cc"), col("n").as("nc"))
+    val intake = cents(q.filter(col("vec_id") % 5 === 4))
+      .select(col("label"), col("pos"), col("c").as("ci"), col("n").as("ni"))
+    corp.join(intake, Seq("label", "pos"))
+      .groupBy("label")
+      .agg(max(col("nc")).as("n_corpus"), max(col("ni")).as("n_intake"),
+        sum((col("cc") - col("ci")) * (col("cc") - col("ci"))).as("shift_sq"),
+        max(abs(col("cc") - col("ci"))).as("max_dim_shift"))
+      .orderBy("label")
+  }
+
+  private val q158Sql =
+    """WITH q AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+      |         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS q
+      |  FROM embeddings),
+      |corp AS (
+      |  SELECT label, pos, CAST(SUM(q) AS BIGINT) // COUNT(*) AS cc,
+      |         COUNT(*) AS nc
+      |  FROM q WHERE vec_id % 5 <> 4 GROUP BY label, pos),
+      |intake AS (
+      |  SELECT label, pos, CAST(SUM(q) AS BIGINT) // COUNT(*) AS ci,
+      |         COUNT(*) AS ni
+      |  FROM q WHERE vec_id % 5 = 4 GROUP BY label, pos)
+      |SELECT label, MAX(nc) AS n_corpus, MAX(ni) AS n_intake,
+      |       CAST(SUM((cc - ci) * (cc - ci)) AS BIGINT) AS shift_sq,
+      |       MAX(ABS(cc - ci)) AS max_dim_shift
+      |FROM corp JOIN intake USING (label, pos)
+      |GROUP BY label ORDER BY label""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
+    "q158_embedding_drift" -> (q158 _),
     "q37_ann_lsh"        -> (q37 _),
     "q38_knn_within_class" -> (q38 _),
     "q110_hard_negatives"  -> (q110 _),
@@ -2085,6 +2151,7 @@ object Similarity extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q36_ann_bruteforce" -> q36Sql,
+    "q158_embedding_drift" -> q158Sql,
     "q37_ann_lsh"        -> q37Sql,
     "q38_knn_within_class" -> q38Sql,
     "q110_hard_negatives"  -> q110Sql,

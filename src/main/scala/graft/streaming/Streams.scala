@@ -659,6 +659,37 @@ object Streams {
       .select("qid", "vec_id", "adist")
   }
 
+  case class LangDoc(doc_id: Long, ts: Timestamp, lang: String, text: String)
+
+  /** The vocabulary-drift monitor's ONLINE twin (q152's batch/stream
+    * split): intake documents arrive as a stream and are typed against
+    * the FROZEN generation's vocabulary (a static relation from the
+    * batch side — the stream never sees the corpus). Emits the
+    * per-(window, lang, TYPE) count relation with the OOV verdict —
+    * state is the window's intake vocabulary (Heaps-law of one day's
+    * shard, never the corpus) — and the per-language drift rollup
+    * (n_tokens/n_oov/oov_ppm/n_types/n_new_types/max_new_freq) is the
+    * consumer's bounded re-aggregation over that relation, exactly as
+    * [[lexScore]] emits scored rows for bm25TopK's cut. A single
+    * streaming query cannot nest the two aggregations (type counts,
+    * then distinct-type rollup); the type relation is the honest state
+    * boundary, and StreamingSpec pins the rollup ≡ q152's batch rows
+    * on the same fixture geometry. */
+  def oovMonitor(docs: Dataset[LangDoc], frozenVocab: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.flatMap(d =>
+        d.text.split(" ").filter(_.nonEmpty).map(t => (d.lang, d.ts, t)))
+      .toDF("lang", "ts", "tok")
+      .withWatermark("ts", "1 day")
+    toks
+      .join(frozenVocab.select(col("tok"), lit(1L).as("seen")), Seq("tok"), "left")
+      .groupBy(window(col("ts"), "1 day"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"),
+        max(coalesce(col("seen"), lit(0L))).as("seen_max"))
+      .select(col("lang"), col("tok"), col("cnt"),
+        (col("seen_max") === 0L).as("oov"))
+  }
+
   def bigramScore(docs: Dataset[Doc], model: Map[String, Long]): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.queries.Corpus.{LmHi, LmLo, LmOovBits}

@@ -215,4 +215,64 @@ class LexIndexSpec extends SparkTestBase {
       (5, 1, 2L, 1L), (5, 2, 4L, 1L))
     assert(got == want, s"phrase serve mismatch:\n got=$got\nwant=$want")
   }
+
+  test("q157 generation-union phrase serve equals the from-scratch build, shard can win") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phr2").toFile
+    dir.deleteOnExit()
+    val corpus = Seq(
+      (0L, "table value part data"),         // "table value" ×1
+      (1L, "row scan slow fast window"))
+    // the shard doc out-OCCURS the corpus doc on query 1 — the union
+    // serve must rank it FIRST, proving the intake generation actually
+    // participates (not just hash-coincides)
+    val shard = Seq(
+      (100L, "table value table value table value"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val g0 = LexIndex.buildPhraseGen(spark, df(corpus), s"${dir.getAbsolutePath}/g0")
+    val g1 = LexIndex.buildPhraseGen(spark, df(shard), s"${dir.getAbsolutePath}/g1")
+    val full = LexIndex.buildPhraseGen(spark, df(corpus ++ shard),
+      s"${dir.getAbsolutePath}/full")
+    def rows(paths: Seq[String]) = LexIndex.servePhrases(spark, paths)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val union = rows(Seq(g0, g1))
+    assert(union == rows(Seq(full)),
+      "two-generation phrase serve differs from the from-scratch build")
+    assert(union.take(2) == Seq((1, 1, 100L, 3L), (1, 2, 0L, 1L)),
+      s"shard generation did not participate in the ranking: ${union.take(2)}")
+  }
+
+  test("q159/q160 phrase takedown masks exactly the removed doc; compaction serve-identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phr3").toFile
+    dir.deleteOnExit()
+    val root = dir.getAbsolutePath
+    val corpus = Seq(
+      (0L, "table value table value"), // the q1 winner — and the takedown target
+      (1L, "table value part"))
+    val shard = Seq((100L, "table value slow fast"))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val g0 = LexIndex.buildPhraseGen(spark, df(corpus), s"$root/g0")
+    val g1 = LexIndex.buildPhraseGen(spark, df(shard), s"$root/g1")
+    val t = LexIndex.phraseTakedown(spark, Seq(0L, 0L).toDF("doc_id"), s"$root/t")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val tomb = rows(LexIndex.servePhrasesTomb(spark, Seq(g0, g1), Seq(t)))
+    // the removed winner vanishes; survivors tie at 1 and rank by doc_id
+    assert(!tomb.exists(_._3 == 0L), s"tombstoned doc still served: $tomb")
+    assert(tomb.filter(_._1 == 1) == Seq((1, 1, 1L, 1L), (1, 2, 100L, 1L)),
+      s"post-takedown q1 ranking wrong: ${tomb.filter(_._1 == 1)}")
+    // never-saw-them equality: a from-scratch build over the survivors
+    val scratch = LexIndex.buildPhraseGen(spark,
+      df(corpus.filter(_._1 != 0L) ++ shard), s"$root/scratch")
+    assert(tomb == rows(LexIndex.servePhrases(spark, Seq(scratch))),
+      "tombstone serve differs from the never-saw-them build")
+    // compaction: physically clean and indistinguishable from the union
+    val c = LexIndex.phraseCompact(spark, Seq(g0, g1), Seq(t), s"$root/c")
+    assert(rows(LexIndex.servePhrases(spark, Seq(c))) == tomb,
+      "compacted serve differs from the tombstone serve")
+    assert(spark.read.parquet(s"$c/positions")
+      .filter(col("doc_id") === 0L).count() == 0,
+      "compaction left tombstoned rows in the artifact")
+  }
 }

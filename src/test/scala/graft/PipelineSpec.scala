@@ -1198,4 +1198,40 @@ class PipelineSpec extends SparkTestBase {
       flag = -2, description = "undecodable media payload")
     assert(dead.collect().length == 4 && dead.collect().forall(_.getAs[Int]("flag") == -2))
   }
+
+  test("q158 embedding drift equals an integer centroid replay on a planted-shift fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edrift").toFile
+    dir.deleteOnExit()
+    // label 0: the intake vector is shifted on dim 2 only (a planted
+    // single-feature bug); label 1: intake sits inside the corpus
+    // cloud. vec_id % 5 = 4 marks intake (the catalog convention).
+    val rows = Seq(
+      (0L, Array(0.10f, 0.20f), 0), (1L, Array(0.12f, 0.22f), 0),
+      (4L, Array(0.11f, 0.31f), 0),
+      (2L, Array(-0.30f, 0.40f), 1), (3L, Array(-0.32f, 0.44f), 1),
+      (9L, Array(-0.31f, 0.42f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+    val got = SparkEntry.queries("q158_embedding_drift")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // plain integer replay: quantize, truncating floor-mean, Σ delta²
+    def qz(v: Float): Long = math.round(v.toDouble * 10000.0)
+    def drift(label: Int): (Int, Long, Long, Long, Long) = {
+      val corp = rows.filter(r => r._3 == label && r._1 % 5 != 4).map(_._2)
+      val int = rows.filter(r => r._3 == label && r._1 % 5 == 4).map(_._2)
+      val deltas = (0 until 2).map { d =>
+        corp.map(v => qz(v(d))).sum / corp.length -
+          int.map(v => qz(v(d))).sum / int.length
+      }
+      (label, corp.length.toLong, int.length.toLong,
+        deltas.map(x => x * x).sum, deltas.map(math.abs).max)
+    }
+    val want = Seq(drift(0), drift(1))
+    assert(got == want, s"drift mismatch:\n got=$got\nwant=$want")
+    // non-vacuous: the planted dim-2 shift dominates label 0's report
+    assert(got.head._5 >= 900L && got.head._5 <= 1100L,
+      s"planted ~0.1 single-dim shift not visible: ${got.head}")
+  }
 }

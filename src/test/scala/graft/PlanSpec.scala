@@ -394,6 +394,19 @@ class PlanSpec extends SparkTestBase {
         "PushedFilters:.*".r.findAllIn(p).take(3).mkString("\n"))
   }
 
+  test("q157 intake serve reads positional generations only: corpus never rescanned") {
+    // the additive-intake claim, phrase edition: after gen-0 builds,
+    // serving the generation union touches only positions/ files —
+    // a documents scan in the serve plan would mean every daily serve
+    // re-reads the 100 TB corpus
+    val p = plan(graft.queries.LexIndex.queries("q157_phrase_intake")(spark, sfDir))
+    assert(p.contains("phr0-") && p.contains("phr1-"),
+      "plan does not union the positional generations")
+    assert(!p.contains("documents.parquet"),
+      "q157 rescans the documents table:\n" +
+        p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
+  }
+
   test("q33 bucket membership is count-pruned and collected with the capped aggregate") {
     // the round-8 shape: a codegen'd count aggregation prunes singleton/
     // over-cap band keys BEFORE any member buffer is built, and the

@@ -731,4 +731,55 @@ class StreamingSpec extends SparkTestBase {
     assert(scoredForQ0.size.toLong == nVecs,
       s"external default scored ${scoredForQ0.size} of $nVecs stored vectors")
   }
+
+  test("oovMonitor stream rollup equals q152's batch drift rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the q152 fixture geometry: frozen corpus vocabulary {a, b, c},
+    // intake shard with planted novel types per language
+    val dir = java.nio.file.Files.createTempDirectory("graft_oov_stream").toFile
+    dir.deleteOnExit()
+    Seq(
+      (0L, "a b a c", "en", "s"), (1L, "b c b", "de", "s"), (2L, "a a", "en", "s"),
+      (4L, "a x x y", "en", "s"), (9L, "b b z", "de", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val batch = SparkEntry.queries("q152_oov_drift")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), if (r.isNullAt(6)) -1L else r.getLong(6))).toSeq
+    // frozen vocabulary: the corpus generation's type set, batch-side
+    val vocab = spark.read.parquet(s"${dir.getAbsolutePath}/documents.parquet")
+      .filter(col("doc_id") % 5 =!= 4)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+    val mem = MemoryStream[Streams.LangDoc]
+    val query = Streams.oovMonitor(mem.toDS(), vocab)
+      .writeStream.format("memory").queryName("oov_stream")
+      .outputMode("append").start()
+    mem.addData(
+      Streams.LangDoc(4L, ts("2024-01-01 01:00:00"), "en", "a x x y"),
+      Streams.LangDoc(9L, ts("2024-01-01 02:00:00"), "de", "b b z"))
+    query.processAllAvailable()
+    // a later doc advances the watermark past the fixture's window
+    mem.addData(Streams.LangDoc(999L, ts("2024-01-10 00:00:00"), "xx", "w"))
+    query.processAllAvailable()
+    val typed = spark.table("oov_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .filter(_._1 != "xx")
+    query.stop()
+    // the consumer's bounded rollup over the emitted type relation —
+    // q152's exact report shape
+    val rolled = typed.groupBy(_._1).toSeq.map { case (lang, rows) =>
+      val oov = rows.filter(_._4)
+      (lang, rows.map(_._3).sum, oov.map(_._3).sum,
+        1000000L * oov.map(_._3).sum / rows.map(_._3).sum,
+        rows.size.toLong, oov.size.toLong,
+        if (oov.isEmpty) -1L else oov.map(_._3).max)
+    }.sortBy(_._1)
+    assert(rolled == batch,
+      s"stream rollup differs from batch drift:\n $rolled\n $batch")
+    // non-vacuous: the stream really saw OOV types
+    assert(typed.count(_._4) >= 3)
+  }
 }
