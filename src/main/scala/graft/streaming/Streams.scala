@@ -659,6 +659,42 @@ object Streams {
       .select("qid", "vec_id", "adist")
   }
 
+  case class PhraseQuery(qid: Int, ts: Timestamp, text: String)
+
+  /** The positional index's ONLINE serve (q155's batch/stream twin,
+    * extending the family symmetry lexScore/adcScore established): a
+    * continuous stream of PHRASE queries matched against the frozen
+    * positional artifact. The batch serve chains one equi-join per
+    * phrase word; the streaming formulation folds the chain into ONE
+    * stream-static join + a windowed count — each query fans its words
+    * into (term, in-phrase offset) rows, every matched word votes for
+    * the phrase START position it implies (pos − i), and a start where
+    * the vote count equals the phrase length is a full occurrence
+    * (each offset can vote at most once per start, since a document
+    * position either holds that word or not). Emits the occurrence
+    * relation (qid, doc_id, p0); the per-query ranking is the
+    * consumer's bounded rollup, exactly q155's contract, which
+    * StreamingSpec pins row-identical. State is the window store keyed
+    * (window, qid, doc, start) — bounded by the watermark and the
+    * day's match volume, never corpus-sized. */
+  def phraseScore(queries: Dataset[PhraseQuery], positions: DataFrame): DataFrame = {
+    import queries.sparkSession.implicits._
+    val terms = queries.flatMap { q =>
+      val ws = q.text.split(" ")
+      ws.zipWithIndex.map { case (w, i) => (q.qid, q.ts, w, i.toLong, ws.length) }
+    }.toDF("qid", "ts", "term", "i", "len")
+      .withWatermark("ts", "1 day")
+    terms
+      .join(positions, Seq("term"))
+      .select(col("qid"), col("ts"), col("len"), col("doc_id"),
+        (col("pos") - col("i")).as("p0"))
+      .groupBy(window(col("ts"), "1 day"), col("qid"), col("len"),
+        col("doc_id"), col("p0"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === col("len"))
+      .select("qid", "doc_id", "p0")
+  }
+
   case class LangDoc(doc_id: Long, ts: Timestamp, lang: String, text: String)
 
   /** The vocabulary-drift monitor's ONLINE twin (q152's batch/stream

@@ -104,25 +104,13 @@ class PlanSpec extends SparkTestBase {
       s"q150 shuffles the window relation ${wkeyExchanges.size} times (agg + join sides expected)")
   }
 
-  test("no query plan contains a cartesian product over fact-sized inputs") {
-    val exempt = Set("q07_grid") // deliberate small-distinct cross join (R4/J9)
-    // Caches.disabled: with tracking on, every persisted subtree plans
-    // as an InMemoryRelation leaf and its operators VANISH from the
-    // traversal — a cartesian inside a cached build would pass the ban
-    // silently (the round-12 census fidelity finding, applied to the
-    // spec sweeps). clearCache first: relations persisted by EARLIER
-    // tests would still substitute into these plans.
-    graft.Caches.release(); spark.catalog.clearCache()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (!exempt.contains(name)) {
-        val p = graft.Caches.disabled(plan(fn(spark, sfDir)))
-        assert(!p.contains("CartesianProduct"),
-          s"$name has a CartesianProduct:\n${p.take(1500)}")
-      }
-    }
-  }
-
-  test("no query plan contains a partition-less window over an unbounded input") {
+  // The two catalog-wide sweeps below share ONE pass: instantiating a
+  // catalog query (artifact builds, fingerprinting) dominates the
+  // sweep's cost, and a single QueryExecution yields both the physical
+  // plan (cartesian ban) and the optimized logical plan (window ban) —
+  // two separate sweeps would pay the catalog twice (measured ~40 s of
+  // the suite wall at 157 queries).
+  test("catalog sweep: no fact-sized cartesian product; no partition-less window over unbounded input") {
     // The window analog of the cartesian sweep: a WindowExec with no
     // partitionSpec funnels its whole input through ONE sort partition,
     // which is a scale-killer whenever the input grows with the corpus
@@ -157,20 +145,33 @@ class PlanSpec extends SparkTestBase {
     val exempt = Map("q60_sequence_packing" -> 1, "q69_vocab_coverage" -> 1,
       "q127_pack_materialize" -> 1, "q128_incremental_pack" -> 1,
       "q146_pack_repack" -> 1, "q156_curriculum_plan" -> 1)
-    // Caches.disabled + clearCache: see the cartesian sweep — a
-    // partition-less window inside a cached subtree must not hide
-    // behind an InMemoryRelation
+    // deliberate small-distinct cross join (R4/J9) — cartesian-exempt
+    val cartExempt = Set("q07_grid")
+    // Caches.disabled + clearCache: with tracking on, every persisted
+    // subtree plans as an InMemoryRelation leaf and its operators
+    // VANISH from the traversal — a cartesian or partition-less window
+    // inside a cached build would pass the bans silently (the round-12
+    // census fidelity finding, applied to the spec sweeps). clearCache
+    // first: relations persisted by EARLIER tests would still
+    // substitute into these plans.
     graft.Caches.release(); spark.catalog.clearCache()
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = graft.Caches.disabled(fn(spark, sfDir).queryExecution.optimizedPlan)
-      val unbounded = plan.collect {
-        case w: LogicalWindow if w.partitionSpec.forall(_.foldable) &&
-          w.child.collectFirst { case g: GlobalLimit => g }.isEmpty => w
+      graft.Caches.disabled {
+        val qe = fn(spark, sfDir).queryExecution
+        if (!cartExempt.contains(name)) {
+          val p = qe.executedPlan.toString
+          assert(!p.contains("CartesianProduct"),
+            s"$name has a CartesianProduct:\n${p.take(1500)}")
+        }
+        val unbounded = qe.optimizedPlan.collect {
+          case w: LogicalWindow if w.partitionSpec.forall(_.foldable) &&
+            w.child.collectFirst { case g: GlobalLimit => g }.isEmpty => w
+        }
+        assert(unbounded.size <= exempt.getOrElse(name, 0),
+          s"$name has ${unbounded.size} partition-less window(s) over an un-limited input " +
+            s"(allowed: ${exempt.getOrElse(name, 0)}):\n" +
+            unbounded.map(_.windowExpressions.mkString(", ")).mkString("\n"))
       }
-      assert(unbounded.size <= exempt.getOrElse(name, 0),
-        s"$name has ${unbounded.size} partition-less window(s) over an un-limited input " +
-          s"(allowed: ${exempt.getOrElse(name, 0)}):\n" +
-          unbounded.map(_.windowExpressions.mkString(", ")).mkString("\n"))
     }
   }
 

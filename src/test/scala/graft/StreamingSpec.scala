@@ -732,6 +732,38 @@ class StreamingSpec extends SparkTestBase {
       s"external default scored ${scoredForQ0.size} of $nVecs stored vectors")
   }
 
+  test("phraseScore query stream over the frozen positional index equals q155's serve") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = graft.queries.LexIndex.buildPhraseIndex(spark, sfDir)
+    val mem = MemoryStream[Streams.PhraseQuery]
+    val query = Streams.phraseScore(mem.toDS(),
+        spark.read.parquet(s"$idx/positions"))
+      .writeStream.format("memory").queryName("phrase_stream")
+      .outputMode("append").start()
+    mem.addData(graft.queries.LexIndex.PhraseQueries.map { case (qid, txt) =>
+      Streams.PhraseQuery(qid, ts("2024-01-01 01:00:00"), txt) }: _*)
+    query.processAllAvailable()
+    // a later query advances the watermark past the workload's window
+    mem.addData(Streams.PhraseQuery(999, ts("2024-01-10 00:00:00"), "zzz_unmatched"))
+    query.processAllAvailable()
+    val streamed = spark.table("phrase_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).filter(_._1 != 999).toSeq
+    query.stop()
+    // the consumer's bounded rollup: occurrence counts per (qid, doc),
+    // q155's exact ranking contract (n_occ desc, doc_id, depth 5)
+    val top = streamed.groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((qid, doc), occ) => (qid, doc, occ.size.toLong) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case ((q, d, n), i) => (q, i + 1, d, n) }
+      }.sortBy(r => (r._1, r._2))
+    val batch = SparkEntry.queries("q155_phrase_index")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(top == batch,
+      s"stream phrase serve differs from q155:\n top=$top\nbatch=$batch")
+    assert(streamed.nonEmpty, "stream matched nothing — vacuous")
+  }
+
   test("oovMonitor stream rollup equals q152's batch drift rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
