@@ -1094,6 +1094,101 @@ object Dedup extends QueryModule {
       |ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q161 — EVAL-DECONTAMINATION SPAN STRIP (the execution arm of q51,
+  // the way q150 executes q103): q51 DETECTS train documents sharing
+  // rare n-grams with the eval slice and DROPS them whole — the
+  // conservative policy, which throws away an entire document for one
+  // leaked passage. The production alternative (the scrub modern
+  // pipelines apply to eval overlap before training) strips the
+  // CONTAMINATED SPANS ONLY: every train-doc position covered by an
+  // 8-token window that also occurs verbatim in ANY eval document is
+  // excised, the survivors reassemble in order, and the result is
+  // md5-certified. Eval documents are never modified (they are the
+  // reference); train documents shorter than one window cannot match
+  // and pass through intact.
+  //
+  // Scale shape: q150's audited geometry with the first-occurrence
+  // aggregate replaced by a LEFT-SEMI join against the eval slice's
+  // window keys — both sides explode once (stride-1 windows hashed to
+  // md5-int60), meet in ONE uniform wkey-keyed shuffle (the eval
+  // relation is slice-sized but Heaps-unbounded at 100 TB, so it is
+  // JOINED, never broadcast), and the strip + reassembly stay in
+  // per-doc array land. Zero WindowExec anywhere.
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documentsWide(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+    def winsOf(docs: DataFrame): DataFrame = docs.filter(col("n") >= WinLen)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, n - $WinLen)")).as("p0"))
+      .withColumn("pos", col("p0").cast("int"))
+      .withColumn("wkey", conv(substring(md5(concat_ws(" ",
+        slice(col("ts"), col("pos") + 1, lit(WinLen)))), 1, 15), 16, 10).cast("long"))
+      .select("doc_id", "pos", "wkey")
+    val train = toks.filter(col("doc_id") % 17 =!= 5)
+    val evalKeys = winsOf(toks.filter(col("doc_id") % 17 === 5))
+      .select("wkey").distinct()
+    val hits = winsOf(train).join(evalKeys, Seq("wkey"), "left_semi")
+      .select("doc_id", "pos")
+    val covered = hits.groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("starts"))
+      .withColumn("cov", expr(
+        s"array_sort(array_distinct(flatten(transform(starts, st -> sequence(st, st + ${WinLen - 1})))))"))
+      .select("doc_id", "cov")
+    train.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS array<int>)")))
+      .select(col("doc_id"),
+        col("n").cast("int").as("n_toks"),
+        size(col("cov")).as("n_removed"),
+        (col("n") - size(col("cov"))).cast("int").as("n_kept"),
+        md5(expr("array_join(filter(ts, (tok, i) -> NOT array_contains(cov, i)), ' ')"))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  // The oracle detects eval-window membership relationally (train
+  // windows semi-joined against the eval slice's window strings — no
+  // hashing needed oracle-side, the strings themselves join) and strips
+  // by anti-join + ordered string_agg; a hash match cross-checks the
+  // hashed-key semi-join + array-land strip against the plain-string
+  // relational formulation end to end.
+  private val q161Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts, len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, CAST(p AS INT) AS pos,
+      |         array_to_string(ts[(p + 1):(p + $WinLen)], ' ') AS w
+      |  FROM (SELECT doc_id, ts, unnest(range(0, n - $WinLen + 1)) AS p
+      |        FROM t WHERE n >= $WinLen)),
+      |ekeys AS (SELECT DISTINCT w FROM wins WHERE doc_id % 17 = 5),
+      |hits AS (
+      |  SELECT doc_id, pos FROM wins
+      |  WHERE doc_id % 17 <> 5 AND w IN (SELECT w FROM ekeys)),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, CAST(pos + u AS INT) AS cp
+      |  FROM (SELECT doc_id, pos, unnest(range(0, $WinLen)) AS u FROM hits)),
+      |train AS (SELECT * FROM t WHERE doc_id % 17 <> 5),
+      |tok AS (
+      |  SELECT doc_id, CAST(u.i - 1 AS INT) AS p, ts[u.i] AS tok
+      |  FROM train, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u),
+      |nrem AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_removed FROM covered GROUP BY 1),
+      |clean AS (
+      |  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.p) AS cleaned
+      |  FROM (SELECT tok.doc_id, tok.p, tok.tok
+      |        FROM tok LEFT JOIN covered c
+      |          ON tok.doc_id = c.doc_id AND tok.p = c.cp
+      |        WHERE c.cp IS NULL) k
+      |  GROUP BY k.doc_id)
+      |SELECT train.doc_id, CAST(train.n AS INT) AS n_toks,
+      |       CAST(COALESCE(nrem.n_removed, 0) AS INT) AS n_removed,
+      |       CAST(train.n - COALESCE(nrem.n_removed, 0) AS INT) AS n_kept,
+      |       md5(COALESCE(clean.cleaned, '')) AS clean_hash
+      |FROM train LEFT JOIN nrem ON train.doc_id = nrem.doc_id
+      |LEFT JOIN clean ON train.doc_id = clean.doc_id
+      |ORDER BY train.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q107 — NEAR-DUP THRESHOLD CALIBRATION CURVE: the sweep a data
   // engineer runs BEFORE committing a dedup threshold — for every
   // detector CONFIG and Hamming radius t, how many candidate pairs
@@ -1299,6 +1394,7 @@ object Dedup extends QueryModule {
     "q66_span_dedup"         -> (q66 _),
     "q103_dupspan_profile"   -> (q103 _),
     "q150_dupspan_strip"     -> (q150 _),
+    "q161_decontam_strip"    -> (q161 _),
     "q32_ngram_jaccard"      -> (q32 _),
     "q33_minhash_lsh"        -> (q33 _),
     "q34_simhash"            -> (q34 _),
@@ -1314,6 +1410,7 @@ object Dedup extends QueryModule {
     "q66_span_dedup"         -> q66Sql,
     "q103_dupspan_profile"   -> q103Sql,
     "q150_dupspan_strip"     -> q150Sql,
+    "q161_decontam_strip"    -> q161Sql,
     "q32_ngram_jaccard"      -> q32Sql,
     "q33_minhash_lsh"        -> q33Sql,
     "q34_simhash"            -> q34Sql,

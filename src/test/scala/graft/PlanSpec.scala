@@ -395,6 +395,16 @@ class PlanSpec extends SparkTestBase {
         "PushedFilters:.*".r.findAllIn(p).take(3).mkString("\n"))
   }
 
+  test("q161 decontamination strips via a semi-join against eval keys: zero WindowExec") {
+    // q150's geometry with membership instead of first-occurrence: the
+    // eval window keys arrive through a LEFT-SEMI join on the uniform
+    // wkey (never a broadcast — the eval slice is Heaps-unbounded at
+    // 100 TB), and no step windows the corpus
+    val p = plan(graft.queries.Dedup.queries("q161_decontam_strip")(spark, sfDir))
+    assert(!p.contains("WindowExec"), "q161 plan contains a window")
+    assert(p.contains("LeftSemi"), "eval-key membership is not a semi-join:\n" + p.take(1500))
+  }
+
   test("q157 intake serve reads positional generations only: corpus never rescanned") {
     // the additive-intake claim, phrase edition: after gen-0 builds,
     // serving the generation union touches only positions/ files —

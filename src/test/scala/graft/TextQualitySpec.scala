@@ -411,6 +411,37 @@ class TextQualitySpec extends SparkTestBase {
     assert(got.values.forall(_._5 >= 1000L))
   }
 
+  test("q161 strips exactly the eval-overlapping spans; train-train duplication is untouched") {
+    val evalWin = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val dir = langFixture(Seq(
+      // eval slice (5 % 17 == 5) — the reference, never modified
+      (5L, s"$evalWin tail1 tail2", "en", "s"),
+      // full eval window mid-doc → its 8 positions excised
+      (0L, s"a1 a2 $evalWin b1 b2", "en", "s"),
+      // 7-token prefix of the window only → NOT contamination
+      (1L, "e1 e2 e3 e4 e5 e6 e7 x1 x2", "en", "s"),
+      // the window twice back-to-back → the whole doc is covered
+      (2L, s"$evalWin $evalWin", "en", "s"),
+      // shorter than one window → cannot match, passes intact
+      (3L, "e1 e2", "en", "s"),
+      // an 8-gram shared by two TRAIN docs: q150 would strip the second
+      // copy; q161 must NOT (duplication is not contamination)
+      (6L, "c1 c2 c3 c4 c5 c6 c7 c8 z1", "en", "s"),
+      (7L, "c1 c2 c3 c4 c5 c6 c7 c8 z2", "en", "s")))
+    val got = SparkEntry.queries("q161_decontam_strip")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4))).toSeq
+    val want = Seq(
+      (0L, 12, 8, 4, md5hex("a1 a2 b1 b2")),
+      (1L, 9, 0, 9, md5hex("e1 e2 e3 e4 e5 e6 e7 x1 x2")),
+      (2L, 16, 16, 0, md5hex("")),
+      (3L, 2, 0, 2, md5hex("e1 e2")),
+      (6L, 9, 0, 9, md5hex("c1 c2 c3 c4 c5 c6 c7 c8 z1")),
+      (7L, 9, 0, 9, md5hex("c1 c2 c3 c4 c5 c6 c7 c8 z2")))
+    assert(got == want, s"decontam strip mismatch:\n got=$got\nwant=$want")
+    assert(!got.exists(_._1 == 5L), "the eval doc leaked into the train output")
+  }
+
   /** Write a (doc_id, text, lang, source) documents fixture dir — the
     * testdata's degenerate shared vocabulary cannot produce OOV or
     * per-language model divergence, so q152/q153 pin their semantics
