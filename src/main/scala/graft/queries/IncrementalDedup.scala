@@ -182,10 +182,25 @@ object IncrementalDedup extends QueryModule {
 
   /** Online: verdict every shard doc against the index ONLY. */
   private[graft] def verdictsAgainst(s: SparkSession, shard: DataFrame,
-                                     idxPath: String): DataFrame = {
-    val exactIdx = s.read.parquet(s"$idxPath/exact")
-      .withColumnRenamed("keeper", "corpus_keeper")
-    val bandsIdx = s.read.parquet(s"$idxPath/bands")
+                                     idxPath: String): DataFrame =
+    verdictsCore(shard,
+      s.read.parquet(s"$idxPath/exact").withColumnRenamed("keeper", "corpus_keeper"),
+      s.read.parquet(s"$idxPath/bands"))
+
+  /** [[verdictsAgainst]] against a WINDOW of index generations: exact
+    * hashes union with the earliest keeper winning (a hash present in
+    * two live generations cites one keeper deterministically), band
+    * sets union as plain membership. The q162 retention serve's core. */
+  private[graft] def verdictsWindow(s: SparkSession, shard: DataFrame,
+                                    idxPaths: Seq[String]): DataFrame =
+    verdictsCore(shard,
+      idxPaths.map(p => s.read.parquet(s"$p/exact")).reduce(_ unionByName _)
+        .groupBy("h").agg(min(col("keeper")).as("corpus_keeper")),
+      idxPaths.map(p => s.read.parquet(s"$p/bands")).reduce(_ unionByName _)
+        .distinct())
+
+  private def verdictsCore(shard: DataFrame, exactIdx: DataFrame,
+                           bandsIdx: DataFrame): DataFrame = {
     val hashed = shard.withColumn("h", md5(col("text")))
     val shardKeep = hashed.groupBy("h").agg(min(col("doc_id")).as("bkeeper"))
     val near = Dedup.minhashBandsOf(shard)
@@ -365,13 +380,147 @@ object IncrementalDedup extends QueryModule {
       .stripMargin)
   require(q142Sql != q84Sql, "q142 oracle redaction splice did not fire")
 
+  // ---------------------------------------------------------------------
+  // q162 — RETENTION-WINDOW (TTL) DEDUP SERVE (L124): the dedup index's
+  // generations become a RETENTION policy. Full-history dedup (q84)
+  // blocks content forever; real corpora carry reasons to let content
+  // expire — licensed data whose window lapsed, news whose re-crawl
+  // after N months is a legitimate new document, a GDPR-adjacent
+  // retention limit on the hash state itself. With per-era generations,
+  // expiry is PHYSICAL: the serve unions only the LIVE window's
+  // generations (retired eras simply drop out of the union — no state
+  // rewrite, the exact inverse of the additive intake), and a doc whose
+  // only prior copy lives in a retired era is admitted again. The
+  // relation reports the window verdict PLUS the audit bit compliance
+  // wants: `readmitted` — kept now, but the retired era would have
+  // blocked it (exact hash or band hit in era 0) — so every expiry
+  // decision is visible, not silent.
+  //
+  // Fixture eras: the corpus splits by doc_id parity (era 0 = retired,
+  // era 1 = live); the day's shard is q84's. The shard's re-keyed
+  // copies of % 10 = 0 docs duplicate ERA-0 content (even ids), so the
+  // readmission path is non-vacuously exercised on the driver corpus.
+  //
+  // Scale shape: q84's serving plan with the exact relation unioned
+  // across the window (one vocab... hash-keyed groupBy to pick the
+  // earliest keeper) and band membership unioned distinct; the
+  // era-0 audit is two semi-joins against the retired artifacts. The
+  // corpus is never read at serve time (generations + staged shard
+  // only); windowing is O(live generations), retirement is free.
+  private[graft] def genPath(s: SparkSession, dir: String, tag: String): String =
+    s"$indexRoot/dedupe$tag-${dataFingerprint(s, dir)}"
+
+  /** One era's index generation from the given docs. */
+  private[graft] def buildGenIndex(s: SparkSession, docs: DataFrame,
+                                   path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    publish(s, p) { tmp =>
+      assertRekeyDisjoint(docs, "dedup-gen")
+      docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"))
+        .write.mode("overwrite").parquet(s"$tmp/exact")
+      Dedup.minhashBandsOf(docs)
+        .select("band", "bandkey").distinct()
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+    }
+    path
+  }
+
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val g0 = buildGenIndex(s,
+      docs.filter(col("doc_id") % 5 =!= 4 && col("doc_id") % 2 === 0),
+      genPath(s, dir, "0"))
+    val g1 = buildGenIndex(s,
+      docs.filter(col("doc_id") % 5 =!= 4 && col("doc_id") % 2 === 1),
+      genPath(s, dir, "1"))
+    val shard = s.read.parquet(s"${stageShard(s, dir)}/docs")
+    val win = verdictsWindow(s, shard, Seq(g1)) // era 0 retired
+    // the audit bit: would the retired era have blocked it?
+    val hashed = shard.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact0 = hashed
+      .join(s.read.parquet(s"$g0/exact").select("h"), Seq("h"), "left_semi")
+      .select("doc_id")
+    val near0 = Dedup.minhashBandsOf(shard)
+      .join(s.read.parquet(s"$g0/bands"), Seq("band", "bandkey"), "left_semi")
+      .select("doc_id").distinct()
+    val blocked0 = exact0.unionByName(near0).distinct()
+      .withColumn("b0", lit(true))
+    win.join(blocked0, Seq("doc_id"), "left")
+      .withColumn("readmitted", col("keep") && coalesce(col("b0"), lit(false)))
+      .select("doc_id", "verdict", "keep", "corpus_keeper", "readmitted")
+      .orderBy("doc_id")
+  }
+
+  // The oracle replays the WINDOWED verdict from raw documents (q84's
+  // CTE stack with corpus := the live era only) plus the retired era's
+  // exact/band membership for the readmission bit — never seeing any
+  // artifact. A hash match proves retirement serves exactly as if the
+  // retired era had never been ingested, while the audit column
+  // accounts for every expiry-enabled admission.
+  private val q162Sql =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4 AND doc_id % 2 = 1),
+      |era0 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4 AND doc_id % 2 = 0),
+      |shard AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 20 = 4),
+      |alldocs AS (
+      |  SELECT doc_id, text FROM corpus
+      |  UNION ALL SELECT doc_id, text FROM shard
+      |  UNION ALL SELECT doc_id, text FROM era0),
+      |mh_toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM alldocs WHERE len(string_split(text, ' ')) >= 2),
+      |mh_sh AS (SELECT DISTINCT doc_id, unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS shingle FROM mh_toks),
+      |grps AS (SELECT CAST(unnest(range(${Dedup.NumHashes / Dedup.BandSize})) AS INT) AS band),
+      |sig AS (
+      |  SELECT doc_id, band,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 1, 8)) AS w0,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 9, 8)) AS w1,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 17, 8)) AS w2,
+      |         MIN(substring(md5(band::VARCHAR || ':' || shingle), 25, 8)) AS w3
+      |  FROM mh_sh CROSS JOIN grps GROUP BY doc_id, band),
+      |bands AS (
+      |  SELECT doc_id, band, md5(w0 || '|' || w1 || '|' || w2 || '|' || w3) AS bandkey
+      |  FROM sig),
+      |cb AS (SELECT DISTINCT b.band, b.bandkey FROM bands b JOIN corpus c ON b.doc_id = c.doc_id),
+      |c0 AS (SELECT DISTINCT b.band, b.bandkey FROM bands b JOIN era0 e ON b.doc_id = e.doc_id),
+      |bb AS (SELECT b.doc_id, b.band, b.bandkey FROM bands b JOIN shard x ON b.doc_id = x.doc_id),
+      |near AS (SELECT DISTINCT bb.doc_id FROM bb JOIN cb ON bb.band = cb.band AND bb.bandkey = cb.bandkey),
+      |near0 AS (SELECT DISTINCT bb.doc_id FROM bb JOIN c0 ON bb.band = c0.band AND bb.bandkey = c0.bandkey),
+      |ch AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM corpus GROUP BY 1),
+      |e0h AS (SELECT DISTINCT md5(text) AS h FROM era0),
+      |sh AS (SELECT doc_id, md5(text) AS h FROM shard),
+      |skeep AS (SELECT h, MIN(doc_id) AS bkeeper FROM sh GROUP BY h),
+      |verdicts AS (
+      |  SELECT s.doc_id,
+      |         CASE WHEN c.keeper IS NOT NULL THEN 'exact_dup_corpus'
+      |              WHEN s.doc_id <> k.bkeeper THEN 'exact_dup_batch'
+      |              WHEN n.doc_id IS NOT NULL THEN 'neardup_corpus'
+      |              ELSE 'kept' END AS verdict,
+      |         c.keeper AS corpus_keeper,
+      |         e0.h IS NOT NULL OR n0.doc_id IS NOT NULL AS blocked0
+      |  FROM sh s
+      |  LEFT JOIN ch c ON s.h = c.h
+      |  JOIN skeep k ON s.h = k.h
+      |  LEFT JOIN near n ON s.doc_id = n.doc_id
+      |  LEFT JOIN e0h e0 ON s.h = e0.h
+      |  LEFT JOIN near0 n0 ON s.doc_id = n0.doc_id)
+      |SELECT doc_id, verdict, verdict = 'kept' AS keep, corpus_keeper,
+      |       verdict = 'kept' AND blocked0 AS readmitted
+      |FROM verdicts ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_incremental_dedup" -> ((s, dir) => q84(s, dir)),
     "q142_dedup_takedown"   -> ((s, dir) => q142(s, dir)),
+    "q162_retention_dedup"  -> ((s, dir) => q162(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
     "q84_incremental_dedup" -> q84Sql,
     "q142_dedup_takedown"   -> q142Sql,
+    "q162_retention_dedup"  -> q162Sql,
   )
 }

@@ -52,10 +52,18 @@ object HeapsProbe extends Serializable { // generator closures call the (statele
   // q130 joined in round 13: the vocabulary statistics report runs ON
   // the probe's √T-growth corpus — the exact regime its Heaps section
   // measures — so the probe times the reporter in the regime it reports.
+  // q150/q152/q153/q156/q161 joined in round 15: the strip arms (window
+  // explodes, q103's class), the OOV-drift and perplexity/curriculum
+  // operators (vocab-keyed model joins — the relations that are
+  // Heaps-unbounded and therefore deliberately JOINED, never broadcast,
+  // in their plans), and the eval-window semi-join. This list now times
+  // every vocabulary-keyed member of the catalog in the growing-
+  // vocabulary regime its plan claims to survive.
   private val Queries = Seq("q32_ngram_jaccard", "q33_minhash_lsh", "q44_corpus_filter",
     "q46_neardup_components", "q51_decontaminate", "q85_bloom_decontaminate",
     "q93_bigram_surprisal", "q103_dupspan_profile", "q111_novelty_audit",
-    "q130_vocab_report")
+    "q130_vocab_report", "q150_dupspan_strip", "q152_oov_drift",
+    "q153_ppl_buckets", "q156_curriculum_plan", "q161_decontam_strip")
 
   /** Zipf(s) CDF over ranks 1..v — tiny (V ≤ ~15k doubles), captured
     * into the generator closure. */

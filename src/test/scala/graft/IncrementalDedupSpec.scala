@@ -147,4 +147,41 @@ class IncrementalDedupSpec extends SparkTestBase {
       assert(both == wide, "overlapping-generation serve drifted from the union redaction")
     }
   }
+
+  test("q162 retention window: retired-era content is readmitted, live-era still blocks") {
+    import spark.implicits._
+    withTempRoot { root =>
+      // era 0 (retired): X exact, N near-target; era 1 (live): Y
+      val nearBase = (1 to 16).map(i => s"n$i").mkString(" ")
+      val era0 = Seq((0L, "x1 x2 x3 x4 x5 x6"), (2L, nearBase)).toDF("doc_id", "text")
+      val era1 = Seq((1L, "y1 y2 y3 y4 y5 y6")).toDF("doc_id", "text")
+      val g0 = IncrementalDedup.buildGenIndex(spark, era0, s"$root/g0")
+      val g1 = IncrementalDedup.buildGenIndex(spark, era1, s"$root/g1")
+      val shard = Seq(
+        (100L, "x1 x2 x3 x4 x5 x6"),                      // exact copy of RETIRED content
+        (101L, "y1 y2 y3 y4 y5 y6"),                      // exact copy of LIVE content
+        (102L, nearBase.replace("n16", "zz")),            // near-dup of RETIRED content
+        (103L, "f1 f2 f3 f4 f5 f6"))                      // fresh
+        .toDF("doc_id", "text")
+      def rows(paths: Seq[String]) =
+        IncrementalDedup.verdictsWindow(spark, shard, paths).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+      val windowed = rows(Seq(g1))
+      assert(windowed == Seq(
+        (100L, "kept", true),             // era-0 expiry readmits X
+        (101L, "exact_dup_corpus", false),
+        (102L, "kept", true),             // near-block expired too
+        (103L, "kept", true)), s"windowed verdicts wrong: $windowed")
+      // windowed serve ≡ an index that never ingested the retired era
+      val full = rows(Seq(g0, g1))
+      assert(full.map(t => (t._1, t._2)) == Seq(
+        (100L, "exact_dup_corpus"), (101L, "exact_dup_corpus"),
+        (102L, "neardup_corpus"), (103L, "kept")),
+        s"full-history verdicts wrong: $full")
+      // single-generation window equals the plain single-index serve
+      assert(windowed == IncrementalDedup.verdictsAgainst(spark, shard, g1)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq,
+        "verdictsWindow over one generation drifted from verdictsAgainst")
+    }
+  }
 }
