@@ -552,7 +552,7 @@ object Similarity extends QueryModule {
     * and q68 (outlier pruning): returns (vec_id, cid, dist2) after
     * assign → floor-mean update → assign. Tracked caches cover the
     * rolled-up vector relation read by every pass. */
-  private def kmAssignments(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def kmAssignments(s: SparkSession, dir: String): DataFrame = {
     val quant4 = Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
       .select(col("vec_id"), (col("pos0") + 1).as("pos"),
@@ -2122,9 +2122,121 @@ object Similarity extends QueryModule {
       |FROM corp JOIN intake USING (label, pos)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q163 — SEMANTIC PACK LAYOUT (L125): long-context data locality.
+  // The q60/q127 pack concatenates documents in ARRIVAL order, so a
+  // 2048-token training sequence stitches unrelated documents and the
+  // model burns its long context on topic switches. The long-context
+  // recipe is to pack RELATED documents adjacently (in-context
+  // pretraining: Shi et al. 2310.10638 — cluster, then lay out
+  // cluster-contiguously). This operator prices that decision: lay the
+  // corpus out both ways — `arrival` (doc_id order, the shipped q60
+  // layout) and `semantic` ((cluster, doc_id) order, clusters from the
+  // catalog's own q59 Lloyd assignment over the documents' embeddings)
+  // — and report, per layout, the sequence count (identical by
+  // construction: layout permutes, never resizes), the mean number of
+  // distinct clusters a sequence spans (milli), and the PURITY: the
+  // fraction of tokens belonging to their sequence's majority cluster
+  // (ppm). The semantic layout's purity gain IS the locality the
+  // long-context run buys; a near-zero gain says the clustering is too
+  // coarse to bother.
+  //
+  // Scale shape: both layouts ride the q60 TWO-PHASE prefix sum —
+  // `arrival` bucketed by doc_id ranges, `semantic` bucketed by the
+  // cluster id itself (K buckets, ordered within by doc_id) — so no
+  // corpus-sized relation visits one partition; per-sequence cluster
+  // mass comes from span arithmetic over the ≤(len/SeqLen + 2)-sequence
+  // roster explode (tokens never explode); the two report rows are
+  // bounded aggregates. Pure integer arithmetic.
+  private val LayoutSeqLen = 2048L
+  private val LayoutBucket = 1000L
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+    val cids = kmAssignments(s, dir).select(col("vec_id").as("doc_id"), col("cid"))
+    val docs = graft.Caches.track(toks.join(cids, "doc_id"))
+    def layoutRow(name: String, bucket: org.apache.spark.sql.Column): DataFrame = {
+      val b = docs.withColumn("bucket", bucket)
+      val inB = b.withColumn("cum_in", sum(col("nt")).over(
+        Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val offs = b.groupBy("bucket").agg(sum(col("nt")).as("btot"))
+        .withColumn("boff", coalesce(sum(col("btot")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "boff")
+      val spans = inB.join(broadcast(offs), "bucket")
+        .withColumn("e", col("boff") + col("cum_in"))
+        .withColumn("st", col("e") - col("nt"))
+      val perSeqCid = spans
+        .select(col("cid"), col("st"), col("e"),
+          explode(expr(s"sequence(st div $LayoutSeqLen, (e - 1) div $LayoutSeqLen)")).as("seq"))
+        .withColumn("tin",
+          least(col("e"), (col("seq") + 1) * LayoutSeqLen) -
+            greatest(col("st"), col("seq") * LayoutSeqLen))
+        .groupBy("seq", "cid").agg(sum(col("tin")).as("ct"))
+      perSeqCid.groupBy("seq")
+        .agg(count(lit(1)).as("ncl"), max(col("ct")).as("top"), sum(col("ct")).as("tot"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("ncl")).as("sncl"),
+          sum(col("top")).as("stop"), sum(col("tot")).as("stot"))
+        .select(lit(name).as("layout"), col("n_seqs"),
+          expr("sncl * 1000 div n_seqs").as("mean_clusters_milli"),
+          expr("stop * 1000000 div stot").as("purity_ppm"))
+    }
+    layoutRow("arrival", expr(s"doc_id div $LayoutBucket"))
+      .unionByName(layoutRow("semantic", col("cid")))
+      .orderBy("layout")
+  }
+
+  private val q163Sql =
+    s"""WITH $kmSqlCtes,
+      |ntk AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |d AS (SELECT n.doc_id, n.nt, a.cid FROM ntk n JOIN assigned a ON n.doc_id = a.vec_id),
+      |arrc AS (
+      |  SELECT cid, nt,
+      |         CAST(SUM(nt) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM d),
+      |semc AS (
+      |  SELECT cid, nt,
+      |         CAST(SUM(nt) OVER (ORDER BY cid, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM d),
+      |arrs AS (
+      |  SELECT cid, cum - nt AS st, cum AS e,
+      |         unnest(range((cum - nt) // $LayoutSeqLen, (cum - 1) // $LayoutSeqLen + 1)) AS seq
+      |  FROM arrc),
+      |sems AS (
+      |  SELECT cid, cum - nt AS st, cum AS e,
+      |         unnest(range((cum - nt) // $LayoutSeqLen, (cum - 1) // $LayoutSeqLen + 1)) AS seq
+      |  FROM semc),
+      |arrt AS (
+      |  SELECT seq, cid, CAST(SUM(LEAST(e, (seq + 1) * $LayoutSeqLen)
+      |         - GREATEST(st, seq * $LayoutSeqLen)) AS BIGINT) AS ct
+      |  FROM arrs GROUP BY 1, 2),
+      |semt AS (
+      |  SELECT seq, cid, CAST(SUM(LEAST(e, (seq + 1) * $LayoutSeqLen)
+      |         - GREATEST(st, seq * $LayoutSeqLen)) AS BIGINT) AS ct
+      |  FROM sems GROUP BY 1, 2),
+      |arrp AS (SELECT seq, COUNT(*) AS ncl, MAX(ct) AS top, CAST(SUM(ct) AS BIGINT) AS tot FROM arrt GROUP BY seq),
+      |semp AS (SELECT seq, COUNT(*) AS ncl, MAX(ct) AS top, CAST(SUM(ct) AS BIGINT) AS tot FROM semt GROUP BY seq)
+      |SELECT 'arrival' AS layout, COUNT(*) AS n_seqs,
+      |       (CAST(SUM(ncl) AS BIGINT) * 1000) // COUNT(*) AS mean_clusters_milli,
+      |       (CAST(SUM(top) AS BIGINT) * 1000000) // CAST(SUM(tot) AS BIGINT) AS purity_ppm
+      |FROM arrp
+      |UNION ALL
+      |SELECT 'semantic', COUNT(*),
+      |       (CAST(SUM(ncl) AS BIGINT) * 1000) // COUNT(*),
+      |       (CAST(SUM(top) AS BIGINT) * 1000000) // CAST(SUM(tot) AS BIGINT)
+      |FROM semp
+      |ORDER BY layout""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
     "q158_embedding_drift" -> (q158 _),
+    "q163_semantic_pack_layout" -> (q163 _),
     "q37_ann_lsh"        -> (q37 _),
     "q38_knn_within_class" -> (q38 _),
     "q110_hard_negatives"  -> (q110 _),
@@ -2152,6 +2264,7 @@ object Similarity extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "q36_ann_bruteforce" -> q36Sql,
     "q158_embedding_drift" -> q158Sql,
+    "q163_semantic_pack_layout" -> q163Sql,
     "q37_ann_lsh"        -> q37Sql,
     "q38_knn_within_class" -> q38Sql,
     "q110_hard_negatives"  -> q110Sql,

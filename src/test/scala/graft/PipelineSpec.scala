@@ -1234,4 +1234,42 @@ class PipelineSpec extends SparkTestBase {
     assert(got.head._5 >= 900L && got.head._5 <= 1100L,
       s"planted ~0.1 single-dim shift not visible: ${got.head}")
   }
+
+  test("q163 layout report equals a plain-Scala replay of both packings") {
+    val got = SparkEntry.queries("q163_semantic_pack_layout")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // exact replay from the engine's own Lloyd assignments + raw lengths
+    val cids = Similarity.kmAssignments(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong)).toSeq
+    val L = 2048L
+    def replay(name: String, ordered: Seq[(Long, Long, Long)]): (String, Long, Long, Long) = {
+      var cum = 0L
+      val spans = ordered.map { case (_, nt, cid) =>
+        val st = cum; cum += nt; (cid, st, cum)
+      }
+      val perSeqCid = spans.flatMap { case (cid, st, e) =>
+        (st / L to (e - 1) / L).map { seq =>
+          ((seq, cid), math.min(e, (seq + 1) * L) - math.max(st, seq * L))
+        }
+      }.groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }
+      val perSeq = perSeqCid.groupBy(_._1._1).map { case (_, xs) =>
+        (xs.size.toLong, xs.values.max, xs.values.sum)
+      }.toSeq
+      (name, perSeq.size.toLong,
+        perSeq.map(_._1).sum * 1000 / perSeq.size,
+        perSeq.map(_._2).sum * 1000000 / perSeq.map(_._3).sum)
+    }
+    val docs = nts.map { case (id, nt) => (id, nt, cids(id)) }
+    val want = Seq(
+      replay("arrival", docs.sortBy(_._1)),
+      replay("semantic", docs.sortBy(d => (d._3, d._1))))
+    assert(got == want, s"layout report mismatch:\n got=$got\nwant=$want")
+    // the structural claims: layout permutes, never resizes; and the
+    // semantic layout strictly buys locality on this corpus
+    assert(got(0)._2 == got(1)._2, "layouts disagree on sequence count")
+    assert(got(1)._4 > got(0)._4 && got(1)._3 < got(0)._3,
+      s"semantic layout bought no locality: $got")
+  }
 }

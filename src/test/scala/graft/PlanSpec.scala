@@ -142,9 +142,13 @@ class PlanSpec extends SparkTestBase {
     // itself — a DOMAIN-bounded key (≤ 64·1000 integer values
     // regardless of corpus size), so its bucket-offset window joins
     // the same exemption class.
+    // q163 runs TWO layouts' two-phase prefix sums: the arrival
+    // bucket-offset window (doc_id ranges, q60's class) and the
+    // semantic one (cid buckets, K rows — constant).
     val exempt = Map("q60_sequence_packing" -> 1, "q69_vocab_coverage" -> 1,
       "q127_pack_materialize" -> 1, "q128_incremental_pack" -> 1,
-      "q146_pack_repack" -> 1, "q156_curriculum_plan" -> 1)
+      "q146_pack_repack" -> 1, "q156_curriculum_plan" -> 1,
+      "q163_semantic_pack_layout" -> 2)
     // deliberate small-distinct cross join (R4/J9) — cartesian-exempt
     val cartExempt = Set("q07_grid")
     // Caches.disabled + clearCache: with tracking on, every persisted
