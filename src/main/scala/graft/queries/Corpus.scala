@@ -234,7 +234,7 @@ object Corpus extends QueryModule {
   // collect is O(1) per group.
   private val Bm25K1Num = 12 // k1 = 1.2
   private val Bm25BNum = 3   // b = 0.75 (as 3/4)
-  private val Bm25TopK = 5
+  private[graft] val Bm25TopK = 5
   private[graft] val Bm25Queries: Seq[(Int, String)] = Seq(
     1 -> "spark table join",
     2 -> "window agg stream",
@@ -328,25 +328,29 @@ object Corpus extends QueryModule {
   private def q91(s: SparkSession, dir: String): DataFrame =
     bm25TopK(bm25Scored(s, dir))
 
-  /** SQL twin of [[bm25Scored]]: CTEs through `scored`, shared by
-    * q91Sql and q115Sql. */
-  private val bm25SqlCtes = {
+  /** SQL twin of [[bm25Scored]]: CTEs through `{p}scored`, shared by
+    * q91Sql/q115Sql (empty prefix over `documents`) and the retention
+    * oracle (LexIndex q166), which stacks TWO instances — a live-era
+    * rebuild and a full-history rebuild — in one query via distinct
+    * CTE prefixes. `corpusRel` is the FROM-relation of the token
+    * explode (a table name or a parenthesized subquery). */
+  private[graft] def bm25SqlCtesFor(corpusRel: String, p: String): String = {
     val qvals = Bm25Queries
       .flatMap { case (q, txt) => txt.split(" ").map(t => s"($q, '$t')") }
       .mkString(", ")
-    s"""qt(qid, term) AS (VALUES $qvals),
-      |toks AS (
+    s"""${p}qt(qid, term) AS (VALUES $qvals),
+      |${p}toks AS (
       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
       |         unnest(string_split(text, ' ')) AS tok
-      |  FROM documents),
-      |stats AS (
-      |  SELECT COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_toks FROM toks),
-      |tf AS (
+      |  FROM $corpusRel),
+      |${p}stats AS (
+      |  SELECT COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_toks FROM ${p}toks),
+      |${p}tf AS (
       |  SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
-      |  FROM toks WHERE tok IN (SELECT DISTINCT term FROM qt)
+      |  FROM ${p}toks WHERE tok IN (SELECT DISTINCT term FROM ${p}qt)
       |  GROUP BY doc_id, dl, tok),
-      |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-      |scored AS (
+      |${p}dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ${p}tf GROUP BY term),
+      |${p}scored AS (
       |  SELECT q.qid, t.doc_id,
       |         list_reduce(list(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
       |             (CAST(t.tf * ${Bm25K1Num + 10} * s.n_toks AS DOUBLE) /
@@ -355,9 +359,11 @@ object Corpus extends QueryModule {
       |               ${Bm25K1Num * Bm25BNum / 4.0} * t.dl * s.n_docs))
       |             ORDER BY t.term), (a, b) -> a + b) AS score,
       |         CAST(COUNT(*) AS INT) AS n_hit
-      |  FROM tf t JOIN dfr d USING (term) CROSS JOIN stats s JOIN qt q USING (term)
+      |  FROM ${p}tf t JOIN ${p}dfr d USING (term) CROSS JOIN ${p}stats s JOIN ${p}qt q USING (term)
       |  GROUP BY q.qid, t.doc_id)""".stripMargin
   }
+
+  private val bm25SqlCtes = bm25SqlCtesFor("documents", "")
 
   private val q91Sql =
     s"""WITH $bm25SqlCtes,

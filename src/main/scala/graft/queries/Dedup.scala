@@ -914,6 +914,18 @@ object Dedup extends QueryModule {
   // WindowExec in the plan; the oracle independently recomputes spans
   // relationally (islands trick), so the hash gate cross-checks two
   // formulations of the interval union.
+  // Window-key collision bound (applies to the whole stride-1 family —
+  // q103 profile, q150 strip, q161 decontamination strip): windows join
+  // on a 60-bit md5 prefix, so by the birthday bound P[any collision
+  // among W distinct windows] ≈ W²/2^61 — ~2·10⁻⁵ at the sf1 corpus
+  // (W ≈ 6·10⁶) but ~1 at W ≈ 10⁹, i.e. EXPECTED at 100 TB window
+  // counts. A collision's failure mode is one spurious span strip
+  // (q150/q161) or one merged profile row (q103), never a crash; the
+  // deployment-scale fix is mechanical — carry the full 128-bit digest
+  // as two int64 columns and join on both (the shuffle key stays
+  // fixed-width) — and is left un-defaulted here because the oracle
+  // gate compares the 60-bit formulation bit-for-bit on the test
+  // corpora, where the bound is negligible.
   private val WinLen = 8
   private def q103(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documentsWide(s, dir)

@@ -317,6 +317,69 @@ object LexIndex extends QueryModule {
       |        WHERE doc_id % 5 = 4) documents""".stripMargin)
 
   // ---------------------------------------------------------------------
+  // q166 — LEXICAL RETENTION-WINDOW SERVE (the q162 move on the BM25
+  // index): per-era generations turn into a TTL policy — the serve
+  // unions only the LIVE window's generations, so a retired era's
+  // postings, df contributions, and N/avgdl mass drop out with no
+  // state rewrite (the exact inverse of q132's additive intake; BM25
+  // is subtractive by era the same way q133 shows it subtractive by
+  // id). The relation is the windowed top-k PLUS the audit columns
+  // compliance wants: `rank_full` — where this doc ranked in the
+  // full-history serve (both artifacts, no corpus read) — and
+  // `resurfaced` = the doc is in the windowed top-k only because
+  // retired-era docs vacated slots (absent from the full top-k), so
+  // every retirement-enabled promotion is visible, not silent.
+  //
+  // Eras split the corpus by doc_id parity (era 0 = retired evens,
+  // era 1 = live odds — q162's fixture geometry). Scale shape: two
+  // offline era builds (each the q131 build over its half), then TWO
+  // artifact serves over workload-term slivers; retirement itself is
+  // free (a generation list edit). The corpus is never read at serve
+  // time.
+  private[graft] def lexEraPath(s: SparkSession, dir: String, tag: String): String =
+    s"$indexRoot/lexr$tag-${IncrementalDedup.dataFingerprint(s, dir)}"
+
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsWide(s, dir).select("doc_id", "text")
+    val e0 = build(s, docs.filter(col("doc_id") % 2 === 0), lexEraPath(s, dir, "0"))
+    val e1 = build(s, docs.filter(col("doc_id") % 2 === 1), lexEraPath(s, dir, "1"))
+    val win = serve(s, Seq(e1))
+    val full = serve(s, Seq(e0, e1))
+      .select(col("qid"), col("doc_id"), col("rank").as("rank_full"))
+    win.join(full, Seq("qid", "doc_id"), "left")
+      .withColumn("resurfaced", col("rank_full").isNull)
+      .select("qid", "rank", "doc_id", "score", "n_hit", "rank_full", "resurfaced")
+      .orderBy("qid", "rank")
+  }
+
+  // The oracle stacks TWO from-scratch BM25 rebuilds in one query —
+  // live era only (the never-ingested-that-era rebuild, q162's oracle
+  // pattern) and full history (for the audit columns) — via prefixed
+  // CTE instances; a hash match proves era retirement serves exactly
+  // as if era 0 had never been ingested AND that every resurfaced row
+  // is a genuine full-top-k absentee.
+  private val q166Sql = {
+    val live = Corpus.bm25SqlCtesFor(
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)", "w_")
+    val full = Corpus.bm25SqlCtesFor("documents", "f_")
+    s"""WITH $live,
+      |$full,
+      |w_ranked AS (
+      |  SELECT qid, doc_id, score, n_hit,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM w_scored),
+      |f_ranked AS (
+      |  SELECT qid, doc_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM f_scored)
+      |SELECT w.qid, w.rank, w.doc_id, ROUND(w.score, 4) AS score, w.n_hit,
+      |       f.rank AS rank_full, f.rank IS NULL AS resurfaced
+      |FROM w_ranked w LEFT JOIN f_ranked f
+      |  ON w.qid = f.qid AND w.doc_id = f.doc_id AND f.rank <= ${Corpus.Bm25TopK}
+      |WHERE w.rank <= ${Corpus.Bm25TopK} ORDER BY w.qid, w.rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q155 — POSITIONAL PHRASE INDEX (L117): the retrieval capability the
   // bag-of-words family structurally cannot express. BM25 (q91/q131)
   // scores term MULTISETS — "slow fast" and "fast slow" are the same
@@ -596,6 +659,7 @@ object LexIndex extends QueryModule {
     "q132_incremental_lex"  -> ((s, dir) => q132(s, dir)),
     "q133_lex_takedown"     -> ((s, dir) => q133(s, dir)),
     "q134_lex_compact"      -> ((s, dir) => q134(s, dir)),
+    "q166_lex_retention"    -> ((s, dir) => q166(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -607,5 +671,6 @@ object LexIndex extends QueryModule {
     "q132_incremental_lex"  -> q132Sql,
     "q133_lex_takedown"     -> q133Sql,
     "q134_lex_compact"      -> q133Sql,
+    "q166_lex_retention"    -> q166Sql,
   )
 }

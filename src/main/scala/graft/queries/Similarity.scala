@@ -418,6 +418,80 @@ object Similarity extends QueryModule {
       |ORDER BY e.vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q165 — EMBEDDING-SPACE DECONTAMINATION (semantic eval leakage): the
+  // paraphrase arm of the decontamination family. q51/q85/q161 catch
+  // VERBATIM leakage (shared rare n-grams / 8-token windows); a
+  // paraphrased eval item shares no n-gram yet still leaks — its
+  // embedding sits next to the eval slice's. This operator points q39's
+  // banded-LSH cosine machinery at the eval boundary: the verified
+  // near-dup pair set restricted to CROSS-slice pairs (exactly one side
+  // in the q51 eval slice, vec_id % 17 = 5), rolled into a per-train-
+  // vector verdict — how many eval neighbors, the max cosine, and the
+  // nearest eval vec (max cosine, ties to the smaller eval id) — the
+  // relation a curation pipeline anti-joins its training set against
+  // before an eval-sensitive release (the q72 composed-verdict shape).
+  //
+  // Scale shape: inherits q39's audited geometry verbatim — capped LSH
+  // buckets, codegen'd graft_dot verification, zero all-pairs — and the
+  // rollup windows over the bounded verified-pair relation only. The
+  // eval slice is JOINED through the same bucket machinery, never
+  // broadcast (eval suites are Heaps-unbounded at 100 TB). UnigramSpec's
+  // sibling fixture (CurationSpec) separates the arms: a paraphrase hit
+  // flags here with zero q161 span removals, a verbatim hit strips in
+  // q161 while staying out of this relation.
+  private val EvalVecMod = 17   // q51's EvalMod/EvalPhase convention:
+  private val EvalVecPhase = 5  // the eval slice is id % 17 = 5
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    // tracked cache: the bounded cross-slice hit relation feeds the
+    // rollup AND the nearest-neighbor pick — the LSH + verify pass
+    // over the corpus runs once
+    val cross = graft.Caches.track(cosineNearDupPairs(s, dir)
+      .filter((col("v1") % EvalVecMod === EvalVecPhase) =!=
+              (col("v2") % EvalVecMod === EvalVecPhase))
+      .select(
+        when(col("v1") % EvalVecMod === EvalVecPhase, col("v2")).otherwise(col("v1")).as("train_vec"),
+        when(col("v1") % EvalVecMod === EvalVecPhase, col("v1")).otherwise(col("v2")).as("eval_vec"),
+        col("cosine")))
+    val agg = cross.groupBy("train_vec")
+      .agg(count(lit(1)).cast("int").as("n_eval_hits"),
+        max(col("cosine")).as("max_cosine"))
+    val nearest = cross.withColumn("rk", row_number().over(
+        Window.partitionBy("train_vec").orderBy(col("cosine").desc, col("eval_vec"))))
+      .filter(col("rk") === 1)
+      .select(col("train_vec"), col("eval_vec").as("nearest_eval"))
+    agg.join(nearest, "train_vec")
+      .select("train_vec", "n_eval_hits", "max_cosine", "nearest_eval")
+      .orderBy("train_vec")
+  }
+
+  // The oracle replays the FULL q39 stack (cosinePairsSqlCtes — the
+  // hashed-hyperplane banding, capped buckets, exact verification) and
+  // applies the same cross-slice restriction + rollup relationally: a
+  // hash match certifies the semantic-decontamination verdict end to
+  // end against an engine that never saw the Spark plan.
+  private val q165Sql =
+    s"""WITH $cosinePairsSqlCtes,
+      |cross_hits AS (
+      |  SELECT CASE WHEN v1 % $EvalVecMod = $EvalVecPhase THEN v2 ELSE v1 END AS train_vec,
+      |         CASE WHEN v1 % $EvalVecMod = $EvalVecPhase THEN v1 ELSE v2 END AS eval_vec,
+      |         cosine
+      |  FROM verified_pairs
+      |  WHERE (v1 % $EvalVecMod = $EvalVecPhase) <> (v2 % $EvalVecMod = $EvalVecPhase)),
+      |agg AS (
+      |  SELECT train_vec, CAST(COUNT(*) AS INT) AS n_eval_hits,
+      |         MAX(cosine) AS max_cosine
+      |  FROM cross_hits GROUP BY train_vec),
+      |nearest AS (
+      |  SELECT train_vec, eval_vec AS nearest_eval FROM (
+      |    SELECT train_vec, eval_vec,
+      |           ROW_NUMBER() OVER (PARTITION BY train_vec
+      |             ORDER BY cosine DESC, eval_vec) AS rk
+      |    FROM cross_hits) WHERE rk = 1)
+      |SELECT a.train_vec, a.n_eval_hits, a.max_cosine, n.nearest_eval
+      |FROM agg a JOIN nearest n USING (train_vec)
+      |ORDER BY a.train_vec""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q48 — GEOMETRIC IVF (inverted-file ANN), the classic coarse-quantizer
   // scale path that q38's class-restricted probe is only shaped like:
   //  1. coarse centroids = a deterministic 1-in-61 sample of the corpus
@@ -1789,6 +1863,103 @@ object Similarity extends QueryModule {
     s"WITH ${pqSqlCtesFor(s"NOT ($IncBatchSql)")},\n${adcSqlStackFor(s"NOT (a.$PqTakedownWhere)")}"
 
   // ---------------------------------------------------------------------
+  // q167 — VECTOR RETENTION-WINDOW SERVE (the q162 move on the PQ
+  // index, closing the retention story across all three serving
+  // families — dedup q162, lexical q166, vector here): stored codes
+  // live in per-era generations, and expiry is PHYSICAL — the ADC
+  // serve unions only the LIVE window's code generations, so a retired
+  // era's vectors drop out of every answer with no state rewrite. The
+  // CODEBOOK is retained (trained model parameters, not user content —
+  // the q87 frozen-codebook discipline: retiring content never
+  // retrains or re-encodes the survivors). The relation is the
+  // windowed ADC top-k PLUS the audit columns: `rank_full` — the
+  // vector's rank when the retired era still served — and `resurfaced`
+  // = the vector entered the top-k only because retired vectors
+  // vacated slots (absent from the full top-k), so every
+  // retention-enabled promotion is visible.
+  //
+  // Eras split the corpus by vec_id parity (era 0 = retired evens,
+  // era 1 = live odds — q162/q166's fixture geometry). Scale shape:
+  // the era split is a one-time re-bucketing of stored 8-nibble codes
+  // (corpus vectors are never re-read); both serves are q79's ADC
+  // plan — broadcast distance tables, per-query cost independent of
+  // corpus size; retirement is a generation-list edit.
+  private[graft] def retIndexRoot(s: SparkSession, dir: String): String =
+    s"$pqIndexRoot/${pqDataFingerprint(s, dir)}-ret"
+
+  /** The retention chain's era generations: the full build's stored
+    * codes split by id parity into two marker-last artifacts (codes
+    * move, vectors are never re-read or re-encoded). */
+  private[graft] def buildRetChain(s: SparkSession, dir: String): (String, String) = {
+    buildPqIndex(s, dir)
+    val codes = s"${pqIndexPath(s, dir)}/codes"
+    val root = retIndexRoot(s, dir)
+    def era(tag: String, keepOdd: Boolean): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/era$tag")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      publishArtifact(fs, p) { tmp =>
+        s.read.parquet(codes)
+          .filter(col("vec_id") % 2 === (if (keepOdd) 1 else 0))
+          .write.mode("overwrite").parquet(s"$tmp/codes")
+      }
+      p.toString
+    }
+    (era("0", keepOdd = false), era("1", keepOdd = true))
+  }
+
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val (e0, e1) = buildRetChain(s, dir)
+    val codebook = s.read.parquet(s"${pqIndexPath(s, dir)}/codebook")
+    val win = serveAdc(s, dir, codebook, s.read.parquet(s"$e1/codes"))
+    val full = serveAdc(s, dir, codebook,
+      s.read.parquet(s"$e0/codes").union(s.read.parquet(s"$e1/codes")))
+      .select(col("qid"), col("vec_id"), col("rank").as("rank_full"))
+    win.join(full, Seq("qid", "vec_id"), "left")
+      .withColumn("resurfaced", col("rank_full").isNull)
+      .select("qid", "vec_id", "adist", "rank", "rank_full", "resurfaced")
+      .orderBy("qid", "rank")
+  }
+
+  // The oracle replays q64's train/encode stack ONCE (the codebook and
+  // codes are era-independent) and stacks TWO ADC serves — live-era
+  // codes only (the never-ingested-that-era serve) and full history
+  // (for the audit columns): a hash match proves era retirement serves
+  // exactly as if era 0's codes had never been stored, with every
+  // resurfaced row a genuine full-top-k absentee.
+  private val q167Sql =
+    s"""WITH $pqSqlCtes,
+      |n2q AS (
+      |  SELECT vec_id, sub, CAST(SUM(q * q) AS BIGINT) AS n2q
+      |  FROM quants WHERE vec_id < $NumQueries GROUP BY vec_id, sub),
+      |dtab AS (
+      |  SELECT s.vec_id AS qid, s.sub, s.cid, n.n2q + s.score AS d
+      |  FROM scores2 s JOIN n2q n ON s.vec_id = n.vec_id AND s.sub = n.sub
+      |  WHERE s.vec_id < $NumQueries),
+      |adc_w AS (
+      |  SELECT t.qid, a.vec_id, CAST(SUM(t.d) AS BIGINT) AS adist
+      |  FROM a2 a JOIN dtab t ON a.sub = t.sub AND a.cid = t.cid
+      |  WHERE t.qid != a.vec_id AND a.vec_id % 2 = 1
+      |  GROUP BY t.qid, a.vec_id),
+      |rank_w AS (
+      |  SELECT qid, vec_id, adist,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INT) AS rank
+      |  FROM adc_w),
+      |adc_f AS (
+      |  SELECT t.qid, a.vec_id, CAST(SUM(t.d) AS BIGINT) AS adist
+      |  FROM a2 a JOIN dtab t ON a.sub = t.sub AND a.cid = t.cid
+      |  WHERE t.qid != a.vec_id
+      |  GROUP BY t.qid, a.vec_id),
+      |rank_f AS (
+      |  SELECT qid, vec_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INT) AS rank
+      |  FROM adc_f)
+      |SELECT w.qid, w.vec_id, w.adist, w.rank, f.rank AS rank_full,
+      |       f.rank IS NULL AS resurfaced
+      |FROM rank_w w LEFT JOIN rank_f f
+      |  ON w.qid = f.qid AND w.vec_id = f.vec_id AND f.rank <= 3
+      |WHERE w.rank <= 3 ORDER BY w.qid, w.rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q120 — IVF INDEX HEALTH REPORT: the operational dashboard for the
   // q48/q71 coarse quantizer — cell-population balance decides whether
   // probing nprobe cells actually bounds query cost, so an index build
@@ -2248,6 +2419,7 @@ object Similarity extends QueryModule {
     "q39_cosine_neardup"   -> (q39 _),
     "q48_ann_ivf"          -> (q48 _),
     "q50_semantic_dedup"   -> (q50 _),
+    "q165_embed_decontam"  -> (q165 _),
     "q59_kmeans_clusters"  -> (q59 _),
     "q63_pq_codes"         -> (q63 _),
     "q64_pq_adc"           -> (q64 _),
@@ -2258,6 +2430,7 @@ object Similarity extends QueryModule {
     "q79_pq_index_search"  -> (q79 _),
     "q87_pq_index_ingest"  -> (q87 _),
     "q136_pq_takedown"     -> (q136 _),
+    "q167_pq_retention"    -> (q167 _),
     "q137_pq_takedown_compact" -> (q137 _),
   )
 
@@ -2276,6 +2449,7 @@ object Similarity extends QueryModule {
     "q39_cosine_neardup"   -> q39Sql,
     "q48_ann_ivf"          -> q48Sql,
     "q50_semantic_dedup"   -> q50Sql,
+    "q165_embed_decontam"  -> q165Sql,
     "q59_kmeans_clusters"  -> q59Sql,
     "q63_pq_codes"         -> q63Sql,
     "q64_pq_adc"           -> q64Sql,
@@ -2286,6 +2460,7 @@ object Similarity extends QueryModule {
     "q79_pq_index_search"  -> q64Sql, // identical contract, served from the artifact
     "q87_pq_index_ingest"  -> q87Sql,
     "q136_pq_takedown"     -> q136Sql,
+    "q167_pq_retention"    -> q167Sql,
     "q137_pq_takedown_compact" -> q136Sql, // compaction must be invisible (the q133/q134 pairing)
   )
 }

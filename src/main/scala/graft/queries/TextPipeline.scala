@@ -1156,6 +1156,61 @@ object TextPipeline extends QueryModule {
   }
 
   // ---------------------------------------------------------------------
+  // q164 — UNIGRAM-LM TOKENIZER: train + frozen-vocab Viterbi encode
+  // (Kudo 2018, arXiv:1804.10959 — the SentencePiece family), q89's
+  // twin for the other dominant subword-tokenizer family. Training is
+  // functions.Unigram.train — seed-substring vocabulary, hard-EM
+  // rounds, 20 %-shrink pruning to the target size — over the word-TYPE
+  // relation of the SAME deterministic doc_id % 3 = 0 sample q89 trains
+  // on (the 100 TB shape: fit on a sample, encode everything). Encoding
+  // broadcasts the frozen (piece → ln-prob) vocabulary and Viterbi-
+  // segments every document in one narrow typed map — zero shuffle —
+  // emitting q89's exact schema shape (word/char/piece counts,
+  // integer-ppm compression, md5-int64 fingerprint of the piece
+  // stream), so the fertility/OOV auditors (q108/q152) and any consumer
+  // of q89 can read either tokenizer unchanged.
+  // NO SQL ORACLE BY DESIGN (the q47/q89 arrangement): training is an
+  // iterative EM-and-prune loop, not relationally expressible;
+  // UnigramSpec covers it with a hand-computed golden Viterbi DP, the
+  // seed/prune invariants (single chars never pruned, shrink-loop
+  // convergence), the detokenize round-trip, and bit-identical replay.
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val trainTypes = Tables.documentsWide(s, dir)
+      .filter(col("doc_id") % BpeTrainMod === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val vocab = graft.functions.Unigram.train(s, trainTypes)
+    val unk = graft.functions.Unigram.unkScoreOf(vocab)
+    val bc = s.sparkContext.broadcast(vocab)
+    Tables.documentsWide(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val v = bc.value
+        val words = text.split(" ", -1).filter(_.nonEmpty)
+        var nPieces = 0L
+        var nChars = 0L
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        words.foreach { w =>
+          val enc = graft.functions.Unigram.viterbi(w, v, unk)
+          nPieces += enc.length
+          nChars += w.length
+          enc.foreach { piece =>
+            digest.update(piece.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            digest.update(1.toByte) // piece separator: "ab"+"c" != "a"+"bc"
+          }
+        }
+        val hex = digest.digest().map("%02x".format(_)).mkString.substring(0, 15)
+        (id, words.length.toLong, nChars, nPieces,
+          if (nChars > 0) 1000000L * nPieces / nChars else 1000000L,
+          java.lang.Long.parseLong(hex, 16))
+      }
+      .toDF("doc_id", "n_words", "n_chars", "n_pieces", "piece_per_char_ppm", "enc_hash")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // q94 — PERCEPTUAL IMAGE DEDUP (aHash): the image-side twin of the
   // text near-dup family — 8×8 block-mean average hash from REAL decoded
   // PNG rasters (Multimodal.imageAHashes; integer-exact threshold, no
@@ -1824,6 +1879,7 @@ object TextPipeline extends QueryModule {
     "q69_vocab_coverage" -> (q69 _),
     "q70_bpe_merges"     -> (q70 _),
     "q89_bpe_encode"     -> (q89 _),
+    "q164_unigram_encode" -> (q164 _),
     "q56_tfidf_topk"     -> (q56 _),
     "q49_media_features" -> (q49 _),
     "q40_winnow_fingerprints" -> (q40 _),

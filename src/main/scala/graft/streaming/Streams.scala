@@ -671,12 +671,19 @@ object Streams {
     * the phrase START position it implies (pos − i), and a start where
     * the vote count equals the phrase length is a full occurrence
     * (each offset can vote at most once per start, since a document
-    * position either holds that word or not). Emits the occurrence
-    * relation (qid, doc_id, p0); the per-query ranking is the
-    * consumer's bounded rollup, exactly q155's contract, which
-    * StreamingSpec pins row-identical. State is the window store keyed
-    * (window, qid, doc, start) — bounded by the watermark and the
-    * day's match volume, never corpus-sized. */
+    * position either holds that word or not). Votes are made
+    * IDEMPOTENT under at-least-once delivery by a watermark-bounded
+    * dropDuplicates on the full vote key (qid, ts, doc, start,
+    * offset) BEFORE the count — a redelivered query event re-emits
+    * byte-identical vote rows, which the dedup store absorbs, so
+    * n_matched still equals len exactly (the streaming-legal stand-in
+    * for countDistinct(offset), which Spark bars in streaming aggs).
+    * Emits the occurrence relation (qid, doc_id, p0); the per-query
+    * ranking is the consumer's bounded rollup, exactly q155's
+    * contract, which StreamingSpec pins row-identical (including a
+    * duplicated-delivery replay). State is the dedup store plus the
+    * window store, both keyed per vote/start and watermark-bounded —
+    * the day's match volume, never corpus-sized. */
   def phraseScore(queries: Dataset[PhraseQuery], positions: DataFrame): DataFrame = {
     import queries.sparkSession.implicits._
     val terms = queries.flatMap { q =>
@@ -687,7 +694,8 @@ object Streams {
     terms
       .join(positions, Seq("term"))
       .select(col("qid"), col("ts"), col("len"), col("doc_id"),
-        (col("pos") - col("i")).as("p0"))
+        (col("pos") - col("i")).as("p0"), col("i"))
+      .dropDuplicates("qid", "ts", "doc_id", "p0", "i")
       .groupBy(window(col("ts"), "1 day"), col("qid"), col("len"),
         col("doc_id"), col("p0"))
       .agg(count(lit(1)).as("n_matched"))
@@ -710,7 +718,11 @@ object Streams {
     * streaming query cannot nest the two aggregations (type counts,
     * then distinct-type rollup); the type relation is the honest state
     * boundary, and StreamingSpec pins the rollup ≡ q152's batch rows
-    * on the same fixture geometry. */
+    * on the same fixture geometry. The emitted relation CARRIES its
+    * window (win_start) so a consumer rolling up a stream that spans
+    * multiple days keys per (window, lang) — without it, same-typed
+    * rows from different days would merge and double-count
+    * n_types/n_new_types against the per-window contract. */
   def oovMonitor(docs: Dataset[LangDoc], frozenVocab: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = docs.flatMap(d =>
@@ -722,8 +734,8 @@ object Streams {
       .groupBy(window(col("ts"), "1 day"), col("lang"), col("tok"))
       .agg(count(lit(1)).as("cnt"),
         max(coalesce(col("seen"), lit(0L))).as("seen_max"))
-      .select(col("lang"), col("tok"), col("cnt"),
-        (col("seen_max") === 0L).as("oov"))
+      .select(col("window.start").as("win_start"), col("lang"), col("tok"),
+        col("cnt"), (col("seen_max") === 0L).as("oov"))
   }
 
   def bigramScore(docs: Dataset[Doc], model: Map[String, Long]): DataFrame = {

@@ -191,4 +191,32 @@ class IncrementalIndexSpec extends SparkTestBase {
         "rebuilding gen1 republished gen0 — ingest retrained the base generation")
     }
   }
+
+  test("q167 retention serve drops every retired-era vector and audits resurfacing against the full serve") {
+    withTempRoot { _ =>
+      val got = SparkEntry.queries("q167_pq_retention")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4), r.getBoolean(5))).toSeq
+      assert(got.nonEmpty)
+      // (a) retirement enforced: no even (era-0) vector serves
+      assert(got.forall(_._2 % 2 == 1),
+        s"retired era-0 vector in the windowed serve: ${got.filter(_._2 % 2 == 0)}")
+      // (b) audit bits against the full-history serve (q79: era0 ∪ era1
+      // is exactly the full code set under the same frozen codebook)
+      val full = SparkEntry.queries("q79_pq_index_search")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3))).toMap
+      got.foreach { r =>
+        val hit = full.get((r._1, r._2))
+        assert(r._6 == hit.isEmpty, s"resurfaced bit wrong: $r")
+        assert(r._5 == hit.map(_._2).getOrElse(-1), s"rank_full wrong: $r vs $hit")
+        // adist is era-independent (same codebook, same stored code)
+        hit.foreach { case (ad, _) => assert(ad == r._3, s"adist drifted: $r vs $hit") }
+      }
+      // (c) replay is bit-identical (artifact reuse, deterministic serve)
+      val again = SparkEntry.queries("q167_pq_retention")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4), r.getBoolean(5))).toSeq
+      assert(got == again, "q167 replay differs — retention serve is not deterministic")
+    }
+  }
 }

@@ -275,4 +275,32 @@ class LexIndexSpec extends SparkTestBase {
       .filter(col("doc_id") === 0L).count() == 0,
       "compaction left tombstoned rows in the artifact")
   }
+
+  test("q166 retention serve equals a rebuild that never saw the retired era, with honest audit bits") {
+    val got = SparkEntry.queries("q166_lex_retention")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4),
+        if (r.isNullAt(5)) -1 else r.getInt(5), r.getBoolean(6))).toSeq
+    // (a) the windowed columns == q91 run fresh over a corpus that only
+    // ever contained the live era (the never-ingested-that-era rebuild)
+    val liveDir = java.nio.file.Files.createTempDirectory("graft_lexret").toString
+    Tables.documentsWide(spark, sfDir).filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$liveDir/documents.parquet")
+    val fresh = rows(SparkEntry.queries("q91_bm25_topk")(spark, liveDir))
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) == fresh,
+      "windowed retention serve differs from the never-saw-era-0 rebuild")
+    // (b) audit bits: resurfaced ⇔ absent from the full-history top-k,
+    // and rank_full reports the doc's true full-history rank
+    val full = rows(SparkEntry.queries("q131_lex_index_serve")(spark, sfDir))
+      .map(r => (r._1, r._3) -> r._2).toMap
+    got.foreach { r =>
+      val fullRank = full.get((r._1, r._3))
+      assert(r._7 == fullRank.isEmpty, s"resurfaced bit wrong: $r")
+      assert(r._6 == fullRank.getOrElse(-1), s"rank_full wrong: $r vs $fullRank")
+    }
+    // (c) retirement is visible on this corpus: some rank moved or some
+    // doc resurfaced (era 0 is half the corpus — its departure must show)
+    assert(got.exists(r => r._7 || r._6 != r._2),
+      "retirement of half the corpus left every rank untouched — vacuous fixture")
+    graft.Caches.release()
+  }
 }

@@ -743,6 +743,12 @@ class StreamingSpec extends SparkTestBase {
     mem.addData(graft.queries.LexIndex.PhraseQueries.map { case (qid, txt) =>
       Streams.PhraseQuery(qid, ts("2024-01-01 01:00:00"), txt) }: _*)
     query.processAllAvailable()
+    // at-least-once delivery: the SAME query events arrive again; the
+    // vote dedup must absorb them or every n_matched doubles and all
+    // true matches vanish (the r15 ADVICE scenario)
+    mem.addData(graft.queries.LexIndex.PhraseQueries.map { case (qid, txt) =>
+      Streams.PhraseQuery(qid, ts("2024-01-01 01:00:00"), txt) }: _*)
+    query.processAllAvailable()
     // a later query advances the watermark past the workload's window
     mem.addData(Streams.PhraseQuery(999, ts("2024-01-10 00:00:00"), "zzz_unmatched"))
     query.processAllAvailable()
@@ -797,21 +803,27 @@ class StreamingSpec extends SparkTestBase {
     mem.addData(Streams.LangDoc(999L, ts("2024-01-10 00:00:00"), "xx", "w"))
     query.processAllAvailable()
     val typed = spark.table("oov_stream").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
-      .filter(_._1 != "xx")
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4)))
+      .filter(_._2 != "xx")
     query.stop()
+    // the relation carries its window (r15 ADVICE): the fixture spans
+    // one day, so exactly one distinct win_start survives the filter —
+    // a multi-day consumer would key the rollup per (win_start, lang)
+    assert(typed.map(_._1).distinct.length == 1,
+      s"expected one window, got ${typed.map(_._1).distinct.toSeq}")
     // the consumer's bounded rollup over the emitted type relation —
-    // q152's exact report shape
-    val rolled = typed.groupBy(_._1).toSeq.map { case (lang, rows) =>
-      val oov = rows.filter(_._4)
-      (lang, rows.map(_._3).sum, oov.map(_._3).sum,
-        1000000L * oov.map(_._3).sum / rows.map(_._3).sum,
+    // q152's exact report shape, keyed per (window, lang)
+    val rolled = typed.groupBy(r => (r._1, r._2)).toSeq.map { case ((_, lang), rows) =>
+      val oov = rows.filter(_._5)
+      (lang, rows.map(_._4).sum, oov.map(_._4).sum,
+        1000000L * oov.map(_._4).sum / rows.map(_._4).sum,
         rows.size.toLong, oov.size.toLong,
-        if (oov.isEmpty) -1L else oov.map(_._3).max)
+        if (oov.isEmpty) -1L else oov.map(_._4).max)
     }.sortBy(_._1)
     assert(rolled == batch,
       s"stream rollup differs from batch drift:\n $rolled\n $batch")
     // non-vacuous: the stream really saw OOV types
-    assert(typed.count(_._4) >= 3)
+    assert(typed.count(_._5) >= 3)
   }
 }
