@@ -1420,8 +1420,72 @@ object Curation extends QueryModule {
       |       MAX(millibits) AS max_millibits
       |FROM ph GROUP BY phase ORDER BY phase""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q168 — COMPOSED RELEASE-DECONTAMINATION VERDICT: the decision
+  // relation a release pipeline executes, folding BOTH leak classes
+  // into one row per train document (the q72 composed-verdict shape
+  // applied to the decontamination family): verbatim coverage from
+  // q161's detection core (Dedup.evalCoveredSpans — the exact spans
+  // the strip would excise) and semantic proximity from q165's
+  // cross-slice hits (Similarity.evalCrossHits). The policy is the
+  // standard asymmetry: a SEMANTIC hit drops the whole document
+  // (`drop_semantic` — a paraphrase has no verbatim span to strip, so
+  // span surgery cannot clean it); a verbatim-only hit routes to the
+  // span strip (`strip_spans` — q161 executes it); everything else is
+  // `clean`. Documents without an embedding row simply cannot
+  // semantic-flag (the q163 doc_id ≅ vec_id join convention).
+  //
+  // Scale shape: strictly the union of its parents' audited shapes —
+  // one wkey semi-join stack (q161's) + one capped-LSH pair stack
+  // (q39/q165's), both rolled to per-doc bits, then two LEFT joins
+  // against the train roster. Nothing new shuffles.
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val train = Tables.documents(s, dir).select("doc_id")
+      .filter(col("doc_id") % EvalMod =!= EvalPhase)
+    val rem = Dedup.evalCoveredSpans(s, dir)
+      .select(col("doc_id"), size(col("cov")).as("nrem"))
+    val sem = Similarity.evalCrossHits(s, dir)
+      .groupBy(col("train_vec").as("doc_id"))
+      .agg(max(col("cosine")).as("max_eval_cosine"))
+    train.join(rem, Seq("doc_id"), "left").join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nrem"), lit(0)).cast("int").as("n_verbatim_removed"),
+        col("max_eval_cosine").isNotNull.as("semantic_hit"),
+        col("max_eval_cosine"),
+        when(col("max_eval_cosine").isNotNull, lit("drop_semantic"))
+          .when(coalesce(col("nrem"), lit(0)) > 0, lit("strip_spans"))
+          .otherwise(lit("clean")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  // The oracle composes both parents' relational stacks verbatim —
+  // q161's covered-span CTEs (Dedup.evalCoveredSqlCtes, plain window
+  // strings) and q165's cross-slice CTE over the full q39 stack — and
+  // applies the same policy CASE: a hash match certifies the composed
+  // release decision end to end against an engine that saw neither
+  // parent's Spark plan.
+  private val q168Sql =
+    s"""WITH ${Dedup.evalCoveredSqlCtes},
+      |${Similarity.cosinePairsSqlCtes},
+      |${Similarity.evalCrossSqlCte},
+      |sem AS (
+      |  SELECT train_vec AS doc_id, MAX(cosine) AS max_eval_cosine
+      |  FROM cross_hits GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(nrem.n_removed, 0) AS INT) AS n_verbatim_removed,
+      |       sem.doc_id IS NOT NULL AS semantic_hit,
+      |       sem.max_eval_cosine,
+      |       CASE WHEN sem.doc_id IS NOT NULL THEN 'drop_semantic'
+      |            WHEN COALESCE(nrem.n_removed, 0) > 0 THEN 'strip_spans'
+      |            ELSE 'clean' END AS verdict
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % $EvalMod <> $EvalPhase) d
+      |LEFT JOIN nrem ON d.doc_id = nrem.doc_id
+      |LEFT JOIN sem ON d.doc_id = sem.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_decontaminate"     -> (q51 _),
+    "q168_decontam_verdict" -> (q168 _),
     "q156_curriculum_plan"  -> (q156 _),
     "q85_bloom_decontaminate" -> (q85 _),
     "q88_quality_classifier" -> (q88 _),
@@ -1445,6 +1509,7 @@ object Curation extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q51_decontaminate"     -> q51Sql,
+    "q168_decontam_verdict" -> q168Sql,
     "q156_curriculum_plan"  -> q156Sql,
     // q85 is q51's serving twin: same exact output, different physical
     // plan — the bloom admits no false negatives and its false

@@ -1126,10 +1126,20 @@ object Dedup extends QueryModule {
   // relation is slice-sized but Heaps-unbounded at 100 TB, so it is
   // JOINED, never broadcast), and the strip + reassembly stay in
   // per-doc array land. Zero WindowExec anywhere.
-  private def q161(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documentsWide(s, dir)
+  /** The tokenized documents relation q161/q168 share: (doc_id, ts, n). */
+  private def decontamToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsWide(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .withColumn("n", size(col("ts")))
+
+  /** The per-train-doc COVERED-POSITION relation of the verbatim
+    * decontamination (q161's detection core, factored so the composed
+    * release verdict q168 prices the same spans without replaying the
+    * strip): (doc_id, cov = sorted distinct positions covered by an
+    * 8-token window that also occurs in the eval slice) — only docs
+    * with ≥ 1 covered position appear. Same geometry/audit as q161. */
+  private[graft] def evalCoveredSpans(s: SparkSession, dir: String): DataFrame = {
+    val toks = decontamToks(s, dir)
     def winsOf(docs: DataFrame): DataFrame = docs.filter(col("n") >= WinLen)
       .select(col("doc_id"), col("ts"),
         explode(expr(s"sequence(0, n - $WinLen)")).as("p0"))
@@ -1137,16 +1147,21 @@ object Dedup extends QueryModule {
       .withColumn("wkey", conv(substring(md5(concat_ws(" ",
         slice(col("ts"), col("pos") + 1, lit(WinLen)))), 1, 15), 16, 10).cast("long"))
       .select("doc_id", "pos", "wkey")
-    val train = toks.filter(col("doc_id") % 17 =!= 5)
     val evalKeys = winsOf(toks.filter(col("doc_id") % 17 === 5))
       .select("wkey").distinct()
-    val hits = winsOf(train).join(evalKeys, Seq("wkey"), "left_semi")
+    val hits = winsOf(toks.filter(col("doc_id") % 17 =!= 5))
+      .join(evalKeys, Seq("wkey"), "left_semi")
       .select("doc_id", "pos")
-    val covered = hits.groupBy("doc_id")
+    hits.groupBy("doc_id")
       .agg(collect_set(col("pos")).as("starts"))
       .withColumn("cov", expr(
         s"array_sort(array_distinct(flatten(transform(starts, st -> sequence(st, st + ${WinLen - 1})))))"))
       .select("doc_id", "cov")
+  }
+
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val train = decontamToks(s, dir).filter(col("doc_id") % 17 =!= 5)
+    val covered = evalCoveredSpans(s, dir)
     train.join(covered, Seq("doc_id"), "left")
       .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS array<int>)")))
       .select(col("doc_id"),
@@ -1164,8 +1179,11 @@ object Dedup extends QueryModule {
   // by anti-join + ordered string_agg; a hash match cross-checks the
   // hashed-key semi-join + array-land strip against the plain-string
   // relational formulation end to end.
-  private val q161Sql =
-    s"""WITH t AS (
+  /** The q161 oracle's detection CTE chain (t → wins → ekeys → hits →
+    * covered → nrem), factored so the composed release verdict (q168)
+    * shares the exact relational definition of "verbatim-covered". */
+  private[graft] val evalCoveredSqlCtes =
+    s"""t AS (
       |  SELECT doc_id, string_split(text, ' ') AS ts, len(string_split(text, ' ')) AS n
       |  FROM documents),
       |wins AS (
@@ -1180,11 +1198,14 @@ object Dedup extends QueryModule {
       |covered AS (
       |  SELECT DISTINCT doc_id, CAST(pos + u AS INT) AS cp
       |  FROM (SELECT doc_id, pos, unnest(range(0, $WinLen)) AS u FROM hits)),
+      |nrem AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_removed FROM covered GROUP BY 1)""".stripMargin
+
+  private val q161Sql =
+    s"""WITH $evalCoveredSqlCtes,
       |train AS (SELECT * FROM t WHERE doc_id % 17 <> 5),
       |tok AS (
       |  SELECT doc_id, CAST(u.i - 1 AS INT) AS p, ts[u.i] AS tok
       |  FROM train, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u),
-      |nrem AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_removed FROM covered GROUP BY 1),
       |clean AS (
       |  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.p) AS cleaned
       |  FROM (SELECT tok.doc_id, tok.p, tok.tok

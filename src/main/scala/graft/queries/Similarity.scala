@@ -343,7 +343,7 @@ object Similarity extends QueryModule {
 
   /** Shared oracle CTE chain mirroring [[cosineNearDupPairs]]; yields the
     * CTE `verified_pairs` (v1, v2, cosine). Used by q39 and q50. */
-  private val cosinePairsSqlCtes =
+  private[graft] val cosinePairsSqlCtes =
     s"""$quantSqlCte,
       |vecs AS (
       |  SELECT vec_id, list(q ORDER BY pos) AS qa, CAST(SUM(q * q) AS BIGINT) AS n2
@@ -441,17 +441,34 @@ object Similarity extends QueryModule {
   // q161 while staying out of this relation.
   private val EvalVecMod = 17   // q51's EvalMod/EvalPhase convention:
   private val EvalVecPhase = 5  // the eval slice is id % 17 = 5
-  private def q165(s: SparkSession, dir: String): DataFrame = {
-    // tracked cache: the bounded cross-slice hit relation feeds the
-    // rollup AND the nearest-neighbor pick — the LSH + verify pass
-    // over the corpus runs once
-    val cross = graft.Caches.track(cosineNearDupPairs(s, dir)
+
+  /** q165's verified CROSS-slice hit relation (train_vec, eval_vec,
+    * cosine) — q39's pair set restricted to pairs with exactly one
+    * side in the eval slice. Tracked cache: the bounded relation feeds
+    * q165's rollup + nearest pick AND the composed release verdict
+    * (Curation q168) — the LSH + verify pass over the corpus runs
+    * once per consumer query. */
+  private[graft] def evalCrossHits(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.track(cosineNearDupPairs(s, dir)
       .filter((col("v1") % EvalVecMod === EvalVecPhase) =!=
               (col("v2") % EvalVecMod === EvalVecPhase))
       .select(
         when(col("v1") % EvalVecMod === EvalVecPhase, col("v2")).otherwise(col("v1")).as("train_vec"),
         when(col("v1") % EvalVecMod === EvalVecPhase, col("v1")).otherwise(col("v2")).as("eval_vec"),
         col("cosine")))
+
+  /** The q165 oracle's cross-slice CTE (over [[cosinePairsSqlCtes]]'
+    * verified_pairs) — shared with q168's oracle. */
+  private[graft] val evalCrossSqlCte =
+    s"""cross_hits AS (
+      |  SELECT CASE WHEN v1 % $EvalVecMod = $EvalVecPhase THEN v2 ELSE v1 END AS train_vec,
+      |         CASE WHEN v1 % $EvalVecMod = $EvalVecPhase THEN v1 ELSE v2 END AS eval_vec,
+      |         cosine
+      |  FROM verified_pairs
+      |  WHERE (v1 % $EvalVecMod = $EvalVecPhase) <> (v2 % $EvalVecMod = $EvalVecPhase))""".stripMargin
+
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val cross = evalCrossHits(s, dir)
     val agg = cross.groupBy("train_vec")
       .agg(count(lit(1)).cast("int").as("n_eval_hits"),
         max(col("cosine")).as("max_cosine"))
@@ -471,12 +488,7 @@ object Similarity extends QueryModule {
   // end against an engine that never saw the Spark plan.
   private val q165Sql =
     s"""WITH $cosinePairsSqlCtes,
-      |cross_hits AS (
-      |  SELECT CASE WHEN v1 % $EvalVecMod = $EvalVecPhase THEN v2 ELSE v1 END AS train_vec,
-      |         CASE WHEN v1 % $EvalVecMod = $EvalVecPhase THEN v1 ELSE v2 END AS eval_vec,
-      |         cosine
-      |  FROM verified_pairs
-      |  WHERE (v1 % $EvalVecMod = $EvalVecPhase) <> (v2 % $EvalVecMod = $EvalVecPhase)),
+      |$evalCrossSqlCte,
       |agg AS (
       |  SELECT train_vec, CAST(COUNT(*) AS INT) AS n_eval_hits,
       |         MAX(cosine) AS max_cosine

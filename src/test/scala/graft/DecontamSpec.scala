@@ -48,6 +48,14 @@ class DecontamSpec extends SparkTestBase {
       assert(verb(2L) >= 8, s"verbatim quote not stripped: $verb")
       assert(verb(1L) == 0, s"paraphrase wrongly stripped by the verbatim arm: $verb")
       assert(!verb.contains(5L), "eval doc modified by the strip")
+      graft.Caches.release()
+      // the composed release verdict routes each leak class to its
+      // remedy: the paraphrase drops whole, the quote routes to the
+      // span strip, and the eval doc is not judged
+      val comp = SparkEntry.queries("q168_decontam_verdict")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getString(4))).toSeq
+      assert(comp == Seq((1L, 0, true, "drop_semantic"), (2L, 8, false, "strip_spans")),
+        s"composed verdict wrong: $comp")
     } finally graft.Caches.release()
   }
 }
