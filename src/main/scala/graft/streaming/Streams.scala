@@ -738,6 +738,43 @@ object Streams {
         col("cnt"), (col("seen_max") === 0L).as("oov"))
   }
 
+  /** The unigram-LM tokenizer's ONLINE twin (q164's batch/stream split,
+    * the [[bigramScore]] shape): documents arrive as a stream and are
+    * Viterbi-encoded against the FROZEN trained vocabulary from the
+    * batch side — a pure stateless narrow map (broadcast vocab, zero
+    * state, zero shuffle), emitting q164's exact per-doc relation plus
+    * the event time. Training stays batch (iterative EM is not a
+    * streaming operator); the intake encodes each day's shard with the
+    * generation's frozen tokenizer, exactly the q152 OOV monitor's
+    * companion flow. StreamingSpec pins stream rows ≡ q164's batch rows
+    * (same fixture, same enc_hash fingerprints). */
+  def unigramEncode(docs: Dataset[Doc], vocab: Map[String, Double]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    val unk = graft.functions.Unigram.unkScoreOf(vocab)
+    docs.map { d =>
+      val v = bc.value
+      val words = d.text.split(" ", -1).filter(_.nonEmpty)
+      var nPieces = 0L
+      var nChars = 0L
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      words.foreach { w =>
+        val enc = graft.functions.Unigram.viterbi(w, v, unk)
+        nPieces += enc.length
+        nChars += w.length
+        enc.foreach { piece =>
+          digest.update(piece.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          digest.update(1.toByte)
+        }
+      }
+      val hex = digest.digest().map("%02x".format(_)).mkString.substring(0, 15)
+      (d.doc_id, d.ts, words.length.toLong, nChars, nPieces,
+        if (nChars > 0) 1000000L * nPieces / nChars else 1000000L,
+        java.lang.Long.parseLong(hex, 16))
+    }.toDF("doc_id", "ts", "n_words", "n_chars", "n_pieces",
+      "piece_per_char_ppm", "enc_hash")
+  }
+
   def bigramScore(docs: Dataset[Doc], model: Map[String, Long]): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.queries.Corpus.{LmHi, LmLo, LmOovBits}

@@ -56,14 +56,21 @@ object HeapsProbe extends Serializable { // generator closures call the (statele
   // explodes, q103's class), the OOV-drift and perplexity/curriculum
   // operators (vocab-keyed model joins — the relations that are
   // Heaps-unbounded and therefore deliberately JOINED, never broadcast,
-  // in their plans), and the eval-window semi-join. This list now times
-  // every vocabulary-keyed member of the catalog in the growing-
-  // vocabulary regime its plan claims to survive.
+  // in their plans), and the eval-window semi-join.
+  // q164 joined in round 16: the unigram-LM trainer's EM rounds
+  // shuffle the word-TYPE relation (pure Heaps growth — the exact
+  // regime the trainer's vocab-bounded-collect claim must survive).
+  // q168 is NOT probed: its vocabulary-keyed half is exactly q161's
+  // window stack (already timed), and its other parent reads the
+  // embeddings table this text-only corpus does not generate.
+  // This list times every vocabulary-keyed member of the catalog in
+  // the growing-vocabulary regime its plan claims to survive.
   private val Queries = Seq("q32_ngram_jaccard", "q33_minhash_lsh", "q44_corpus_filter",
     "q46_neardup_components", "q51_decontaminate", "q85_bloom_decontaminate",
     "q93_bigram_surprisal", "q103_dupspan_profile", "q111_novelty_audit",
     "q130_vocab_report", "q150_dupspan_strip", "q152_oov_drift",
-    "q153_ppl_buckets", "q156_curriculum_plan", "q161_decontam_strip")
+    "q153_ppl_buckets", "q156_curriculum_plan", "q161_decontam_strip",
+    "q164_unigram_encode")
 
   /** Zipf(s) CDF over ranks 1..v — tiny (V ≤ ~15k doubles), captured
     * into the generator closure. */

@@ -826,4 +826,43 @@ class StreamingSpec extends SparkTestBase {
     // non-vacuous: the stream really saw OOV types
     assert(typed.count(_._5) >= 3)
   }
+
+  test("unigramEncode stream rows equal q164's batch encode under the same frozen vocabulary") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_unigram_stream").toFile
+    dir.deleteOnExit()
+    val rows = Seq(
+      (0L, "low low low low low lower lower", "en", "s"),
+      (3L, "newest newest newest newest newest newest", "en", "s"),
+      (6L, "widest widest widest", "en", "s"),
+      (10L, "lowest newest widest unseen", "en", "s"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val batch = SparkEntry.queries("q164_unigram_encode")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // the SAME frozen vocabulary q164 trains (the doc_id % 3 = 0 sample)
+    val types = spark.read.parquet(s"${dir.getAbsolutePath}/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val vocab = graft.functions.Unigram.train(spark, types)
+    val mem = MemoryStream[Streams.Doc]
+    val query = Streams.unigramEncode(mem.toDS(), vocab)
+      .writeStream.format("memory").queryName("uni_stream")
+      .outputMode("append").start()
+    mem.addData(rows.map { case (id, txt, _, _) =>
+      Streams.Doc(id, ts("2024-01-01 01:00:00"), txt) }: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("uni_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).sortBy(_._1).toSeq
+    query.stop()
+    assert(streamed == batch,
+      s"stream encode differs from q164 batch:\n $streamed\n $batch")
+    graft.Caches.release()
+  }
 }
