@@ -204,4 +204,40 @@ class PropertySpec extends SparkTestBase {
       assert(got == expect, s"left=$ls right=$rs")
     }
   }
+
+  test("unigram Viterbi: total coverage, round-trip, optimality vs brute force on random vocabularies") {
+    import graft.functions.Unigram
+    val wordGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = for {
+      pieces <- Gen.listOf(Gen.choose(1, 4).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+      scores <- Gen.listOfN(pieces.length, Gen.choose(-80, -1))
+    } yield pieces.zip(scores.map(_ / 10.0)).toMap
+    val gen = Gen.zip(wordGen, vocabGen)
+    forAllN(gen, n = 120) { case (w, vocab) =>
+      val unk = Unigram.unkScoreOf(vocab)
+      val enc = Unigram.viterbi(w, vocab, unk)
+      // total coverage + detokenize round-trip, any word, any vocab
+      assert(enc.mkString == w, s"round-trip broke: $w / $vocab -> $enc")
+      // every emitted piece is a vocab piece or an unk single char
+      enc.foreach(p => assert(vocab.contains(p) || p.length == 1,
+        s"non-piece emitted: $p"))
+      // optimality: DP score equals the brute-force best over all
+      // segmentations (words are short enough to enumerate)
+      def score(seg: Seq[String]) =
+        seg.map(p => vocab.getOrElse(p, if (p.length == 1) unk else Double.NegativeInfinity)).sum
+      def segs(s: String): Seq[Seq[String]] =
+        if (s.isEmpty) Seq(Seq.empty)
+        else (1 to math.min(Unigram.MaxPieceLen, s.length)).flatMap { l =>
+          val (h, t) = s.splitAt(l)
+          if (vocab.contains(h) || h.length == 1) segs(t).map(h +: _) else Seq.empty
+        }
+      if (w.nonEmpty) {
+        val best = segs(w).map(score).max
+        assert(math.abs(score(enc) - best) < 1e-9,
+          s"viterbi sub-optimal on $w: got ${score(enc)}, best $best ($vocab)")
+      } else assert(enc.isEmpty)
+    }
+  }
 }
