@@ -165,10 +165,12 @@ object Unigram {
           l <- 1 to math.min(MaxPieceLen, w.length - i)
         } yield (w.substring(i, i + l), cnt)
       }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _).map { case (p, c) => (p, c) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // feeds both collects below
       val chars = subs.filter(_._1.length == 1).collect()
       val multi = subs.filter(_._1.length > 1)
         .orderBy(col("_2").desc, col("_1"))
         .limit(seedMulti).collect()
+      subs.unpersist()
       val seedTotal = (chars ++ multi).map(_._2).sum
       var vocab: Map[String, Double] = (chars ++ multi).map { case (p, c) =>
         p -> StrictMath.log(c.toDouble / seedTotal)

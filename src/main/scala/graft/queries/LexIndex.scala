@@ -492,33 +492,39 @@ object LexIndex extends QueryModule {
   // The oracle replays positions from raw text (the q128 LATERAL
   // ordinal-unnest pattern) and chains the same adjacency joins — a
   // hash match proves the persisted positional artifact serves exactly
-  // the from-scratch phrase scan.
-  private val q155Sql = {
+  // the from-scratch phrase scan. The CTE chain is parameterized
+  // (corpus relation + name prefix) so the retention oracle (q169) can
+  // stack a live-era and a full-history replay in one query — the
+  // bm25SqlCtesFor move, positional edition.
+  private def phraseRankedSqlCtes(corpusRel: String, p: String): String = {
     val occs = PhraseQueries.map { case (qid, phrase) =>
       val ws = phrase.split(" ")
       val joins = ws.indices.drop(1).map(i =>
-        s"JOIN toks t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i")
+        s"JOIN ${p}toks t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i")
         .mkString(" ")
       val preds = ws.zipWithIndex
         .map { case (w, i) => s"t$i.term = '$w'" }.mkString(" AND ")
-      s"SELECT $qid AS qid, t0.doc_id FROM toks t0 $joins WHERE $preds"
+      s"SELECT $qid AS qid, t0.doc_id FROM ${p}toks t0 $joins WHERE $preds"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (
+    s"""${p}toks AS (
       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ts[u.i] AS term
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM $corpusRel),
       |       LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) u),
-      |occ AS (
+      |${p}occ AS (
       |  $occs),
-      |cnt AS (
-      |  SELECT qid, doc_id, COUNT(*) AS n_occ FROM occ GROUP BY qid, doc_id),
-      |ranked AS (
+      |${p}cnt AS (
+      |  SELECT qid, doc_id, COUNT(*) AS n_occ FROM ${p}occ GROUP BY qid, doc_id),
+      |${p}ranked AS (
       |  SELECT qid, doc_id, n_occ,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
       |           ORDER BY n_occ DESC, doc_id) AS INT) AS rank
-      |  FROM cnt)
+      |  FROM ${p}cnt)""".stripMargin
+  }
+
+  private val q155Sql =
+    s"""WITH ${phraseRankedSqlCtes("documents", "")}
       |SELECT qid, rank, doc_id, n_occ FROM ranked
       |WHERE rank <= $PhraseTopK ORDER BY qid, rank""".stripMargin
-  }
 
   // q159/q160 — the REMOVAL half of the positional lifecycle, matching
   // the family discipline (q133 tombstone / q134 compaction on the BM25
@@ -618,6 +624,48 @@ object LexIndex extends QueryModule {
     servePhrases(s, Seq(c))
   }
 
+  // ---------------------------------------------------------------------
+  // q169 — POSITIONAL RETENTION-WINDOW SERVE: the TTL move (q162/q166/
+  // q167) on the fourth and last serving family, completing retention
+  // across every persisted index in the catalog (dedup, lexical,
+  // vector, positional). Phrase matching carries no corpus statistics
+  // (the property that made its takedown the catalog's purest), so era
+  // retirement is the purest of the four retentions too: the serve
+  // unions only the live window's position generations and NOTHING
+  // else changes — no stats to re-add, no df to shrink. The audit
+  // columns are the family's: rank_full (the doc's full-history phrase
+  // rank) and resurfaced (in the windowed top-k only because retired
+  // docs vacated slots). Eras split by doc_id parity (era 0 = retired
+  // evens, era 1 = live odds — the q162 fixture geometry).
+  private[graft] def phrEraPath(s: SparkSession, dir: String, tag: String): String =
+    s"$indexRoot/phrr$tag-${IncrementalDedup.dataFingerprint(s, dir)}"
+
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsWide(s, dir).select("doc_id", "text")
+    val e0 = buildPhraseGen(s, docs.filter(col("doc_id") % 2 === 0), phrEraPath(s, dir, "0"))
+    val e1 = buildPhraseGen(s, docs.filter(col("doc_id") % 2 === 1), phrEraPath(s, dir, "1"))
+    val win = servePhrases(s, Seq(e1))
+    val full = servePhrases(s, Seq(e0, e1))
+      .select(col("qid"), col("doc_id"), col("rank").as("rank_full"))
+    win.join(full, Seq("qid", "doc_id"), "left")
+      .withColumn("resurfaced", col("rank_full").isNull)
+      .select("qid", "rank", "doc_id", "n_occ", "rank_full", "resurfaced")
+      .orderBy("qid", "rank")
+  }
+
+  // q169's oracle stacks TWO from-scratch positional replays (live era
+  // only — the never-ingested-that-era rebuild — and full history for
+  // the audit columns) via prefixed CTE instances, the q166 pattern on
+  // the phrase stack.
+  private val q169Sql =
+    s"""WITH ${phraseRankedSqlCtes("(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)", "w_")},
+      |${phraseRankedSqlCtes("documents", "f_")}
+      |SELECT w.qid, w.rank, w.doc_id, w.n_occ,
+      |       f.rank AS rank_full, f.rank IS NULL AS resurfaced
+      |FROM w_ranked w LEFT JOIN f_ranked f
+      |  ON w.qid = f.qid AND w.doc_id = f.doc_id AND f.rank <= $PhraseTopK
+      |WHERE w.rank <= $PhraseTopK ORDER BY w.qid, w.rank""".stripMargin
+
   // q157's oracle: the q155 replay over corpus ∪ re-keyed shard — a
   // hash match proves the generation union serves exactly the
   // from-scratch positional build (phrase additivity made exact).
@@ -660,6 +708,7 @@ object LexIndex extends QueryModule {
     "q133_lex_takedown"     -> ((s, dir) => q133(s, dir)),
     "q134_lex_compact"      -> ((s, dir) => q134(s, dir)),
     "q166_lex_retention"    -> ((s, dir) => q166(s, dir)),
+    "q169_phrase_retention" -> ((s, dir) => q169(s, dir)),
   )
 
   override def oracle: Map[String, String] = Map(
@@ -672,5 +721,6 @@ object LexIndex extends QueryModule {
     "q133_lex_takedown"     -> q133Sql,
     "q134_lex_compact"      -> q133Sql,
     "q166_lex_retention"    -> q166Sql,
+    "q169_phrase_retention" -> q169Sql,
   )
 }

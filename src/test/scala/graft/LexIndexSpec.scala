@@ -303,4 +303,24 @@ class LexIndexSpec extends SparkTestBase {
       "retirement of half the corpus left every rank untouched — vacuous fixture")
     graft.Caches.release()
   }
+
+  test("q169 positional retention serves only live-era docs with honest audit bits") {
+    val got = SparkEntry.queries("q169_phrase_retention")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4), r.getBoolean(5))).toSeq
+    assert(got.nonEmpty)
+    // (a) retirement enforced: every served doc is odd (era 1)
+    assert(got.forall(_._3 % 2 == 1),
+      s"retired era-0 doc in the windowed phrase serve: ${got.filter(_._3 % 2 == 0)}")
+    // (b) audit bits against the full-history serve (q155's artifact IS
+    // era 0 ∪ era 1 — positions are per-doc, union is exact)
+    val full = SparkEntry.queries("q155_phrase_index")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      val hit = full.get((r._1, r._3))
+      assert(r._6 == hit.isEmpty, s"resurfaced bit wrong: $r")
+      assert(r._5 == hit.getOrElse(-1), s"rank_full wrong: $r vs $hit")
+    }
+    graft.Caches.release()
+  }
 }
