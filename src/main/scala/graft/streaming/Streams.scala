@@ -738,6 +738,48 @@ object Streams {
         col("cnt"), (col("seen_max") === 0L).as("oov"))
   }
 
+  case class EmbedDoc(vec_id: Long, ts: Timestamp, label: String,
+                      embedding: Seq[Float])
+
+  /** The embedding-distribution drift monitor's ONLINE twin (q158's
+    * batch/stream split, the q152/oovMonitor state-boundary
+    * convention): intake vectors arrive as a stream and are quantized
+    * to the q59 integer 1e-4 convention, keyed per (window, label,
+    * dimension), and joined against the FROZEN corpus generation's
+    * centroid relation (a static DataFrame from the batch side — the
+    * stream never sees the corpus). Emits the per-(win_start, label,
+    * pos) intake-centroid relation with the frozen centroid attached
+    * (ci, ni, cc); the per-label drift rollup (shift_sq =
+    * Σ(cc−ci)², max_dim_shift, n_intake) is the consumer's bounded
+    * re-aggregation over labels·dims rows — a single streaming query
+    * cannot nest the two aggregations, and the per-dimension relation
+    * is the honest state boundary (it also carries exactly the
+    * spike-vs-uniform-shift signal q158's header motivates). State is
+    * the window store keyed (window, label, pos) — |labels|·|dims|
+    * per window, watermark-bounded, never corpus-sized. StreamingSpec
+    * pins the rollup ≡ q158's batch rows on the same slice geometry. */
+  def embedDrift(docs: Dataset[EmbedDoc], frozenCentroids: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val quant = docs.flatMap { d =>
+      d.embedding.iterator.zipWithIndex.map { case (v, i) =>
+        (d.label, d.ts, (i + 1).toLong,
+          math.round(v.toDouble * 10000.0))
+      }.toSeq
+    }.toDF("label", "ts", "pos", "q")
+      .withWatermark("ts", "1 day")
+    quant
+      // stream-static join BEFORE the aggregation (the oovMonitor
+      // shape — stateless attach, then ONE windowed agg; cc/nc are
+      // constant per key, so max() just carries them through)
+      .join(frozenCentroids.select(col("label"), col("pos"),
+        col("cc"), col("nc")), Seq("label", "pos"))
+      .groupBy(window(col("ts"), "1 day"), col("label"), col("pos"))
+      .agg(expr("sum(q) div count(1)").as("ci"), count(lit(1)).as("ni"),
+        max(col("cc")).as("cc"), max(col("nc")).as("nc"))
+      .select(col("window.start").as("win_start"), col("label"), col("pos"),
+        col("ci"), col("ni"), col("cc"), col("nc"))
+  }
+
   /** The unigram-LM tokenizer's ONLINE twin (q164's batch/stream split,
     * the [[bigramScore]] shape): documents arrive as a stream and are
     * Viterbi-encoded against the FROZEN trained vocabulary from the

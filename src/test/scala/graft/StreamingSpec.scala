@@ -827,6 +827,54 @@ class StreamingSpec extends SparkTestBase {
     assert(typed.count(_._5) >= 3)
   }
 
+  test("embedDrift stream rollup equals q158's batch drift rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // q158's slice geometry: corpus = vec_id % 5 != 4, intake = % 5 = 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_embed_drift").toFile
+    dir.deleteOnExit()
+    val vecs = Seq(
+      (1L, "x", Seq(0.1f, 0.2f, 0.0f)), (2L, "x", Seq(0.3f, 0.0f, 0.1f)),
+      (3L, "y", Seq(1.0f, 1.0f, 1.0f)), (6L, "y", Seq(0.8f, 1.2f, 1.0f)),
+      (4L, "x", Seq(0.5f, 0.5f, 0.5f)), (9L, "x", Seq(0.1f, 0.3f, 0.2f)),
+      (14L, "y", Seq(1.5f, 0.5f, 1.1f)))
+    vecs.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+    val batch = SparkEntry.queries("q158_embedding_drift")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // the frozen corpus-generation centroid relation, batch-side
+    val frozen = spark.read.parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+      .filter(col("vec_id") % 5 =!= 4)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("label"), (col("pos0") + 1).as("pos"),
+        round(col("v").cast("double") * 10000.0).cast("long").as("q"))
+      .groupBy("label", "pos")
+      .agg(expr("sum(q) div count(1)").as("cc"), count(lit(1)).as("nc"))
+    val mem = MemoryStream[Streams.EmbedDoc]
+    val query = Streams.embedDrift(mem.toDS(), frozen)
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    mem.addData(vecs.filter(_._1 % 5 == 4).map { case (id, lab, e) =>
+      Streams.EmbedDoc(id, ts("2024-01-01 01:00:00"), lab, e) }: _*)
+    query.processAllAvailable()
+    mem.addData(Streams.EmbedDoc(999L, ts("2024-01-10 00:00:00"), "zz", Seq(0f, 0f, 0f)))
+    query.processAllAvailable()
+    val dims = spark.table("drift_stream").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).filter(_._1 != "zz")
+    query.stop()
+    // the consumer's bounded per-label rollup — q158's exact report
+    val rolled = dims.groupBy(_._1).toSeq.map { case (lab, rows) =>
+      (lab, rows.map(_._6).max, rows.map(_._4).max,
+        rows.map(r => (r._5 - r._3) * (r._5 - r._3)).sum,
+        rows.map(r => math.abs(r._5 - r._3)).max)
+    }.sortBy(_._1)
+    assert(rolled == batch,
+      s"stream drift rollup differs from q158:\n $rolled\n $batch")
+    assert(dims.nonEmpty)
+  }
+
   test("unigramEncode stream rows equal q164's batch encode under the same frozen vocabulary") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
