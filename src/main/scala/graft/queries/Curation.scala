@@ -1324,6 +1324,245 @@ object Curation extends QueryModule {
   }
 
   // ---------------------------------------------------------------------
+  // q170 — DSIR IMPORTANCE-WEIGHTED DATA SELECTION (Xie et al. 2023,
+  // "Data Selection for Language Models via Importance Resampling",
+  // arXiv:2302.03169): the hashed-n-gram GENERATIVE twin of q88's
+  // discriminative classifier, and the selector the paper shows scales
+  // to web-corpus size. Two bag-of-features models are estimated — the
+  // curated TARGET slice (q88's CuratedSrcs) and the uncurated RAW
+  // pool — over unigram + adjacent-bigram features hashed into a FIXED
+  // bucket space (the paper's 10k-bucket hashing, sized to the fixture
+  // vocabulary); each raw document's importance weight is its
+  // log-likelihood ratio log p_target(doc) − log p_raw(doc) under
+  // add-one smoothing, and selection keeps the docs the target model
+  // explains better THAN THE RAW-POOL AVERAGE. Two normalizations make
+  // that decision honest: per-feature millibits (long docs accumulate
+  // proportionally more smoothing-biased mass, so the raw sum measures
+  // length, not target-likeness), and the above-average cut (add-one
+  // smoothing over a small target slice deflates every p_target
+  // uniformly, so the absolute sign of the LLR is all bias — the
+  // RELATIVE ordering is the signal, which is also why the paper
+  // resamples by rank, not by sign). The cut is one scalar aggregate
+  // broadcast back — the deterministic analog of the paper's
+  // Gumbel-top-k, with no corpus-wide sort anywhere.
+  //
+  // Exactness: per-bucket surprisal uses the q67 integer-log2
+  // convention — floor(log2((T+B) div (c+1))) via length(bin(..))−1 —
+  // so every weight is an exact int64 sum (order-insensitive,
+  // bit-identical in DuckDB); no cross-engine libm log appears.
+  //
+  // Scale shape: THE reason DSIR is the 100 TB selector — the model is
+  // a fixed B-row relation regardless of corpus size, so estimation
+  // partial-aggregates the corpus sweep into ≤B rows per task before a
+  // B-key exchange (never a Heaps-law vocab shuffle), and scoring is a
+  // broadcast join + per-doc aggregation: one corpus scan per phase,
+  // bounded state everywhere.
+  private[graft] val DsirBuckets = 1024L
+
+  /** (doc_id, is_cur, b): unigram + adjacent-bigram features of the
+    * tokenized docs relation, hashed to [0, DsirBuckets). */
+  private def dsirFeats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("is_cur"),
+        explode(concat(col("ts"), expr(
+          "transform(slice(ts, 1, size(ts) - 1), (t, i) -> concat(t, ' ', element_at(ts, i + 2)))"))).as("f"))
+      .withColumn("b",
+        conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % DsirBuckets)
+      .select("doc_id", "is_cur", "b")
+
+  /** (weights, totals, scored): the ≤B-row per-bucket weight relation,
+    * the 1-row smoothed totals, and the per-raw-doc scored relation
+    * (doc_id, n_feats, weight_bits, w_mb). Shared by q170 and the
+    * frozen serving model so batch and stream cannot drift. */
+  private def dsirScored(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val docs = graft.Caches.track(Tables.documentsWide(s, dir)
+      .select(col("doc_id"),
+        col("source").isin(CuratedSrcs: _*).as("is_cur"),
+        split(col("text"), " ").as("ts")))
+    val feats = dsirFeats(docs)
+    val model = feats.groupBy("b").agg(
+      sum(when(col("is_cur"), 1L).otherwise(0L)).as("c_t"),
+      sum(when(!col("is_cur"), 1L).otherwise(0L)).as("c_r"))
+    val tot = feats.agg(
+      (sum(when(col("is_cur"), 1L).otherwise(0L)) + DsirBuckets).as("t_t"),
+      (sum(when(!col("is_cur"), 1L).otherwise(0L)) + DsirBuckets).as("t_r"))
+    val weights = model.crossJoin(broadcast(tot))
+      .withColumn("bits_t", (length(bin(expr("t_t div (c_t + 1)"))) - 1).cast("long"))
+      .withColumn("bits_r", (length(bin(expr("t_r div (c_r + 1)"))) - 1).cast("long"))
+      .select(col("b"), (col("bits_r") - col("bits_t")).as("w_bits"))
+    val scored = feats.filter(!col("is_cur"))
+      .join(broadcast(weights), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_bits")).as("weight_bits"))
+      .withColumn("w_mb", expr("(1000 * weight_bits) div n_feats"))
+    (weights, tot, scored)
+  }
+
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, scored) = dsirScored(s, dir)
+    val cut = scored.agg(
+      count(lit(1)).as("n_raw"), sum(col("w_mb")).as("sum_mb"))
+    scored.crossJoin(broadcast(cut))
+      .withColumn("selected", col("w_mb") * col("n_raw") > col("sum_mb"))
+      .select("doc_id", "n_feats", "weight_bits", "w_mb", "selected")
+      .orderBy("doc_id")
+  }
+
+  /** Frozen DSIR serving model for the streaming twin: per-bucket
+    * weights (≤DsirBuckets rows by construction — bounded driver
+    * state), the unseen-bucket default weight (c_t = c_r = 0 under the
+    * same add-one integer-log2 arithmetic), and the frozen
+    * above-average cut (n_raw, sum_mb) of the training-time raw pool.
+    */
+  private[graft] def dsirFrozenModel(s: SparkSession, dir: String)
+      : (Map[Long, Long], Long, Long, Long) = {
+    val (weights, tot, scored) = dsirScored(s, dir)
+    val w = weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t = tot.collect().head
+    def bits(total: Long): Long = java.lang.Long.toBinaryString(total).length - 1L
+    val wDefault = bits(t.getLong(1)) - bits(t.getLong(0))
+    val cut = scored.agg(count(lit(1)), sum(col("w_mb"))).collect().head
+    (w, wDefault, cut.getLong(0), cut.getLong(1))
+  }
+
+  private val q170Sql = {
+    val srcs = CuratedSrcs.map(x => s"'$x'").mkString(", ")
+    val B = DsirBuckets
+    s"""WITH docs AS (
+      |  SELECT doc_id, source IN ($srcs) AS is_cur, string_split(text, ' ') AS ts
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, is_cur,
+      |         CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % $B AS b
+      |  FROM (SELECT doc_id, is_cur,
+      |               unnest(list_concat(ts,
+      |                 list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS f
+      |        FROM docs)),
+      |model AS (
+      |  SELECT b,
+      |         CAST(SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+      |         CAST(SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+      |  FROM feats GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) + $B AS BIGINT) AS t_t,
+      |         CAST(SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) + $B AS BIGINT) AS t_r
+      |  FROM feats),
+      |weights AS (
+      |  SELECT b, CAST(length(bin(t_r // (c_r + 1))) - 1 AS BIGINT)
+      |           - CAST(length(bin(t_t // (c_t + 1))) - 1 AS BIGINT) AS w_bits
+      |  FROM model CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_feats,
+      |         CAST(SUM(w_bits) AS BIGINT) AS weight_bits,
+      |         (1000 * CAST(SUM(w_bits) AS BIGINT)) // COUNT(*) AS w_mb
+      |  FROM feats JOIN weights USING (b)
+      |  WHERE NOT is_cur
+      |  GROUP BY doc_id),
+      |cut AS (SELECT COUNT(*) AS n_raw, CAST(SUM(w_mb) AS BIGINT) AS sum_mb FROM scored)
+      |SELECT doc_id, n_feats, weight_bits, w_mb, w_mb * n_raw > sum_mb AS selected
+      |FROM scored CROSS JOIN cut
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q173 — QUALITY-BUDGETED STRATIFIED SELECTION: the quality-aware
+  // counterpart of q52's hash-random stratified sampling — given
+  // per-stratum TOKEN budgets (the q104 τ=1/2 floor-sqrt weights over a
+  // 40%-of-corpus total, capped at each stratum's own mass), fill every
+  // (lang, source) stratum BEST-QUALITY-FIRST: a document is selected
+  // iff its token prefix-sum STARTS inside the stratum's budget in
+  // (quality DESC, doc_id) order (q156's phase-assignment convention).
+  // This is the "keep the best N tokens per domain" selection step the
+  // FineWeb-class pipelines run between scoring and mixing; q52 answers
+  // the same budget with a blind hash draw, this answers it with the
+  // quality ordering — the two relations differ exactly where quality
+  // beats chance.
+  //
+  // Scale shape: the within-stratum prefix sum is the q60/q156
+  // TWO-PHASE pattern on the BOUNDED (lang, source, qmille) bucket key
+  // (quality is rounded to 6 places and bucketed at per-mille — ≤1001
+  // buckets per stratum, monotone in quality so bucket order refines
+  // the selection order): within-bucket windows partition by the full
+  // bucket key, bucket offsets cumsum over the bounded bucket relation,
+  // and no corpus-sized relation visits a single partition. Budgets are
+  // exact int64 arithmetic (q104's conventions).
+  private val SelBudgetPct = 40L
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Caches.track(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+      .withColumn("quality", TextPipeline.qualityCol(col("ts")))
+      .drop("ts"))
+    val strata = docs.groupBy("lang", "source")
+      .agg(sum(col("n_tokens")).as("s_tokens"))
+      .withColumn("wi", floor(sqrt(col("s_tokens").cast("double"))).cast("long"))
+    val tot = strata.agg(sum(col("wi")).as("sum_wi"),
+      (sum(col("s_tokens")) * SelBudgetPct).as("budget100"))
+    val targets = strata.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        least(expr("wi * ((budget100 div 100) div sum_wi)"), col("s_tokens")))
+      .select("lang", "source", "target_tokens")
+    val qm = docs.withColumn("qmille", floor(col("quality") * 1000).cast("long"))
+    val inBucket = qm.withColumn("cum_in",
+      coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy("lang", "source", "qmille")
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = qm.groupBy("lang", "source", "qmille")
+      .agg(sum(col("n_tokens")).as("btoks"))
+      .withColumn("boff",
+        coalesce(sum(col("btoks")).over(
+          Window.partitionBy("lang", "source").orderBy(col("qmille").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "source", "qmille", "boff")
+    inBucket.join(offsets, Seq("lang", "source", "qmille"))
+      .join(broadcast(targets), Seq("lang", "source"))
+      .withColumn("cum_before", col("boff") + col("cum_in"))
+      .withColumn("selected", col("cum_before") < col("target_tokens"))
+      .select("doc_id", "lang", "source", "n_tokens", "quality",
+        "cum_before", "target_tokens", "selected")
+      .orderBy("doc_id")
+  }
+
+  private val q173Sql = {
+    val qualityExpr =
+      """ROUND((1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'is'))) AS DOUBLE)
+        |              / len(string_split(text, ' ')))
+        |      * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0), 6)""".stripMargin
+    s"""WITH docs AS (
+      |  SELECT doc_id, lang, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         $qualityExpr AS quality
+      |  FROM documents),
+      |strata AS (SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS s_tokens
+      |           FROM docs GROUP BY lang, source),
+      |w AS (SELECT *, CAST(FLOOR(SQRT(CAST(s_tokens AS DOUBLE))) AS BIGINT) AS wi FROM strata),
+      |tot AS (SELECT CAST(SUM(wi) AS BIGINT) AS sum_wi,
+      |               CAST(SUM(s_tokens) AS BIGINT) * $SelBudgetPct AS budget100 FROM w),
+      |targets AS (
+      |  SELECT lang, source, LEAST(wi * ((budget100 // 100) // sum_wi), s_tokens) AS target_tokens
+      |  FROM w CROSS JOIN tot),
+      |qm AS (SELECT *, CAST(FLOOR(quality * 1000) AS BIGINT) AS qmille FROM docs),
+      |ib AS (
+      |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, source, qmille
+      |             ORDER BY quality DESC, doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in
+      |  FROM qm),
+      |off AS (
+      |  SELECT lang, source, qmille,
+      |         COALESCE(SUM(btoks) OVER (PARTITION BY lang, source ORDER BY qmille DESC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff
+      |  FROM (SELECT lang, source, qmille, CAST(SUM(n_tokens) AS BIGINT) AS btoks
+      |        FROM qm GROUP BY 1, 2, 3))
+      |SELECT i.doc_id, i.lang, i.source, i.n_tokens, i.quality,
+      |       CAST(o.boff + i.cum_in AS BIGINT) AS cum_before, t.target_tokens,
+      |       o.boff + i.cum_in < t.target_tokens AS selected
+      |FROM ib i JOIN off o ON i.lang = o.lang AND i.source = o.source AND i.qmille = o.qmille
+      |JOIN targets t ON i.lang = t.lang AND i.source = t.source
+      |ORDER BY i.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q156 — TOKEN-BUDGET CURRICULUM SCHEDULE (L118): the allocation step
   // between scoring and packing. Curriculum training (Bengio et al.
   // 2009; applied to LM data ordering in e.g. DoReMi-style pipelines)
@@ -1489,6 +1728,8 @@ object Curation extends QueryModule {
     "q156_curriculum_plan"  -> (q156 _),
     "q85_bloom_decontaminate" -> (q85 _),
     "q88_quality_classifier" -> (q88 _),
+    "q170_dsir_select"      -> (q170 _),
+    "q173_quality_budget_select" -> (q173 _),
     "q72_curation_verdict"  -> (q72 _),
     "q73_drift_monitor"     -> (q73 _),
     "q74_hll_distinct"      -> (q74 _),
@@ -1516,6 +1757,8 @@ object Curation extends QueryModule {
     // positives die in the exact join, so the one oracle covers both
     "q85_bloom_decontaminate" -> q51Sql,
     "q88_quality_classifier" -> q88Sql,
+    "q170_dsir_select"      -> q170Sql,
+    "q173_quality_budget_select" -> q173Sql,
     "q72_curation_verdict"  -> q72Sql,
     "q73_drift_monitor"     -> q73Sql,
     "q74_hll_distinct"      -> q74Sql,

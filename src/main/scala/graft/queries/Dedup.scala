@@ -229,6 +229,93 @@ object Dedup extends QueryModule {
       |ORDER BY c.d1, c.d2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q172 — CONTAINMENT DEDUP (asymmetric set-containment join): the
+  // duplication class symmetric Jaccard (q32/q33) is BLIND to — a short
+  // document quoted whole inside a long one (article + wrapper page,
+  // chunk + source doc, quote inclusion) has |A∩B|/|A∪B| ≈ |A|/|B|,
+  // far below any Jaccard threshold, while C(A→B) = |A∩B|/|A| = 1.
+  // Emits every ordered pair (contained, container) with shingle
+  // containment ≥ 0.9 and a non-trivial contained side (≥ 4 distinct
+  // shingles) — the "remove the subsumed copy" input of corpus prep.
+  //
+  // Exact prefix filtering for containment (SSJoin-family bound): if
+  // C(A→B) ≥ t then A and B share a token among A's first
+  // n1 − ⌈t·n1⌉ + 1 in rarest-first order, so only the CONTAINED side
+  // prunes to a prefix; the container side joins its full token set
+  // (no symmetric prefix exists — B may be arbitrarily larger). The
+  // per-row positional bound min(n1−i, n2−j)+1 ≥ ⌈t·n1⌉ and the
+  // codegen'd graft_overlap_reaches early-exit (q32's round-9 scale
+  // fix — a non-containing pair dies in ~12 merge steps INSIDE the
+  // join loop) keep the unpruned container side from ever shuffling a
+  // quadratic candidate stream.
+  private val ContainThreshold = 0.9
+  private val MinContainedSet = 4
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val docSets = jaccardDocSets(s, dir)
+    val tok = docSets.select(col("doc_id"), col("n"), explode(col("set")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = graft.Caches.track(tok.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "tok")))
+      .select("doc_id", "tok", "rk", "n")
+      .join(docSets.select(col("doc_id"), col("set")), "doc_id"))
+      // tracked cache: the contained-side prefix below is a filter of
+      // this same relation — one rank pipeline feeds both join sides
+    val aPrefix = ranked.filter(col("n") >= MinContainedSet &&
+      col("rk") <= col("n") - expr("(9 * n + 9) div 10") + 1)
+    val cand = aPrefix.as("a").join(ranked.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") * 10 >= col("a.n") * 9 &&
+          least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1 >=
+            expr("(9 * a.n + 9) div 10") &&
+          expr("graft_overlap_reaches(a.set, b.set, cast((9 * a.n + 9) div 10 AS bigint))"))
+      .select(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
+      .distinct()
+    cand
+      .join(docSets.select(col("doc_id").as("contained"),
+        col("set").as("s1"), col("n").as("n1")), "contained")
+      .join(docSets.select(col("doc_id").as("container"),
+        col("set").as("s2"), col("n").as("n2")), "container")
+      .withColumn("inter", expr("graft_inter_count(s1, s2)"))
+      .withColumn("containment", round(col("inter").cast("double") / col("n1"), 6))
+      .filter(col("containment") >= ContainThreshold)
+      .select(col("contained"), col("container"), col("inter"),
+        col("n1").cast("long").as("n_contained"),
+        col("n2").cast("long").as("n_container"), col("containment"))
+      .orderBy("contained", "container")
+  }
+
+  private val q172Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |shing AS (SELECT DISTINCT doc_id, unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS shingle FROM toks),
+      |tok AS (SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS tok FROM shing),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+      |ranked AS (
+      |  SELECT s.doc_id, s.tok,
+      |         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.tok) AS rk, z.n
+      |  FROM tok s JOIN dfreq d ON s.tok = d.tok JOIN sizes z ON z.doc_id = s.doc_id),
+      |apre AS (SELECT doc_id, tok, rk, n FROM ranked
+      |         WHERE n >= $MinContainedSet AND rk <= n - ((9 * n + 9) // 10) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS contained, b.doc_id AS container
+      |  FROM apre a JOIN ranked b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      |  WHERE b.n * 10 >= a.n * 9
+      |    AND LEAST(a.n - a.rk, b.n - b.rk) + 1 >= (9 * a.n + 9) // 10),
+      |inter AS (
+      |  SELECT c.contained, c.container, COUNT(*) AS inter
+      |  FROM cand c JOIN tok a ON a.doc_id = c.contained
+      |              JOIN tok b ON b.doc_id = c.container AND a.tok = b.tok
+      |  GROUP BY 1, 2)
+      |SELECT c.contained, c.container, i.inter,
+      |       CAST(s1.n AS BIGINT) AS n_contained, CAST(s2.n AS BIGINT) AS n_container,
+      |       ROUND(CAST(i.inter AS DOUBLE) / s1.n, 6) AS containment
+      |FROM cand c JOIN inter i ON c.contained = i.contained AND c.container = i.container
+      |JOIN sizes s1 ON c.contained = s1.doc_id JOIN sizes s2 ON c.container = s2.doc_id
+      |WHERE ROUND(CAST(i.inter AS DOUBLE) / s1.n, 6) >= $ContainThreshold
+      |ORDER BY c.contained, c.container""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q33 — MinHash + banded LSH, the scale path: 16 minhashes per doc
   // (lexicographic min over shingles of 32-bit words sliced from
   // md5(band:shingle)), 4 bands of 4 rows; docs sharing any band key
@@ -748,6 +835,188 @@ object Dedup extends QueryModule {
       |SELECT c.doc_id, c.root AS canonical_doc_id, z.component_size
       |FROM comp c JOIN csz z ON z.root = c.root
       |ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q171 — QUALITY-AWARE CANONICAL ELECTION: WHICH copy of a near-dup
+  // group survives. q44/q46 keep the MIN doc_id — the arbitrary-but-
+  // deterministic convention dedup pipelines start from — but a
+  // production corpus wants the BEST copy: near-dup groups routinely
+  // mix a clean original with truncated or boilerplate-wrapped mirrors,
+  // and electing by id keeps whichever mirror was crawled first. This
+  // operator re-elects each q46 component's keeper as
+  // argmax(quality, then min doc_id) under the shared q30/q44 heuristic
+  // and reports where the election MOVED off the min-id canonical —
+  // exactly the rows where quality-aware dedup changes the corpus.
+  //
+  // Scale shape: the election is two aggregations keyed on the
+  // fixed-width component root (MAX quality; then MIN doc_id among the
+  // tied best) plus root-keyed joins back — NEVER a per-component sort
+  // window, so a viral mega-component (the known skew mass of corpus
+  // dedup) costs O(|component|) map-side partial aggregation spread
+  // across tasks, not a single-task sort.
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val quality = Tables.documents(s, dir)
+      .withColumn("quality", TextPipeline.qualityCol(split(col("text"), " ")))
+      .select("doc_id", "quality")
+    val pairs = minhashPairs(s, dir)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("d1", "d2")
+    // tracked cache: the labeled relation feeds the size/max agg, the
+    // tie-break agg, and the final join
+    val wq = graft.Caches.track(components(pairs).join(quality, "doc_id"))
+    val best = wq.groupBy("root").agg(
+      max(col("quality")).as("q_max"), count(lit(1)).as("component_size"))
+    val keeper = wq.join(best.select("root", "q_max"), "root")
+      .filter(col("quality") === col("q_max"))
+      .groupBy("root").agg(min(col("doc_id")).as("keeper_doc_id"))
+    wq.join(best, "root").join(keeper, "root")
+      .select(col("doc_id"), col("root").as("minid_canonical"),
+        col("keeper_doc_id"), col("component_size"), col("quality"),
+        (col("doc_id") === col("keeper_doc_id")).as("is_keeper"),
+        (col("keeper_doc_id") =!= col("root")).as("keeper_moved"))
+      .orderBy("doc_id")
+  }
+
+  private val q171Sql =
+    s"""WITH RECURSIVE ${minhashSqlCtes("documents")},
+      |dup_edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM verified WHERE jaccard >= $JaccardThreshold
+      |  UNION
+      |  SELECT d2, d1 FROM verified WHERE jaccard >= $JaccardThreshold),
+      |$componentsSqlCtes,
+      |quality AS (
+      |  SELECT doc_id,
+      |         ROUND((1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'is'))) AS DOUBLE)
+      |                       / len(string_split(text, ' ')))
+      |               * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0), 6) AS quality
+      |  FROM documents),
+      |wq AS (SELECT c.doc_id, c.root, q.quality FROM comp c JOIN quality q USING (doc_id)),
+      |best AS (SELECT root, MAX(quality) AS q_max, COUNT(*) AS component_size
+      |         FROM wq GROUP BY root),
+      |keeper AS (
+      |  SELECT w.root, MIN(w.doc_id) AS keeper_doc_id
+      |  FROM wq w JOIN best b ON w.root = b.root AND w.quality = b.q_max
+      |  GROUP BY w.root)
+      |SELECT w.doc_id, w.root AS minid_canonical, k.keeper_doc_id,
+      |       b.component_size, w.quality,
+      |       w.doc_id = k.keeper_doc_id AS is_keeper,
+      |       k.keeper_doc_id <> w.root AS keeper_moved
+      |FROM wq w
+      |JOIN best b ON w.root = b.root
+      |JOIN keeper k ON w.root = k.root
+      |ORDER BY w.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q174 — LEAKAGE-SAFE TRAIN/EVAL SPLIT: a doc-keyed random split puts
+  // two near-duplicates on opposite sides of the train/eval boundary —
+  // the evaluation then scores memorization, not generalization (the
+  // q51 decontamination family cleans this up AFTER the fact; this
+  // operator prevents it AT SPLIT TIME). Split assignment is keyed on
+  // the q46 COMPONENT ROOT (singletons key on themselves), so a whole
+  // near-dup group lands on one side atomically; the relation also
+  // carries the naive doc-keyed verdict and `rescued` — exactly the
+  // docs whose assignment the component key changed, i.e. the would-be
+  // leaks closed. Hash split is q52's stateless threshold convention
+  // (md5-int60 < 2^60/10 → 10% eval): no RNG, replays identically on
+  // any cluster.
+  //
+  // Scale shape: components (contraction-based, q46's machinery) + one
+  // left join on doc_id + two narrow md5 maps — nothing beyond q46's
+  // own audited plan.
+  private val LsplitEvalDiv = 10L // 1-in-10 eval
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("d1", "d2")
+    val comp = components(pairs)
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(conv(substring(md5(concat(lit("lsplit:"), c.cast("string"))), 1, 15), 16, 10)
+        .cast("long") < lit((1L << 60) / LsplitEvalDiv), "eval").otherwise("train")
+    Tables.documents(s, dir).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("root"), col("doc_id")))
+      .withColumn("split", splitOf(col("root")))
+      .withColumn("naive_split", splitOf(col("doc_id")))
+      .withColumn("rescued", col("split") =!= col("naive_split"))
+      .select("doc_id", "root", "split", "naive_split", "rescued")
+      .orderBy("doc_id")
+  }
+
+  private val q174Sql = {
+    val thr = (1L << 60) / LsplitEvalDiv
+    s"""WITH RECURSIVE ${minhashSqlCtes("documents")},
+      |dup_edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM verified WHERE jaccard >= $JaccardThreshold
+      |  UNION
+      |  SELECT d2, d1 FROM verified WHERE jaccard >= $JaccardThreshold),
+      |$componentsSqlCtes,
+      |rooted AS (
+      |  SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS root
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      |SELECT doc_id, root,
+      |       CASE WHEN CAST('0x' || substring(md5('lsplit:' || root::VARCHAR), 1, 15) AS BIGINT) < $thr
+      |            THEN 'eval' ELSE 'train' END AS split,
+      |       CASE WHEN CAST('0x' || substring(md5('lsplit:' || doc_id::VARCHAR), 1, 15) AS BIGINT) < $thr
+      |            THEN 'eval' ELSE 'train' END AS naive_split,
+      |       (CASE WHEN CAST('0x' || substring(md5('lsplit:' || root::VARCHAR), 1, 15) AS BIGINT) < $thr
+      |             THEN 'eval' ELSE 'train' END) <>
+      |       (CASE WHEN CAST('0x' || substring(md5('lsplit:' || doc_id::VARCHAR), 1, 15) AS BIGINT) < $thr
+      |             THEN 'eval' ELSE 'train' END) AS rescued
+      |FROM rooted ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q175 — CROSS-SOURCE MIRROR MATRIX: WHERE does duplication come
+  // from? Site mirrors, syndication, and re-crawls duplicate BETWEEN
+  // sources; template spam duplicates WITHIN one. Per (source_a ≤
+  // source_b) pair: the number of q46 near-dup components spanning the
+  // pair and the total co-membership pair mass (transitive group
+  // membership, NOT raw verified pairs — a 3-doc group contributes
+  // C(2,1)·1 cross pairs even if only two edges were detected). The
+  // relation a crawl team reads to decide which source to stop
+  // re-ingesting.
+  //
+  // Scale shape: one (root, source) aggregation over the component
+  // labels, then a self-join keyed on the fixed-width root — per-root
+  // fan-out is bounded by the SOURCE count squared (sources are
+  // enumerable), never by component size; pair mass is integer
+  // arithmetic from the per-source member counts.
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select("d1", "d2")
+    val m = graft.Caches.track(components(pairs)
+      .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("root", "source").agg(count(lit(1)).as("cnt")))
+    m.as("a").join(m.as("b"),
+        col("a.root") === col("b.root") && col("a.source") <= col("b.source"))
+      .filter(!(col("a.source") === col("b.source") && col("a.cnt") < 2))
+      .withColumn("pairs", when(col("a.source") === col("b.source"),
+        expr("a.cnt * (a.cnt - 1) div 2")).otherwise(col("a.cnt") * col("b.cnt")))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_components"), sum(col("pairs")).as("dup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val q175Sql =
+    s"""WITH RECURSIVE ${minhashSqlCtes("documents")},
+      |dup_edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM verified WHERE jaccard >= $JaccardThreshold
+      |  UNION
+      |  SELECT d2, d1 FROM verified WHERE jaccard >= $JaccardThreshold),
+      |$componentsSqlCtes,
+      |m AS (
+      |  SELECT c.root, d.source, COUNT(*) AS cnt
+      |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       COUNT(*) AS n_components,
+      |       CAST(SUM(CASE WHEN a.source = b.source THEN a.cnt * (a.cnt - 1) // 2
+      |                     ELSE a.cnt * b.cnt END) AS BIGINT) AS dup_pairs
+      |FROM m a JOIN m b ON a.root = b.root AND a.source <= b.source
+      |WHERE NOT (a.source = b.source AND a.cnt < 2)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
   // q44 — the corpus filter, the END ARTIFACT of the training-data
@@ -1429,6 +1698,7 @@ object Dedup extends QueryModule {
     "q150_dupspan_strip"     -> (q150 _),
     "q161_decontam_strip"    -> (q161 _),
     "q32_ngram_jaccard"      -> (q32 _),
+    "q172_containment_dedup" -> (q172 _),
     "q33_minhash_lsh"        -> (q33 _),
     "q34_simhash"            -> (q34 _),
     "q35_simhash_pairs"      -> (q35 _),
@@ -1436,6 +1706,9 @@ object Dedup extends QueryModule {
     "q119_detector_matrix"   -> (q119 _),
     "q44_corpus_filter"      -> (q44 _),
     "q46_neardup_components" -> (q46 _),
+    "q171_quality_keeper"    -> (q171 _),
+    "q174_leakage_safe_split" -> (q174 _),
+    "q175_mirror_matrix"     -> (q175 _),
   )
 
   override val oracle: Map[String, String] = Map(
@@ -1445,6 +1718,7 @@ object Dedup extends QueryModule {
     "q150_dupspan_strip"     -> q150Sql,
     "q161_decontam_strip"    -> q161Sql,
     "q32_ngram_jaccard"      -> q32Sql,
+    "q172_containment_dedup" -> q172Sql,
     "q33_minhash_lsh"        -> q33Sql,
     "q34_simhash"            -> q34Sql,
     "q35_simhash_pairs"      -> q35Sql,
@@ -1452,5 +1726,8 @@ object Dedup extends QueryModule {
     "q119_detector_matrix"   -> q119Sql,
     "q44_corpus_filter"      -> q44Sql,
     "q46_neardup_components" -> q46Sql,
+    "q171_quality_keeper"    -> q171Sql,
+    "q174_leakage_safe_split" -> q174Sql,
+    "q175_mirror_matrix"     -> q175Sql,
   )
 }

@@ -839,6 +839,40 @@ object Streams {
     }.toDF("doc_id", "ts", "n_bigrams", "total_bits", "millibits", "keep")
   }
 
+  /** Streaming twin of the DSIR selector (q170): intake documents are
+    * scored against the FROZEN hashed-n-gram importance model — the
+    * per-bucket weight map is ≤DsirBuckets entries (bounded broadcast
+    * state regardless of corpus size), unseen buckets score the
+    * zero-count default, and the keep decision applies the frozen
+    * training-time above-average cut. Stateless narrow map: same
+    * md5-bucket hashing and integer arithmetic as the batch query, so
+    * replaying the corpus through the stream reproduces q170 exactly.
+    */
+  def dsirScore(docs: Dataset[Doc], weights: Map[Long, Long],
+                wDefault: Long, nRaw: Long, sumMb: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val buckets = graft.queries.Curation.DsirBuckets
+    val bc = docs.sparkSession.sparkContext.broadcast(weights)
+    docs.map { d =>
+      val w = bc.value
+      val ts = d.text.split(" ", -1)
+      var sum = 0L
+      var n = 0L
+      def add(f: String): Unit = {
+        sum += w.getOrElse(graft.queries.Corpus.md5Int60(f) % buckets, wDefault)
+        n += 1
+      }
+      var i = 0
+      while (i < ts.length) {
+        add(ts(i))
+        if (i + 1 < ts.length) add(ts(i) + " " + ts(i + 1))
+        i += 1
+      }
+      val wMb = 1000L * sum / n // n >= 1: split never returns empty
+      (d.doc_id, d.ts, n, sum, wMb, wMb * nRaw > sumMb)
+    }.toDF("doc_id", "ts", "n_feats", "weight_bits", "w_mb", "selected")
+  }
+
   case class PackDoc(doc_id: Long, text: String)
   case class PackState(total: Long, tailText: String, tailNDocs: Int,
                        tailFirst: Long, tailLast: Long)

@@ -559,4 +559,90 @@ class CurationSpec extends SparkTestBase {
     assert(got(0)._5 <= got(1)._4 && got(1)._5 <= got(2)._4,
       "phases are not difficulty-ordered")
   }
+
+  test("q173 two-phase budgeted selection equals the plain global greedy per stratum") {
+    val out = Curation.queries("q173_quality_budget_select")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(out.nonEmpty)
+    // plain-Scala greedy replay per stratum from the relation's own
+    // (n_tokens, quality) columns: sort by (quality DESC, doc_id),
+    // cumulate tokens, select while the prefix STARTS inside the target
+    out.groupBy(t => (t._2, t._3)).foreach { case (stratum, members) =>
+      val target = members.head._7
+      assert(members.forall(_._7 == target), s"$stratum disagrees on target")
+      var cum = 0L
+      members.sortBy(t => (-t._5, t._1)).foreach { t =>
+        assert(t._6 == cum, s"doc ${t._1}: cum_before ${t._6} != replay $cum")
+        assert(t._8 == (cum < target), s"doc ${t._1}: selected flag diverged")
+        cum += t._4
+      }
+    }
+    // the budget binds somewhere and selects the quality head, not all
+    assert(out.exists(_._8) && out.exists(!_._8), "budget must bind")
+    val sel = out.filter(_._8).map(_._5).min
+    val rej = out.filter(!_._8).map(_._5).max
+    // within any stratum the worst selected quality >= best rejected
+    out.groupBy(t => (t._2, t._3)).foreach { case (stratum, members) =>
+      if (members.exists(_._8) && members.exists(!_._8))
+        assert(members.filter(_._8).map(_._5).min >= members.filter(!_._8).map(_._5).max,
+          s"$stratum selection is not quality-monotone")
+    }
+    assert(sel >= 0.0 && rej <= 1.0)
+  }
+
+  test("q170 DSIR separates target-like from junk raw docs and replays in plain Scala") {
+    import spark.implicits._
+    // Two disjoint vocabularies: curated docs (src0, the CuratedSrcs
+    // slice) draw from pool A; raw docs are half A-like, half junk-B.
+    // DSIR must rank every A-like raw doc above every junk doc, and the
+    // above-average cut must fall between the two clusters.
+    val poolA = (0 until 12).map(i => s"alpha$i")
+    val poolB = (0 until 12).map(i => s"junk$i")
+    def docOf(pool: Seq[String], off: Int, n: Int): String =
+      (0 until n).map(j => pool((off + j) % pool.size)).mkString(" ")
+    val docs =
+      (0L until 30L).map(id => (id, docOf(poolA, id.toInt, 16), "src0")) ++
+      (100L until 110L).map(id => (id, docOf(poolA, id.toInt, 14), "web")) ++
+      (200L until 210L).map(id => (id, docOf(poolB, id.toInt, 14), "web"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toFile
+    dir.deleteOnExit()
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val out = Curation.queries("q170_dsir_select")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out.map(_._1).toSeq == ((100L until 110L) ++ (200L until 210L)).toSeq,
+      "exactly the raw docs, ordered")
+    val (alike, junk) = out.partition(_._1 < 200L)
+    assert(alike.map(_._4).min > junk.map(_._4).max,
+      "every target-like doc must out-rank every junk doc on w_mb")
+    assert(alike.forall(_._5) && junk.forall(!_._5),
+      "above-average cut must fall between the two clusters")
+    // plain-Scala replay: same hashing, same add-one integer-log2 model
+    val B = 1024L
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(f: String): Long = (BigInt(md5hex(f).take(15), 16) % B).toLong
+    def featsOf(text: String): Seq[Long] = {
+      val ts = text.split(" ", -1).toSeq
+      (ts ++ ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }).map(bucket)
+    }
+    val cur = docs.filter(_._3 == "src0").flatMap(d => featsOf(d._2))
+    val raw = docs.filter(_._3 != "src0").flatMap(d => featsOf(d._2))
+    val (cT, cR) = (cur.groupBy(identity).view.mapValues(_.size.toLong).toMap,
+      raw.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    val (tT, tR) = (cur.size + B, raw.size + B)
+    def bits(t: Long, c: Long): Long = java.lang.Long.toBinaryString(t / (c + 1)).length - 1L
+    val expect = docs.filter(_._3 != "src0").map { d =>
+      val fs = featsOf(d._2)
+      val w = fs.map(b => bits(tR, cR.getOrElse(b, 0L)) - bits(tT, cT.getOrElse(b, 0L))).sum
+      (d._1, fs.size.toLong, w, 1000L * w / fs.size)
+    }
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq == expect.toSeq,
+      "q170 weights diverge from the plain-Scala model replay")
+  }
 }

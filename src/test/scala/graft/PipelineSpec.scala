@@ -22,6 +22,55 @@ class PipelineSpec extends SparkTestBase {
       s"LSH missed too many true pairs: $missed")
   }
 
+  test("q172 containment join equals brute force and catches the subsumed doc q32 misses") {
+    import spark.implicits._
+    // Planted fixture: doc 3 (16 tokens) is quoted WHOLE inside doc 9
+    // (76 tokens) — containment 1.0 but symmetric Jaccard ≈ 15/75 far
+    // below 0.8, so the q32 pair set must MISS it while q172 finds it.
+    val quoted = (0 until 16).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (3L, quoted),
+      (9L, (0 until 30).map(i => s"pre$i").mkString(" ") + " " + quoted + " " +
+        (0 until 30).map(i => s"post$i").mkString(" "))) ++
+      (20L until 26L).map(id => (id, (0 until 40).map(j => s"u${id}x$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toFile
+    dir.deleteOnExit()
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val fx = Dedup.queries("q172_containment_dedup")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(fx.map(t => (t._1, t._2)).toSet == Set((3L, 9L)), s"got ${fx.toSeq}")
+    assert(fx.head._3 == 1.0, "whole-quote containment must be exactly 1.0")
+    val j32 = Dedup.queries("q32_ngram_jaccard")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j32.contains((3L, 9L)), "fixture must be in symmetric Jaccard's blind spot")
+    // driver corpus: the prefix-filtered join must equal BRUTE FORCE
+    // over all ordered pairs (no false negatives from the prefix or
+    // positional bounds, none from the early-exit merge)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val sets = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map { r =>
+        val ts = r.getString(1).split(" ", -1)
+        r.getLong(0) -> ts.zip(ts.drop(1))
+          .map { case (a, b) => BigInt(md5hex(s"$a $b").take(15), 16).toLong }.toSet
+      }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (d1, s1) <- sets if s1.size >= 4
+      (d2, s2) <- sets if d1 != d2
+      inter = (s1 & s2).size
+      c = BigDecimal(inter.toDouble / s1.size).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if c >= BigDecimal("0.9")
+    } yield (d1, d2, inter.toLong, s1.size.toLong, s2.size.toLong)).toSet
+    val out = Dedup.queries("q172_containment_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(out == brute, "prefix-filtered containment join diverged from brute force")
+    assert(brute.nonEmpty, "driver corpus should contain containment pairs")
+  }
+
   test("exact dedup finds exactly the re-ingested fifth") {
     val dups = Dedup.queries("q31_exact_dedup")(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
@@ -363,6 +412,120 @@ class PipelineSpec extends SparkTestBase {
       assert(comp(p.getLong(0)) == comp(p.getLong(1)),
         s"pair (${p.getLong(0)}, ${p.getLong(1)}) split across groups")
     }
+  }
+
+  test("q171 elects the max-quality keeper per component and agrees with q46's grouping") {
+    import spark.implicits._
+    // Planted fixture: doc 0 = 200 clean tokens + a 10-stopword tail
+    // (quality dented), doc 7 = the same 200 tokens clean (higher
+    // quality, HIGHER id) — near-dups at shingle Jaccard ≈ 0.94, so the
+    // quality election must MOVE the keeper off the min-id canonical.
+    // Background docs carry unique vocabulary (no accidental pairs).
+    val shared = (0 until 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, shared + " the the the the the the the the the the"),
+      (7L, shared)) ++
+      (20L until 28L).map(id => (id, (0 until 60).map(j => s"u${id}x$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_keeper").toFile
+    dir.deleteOnExit()
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val fx = Dedup.queries("q171_quality_keeper")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(fx.map(_._1).toSet == Set(0L, 7L), "exactly the planted pair is grouped")
+    fx.foreach { r =>
+      assert(r._2 == 0L && r._3 == 7L && r._4 == 2L, s"election wrong: $r")
+      assert(r._6 == (r._1 == 7L) && r._7, s"keeper flags wrong: $r")
+    }
+    // driver corpus: grouping identical to q46; election invariants hold
+    val q46 = Dedup.queries("q46_neardup_components")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = Dedup.queries("q171_quality_keeper")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(out.map(r => (r._1, r._2, r._4)).toSet == q46,
+      "q171 grouping diverged from q46")
+    out.groupBy(_._2).foreach { case (root, members) =>
+      val keeperId = members.head._3
+      assert(members.forall(_._3 == keeperId), s"group $root disagrees on keeper")
+      assert(members.count(_._6) == 1, s"group $root keepers != 1")
+      val qMax = members.map(_._5).max
+      val expect = members.filter(_._5 == qMax).map(_._1).min
+      assert(keeperId == expect, s"group $root keeper is not argmax(quality, min id)")
+      members.foreach(m => assert(m._7 == (keeperId != root)))
+    }
+  }
+
+  test("q174 split is component-atomic and rescues exactly the naive-split leaks") {
+    import spark.implicits._
+    // find two ids whose NAIVE doc-keyed hashes land on opposite sides,
+    // then make them identical texts: the component key must pull them
+    // onto ONE side, flagging at least one as rescued
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def naive(id: Long): String =
+      if (BigInt(md5hex(s"lsplit:$id").take(15), 16) < BigInt(1L << 60) / 10) "eval" else "train"
+    val evalId = (0L until 300L).find(naive(_) == "eval").get
+    val trainId = (0L until 300L).find(naive(_) == "train").get
+    val shared = (0 until 60).map(i => s"s$i").mkString(" ")
+    val docs = Seq((evalId, shared), (trainId, shared)) ++
+      (500L until 506L).map(id => (id, (0 until 40).map(j => s"u${id}x$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsplit").toFile
+    dir.deleteOnExit()
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val fx = Dedup.queries("q174_leakage_safe_split")(spark, dir.getAbsolutePath)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4)))).toMap
+    val root = math.min(evalId, trainId)
+    assert(fx(evalId)._1 == root && fx(trainId)._1 == root, "pair must share a component")
+    assert(fx(evalId)._2 == fx(trainId)._2, "component members split apart")
+    assert(fx(evalId)._2 == naive(root), "component split must key on the root")
+    assert(Seq(evalId, trainId).count(id => fx(id)._4) == 1,
+      "exactly one of the planted pair is rescued")
+    fx.filter(_._1 >= 500L).foreach { case (id, v) =>
+      assert(v._1 == id && v._2 == v._3 && !v._4, s"singleton $id must keep its naive split")
+    }
+    // driver corpus: component-atomicity + naive verdict honesty
+    val out = Dedup.queries("q174_leakage_safe_split")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+    assert(out.length == Tables.documents(spark, sfDir).count())
+    out.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.length == 1, "component split apart")
+    }
+    out.foreach { t =>
+      assert(t._4 == naive(t._1), s"doc ${t._1}: naive_split is not the doc-keyed hash")
+      assert(t._5 == (t._3 != t._4))
+    }
+  }
+
+  test("q175 mirror matrix equals a plain-Scala recomputation from q46's components") {
+    // per (source_a <= source_b): components spanning the pair and the
+    // co-membership pair mass, recomputed from q46's labels + sources
+    val comp = Dedup.queries("q46_neardup_components")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = comp.groupBy(_._2).toSeq.flatMap { case (root, members) =>
+      members.groupBy(m => src(m._1)).map { case (s, ms) => (root, s, ms.length.toLong) }
+    }
+    val expect = (for {
+      (root, sa, ca) <- bySrc
+      (root2, sb, cb) <- bySrc if root2 == root && sa <= sb
+      pairs = if (sa == sb) ca * (ca - 1) / 2 else ca * cb
+      if !(sa == sb && ca < 2)
+    } yield ((sa, sb), pairs)).groupBy(_._1)
+      .map { case (k, vs) => (k._1, k._2, vs.length.toLong, vs.map(_._2).sum) }.toSet
+    val got = Dedup.queries("q175_mirror_matrix")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, "mirror matrix diverged from the component replay")
+    assert(got.nonEmpty, "driver corpus should contain near-dup components")
   }
 
   test("unified multimodal decode: every doc decodes through its modality's real codec") {

@@ -322,6 +322,37 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch, "frozen-model stream scoring must equal the batch relation")
   }
 
+  test("streaming DSIR scorer under the frozen model equals batch q170 on a replayed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val (weights, wDefault, nRaw, sumMb) =
+      graft.queries.Curation.dsirFrozenModel(spark, sfDir)
+    graft.Caches.release()
+    assert(weights.nonEmpty && weights.size <= graft.queries.Curation.DsirBuckets,
+      "weight map must be non-empty and bucket-bounded")
+    // replay the raw (non-curated) pool — the slice the batch query
+    // scores and the slice a serving intake consists of
+    val docs = Tables.documents(spark, sfDir)
+      .filter(!col("source").isin("src0", "src1", "src2", "src3"))
+      .select("doc_id", "text").collect()
+      .map(r => Streams.Doc(r.getLong(0), ts("2024-01-01 10:00:00"), r.getString(1)))
+    assert(docs.nonEmpty, "fixture must have raw docs")
+    val mem = MemoryStream[Streams.Doc]
+    val query = Streams.dsirScore(mem.toDS(), weights, wDefault, nRaw, sumMb)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    mem.addData(docs.toIndexedSeq: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("dsir_stream")
+      .select("doc_id", "n_feats", "weight_bits", "w_mb", "selected").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    query.stop()
+    val batch = SparkEntry.queries("q170_dsir_select")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(streamed == batch, "frozen-model stream scoring must equal the batch selection")
+  }
+
   test("batch q25 sessionization agrees with the streaming sessionizer") {
     // same events, two execution models (D3 applied to batch vs stream):
     // session (user, n_events, total_value) multisets must match.
