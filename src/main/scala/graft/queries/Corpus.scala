@@ -967,6 +967,11 @@ object Corpus extends QueryModule {
       .orderBy(col("c2").desc, col("w1"), col("w2")).limit(m)
       .select(concat_ws(" ", col("w1"), col("w2")).as("k"), col("bits"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  /** q93's per-doc verdict, shared with the selector-agreement matrix
+    * (Curation q178) so the two relations cannot drift. */
+  private[graft] def bigramVerdicts(s: SparkSession, dir: String): DataFrame =
+    q93(s, dir).select("doc_id", "keep")
+
   private def q93(s: SparkSession, dir: String): DataFrame = {
     val model = bigramModel(s, dir)
     bigrams(Tables.documentsWide(s, dir))

@@ -1563,6 +1563,211 @@ object Curation extends QueryModule {
   }
 
   // ---------------------------------------------------------------------
+  // q178 — SELECTOR AGREEMENT MATRIX: the q119 detector-agreement
+  // discipline applied to the QUALITY selectors. A pipeline runs
+  // several independent keep/drop signals — unigram surprisal (q67),
+  // bigram-LM fluency (q93), the trained classifier (q88), DSIR
+  // target-likeness (q170) — and the operational questions are "which
+  // selectors are redundant?" (agreement ≈ 1 → drop the expensive one)
+  // and "what does each uniquely catch?" (unique drops ≈ 0 → it never
+  // fires alone). One row per unordered selector pair with the
+  // keep/keep, drop/drop, disagree counts and agreement in ppm;
+  // diagonal rows carry the selector's own drop mass plus its UNIQUE
+  // drops (docs every other selector keeps). Verdicts come from the
+  // FACTORED per-doc relations of the four parent queries (the q168
+  // shared-core rule), and a selector that does not cover a doc
+  // (single-token docs for the bigram LM, curated docs for DSIR)
+  // ABSTAINS — abstention is keep, a selector vetoes only where it
+  // actually scored.
+  //
+  // Scale shape: strictly the union of the parents' audited shapes
+  // (each verdict relation is one of their per-doc outputs) + three
+  // doc_id-keyed left joins into a cached 4-bit-wide relation; the
+  // matrix explode emits a CONSTANT 10 structs per doc and aggregates
+  // onto 10 keys; unique-drop sums are four passes over the cached
+  // narrow relation.
+  private val SelNames = Seq("bigram_lm", "classifier", "dsir", "quality", "surprisal")
+  private[graft] def classifierVerdicts(s: SparkSession, dir: String): DataFrame =
+    q88(s, dir).select("doc_id", "keep")
+  private def dsirVerdicts(s: SparkSession, dir: String): DataFrame =
+    q170(s, dir).select(col("doc_id"), col("selected").as("keep"))
+  private def qualityVerdicts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      (TextPipeline.qualityCol(split(col("text"), " ")) >= Dedup.QualityFloor).as("keep"))
+
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val verdicts = Seq(
+      "bigram_lm" -> Corpus.bigramVerdicts(s, dir),
+      "classifier" -> classifierVerdicts(s, dir),
+      "dsir" -> dsirVerdicts(s, dir),
+      "quality" -> qualityVerdicts(s, dir),
+      "surprisal" -> TextPipeline.surprisalVerdicts(s, dir))
+    val base = Tables.documents(s, dir).select("doc_id")
+    val wide = graft.Caches.track(verdicts.foldLeft(base) { case (acc, (n, v)) =>
+      acc.join(v.withColumnRenamed("keep", n), Seq("doc_id"), "left")
+        .withColumn(n, coalesce(col(n), lit(true)))
+    })
+    val pairs = for { (a, i) <- SelNames.zipWithIndex; b <- SelNames.drop(i) } yield (a, b)
+    val pairCols = pairs.map { case (a, b) =>
+      struct(lit(a).as("sel_a"), lit(b).as("sel_b"), col(a).as("ka"), col(b).as("kb")) }
+    val matrix = wide.select(explode(array(pairCols: _*)).as("p")).select("p.*")
+      .groupBy("sel_a", "sel_b")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ka") && col("kb"), 1L).otherwise(0L)).as("n_both_keep"),
+        sum(when(!col("ka") && !col("kb"), 1L).otherwise(0L)).as("n_both_drop"),
+        sum(when(col("ka") =!= col("kb"), 1L).otherwise(0L)).as("n_disagree"))
+    val unique = SelNames.map { n =>
+      val others = SelNames.filterNot(_ == n).map(col(_))
+      wide.agg(sum(when(!col(n) && others.reduce(_ && _), 1L).otherwise(0L))
+        .as("n_unique_drops"))
+        .select(lit(n).as("u_sel"), col("n_unique_drops"))
+    }.reduce(_ union _)
+    matrix.join(unique,
+        col("sel_a") === col("u_sel") && col("sel_a") === col("sel_b"), "left")
+      .withColumn("n_unique_drops", coalesce(col("n_unique_drops"), lit(0L)))
+      .withColumn("agree_ppm", expr("(n_both_keep + n_both_drop) * 1000000 div n_docs"))
+      .select("sel_a", "sel_b", "n_docs", "n_both_keep", "n_both_drop",
+        "n_disagree", "agree_ppm", "n_unique_drops")
+      .orderBy("sel_a", "sel_b")
+  }
+
+  private val q178Sql = {
+    val srcs = CuratedSrcs.map(x => s"'$x'").mkString(", ")
+    val B = DsirBuckets
+    val names = SelNames
+    val pairSelects = (for {
+      (a, i) <- names.zipWithIndex; b <- names.drop(i)
+    } yield s"SELECT '$a' AS sel_a, '$b' AS sel_b, $a AS ka, $b AS kb FROM wide")
+      .mkString("\n      |  UNION ALL ")
+    val uniqueSelects = names.map { n =>
+      val others = names.filterNot(_ == n).mkString(" AND ")
+      s"SELECT '$n' AS u_sel, CAST(SUM(CASE WHEN NOT $n AND $others THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_drops FROM wide"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH s_toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |s_model AS (SELECT tok, COUNT(*) AS freq FROM s_toks GROUP BY tok),
+      |s_n AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM s_model),
+      |s_bits AS (
+      |  SELECT tok, CAST(length(bin(total // freq)) - 1 AS BIGINT) AS bits
+      |  FROM s_model CROSS JOIN s_n),
+      |s_keep AS (
+      |  SELECT doc_id,
+      |         (CAST(SUM(bits) AS BIGINT) * 1000) // COUNT(*)
+      |           BETWEEN ${TextPipeline.SurpLo} AND ${TextPipeline.SurpHi} AS keep
+      |  FROM s_toks JOIN s_bits USING (tok) GROUP BY doc_id),
+      |b_big AS (
+      |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+      |  WHERE len(ts) >= 2),
+      |b_m2 AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM b_big
+      |  WHERE doc_id % 3 = 0 GROUP BY w1, w2),
+      |b_m1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM b_m2 GROUP BY w1),
+      |b_model AS (
+      |  SELECT b_m2.w1, b_m2.w2, CAST(length(bin(c1 // c2)) - 1 AS BIGINT) AS bits
+      |  FROM b_m2 JOIN b_m1 USING (w1)),
+      |b_keep AS (
+      |  SELECT b.doc_id,
+      |         (CAST(SUM(COALESCE(m.bits, ${Corpus.LmOovBits})) AS BIGINT) * 1000) // COUNT(*)
+      |           BETWEEN ${Corpus.LmLo} AND ${Corpus.LmHi} AS keep
+      |  FROM b_big b LEFT JOIN b_model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      |  GROUP BY b.doc_id),
+      |c_docs AS (
+      |  SELECT doc_id, source IN ($srcs) AS is_cur, text FROM documents),
+      |c_toks AS (
+      |  SELECT doc_id, is_cur, unnest(string_split(text, ' ')) AS tok FROM c_docs),
+      |c_counts AS (
+      |  SELECT tok, CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+      |         count(*) AS c_all
+      |  FROM c_toks GROUP BY tok),
+      |c_prior AS (
+      |  SELECT (1000000 * CAST(sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS prior_ppm
+      |  FROM c_docs),
+      |c_model AS (
+      |  SELECT tok, (1000000 * (c_cur + 1)) // (c_all + 2) AS w_ppm
+      |  FROM c_counts CROSS JOIN c_prior
+      |  WHERE c_all >= $ClsMinDf
+      |  ORDER BY abs((1000000 * (c_cur + 1)) // (c_all + 2) - prior_ppm) DESC,
+      |           CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+      |  LIMIT $ClsVocab),
+      |c_scored AS (
+      |  SELECT doc_id, count(*) AS n_modeled, CAST(sum(w_ppm) AS BIGINT) AS w_sum
+      |  FROM c_toks JOIN c_model USING (tok) GROUP BY doc_id),
+      |c_keep AS (
+      |  SELECT d.doc_id,
+      |         (CASE WHEN COALESCE(s.n_modeled, 0) > 0 THEN s.w_sum // s.n_modeled
+      |               ELSE p.prior_ppm END) >= p.prior_ppm AS keep
+      |  FROM c_docs d LEFT JOIN c_scored s USING (doc_id) CROSS JOIN c_prior p),
+      |d_docs AS (
+      |  SELECT doc_id, source IN ($srcs) AS is_cur, string_split(text, ' ') AS ts
+      |  FROM documents),
+      |d_feats AS (
+      |  SELECT doc_id, is_cur,
+      |         CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % $B AS b
+      |  FROM (SELECT doc_id, is_cur,
+      |               unnest(list_concat(ts,
+      |                 list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))) AS f
+      |        FROM d_docs)),
+      |d_model AS (
+      |  SELECT b,
+      |         CAST(SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+      |         CAST(SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+      |  FROM d_feats GROUP BY b),
+      |d_tot AS (
+      |  SELECT CAST(SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) + $B AS BIGINT) AS t_t,
+      |         CAST(SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) + $B AS BIGINT) AS t_r
+      |  FROM d_feats),
+      |d_weights AS (
+      |  SELECT b, CAST(length(bin(t_r // (c_r + 1))) - 1 AS BIGINT)
+      |           - CAST(length(bin(t_t // (c_t + 1))) - 1 AS BIGINT) AS w_bits
+      |  FROM d_model CROSS JOIN d_tot),
+      |d_scored AS (
+      |  SELECT doc_id, (1000 * CAST(SUM(w_bits) AS BIGINT)) // COUNT(*) AS w_mb
+      |  FROM d_feats JOIN d_weights USING (b)
+      |  WHERE NOT is_cur
+      |  GROUP BY doc_id),
+      |d_cut AS (SELECT COUNT(*) AS n_raw, CAST(SUM(w_mb) AS BIGINT) AS sum_mb FROM d_scored),
+      |d_keep AS (
+      |  SELECT doc_id, w_mb * n_raw > sum_mb AS keep
+      |  FROM d_scored CROSS JOIN d_cut),
+      |q_keep AS (
+      |  SELECT doc_id,
+      |         ROUND((1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'is'))) AS DOUBLE)
+      |                       / len(string_split(text, ' ')))
+      |               * LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0), 6)
+      |           >= ${Dedup.QualityFloor} AS keep
+      |  FROM documents),
+      |wide AS (
+      |  SELECT d.doc_id,
+      |         COALESCE(b.keep, TRUE) AS bigram_lm,
+      |         COALESCE(c.keep, TRUE) AS classifier,
+      |         COALESCE(ds.keep, TRUE) AS dsir,
+      |         COALESCE(qf.keep, TRUE) AS quality,
+      |         COALESCE(su.keep, TRUE) AS surprisal
+      |  FROM (SELECT doc_id FROM documents) d
+      |  LEFT JOIN b_keep b USING (doc_id)
+      |  LEFT JOIN c_keep c USING (doc_id)
+      |  LEFT JOIN d_keep ds USING (doc_id)
+      |  LEFT JOIN q_keep qf USING (doc_id)
+      |  LEFT JOIN s_keep su USING (doc_id)),
+      |p AS (
+      |  $pairSelects),
+      |matrix AS (
+      |  SELECT sel_a, sel_b, COUNT(*) AS n_docs,
+      |         CAST(SUM(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+      |         CAST(SUM(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
+      |         CAST(SUM(CASE WHEN ka <> kb THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+      |  FROM p GROUP BY 1, 2),
+      |uniq AS (
+      |  $uniqueSelects)
+      |SELECT m.sel_a, m.sel_b, m.n_docs, m.n_both_keep, m.n_both_drop, m.n_disagree,
+      |       (m.n_both_keep + m.n_both_drop) * 1000000 // m.n_docs AS agree_ppm,
+      |       CASE WHEN m.sel_a = m.sel_b THEN COALESCE(u.n_unique_drops, 0) ELSE 0 END AS n_unique_drops
+      |FROM matrix m LEFT JOIN uniq u ON m.sel_a = u.u_sel AND m.sel_a = m.sel_b
+      |ORDER BY m.sel_a, m.sel_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q156 — TOKEN-BUDGET CURRICULUM SCHEDULE (L118): the allocation step
   // between scoring and packing. Curriculum training (Bengio et al.
   // 2009; applied to LM data ordering in e.g. DoReMi-style pipelines)
@@ -1730,6 +1935,7 @@ object Curation extends QueryModule {
     "q88_quality_classifier" -> (q88 _),
     "q170_dsir_select"      -> (q170 _),
     "q173_quality_budget_select" -> (q173 _),
+    "q178_selector_agreement" -> (q178 _),
     "q72_curation_verdict"  -> (q72 _),
     "q73_drift_monitor"     -> (q73 _),
     "q74_hll_distinct"      -> (q74 _),
@@ -1759,6 +1965,7 @@ object Curation extends QueryModule {
     "q88_quality_classifier" -> q88Sql,
     "q170_dsir_select"      -> q170Sql,
     "q173_quality_budget_select" -> q173Sql,
+    "q178_selector_agreement" -> q178Sql,
     "q72_curation_verdict"  -> q72Sql,
     "q73_drift_monitor"     -> q73Sql,
     "q74_hll_distinct"      -> q74Sql,

@@ -1027,7 +1027,7 @@ object Dedup extends QueryModule {
   // kept per group) into a keep/drop decision per document with a reason
   // code. One narrow scoring pass + one hash groupBy + the banded-LSH
   // candidate join — the same plan shape a 100 TB corpus sweep runs.
-  private val QualityFloor = 0.5
+  private[graft] val QualityFloor = 0.5
   private val DupThreshold = 0.8
 
   private def q44(s: SparkSession, dir: String): DataFrame = {

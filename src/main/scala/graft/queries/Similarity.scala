@@ -2416,8 +2416,236 @@ object Similarity extends QueryModule {
       |FROM semp
       |ORDER BY layout""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q176 — JOHNSON-LINDENSTRAUSS PROJECTION CURVE: can the pipeline
+  // simply carry SHORTER vectors? Project the embedding table with the
+  // database-friendly ±1 random projection (Achlioptas 2003, JL lemma)
+  // and MEASURE what retrieval loses at K = 16/32/48 of 64 dims — per
+  // (K, query): top-5 overlap against the full-precision ranking plus
+  // the max/avg absolute cosine error over all scored pairs. PQ
+  // (q63/q64) compresses the STORED codes; this is the upstream knob,
+  // and the curve (the q107/q122 tuning-curve discipline) is the
+  // number that sets it — on a corpus whose cosine spread is tighter
+  // than the K=16 distortion the overlap collapses to ~0 and the curve
+  // says so. Signs are md5-determined (+1 iff md5-int60("jl:k:pos") is
+  // even) — no RNG, replays identically anywhere; all three K arms are
+  // PREFIXES of one K=48 sign matrix, so the projection runs ONCE.
+  // Projected coordinates rescale by `div 64` (exact integer division,
+  // identical truncation both engines) so every downstream square and
+  // dot stays inside int64 at ANY embedding magnitude.
+  //
+  // Scale shape: the sign matrix is a 48×D broadcast; the projection is
+  // one narrow join + (vec_id, k) aggregation rolled up to one array
+  // row per vector; every serving arm is q36's audited broadcast +
+  // graft_dot shape over slices of that row (zero corpus shuffle for
+  // candidates); the audit joins workload-sliver relations.
+  private val JlArms = Seq(16, 32, 48)
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val qv = graft.Caches.track(quant(s, dir))
+    val vecs = vecsOf(qv).select("vec_id", "qa", "n2")
+    val queries0 = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    val full = graft.Caches.track(vecs.crossJoin(broadcast(queries0))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
+      .withColumn("cos_full", round(cosine(col("dot"), col("n2q"), col("n2")), 6))
+      .select("qid", "vec_id", "cos_full"))
+    val signs = qv.select("pos").distinct()
+      .withColumn("k", explode(sequence(lit(1), lit(JlArms.max))))
+      .withColumn("sgn", lit(1L) - lit(2L) *
+        (conv(substring(md5(concat(lit("jl:"), col("k").cast("string"),
+          lit(":"), col("pos").cast("string"))), 1, 15), 16, 10).cast("long") % 2L))
+      .select("pos", "k", "sgn")
+    val proj = qv.join(broadcast(signs), "pos")
+      .groupBy("vec_id", "k")
+      .agg(expr("sum(q * sgn) div 64").as("y"))
+    val jvecs = graft.Caches.track(proj.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(k, y))), x -> x.y) AS qa")))
+    val jl = JlArms.map { kd =>
+      val jv = jvecs.select(col("vec_id"), expr(s"slice(qa, 1, $kd)").as("qa"))
+        .withColumn("n2", expr("graft_dot(qa, qa)"))
+      val jq = jv.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+      jv.crossJoin(broadcast(jq))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("dot", expr("graft_dot(qq, qa)"))
+        .withColumn("cos_jl", round(cosine(col("dot"), col("n2q"), col("n2")), 6))
+        .select(lit(kd).as("kdim"), col("qid"), col("vec_id"), col("cos_jl"))
+    }.reduce(_ union _)
+    val errs = graft.Caches.track(jl.join(full, Seq("qid", "vec_id"))
+      .withColumn("err_micro",
+        round(abs(col("cos_full") - col("cos_jl")) * 1e6).cast("long")))
+    val ft = full
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_full").desc, col("vec_id"))))
+      .filter(col("rk") <= 5).select("qid", "vec_id")
+    val jt = errs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("kdim", "qid").orderBy(col("cos_jl").desc, col("vec_id"))))
+      .filter(col("rk") <= 5).select("kdim", "qid", "vec_id")
+    val overlap = jt.join(ft, Seq("qid", "vec_id"))
+      .groupBy("kdim", "qid").agg(count(lit(1)).as("top5_overlap"))
+    errs.groupBy("kdim", "qid").agg(count(lit(1)).as("n_pairs"),
+        max(col("err_micro")).as("max_err_micro"),
+        expr("sum(err_micro) div count(1)").as("avg_err_micro"))
+      .join(overlap, Seq("kdim", "qid"), "left")
+      .withColumn("top5_overlap", coalesce(col("top5_overlap"), lit(0L)))
+      .select("kdim", "qid", "n_pairs", "top5_overlap", "max_err_micro", "avg_err_micro")
+      .orderBy("kdim", "qid")
+  }
+
+  private val q176Sql =
+    s"""WITH $quantSqlCte,
+      |fdots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      |  FROM quant a JOIN quant b ON a.pos = b.pos AND a.vec_id < $NumQueries AND a.vec_id != b.vec_id
+      |  GROUP BY 1, 2),
+      |fscored AS (
+      |  SELECT d.qid, d.vec_id,
+      |         ROUND(CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))), 6) AS cos_full
+      |  FROM fdots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nd ON d.vec_id = nd.vec_id),
+      |arms AS (SELECT unnest([${JlArms.mkString(", ")}]) AS kdim),
+      |signs AS (
+      |  SELECT p.pos, k.k,
+      |         1 - 2 * (CAST(('0x' || substring(md5('jl:' || k.k::VARCHAR || ':' || p.pos::VARCHAR), 1, 15)) AS BIGINT) % 2) AS sgn
+      |  FROM (SELECT DISTINCT pos FROM quant) p
+      |  CROSS JOIN (SELECT unnest(range(1, ${JlArms.max + 1})) AS k) k),
+      |proj AS (
+      |  SELECT q.vec_id, s.k, CAST(SUM(q.q * s.sgn) AS BIGINT) // 64 AS y
+      |  FROM quant q JOIN signs s ON q.pos = s.pos GROUP BY 1, 2),
+      |jnorms AS (
+      |  SELECT a.kdim, p.vec_id, CAST(SUM(p.y * p.y) AS BIGINT) AS n2
+      |  FROM proj p CROSS JOIN arms a WHERE p.k <= a.kdim GROUP BY 1, 2),
+      |jdots AS (
+      |  SELECT ar.kdim, a.vec_id AS qid, b.vec_id AS vec_id, CAST(SUM(a.y * b.y) AS BIGINT) AS dot
+      |  FROM proj a JOIN proj b ON a.k = b.k AND a.vec_id < $NumQueries AND a.vec_id != b.vec_id
+      |  CROSS JOIN arms ar WHERE a.k <= ar.kdim
+      |  GROUP BY 1, 2, 3),
+      |jscored AS (
+      |  SELECT d.kdim, d.qid, d.vec_id,
+      |         ROUND(CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))), 6) AS cos_jl
+      |  FROM jdots d
+      |  JOIN jnorms nq ON d.kdim = nq.kdim AND d.qid = nq.vec_id
+      |  JOIN jnorms nd ON d.kdim = nd.kdim AND d.vec_id = nd.vec_id),
+      |errs AS (
+      |  SELECT j.kdim, f.qid, f.vec_id, f.cos_full, j.cos_jl,
+      |         CAST(ROUND(ABS(f.cos_full - j.cos_jl) * 1000000.0) AS BIGINT) AS err_micro
+      |  FROM fscored f JOIN jscored j ON f.qid = j.qid AND f.vec_id = j.vec_id),
+      |ft AS (SELECT qid, vec_id FROM (
+      |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_full DESC, vec_id) AS rk
+      |  FROM fscored) WHERE rk <= 5),
+      |jt AS (SELECT kdim, qid, vec_id FROM (
+      |  SELECT kdim, qid, vec_id, ROW_NUMBER() OVER (PARTITION BY kdim, qid ORDER BY cos_jl DESC, vec_id) AS rk
+      |  FROM errs) WHERE rk <= 5),
+      |ov AS (SELECT j.kdim, j.qid, COUNT(*) AS top5_overlap
+      |       FROM jt j JOIN ft f ON f.qid = j.qid AND f.vec_id = j.vec_id GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT kdim, qid, COUNT(*) AS n_pairs, CAST(MAX(err_micro) AS BIGINT) AS max_err_micro,
+      |         CAST(SUM(err_micro) AS BIGINT) // COUNT(*) AS avg_err_micro
+      |  FROM errs GROUP BY 1, 2)
+      |SELECT a.kdim, a.qid, a.n_pairs, COALESCE(o.top5_overlap, 0) AS top5_overlap,
+      |       a.max_err_micro, a.avg_err_micro
+      |FROM agg a LEFT JOIN ov o ON a.kdim = o.kdim AND a.qid = o.qid
+      |ORDER BY a.kdim, a.qid""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q177 — kNN-GRAPH HUBNESS AUDIT: high-dimensional kNN graphs grow
+  // HUBS — vectors that appear in a disproportionate share of other
+  // points' neighbor lists (Radovanović et al., JMLR 2010) — and a hub
+  // dominates retrieval results, poisons kNN-based dedup (q38/q39
+  // families), and signals degenerate embedding geometry. Per label:
+  // the in-degree concentration of the within-class kNN graph —
+  // anchors are a deterministic md5 1-in-8 sample (exact full-graph
+  // hubness is inherently quadratic; sampled in-degree is the standard
+  // estimator), each anchor contributing its top-HubK within-class
+  // list (q38's exact contract). Emits per label the max in-degree,
+  // the hub vector, the count of heavy vectors, and the top-1 edge
+  // share in ppm — the relation that decides "re-embed or renormalize
+  // this class".
+  //
+  // Scale shape: the anchor sample bounds the join to |class|·|sample|
+  // matched rows (q38's audited within-class shape, never all-pairs);
+  // every summary is label-keyed integer aggregation.
+  private val HubK = 3
+  private val HubHeavy = 6L // in-degree >= 2*HubK = "heavy" vector
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)))
+    val anchors = vecs
+      .filter(conv(substring(md5(concat(lit("hub:"), col("vec_id").cast("string"))),
+        1, 15), 16, 10).cast("long") % 8 === 0)
+      .select(col("vec_id").as("qid"), col("label"),
+        col("qa").as("qq"), col("n2").as("n2q"))
+    val edges = graft.Caches.track(anchors
+      .join(vecs.select(col("vec_id"), col("label"), col("qa"), col("n2").as("n2d")), "label")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2d")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= HubK)
+      .select("qid", "vec_id", "label"))
+    val deg = graft.Caches.track(
+      edges.groupBy("label", "vec_id").agg(count(lit(1)).as("in_deg")))
+    val nAnchors = anchors.groupBy("label").agg(count(lit(1)).as("n_anchors"))
+    val tot = edges.groupBy("label").agg(count(lit(1)).as("n_edges"))
+    val mx = deg.groupBy("label").agg(max(col("in_deg")).as("max_in_degree"))
+    val hub = deg.join(mx, "label")
+      .filter(col("in_deg") === col("max_in_degree"))
+      .groupBy("label").agg(min(col("vec_id")).as("hub_vec_id"))
+    val heavy = deg.filter(col("in_deg") >= HubHeavy)
+      .groupBy("label").agg(count(lit(1)).as("n_heavy"))
+    nAnchors.join(tot, "label").join(mx, "label").join(hub, "label")
+      .join(heavy, Seq("label"), "left")
+      .withColumn("n_heavy", coalesce(col("n_heavy"), lit(0L)))
+      .withColumn("top1_share_ppm", expr("max_in_degree * 1000000 div n_edges"))
+      .select("label", "n_anchors", "n_edges", "max_in_degree",
+        "hub_vec_id", "n_heavy", "top1_share_ppm")
+      .orderBy("label")
+  }
+
+  private val q177Sql =
+    s"""WITH $quantSqlCte,
+      |labels AS (SELECT DISTINCT vec_id, label FROM quant),
+      |anchors AS (
+      |  SELECT vec_id, label FROM labels
+      |  WHERE CAST(('0x' || substring(md5('hub:' || vec_id::VARCHAR), 1, 15)) AS BIGINT) % 8 = 0),
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, l.label, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      |  FROM quant a JOIN quant b ON a.label = b.label AND a.pos = b.pos AND a.vec_id != b.vec_id
+      |  JOIN anchors an ON a.vec_id = an.vec_id
+      |  JOIN labels l ON b.vec_id = l.vec_id
+      |  GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT d.qid, d.vec_id, d.label,
+      |         CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))) AS cos
+      |  FROM dots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nd ON d.vec_id = nd.vec_id),
+      |edges AS (
+      |  SELECT qid, vec_id, label FROM (
+      |    SELECT qid, vec_id, label,
+      |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+      |    FROM scored) WHERE rk <= $HubK),
+      |deg AS (SELECT label, vec_id, COUNT(*) AS in_deg FROM edges GROUP BY 1, 2),
+      |na AS (SELECT label, COUNT(*) AS n_anchors FROM anchors GROUP BY 1),
+      |te AS (SELECT label, COUNT(*) AS n_edges FROM edges GROUP BY 1),
+      |mx AS (SELECT label, CAST(MAX(in_deg) AS BIGINT) AS max_in_degree FROM deg GROUP BY 1),
+      |hub AS (
+      |  SELECT d.label, MIN(d.vec_id) AS hub_vec_id
+      |  FROM deg d JOIN mx ON d.label = mx.label AND d.in_deg = mx.max_in_degree
+      |  GROUP BY 1),
+      |heavy AS (SELECT label, COUNT(*) AS n_heavy FROM deg WHERE in_deg >= $HubHeavy GROUP BY 1)
+      |SELECT na.label, na.n_anchors, te.n_edges, mx.max_in_degree, hub.hub_vec_id,
+      |       COALESCE(heavy.n_heavy, 0) AS n_heavy,
+      |       mx.max_in_degree * 1000000 // te.n_edges AS top1_share_ppm
+      |FROM na JOIN te ON na.label = te.label
+      |JOIN mx ON na.label = mx.label
+      |JOIN hub ON na.label = hub.label
+      |LEFT JOIN heavy ON na.label = heavy.label
+      |ORDER BY na.label""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_bruteforce" -> (q36 _),
+    "q176_jl_projection" -> (q176 _),
+    "q177_hubness_audit" -> (q177 _),
     "q158_embedding_drift" -> (q158 _),
     "q163_semantic_pack_layout" -> (q163 _),
     "q37_ann_lsh"        -> (q37 _),
@@ -2448,6 +2676,8 @@ object Similarity extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q36_ann_bruteforce" -> q36Sql,
+    "q176_jl_projection" -> q176Sql,
+    "q177_hubness_audit" -> q177Sql,
     "q158_embedding_drift" -> q158Sql,
     "q163_semantic_pack_layout" -> q163Sql,
     "q37_ann_lsh"        -> q37Sql,

@@ -954,8 +954,13 @@ object TextPipeline extends QueryModule {
   // tolerate boundary drift. Plan: one (token) aggregation builds the
   // model (vocabulary-sized — broadcast), one narrow re-scan scores —
   // the corpus shuffles its tokens once and is never re-keyed.
-  private val SurpLo = 1000L  // millibits/token — below = too repetitive
-  private val SurpHi = 9000L  // above = out-of-model gibberish
+  private[graft] val SurpLo = 1000L  // millibits/token — below = too repetitive
+  private[graft] val SurpHi = 9000L  // above = out-of-model gibberish
+
+  /** q67's per-doc verdict, shared with the selector-agreement matrix
+    * (Curation q178) so the two relations cannot drift. */
+  private[graft] def surprisalVerdicts(s: SparkSession, dir: String): DataFrame =
+    q67(s, dir).select("doc_id", "keep")
   private def q67(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))

@@ -591,6 +591,54 @@ class CurationSpec extends SparkTestBase {
     assert(sel >= 0.0 && rej <= 1.0)
   }
 
+  test("q178 agreement matrix recomposes exactly from the parent selectors' own outputs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def verdictOf(q: String, keepIdx: Int): Map[Long, Boolean] =
+      Curation.queries.getOrElse(q,
+        graft.SparkEntry.queries(q))(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(keepIdx)).toMap
+    val lm = verdictOf("q93_bigram_surprisal", 4)
+    val cls = verdictOf("q88_quality_classifier", 3)
+    val dsir = verdictOf("q170_dsir_select", 4)
+    val surp = verdictOf("q67_surprisal", 4)
+    graft.Caches.release()
+    val qual = docs.map { case (id, text) =>
+      val ts = text.split(" ", -1)
+      val nStop = ts.count(Set("the", "a", "is"))
+      val q = BigDecimal((1.0 - nStop.toDouble / ts.length) *
+        math.min(1.0, ts.length / 50.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      id -> (q >= BigDecimal("0.5"))
+    }
+    val names = Seq("bigram_lm", "classifier", "dsir", "quality", "surprisal")
+    val wide = docs.keys.map { id =>
+      id -> Map(
+        "bigram_lm" -> lm.getOrElse(id, true),
+        "classifier" -> cls.getOrElse(id, true),
+        "dsir" -> dsir.getOrElse(id, true),
+        "quality" -> qual(id),
+        "surprisal" -> surp.getOrElse(id, true))
+    }.toMap
+    val expect = (for {
+      (a, i) <- names.zipWithIndex; b <- names.drop(i)
+    } yield {
+      val rows = wide.values.toSeq
+      val bk = rows.count(m => m(a) && m(b)).toLong
+      val bd = rows.count(m => !m(a) && !m(b)).toLong
+      val dis = rows.count(m => m(a) != m(b)).toLong
+      val uniq = if (a == b)
+        rows.count(m => !m(a) && names.filterNot(_ == a).forall(m(_))).toLong else 0L
+      (a, b, rows.size.toLong, bk, bd, dis, (bk + bd) * 1000000L / rows.size, uniq)
+    }).toSet
+    val got = Curation.queries("q178_selector_agreement")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == expect, "matrix diverged from the parent-output recomposition")
+    assert(got.exists(r => r._1 != r._2 && r._6 > 0), "some pair must disagree")
+    assert(got.exists(r => r._1 == r._2 && r._8 > 0), "some selector must drop uniquely")
+  }
+
   test("q170 DSIR separates target-like from junk raw docs and replays in plain Scala") {
     import spark.implicits._
     // Two disjoint vocabularies: curated docs (src0, the CuratedSrcs

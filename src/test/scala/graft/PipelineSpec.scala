@@ -459,6 +459,90 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("q176 JL curve: margin fixture keeps full recall, driver corpus errs shrink with K") {
+    import spark.implicits._
+    // Two orthogonal clusters with maximal margin (cos 1.0 within, 0.0
+    // across): JL distortion (~1/sqrt(K)) cannot close a 1.0 gap, so
+    // every arm must keep top-5 overlap = 5. Identical vectors project
+    // identically, so within-cluster ties break by vec_id on BOTH arms.
+    val dim = 64
+    def axisVec(axis: Int): Seq[Float] = {
+      val a = Array.fill(dim)(0f); a(axis) = 4f; a.toSeq
+    }
+    val rows = ((0 to 3) ++ (8 to 19)).map(i => (i.toLong, axisVec(0), "a")) ++
+      ((4 to 7) ++ (20 to 31)).map(i => (i.toLong, axisVec(32), "b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_jl").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val fx = SparkEntry.queries("q176_jl_projection")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    graft.Caches.release()
+    assert(fx.length == 3 * 8, "3 arms x 8 queries")
+    fx.foreach { r =>
+      assert(r._3 == rows.length - 1, s"n_pairs wrong: $r")
+      assert(r._4 == 5L, s"margin fixture must keep full top-5 recall: $r")
+    }
+    // driver corpus: structural invariants + distortion monotone in K
+    val out = SparkEntry.queries("q176_jl_projection")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    graft.Caches.release()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq(16, 32, 48))
+    assert(out.length == 3 * 8 && out.forall(_._3 == n - 1))
+    def meanErr(k: Int) = out.filter(_._1 == k).map(_._6).sum / 8.0
+    assert(meanErr(48) < meanErr(32) && meanErr(32) < meanErr(16),
+      "JL distortion must shrink as K grows")
+  }
+
+  test("q177 hubness audit finds a planted hub and its shares replay from the emitted columns") {
+    import spark.implicits._
+    // hub geometry: hub = 8*e0; chained spokes v_i = 8*e0 + e_{i+1} +
+    // 0.5*e_{i+2}. cos(spoke, hub) ≈ 0.992 beats the chain-neighbor
+    // cos ≈ 0.9885, which beats the generic spoke pair ≈ 0.981 — every
+    // anchor ranks the hub FIRST and spreads its remaining edges along
+    // the chain, so no spoke's in-degree can approach the hub's
+    val dim = 64
+    val hubId = 999L
+    def spoke(i: Int): Seq[Float] = {
+      val a = Array.fill(dim)(0f); a(0) = 8f; a(i + 1) = 1f; a(i + 2) = 0.5f; a.toSeq
+    }
+    val hubVec: Seq[Float] = { val a = Array.fill(dim)(0f); a(0) = 8f; a.toSeq }
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def isAnchor(id: Long): Boolean =
+      BigInt(md5hex(s"hub:$id").take(15), 16) % 8 == 0
+    // pick spoke ids so the md5 sample is guaranteed dense: 15 ids from
+    // the anchor pool + 45 from the complement (hub id excluded)
+    val pool = (0L until 2000L).filter(_ != hubId)
+    val spokeIds = (pool.filter(isAnchor).take(15) ++ pool.filterNot(isAnchor).take(45))
+    val rows = spokeIds.zipWithIndex.map { case (id, i) => (id, spoke(i), "x") } :+
+      ((hubId, hubVec, "x"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hub").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val anchorIds = rows.map(_._1).filter(isAnchor)
+    assert(anchorIds.size >= 6, s"fixture needs >= 6 sampled anchors, got ${anchorIds.size}")
+    val fx = SparkEntry.queries("q177_hubness_audit")(spark, dir).collect()
+    graft.Caches.release()
+    assert(fx.length == 1)
+    val r = fx.head
+    assert(r.getLong(1) == anchorIds.size, "anchor sample must match the md5 replay")
+    assert(r.getLong(4) == hubId, "the planted hub must win the election")
+    val hubDeg = anchorIds.count(_ != hubId).toLong // every non-hub anchor ranks it #1
+    assert(r.getLong(3) == hubDeg, s"hub in-degree must equal non-hub anchors: $r")
+    assert(r.getLong(5) >= 1, "the hub must count as heavy")
+    assert(r.getLong(6) == r.getLong(3) * 1000000L / r.getLong(2), "ppm share replays")
+    // driver corpus: one row per label, shares replay from emitted columns
+    val out = SparkEntry.queries("q177_hubness_audit")(spark, sfDir).collect()
+    graft.Caches.release()
+    assert(out.nonEmpty && out.map(_.getInt(0)).distinct.length == out.length)
+    out.foreach { o =>
+      assert(o.getLong(2) <= o.getLong(1) * 3, "edges cannot exceed anchors x k")
+      assert(o.getLong(6) == o.getLong(3) * 1000000L / o.getLong(2))
+    }
+  }
+
   test("q174 split is component-atomic and rescues exactly the naive-split leaks") {
     import spark.implicits._
     // find two ids whose NAIVE doc-keyed hashes land on opposite sides,
