@@ -80,15 +80,22 @@ object Dedup extends QueryModule {
   /** q32's per-doc hashed-shingle sets (see the q32 body comment) —
     * split out so [[jaccardCandidateStats]] instruments the IDENTICAL
     * relations the production query joins. */
-  private def jaccardDocSets(s: SparkSession, dir: String): DataFrame =
-    graft.Caches.track(Tables.documentsWide(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+  /** Sorted distinct md5-int64 bigram-shingle set per doc — the token
+    * universe shared by the whole Jaccard/containment family
+    * (q32/q172 here, the q179 containment intake in
+    * IncrementalContain). */
+  private[graft] def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), expr(
         """sort_array(array_distinct(transform(sequence(1, size(ts) - 1),
           |  i -> cast(conv(substring(md5(concat(element_at(ts, i), ' ', element_at(ts, i + 1))), 1, 15), 16, 10) AS bigint))))""".stripMargin)
         .as("set"))
-      .withColumn("n", size(col("set"))))
+      .withColumn("n", size(col("set")))
+
+  private def jaccardDocSets(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.track(shingleSetsOf(
+      Tables.documentsWide(s, dir).select("doc_id", "text")))
       // tracked cache: feeds df counts, rank, and both verification sides
 
   /** q32's rarest-first prefix relation over [[jaccardDocSets]]. */

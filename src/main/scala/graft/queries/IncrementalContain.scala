@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** q179 — INCREMENTAL CONTAINMENT INTAKE: q172's asymmetric
+  * set-containment detector in the production artifact shape (the q84
+  * pattern, the family's seventh persisted index). The corpus's
+  * containment state is persisted ONCE; every following day a small
+  * shard is verdicted against the ARTIFACT only — "is this new doc
+  * subsumed by something we already have?" — never a corpus rescan
+  * (reference anchor: the watermark-driven incremental contract of
+  * /root/reference/nikon_ETL.py:425-499 — only new slices touch
+  * persisted state).
+  *
+  * Artifact layout (fingerprinted, marker-last, q78 publication):
+  *  - `postings/` — DISTINCT (tok, doc_id): the corpus's shingle-token
+  *    postings (md5-int64 tokens, q32's construction).
+  *  - `sets/`     — (doc_id, set, n): sorted shingle arrays for exact
+  *    verification.
+  *  - `df/`       — (tok, df): corpus document frequencies, FROZEN at
+  *    build time; the shard's prefix ranks rarest-first against them.
+  *
+  * Serving exactness: a shard doc A is contained in B at t = 9/10 iff
+  * |A∩B| ≥ ⌈0.9·|A|⌉ (pure integer test: 10·inter ≥ 9·n1). The prefix
+  * bound — if no token among A's first n1 − ⌈t·n1⌉ + 1 (in ANY fixed
+  * order of A's tokens) is shared, then shared ≤ ⌈t·n1⌉ − 1 — holds for
+  * EVERY ordering, so ranking by the FROZEN corpus df (unseen tokens
+  * rank first at df 0; they match no posting and only cost slots) keeps
+  * the candidate join exact while maximally selective against the
+  * frozen state. Verdict precedence per shard doc:
+  *    contained_in_corpus (≥1 corpus container; MIN container cited) >
+  *    contained_in_batch  (contained in another shard doc, min-id
+  *                         keeps under mutual containment) >
+  *    kept. Docs under [[MinSet]] distinct shingles abstain (kept) —
+  *    a 3-shingle "document" being a substring of something is noise,
+  *    the q172 convention.
+  *
+  * Scale shape: the shard is small by definition; the candidate join
+  * is shard-prefix × postings on the uniform int64 token key (one pass
+  * over the index, shard-proportional output); verification joins the
+  * bounded candidate set against `sets/` with the codegen'd
+  * graft_inter_count kernel; batch containment runs q172's machinery
+  * on the shard alone. [[ingest]] folds kept docs into a new
+  * generation (postings/sets union, df summed — additive under the
+  * re-key disjointness guard), after which replaying the same shard
+  * keeps nothing.
+  *
+  * The staged shard plants all three verdict classes on deterministic
+  * splits: genuinely new pages (doc_id % 5 = 4, as-is), corpus
+  * SNIPPETS (first half of corpus docs with doc_id % 10 = 0 and ≥ 12
+  * tokens, re-keyed +1e6 — a prefix cut, so its shingles are a subset
+  * of the full doc's: contained_in_corpus at containment 1.0), and
+  * snippets OF THE NEW PAGES (doc_id % 20 = 4 with ≥ 12 tokens,
+  * re-keyed +3e6 — their containers are shard docs, not corpus:
+  * contained_in_batch).
+  */
+object IncrementalContain extends QueryModule {
+  import IncrementalDedup.{ShardBase, assertRekeyDisjoint, complete, fsFor, publish}
+
+  private[graft] val MinSet = 4    // contained side must carry >= 4 shingles
+  private val SnipMinToks = 12     // snippets cut docs with >= 12 tokens
+
+  private def md5key(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  private[graft] def indexPath(s: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.dataFingerprint(s, dir)
+    s"${IncrementalDedup.indexRoot}/contain-${md5key(s"contain#$fp")}"
+  }
+  private[graft] def shardPath(s: SparkSession, dir: String): String = {
+    val fp = IncrementalDedup.dataFingerprint(s, dir)
+    s"${IncrementalDedup.indexRoot}/contain-shard-${md5key(s"containshard#$fp")}"
+  }
+
+  private def corpusDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text").filter(col("doc_id") % 5 =!= 4)
+
+  /** First-half prefix cut: tokens 1 .. n div 2 rejoined. */
+  private def halfCut(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= SnipMinToks)
+      .select(col("doc_id"),
+        expr("array_join(slice(ts, 1, size(ts) div 2), ' ')").as("text"))
+
+  private def shardDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    docs.filter(col("doc_id") % 5 === 4)
+      .unionByName(halfCut(docs.filter(col("doc_id") % 10 === 0))
+        .select((col("doc_id") + ShardBase).as("doc_id"), col("text")))
+      .unionByName(halfCut(docs.filter(col("doc_id") % 20 === 4))
+        .select((col("doc_id") + 3 * ShardBase).as("doc_id"), col("text")))
+  }
+
+  /** Offline: persist postings, verification sets, and frozen df. */
+  private[graft] def buildIndex(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(indexPath(s, dir))
+    publish(s, path) { tmp =>
+      val corpus = corpusDocs(s, dir)
+      assertRekeyDisjoint(corpus, "contain")
+      val sets = Dedup.shingleSetsOf(corpus)
+      sets.write.mode("overwrite").parquet(s"$tmp/sets")
+      val postings = sets.select(col("doc_id"), explode(col("set")).as("tok"))
+      postings.write.mode("overwrite").parquet(s"$tmp/postings")
+      postings.groupBy("tok").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$tmp/df")
+    }
+    path.toString
+  }
+
+  private[graft] def stageShard(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(shardPath(s, dir))
+    publish(s, path) { tmp =>
+      shardDocs(s, dir).write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+    path.toString
+  }
+
+  /** Online: verdict every shard doc against the artifact ONLY. */
+  private[graft] def verdictsAgainst(s: SparkSession, shard: DataFrame,
+                                     idxPath: String): DataFrame = {
+    val shardSets = graft.Caches.track(Dedup.shingleSetsOf(shard))
+    val df = s.read.parquet(s"$idxPath/df")
+    // shard prefix, rarest-first against the FROZEN corpus df (unseen
+    // tokens df 0 — exact for any order, see scaladoc)
+    val prefix = shardSets.filter(col("n") >= MinSet)
+      .select(col("doc_id").as("sdoc"), col("n").as("n1"),
+        col("set").as("s1"), explode(col("set")).as("tok"))
+      .join(df, Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("sdoc").orderBy("df", "tok")))
+      .filter(col("rk") <= col("n1") - expr("(9 * n1 + 9) div 10") + 1)
+      .select("sdoc", "tok", "n1", "s1")
+    val cand = prefix
+      .join(s.read.parquet(s"$idxPath/postings").withColumnRenamed("doc_id", "cdoc"), "tok")
+      .select("sdoc", "cdoc").distinct()
+    val corpusHit = cand
+      .join(s.read.parquet(s"$idxPath/sets")
+        .select(col("doc_id").as("cdoc"), col("set").as("s2"), col("n").as("n2")), "cdoc")
+      .join(shardSets.select(col("doc_id").as("sdoc"), col("set").as("s1"),
+        col("n").as("n1")), "sdoc")
+      .filter(col("n2") * 10 >= col("n1") * 9)
+      .withColumn("inter", expr("graft_inter_count(s1, s2)"))
+      .filter(col("inter") * 10 >= col("n1") * 9)
+      .groupBy(col("sdoc").as("doc_id"))
+      .agg(min(col("cdoc")).as("container"))
+    // batch containment: the same prefix equi-join as the corpus arm,
+    // pointed at the shard's own postings (exact by the same any-order
+    // prefix bound — never a shard cartesian); min-id keeps under
+    // mutual containment
+    val bcand = prefix
+      .join(shardSets.select(col("doc_id").as("db"), explode(col("set")).as("tok")), "tok")
+      .filter(col("sdoc") =!= col("db"))
+      .select(col("sdoc").as("da"), col("db")).distinct()
+    val pairs = bcand
+      .join(shardSets.select(col("doc_id").as("da"), col("n").as("na"), col("set").as("sa")), "da")
+      .join(shardSets.select(col("doc_id").as("db"), col("n").as("nb"), col("set").as("sb")), "db")
+      .filter(col("nb") * 10 >= col("na") * 9)
+      .withColumn("iab", expr("graft_inter_count(sa, sb)"))
+      .withColumn("cab", col("iab") * 10 >= col("na") * 9)
+      .withColumn("cba", col("iab") * 10 >= col("nb") * 9 && col("nb") >= MinSet)
+      .filter(col("cab") && (!col("cba") || col("db") < col("da")))
+    val batchHit = pairs.groupBy(col("da").as("doc_id"))
+      .agg(min(col("db")).as("batch_container"))
+    shard.select("doc_id")
+      .join(corpusHit, Seq("doc_id"), "left")
+      .join(batchHit, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("container").isNotNull, "contained_in_corpus")
+          .when(col("batch_container").isNotNull, "contained_in_batch")
+          .otherwise("kept"))
+      .withColumn("keep", col("verdict") === "kept")
+      .select("doc_id", "verdict", "keep", "container")
+      .orderBy("doc_id")
+  }
+
+  /** Fold kept shard docs into a new artifact generation: postings and
+    * sets union (re-keyed ids are disjoint by the guard), df summed. */
+  private[graft] def ingest(s: SparkSession, shard: DataFrame,
+                            idxPath: String, outPath: String): String = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
+    publish(s, path) { tmp =>
+      val kept = shard.join(
+        verdictsAgainst(s, shard, idxPath).filter(col("keep")).select("doc_id"), "doc_id")
+      val keptSets = Dedup.shingleSetsOf(kept)
+      s.read.parquet(s"$idxPath/sets").unionByName(keptSets)
+        .write.mode("overwrite").parquet(s"$tmp/sets")
+      val keptPost = keptSets.select(col("doc_id"), explode(col("set")).as("tok"))
+      s.read.parquet(s"$idxPath/postings").unionByName(keptPost)
+        .write.mode("overwrite").parquet(s"$tmp/postings")
+      s.read.parquet(s"$idxPath/df")
+        .unionByName(keptPost.groupBy("tok").agg(count(lit(1)).as("df")))
+        .groupBy("tok").agg(sum(col("df")).as("df"))
+        .write.mode("overwrite").parquet(s"$tmp/df")
+    }
+    path.toString
+  }
+
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildIndex(s, dir)
+    val shard = stageShard(s, dir)
+    verdictsAgainst(s, s.read.parquet(s"$shard/docs"), idx)
+  }
+
+  // Oracle: composed corpus∪shard ground truth from raw documents —
+  // never sees the artifact (the q84 convention), so a hash match
+  // proves the served verdicts equal a from-scratch recomputation.
+  private val q179Sql =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+      |snip AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= $SnipMinToks),
+      |shard AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+      |  UNION ALL
+      |  SELECT doc_id + $ShardBase, array_to_string(ts[1 : len(ts) // 2], ' ')
+      |  FROM snip WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + ${3 * ShardBase}, array_to_string(ts[1 : len(ts) // 2], ' ')
+      |  FROM snip WHERE doc_id % 20 = 4),
+      |ctoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus WHERE len(string_split(text, ' ')) >= 2),
+      |cshing AS (SELECT DISTINCT doc_id, unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS shingle FROM ctoks),
+      |ctok AS (SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS tok FROM cshing),
+      |csize AS (SELECT doc_id, COUNT(*) AS n FROM ctok GROUP BY doc_id),
+      |stoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM shard WHERE len(string_split(text, ' ')) >= 2),
+      |sshing AS (SELECT DISTINCT doc_id, unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS shingle FROM stoks),
+      |stok AS (SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS tok FROM sshing),
+      |ssize AS (SELECT doc_id, COUNT(*) AS n FROM stok GROUP BY doc_id),
+      |chit AS (
+      |  SELECT j.doc_id, MIN(j.cdoc) AS container
+      |  FROM (
+      |    SELECT s.doc_id, c.doc_id AS cdoc, COUNT(*) AS inter
+      |    FROM stok s JOIN ctok c ON s.tok = c.tok
+      |    GROUP BY 1, 2) j
+      |  JOIN ssize sz ON j.doc_id = sz.doc_id
+      |  WHERE sz.n >= $MinSet AND j.inter * 10 >= sz.n * 9
+      |  GROUP BY j.doc_id),
+      |bpair AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS iab
+      |  FROM stok a JOIN stok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2),
+      |bhit AS (
+      |  SELECT p.da AS doc_id, MIN(p.db) AS batch_container
+      |  FROM bpair p
+      |  JOIN ssize za ON p.da = za.doc_id
+      |  JOIN ssize zb ON p.db = zb.doc_id
+      |  WHERE za.n >= $MinSet
+      |    AND p.iab * 10 >= za.n * 9
+      |    AND (NOT (p.iab * 10 >= zb.n * 9 AND zb.n >= $MinSet) OR p.db < p.da)
+      |  GROUP BY 1)
+      |SELECT s.doc_id,
+      |       CASE WHEN ch.container IS NOT NULL THEN 'contained_in_corpus'
+      |            WHEN bh.batch_container IS NOT NULL THEN 'contained_in_batch'
+      |            ELSE 'kept' END AS verdict,
+      |       (ch.container IS NULL AND bh.batch_container IS NULL) AS keep,
+      |       ch.container
+      |FROM shard s
+      |LEFT JOIN chit ch ON s.doc_id = ch.doc_id
+      |LEFT JOIN bhit bh ON s.doc_id = bh.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_contain_intake" -> (q179 _),
+  )
+  override val oracle: Map[String, String] = Map(
+    "q179_contain_intake" -> q179Sql,
+  )
+}

@@ -242,6 +242,17 @@ class PlanSpec extends SparkTestBase {
         p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
   }
 
+  test("q179 serves from the containment index + staged shard: the corpus is never rescanned") {
+    // after the offline build, a shard doc's "am I subsumed?" question
+    // is answered by the postings/sets/df artifact + the staged shard
+    // files only — a documents scan would re-read the corpus per batch
+    val p = plan(graft.queries.IncrementalContain.queries("q179_contain_intake")(spark, sfDir))
+    assert(p.contains("contain-"), "plan does not read the containment index artifact")
+    assert(!p.contains("documents.parquet"),
+      "q179 rescans the documents table:\n" +
+        p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
+  }
+
   test("q101 serves from the media index + staged shard: the corpus is never rescanned or re-decoded") {
     // the media-intake claim: after the offline build (which pays the
     // corpus decode ONCE), a day's media shard is verdicted by decoding
