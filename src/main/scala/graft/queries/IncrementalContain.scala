@@ -135,31 +135,36 @@ object IncrementalContain extends QueryModule {
           .partitionBy("sdoc").orderBy("df", "tok")))
       .filter(col("rk") <= col("n1") - expr("(9 * n1 + 9) div 10") + 1)
       .select("sdoc", "tok", "n1", "s1")
-    val cand = prefix
-      .join(s.read.parquet(s"$idxPath/postings").withColumnRenamed("doc_id", "cdoc"), "tok")
-      .select("sdoc", "cdoc").distinct()
-    val corpusHit = cand
+    // the exact containment test runs INSIDE the token equi-join (the
+    // q32 round-9 discipline): on a small shingle universe — the regime
+    // this corpus family inhabits — prefix selectivity collapses and
+    // the matched-pair stream grows toward |shard|·|corpus|; with
+    // graft_overlap_reaches(s1, s2, ⌈0.9·n1⌉) in the join condition a
+    // non-containing pair dies in ~12 merge steps and ONLY true
+    // containments are ever materialized, deduplicated, or aggregated.
+    // The container's set rides the postings via one cdoc-keyed join
+    // (in production a bucketed artifact table co-locates it for free).
+    val postex = s.read.parquet(s"$idxPath/postings").withColumnRenamed("doc_id", "cdoc")
       .join(s.read.parquet(s"$idxPath/sets")
         .select(col("doc_id").as("cdoc"), col("set").as("s2"), col("n").as("n2")), "cdoc")
-      .join(shardSets.select(col("doc_id").as("sdoc"), col("set").as("s1"),
-        col("n").as("n1")), "sdoc")
-      .filter(col("n2") * 10 >= col("n1") * 9)
-      .withColumn("inter", expr("graft_inter_count(s1, s2)"))
-      .filter(col("inter") * 10 >= col("n1") * 9)
-      .groupBy(col("sdoc").as("doc_id"))
-      .agg(min(col("cdoc")).as("container"))
-    // batch containment: the same prefix equi-join as the corpus arm,
-    // pointed at the shard's own postings (exact by the same any-order
-    // prefix bound — never a shard cartesian); min-id keeps under
-    // mutual containment
-    val bcand = prefix
-      .join(shardSets.select(col("doc_id").as("db"), explode(col("set")).as("tok")), "tok")
-      .filter(col("sdoc") =!= col("db"))
-      .select(col("sdoc").as("da"), col("db")).distinct()
-    val pairs = bcand
-      .join(shardSets.select(col("doc_id").as("da"), col("n").as("na"), col("set").as("sa")), "da")
-      .join(shardSets.select(col("doc_id").as("db"), col("n").as("nb"), col("set").as("sb")), "db")
-      .filter(col("nb") * 10 >= col("na") * 9)
+    val corpusHit = prefix.as("a").join(postex.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("b.n2") * 10 >= col("a.n1") * 9 &&
+          expr("graft_overlap_reaches(a.s1, b.s2, cast((9 * a.n1 + 9) div 10 AS bigint))"))
+      .groupBy(col("a.sdoc").as("doc_id"))
+      .agg(min(col("b.cdoc")).as("container"))
+    // batch containment: the same early-exit join pointed at the
+    // shard's own exploded sets; mutual containment resolved on the
+    // surviving pairs only (min-id keeps)
+    val spost = shardSets.select(col("doc_id").as("db"), col("n").as("nb"),
+      col("set").as("sb"), explode(col("set")).as("tok"))
+    val pairs = prefix.as("a").join(spost.as("b"),
+        col("a.tok") === col("b.tok") && col("a.sdoc") =!= col("b.db") &&
+          col("b.nb") * 10 >= col("a.n1") * 9 &&
+          expr("graft_overlap_reaches(a.s1, b.sb, cast((9 * a.n1 + 9) div 10 AS bigint))"))
+      .select(col("a.sdoc").as("da"), col("a.n1").as("na"), col("a.s1").as("sa"),
+        col("b.db").as("db"), col("b.nb").as("nb"), col("b.sb").as("sb"))
+      .distinct()
       .withColumn("iab", expr("graft_inter_count(sa, sb)"))
       .withColumn("cab", col("iab") * 10 >= col("na") * 9)
       .withColumn("cba", col("iab") * 10 >= col("nb") * 9 && col("nb") >= MinSet)
