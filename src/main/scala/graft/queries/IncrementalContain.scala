@@ -118,6 +118,16 @@ object IncrementalContain extends QueryModule {
     path.toString
   }
 
+  /** The artifact's postings with each container's verification set
+    * attached (cdoc, tok, s2, n2) — the static side of both the batch
+    * serve and the streaming twin ([[graft.streaming.Streams
+    * .containScore]]). In production a bucketed artifact table
+    * co-locates this join for free. */
+  private[graft] def postex(s: SparkSession, idxPath: String): DataFrame =
+    s.read.parquet(s"$idxPath/postings").withColumnRenamed("doc_id", "cdoc")
+      .join(s.read.parquet(s"$idxPath/sets")
+        .select(col("doc_id").as("cdoc"), col("set").as("s2"), col("n").as("n2")), "cdoc")
+
   /** Online: verdict every shard doc against the artifact ONLY. */
   private[graft] def verdictsAgainst(s: SparkSession, shard: DataFrame,
                                      idxPath: String): DataFrame = {
@@ -144,10 +154,7 @@ object IncrementalContain extends QueryModule {
     // containments are ever materialized, deduplicated, or aggregated.
     // The container's set rides the postings via one cdoc-keyed join
     // (in production a bucketed artifact table co-locates it for free).
-    val postex = s.read.parquet(s"$idxPath/postings").withColumnRenamed("doc_id", "cdoc")
-      .join(s.read.parquet(s"$idxPath/sets")
-        .select(col("doc_id").as("cdoc"), col("set").as("s2"), col("n").as("n2")), "cdoc")
-    val corpusHit = prefix.as("a").join(postex.as("b"),
+    val corpusHit = prefix.as("a").join(postex(s, idxPath).as("b"),
         col("a.tok") === col("b.tok") &&
           col("b.n2") * 10 >= col("a.n1") * 9 &&
           expr("graft_overlap_reaches(a.s1, b.s2, cast((9 * a.n1 + 9) div 10 AS bigint))"))

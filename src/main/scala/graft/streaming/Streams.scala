@@ -873,6 +873,45 @@ object Streams {
     }.toDF("doc_id", "ts", "n_feats", "weight_bits", "w_mb", "selected")
   }
 
+  /** Streaming twin of q179's CORPUS arm: intake documents ask "am I
+    * subsumed by something the corpus already has?" against the FROZEN
+    * containment artifact ([[graft.queries.IncrementalContain
+    * .postex]]). Each doc flatMaps to its containment-prefix rows —
+    * here ranked by plain token value, df-free: the any-order prefix
+    * bound makes EVERY fixed order exact, and the online twin trades
+    * the df-optimal candidate count for a model-free narrow map — and
+    * one stream-static join runs the exact early-exit containment test
+    * INSIDE the join condition (q179's serving discipline), so only
+    * true containments reach the watermark-bounded (window, doc)
+    * aggregation. The min(container) vote is duplicate-insensitive, so
+    * at-least-once redelivery cannot change a verdict. Docs that emit
+    * no row are kept; within-BATCH containment stays the daily batch
+    * job's business (it would need a stream-stream self-join — the
+    * honest incremental divergence, as with [[corpusPrepare]]). */
+  def containScore(docs: Dataset[Doc], postex: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val minSet = graft.queries.IncrementalContain.MinSet
+    val prefixed = docs.flatMap { d =>
+      val ts = d.text.split(" ", -1)
+      val set = ts.zip(ts.drop(1))
+        .map { case (a, b) => graft.queries.Corpus.md5Int60(s"$a $b") }
+        .distinct.sorted
+      val n1 = set.length
+      if (n1 < minSet) Iterator.empty
+      else {
+        val plen = n1 - (9 * n1 + 9) / 10 + 1
+        set.take(plen).iterator.map(tok => (d.doc_id, d.ts, n1, set, tok))
+      }
+    }.toDF("doc_id", "ts", "n1", "s1", "tok")
+    prefixed.withWatermark("ts", "1 hour")
+      .join(postex, prefixed("tok") === postex("tok") &&
+        postex("n2") * 10 >= prefixed("n1") * 9 &&
+        expr("graft_overlap_reaches(s1, s2, cast((9 * n1 + 9) div 10 AS bigint))"))
+      .groupBy(window(col("ts"), "1 day"), col("doc_id"))
+      .agg(min(col("cdoc")).as("container"))
+      .select(col("window.start").as("win_start"), col("doc_id"), col("container"))
+  }
+
   case class PackDoc(doc_id: Long, text: String)
   case class PackState(total: Long, tailText: String, tailNDocs: Int,
                        tailFirst: Long, tailLast: Long)

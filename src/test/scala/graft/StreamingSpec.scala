@@ -353,6 +353,41 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch, "frozen-model stream scoring must equal the batch selection")
   }
 
+  test("streaming containment scorer against the frozen artifact equals batch q179's corpus arm") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.IncrementalContain
+    val idx = IncrementalContain.buildIndex(spark, sfDir)
+    val shardDf = spark.read.parquet(s"${IncrementalContain.stageShard(spark, sfDir)}/docs")
+    val batch = IncrementalContain.verdictsAgainst(spark, shardDf, idx).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(3)))
+    graft.Caches.release()
+    val want = batch.filter(_._2 == "contained_in_corpus")
+      .map(t => t._1 -> t._3.asInstanceOf[Long]).toMap
+    assert(want.nonEmpty, "fixture must plant corpus containments")
+    val docs = shardDf.collect()
+      .map(r => Streams.Doc(r.getLong(0), ts("2024-01-01 10:00:00"), r.getString(1)))
+    val mem = MemoryStream[Streams.Doc]
+    val query = Streams.containScore(mem.toDS(), IncrementalContain.postex(spark, idx))
+      .writeStream.format("memory").queryName("contain_stream")
+      .outputMode("append").start()
+    mem.addData(docs.toIndexedSeq: _*)
+    query.processAllAvailable()
+    // at-least-once delivery: replay the whole feed; min(container) is
+    // duplicate-insensitive so no verdict may change
+    mem.addData(docs.toIndexedSeq: _*)
+    query.processAllAvailable()
+    // a junk far-future doc (unseen tokens, >= MinSet shingles so its
+    // prefix rows carry the watermark) closes the window
+    mem.addData(Streams.Doc(999999L, ts("2024-06-01 00:00:00"), "zz1 zz2 zz3 zz4 zz5 zz6"))
+    query.processAllAvailable()
+    val streamed = spark.table("contain_stream")
+      .select("doc_id", "container").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    query.stop()
+    assert(streamed == want,
+      "stream corpus-containment verdicts must equal the batch arm (same containers)")
+  }
+
   test("batch q25 sessionization agrees with the streaming sessionizer") {
     // same events, two execution models (D3 applied to batch vs stream):
     // session (user, n_events, total_value) multisets must match.
