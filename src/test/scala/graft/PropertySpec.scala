@@ -104,6 +104,48 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("containment prefix never loses a C >= 0.9 pair, under ANY token order (q172/q179's lemma)") {
+    // The bound the containment family rests on: if C(A→B) = |A∩B|/|A|
+    // ≥ 0.9, then A and B share a token among A's first n1 − ⌈0.9·n1⌉
+    // + 1 in ANY fixed total order of A's tokens — so the df-ranked
+    // batch prefix (q172/q179) and the df-free stream prefix
+    // (Streams.containScore) are BOTH pure pruning. The property tests
+    // three orders per corpus: plain value, global-df rarest-first,
+    // and an adversarial rarest-LAST order.
+    def candidates(docs: Map[Long, Set[Long]],
+                   orderOf: Long => Seq[Long]): Set[(Long, Long)] =
+      (for {
+        a <- docs.keys; b <- docs.keys if a != b
+        n1 = docs(a).size if n1 >= 4
+        plen = n1 - ((9 * n1 + 9) / 10) + 1
+        if orderOf(a).take(plen).exists(docs(b).contains)
+      } yield (a, b)).toSet
+    val docGen: Gen[Map[Long, Set[Long]]] = for {
+      nDocs <- Gen.choose(3, 10)
+      base <- Gen.listOfN(nDocs, Gen.choose(5, 30).flatMap(sz =>
+        Gen.listOfN(sz, Gen.choose(0L, 40L)).map(_.toSet).suchThat(_.size >= 5)))
+      // plant a contained doc: a strict subset of doc 0
+      keep <- Gen.choose(5, 10)
+    } yield (base.zipWithIndex.map { case (s, i) => i.toLong -> s } :+
+      (nDocs.toLong -> base.head.take(math.min(keep, base.head.size)))).toMap
+    forAllN(docGen, n = 40) { docs =>
+      val df = docs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val orders: Seq[Long => Seq[Long]] = Seq(
+        a => docs(a).toSeq.sorted,
+        a => docs(a).toSeq.sortBy(t => (df(t), t)),
+        a => docs(a).toSeq.sortBy(t => (-df(t), t)))
+      val truePairs = (for {
+        a <- docs.keys; b <- docs.keys
+        if a != b && docs(a).size >= 4 &&
+          docs(a).intersect(docs(b)).size * 10 >= docs(a).size * 9
+      } yield (a, b)).toSet
+      orders.zipWithIndex.foreach { case (ord, i) =>
+        val missed = truePairs -- candidates(docs, ord)
+        assert(missed.isEmpty, s"order #$i lost true containment pairs: $missed")
+      }
+    }
+  }
+
   test("fitBox never upscales, always fits the box, preserves aspect within integer floor") {
     import graft.functions.Multimodal.fitBox
     val gen = for {
