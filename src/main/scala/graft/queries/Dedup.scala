@@ -255,19 +255,53 @@ object Dedup extends QueryModule {
   // fix — a non-containing pair dies in ~12 merge steps INSIDE the
   // join loop) keep the unpruned container side from ever shuffling a
   // quadratic candidate stream.
-  private val ContainThreshold = 0.9
+  // Threshold t = 9/10 is carried EXCLUSIVELY in integer form (10·inter ≥
+  // 9·n1, prefix length n1 − ⌈9·n1/10⌉ + 1) on both engine and oracle —
+  // no double ever participates in a keep/drop decision.
   private val MinContainedSet = 4
-  private def q172(s: SparkSession, dir: String): DataFrame = {
-    val docSets = jaccardDocSets(s, dir)
+
+  /** Shared ranked token relation of the containment family (q172 exact,
+    * q180 banded, q181 recall): each doc's exploded tokens with corpus
+    * df, rarest-first rank, set size, and the doc's full sorted set
+    * attached (the set rides INTO the join so the early-exit overlap
+    * test can kill candidates inside the join loop — the q32 shape).
+    * Tracked cache: one rank pipeline feeds every join side. */
+  private def containRanked(docSets: DataFrame): DataFrame = {
     val tok = docSets.select(col("doc_id"), col("n"), explode(col("set")).as("tok"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = graft.Caches.track(tok.join(dfreq, "tok")
+    graft.Caches.track(tok.join(dfreq, "tok")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "tok")))
-      .select("doc_id", "tok", "rk", "n")
+      .select("doc_id", "tok", "rk", "n", "df")
       .join(docSets.select(col("doc_id"), col("set")), "doc_id"))
-      // tracked cache: the contained-side prefix below is a filter of
-      // this same relation — one rank pipeline feeds both join sides
+  }
+
+  /** Exact verification + output shaping shared by q172/q180: the pure
+    * integer containment test (10·inter ≥ 9·n1 ⟺ inter ≥ ⌈0.9·n1⌉ —
+    * exactly the bound the in-join early-exit enforces, and exactly what
+    * the oracle tests); ROUND appears only in the REPORTED containment
+    * column. A double-rounding cut would additionally admit inter/n1 ∈
+    * [0.8999995, 0.9) once a contained doc carries ≥ 2·10⁶ distinct
+    * shingles — engine/oracle divergence inside the claimed 100 TB
+    * regime, unreachable only in fixtures. */
+  private def containVerify(cand: DataFrame, docSets: DataFrame): DataFrame =
+    cand
+      .join(docSets.select(col("doc_id").as("contained"),
+        col("set").as("s1"), col("n").as("n1")), "contained")
+      .join(docSets.select(col("doc_id").as("container"),
+        col("set").as("s2"), col("n").as("n2")), "container")
+      .withColumn("inter", expr("graft_inter_count(s1, s2)"))
+      .filter(col("inter") * 10 >= col("n1") * 9)
+      .withColumn("containment", round(col("inter").cast("double") / col("n1"), 6))
+      .select(col("contained"), col("container"), col("inter"),
+        col("n1").cast("long").as("n_contained"),
+        col("n2").cast("long").as("n_container"), col("containment"))
+
+  /** q172's exact pair set: contained-side rarest-first prefix against
+    * the container side's FULL token set, positional + size bounds and
+    * the codegen'd early-exit inside the join condition. Lossless. */
+  private[graft] def containPairsExact(docSets: DataFrame): DataFrame = {
+    val ranked = containRanked(docSets)
     val aPrefix = ranked.filter(col("n") >= MinContainedSet &&
       col("rk") <= col("n") - expr("(9 * n + 9) div 10") + 1)
     val cand = aPrefix.as("a").join(ranked.as("b"),
@@ -278,19 +312,12 @@ object Dedup extends QueryModule {
           expr("graft_overlap_reaches(a.set, b.set, cast((9 * a.n + 9) div 10 AS bigint))"))
       .select(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
       .distinct()
-    cand
-      .join(docSets.select(col("doc_id").as("contained"),
-        col("set").as("s1"), col("n").as("n1")), "contained")
-      .join(docSets.select(col("doc_id").as("container"),
-        col("set").as("s2"), col("n").as("n2")), "container")
-      .withColumn("inter", expr("graft_inter_count(s1, s2)"))
-      .withColumn("containment", round(col("inter").cast("double") / col("n1"), 6))
-      .filter(col("containment") >= ContainThreshold)
-      .select(col("contained"), col("container"), col("inter"),
-        col("n1").cast("long").as("n_contained"),
-        col("n2").cast("long").as("n_container"), col("containment"))
-      .orderBy("contained", "container")
+    containVerify(cand, docSets)
   }
+
+  private def q172(s: SparkSession, dir: String): DataFrame =
+    containPairsExact(jaccardDocSets(s, dir))
+      .orderBy("contained", "container")
 
   private val q172Sql =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 2),
@@ -319,8 +346,154 @@ object Dedup extends QueryModule {
       |       ROUND(CAST(i.inter AS DOUBLE) / s1.n, 6) AS containment
       |FROM cand c JOIN inter i ON c.contained = i.contained AND c.container = i.container
       |JOIN sizes s1 ON c.contained = s1.doc_id JOIN sizes s2 ON c.container = s2.doc_id
-      |WHERE ROUND(CAST(i.inter AS DOUBLE) / s1.n, 6) >= $ContainThreshold
+      |WHERE i.inter * 10 >= s1.n * 9
       |ORDER BY c.contained, c.container""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q180 — BANDED CONTAINMENT DEDUP (q172's registered scale twin — the
+  // q33 move applied to the asymmetric family): candidates come from
+  // RARE-TOKEN BUCKETS instead of the exact prefix equi-join against the
+  // container side's full token set. Mechanics (the q33 two-pass,
+  // count-prune form): corpus df is the bucket-size count; tokens with
+  // df > ContainBandCap are DROPPED from BOTH sides (an over-cap token
+  // is a mega-bucket — too common to discriminate, the boilerplate class
+  // q31/q44's exact pass owns), so the candidate join's key matches at
+  // most cap rows and the matched stream is bounded by
+  // |prefix rows| × cap — LINEAR in corpus size, never quadratic. (A
+  // graft_collect_capped bucket buffer adds nothing here: pairs come
+  // from prefix-row × bucket-member — a plain equi-join after the count
+  // prune — not from in-bucket combinatorics as in q33.) Every candidate
+  // is exact-verified (graft_inter_count + the integer test), so the
+  // emitted pairs are a SUBSET of q172's: precision 1 by construction,
+  // recall measured by q181 and priced by corpus regime —
+  //  - Heaps-law corpora (every real crawl): most documents carry rare
+  //    shingles, a contained doc's rarest-first prefix lands in thin
+  //    buckets, recall → 1 while the candidate volume Σ_{df≤cap}
+  //    prefix(tok)·df(tok) stays near-linear — the standard production
+  //    rare-key SSJoin index shape, the 100 TB path.
+  //  - The driver's FIXED-31-token-vocabulary corpus family (the
+  //    measured round-9 degenerate regime): df grows linearly with the
+  //    corpus, so at sf0.01/sf0.1 every prefix token is under the cap
+  //    (recall 1.0, measured) while at sf1 only the bootstrap's Heaps
+  //    tail (593 of 1,493 shingles) stays under it and recall decays —
+  //    the honest key-entropy wall (a pair-discriminating key needs
+  //    ~16 bits; a ~1k-value token universe carries ~10), which is WHY
+  //    q172's exact early-exit join remains the family's same-cost-class
+  //    member on this corpus, exactly as q32 remains next to q33.
+  // No positional filter here: with over-cap tokens dropped, the first
+  // SHARED token of a true pair may be unmatched, so the per-row PPJoin
+  // positional bound (valid only at the first shared token) could kill
+  // a true pair; the early-exit overlap test carries the in-join kill
+  // instead and is exact per-row.
+  private[graft] val ContainBandCap = 512
+
+  /** q180's banded pair set over `docSets` — see the block comment. */
+  private[graft] def containPairsBanded(docSets: DataFrame): DataFrame = {
+    val ranked = containRanked(docSets)
+    val aPrefix = ranked.filter(col("n") >= MinContainedSet &&
+      col("rk") <= col("n") - expr("(9 * n + 9) div 10") + 1 &&
+      col("df") <= ContainBandCap)
+    val buckets = ranked.filter(col("df") <= ContainBandCap)
+    val cand = aPrefix.as("a").join(buckets.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") * 10 >= col("a.n") * 9 &&
+          expr("graft_overlap_reaches(a.set, b.set, cast((9 * a.n + 9) div 10 AS bigint))"))
+      .select(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
+      .distinct()
+    containVerify(cand, docSets)
+  }
+
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    containPairsBanded(jaccardDocSets(s, dir))
+      .orderBy("contained", "container")
+
+  /** Oracle CTE chain shared by q180/q181: the q172 stack plus the
+    * banded candidate form (df-capped on both sides, no positional
+    * filter) and its verified pairs. */
+  private def containSqlCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |shing AS (SELECT DISTINCT doc_id, unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS shingle FROM toks),
+      |tok AS (SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS tok FROM shing),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+      |ranked AS (
+      |  SELECT s.doc_id, s.tok, d.df,
+      |         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.tok) AS rk, z.n
+      |  FROM tok s JOIN dfreq d ON s.tok = d.tok JOIN sizes z ON z.doc_id = s.doc_id),
+      |apre AS (SELECT doc_id, tok, df, rk, n FROM ranked
+      |         WHERE n >= $MinContainedSet AND rk <= n - ((9 * n + 9) // 10) + 1),
+      |bcand AS (
+      |  SELECT DISTINCT a.doc_id AS contained, b.doc_id AS container
+      |  FROM apre a JOIN ranked b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      |  WHERE a.df <= $ContainBandCap AND b.n * 10 >= a.n * 9),
+      |binter AS (
+      |  SELECT c.contained, c.container, COUNT(*) AS inter
+      |  FROM bcand c JOIN tok a ON a.doc_id = c.contained
+      |               JOIN tok b ON b.doc_id = c.container AND a.tok = b.tok
+      |  GROUP BY 1, 2),
+      |bpairs AS (
+      |  SELECT c.contained, c.container, i.inter,
+      |         CAST(s1.n AS BIGINT) AS n_contained, CAST(s2.n AS BIGINT) AS n_container,
+      |         ROUND(CAST(i.inter AS DOUBLE) / s1.n, 6) AS containment
+      |  FROM bcand c JOIN binter i ON c.contained = i.contained AND c.container = i.container
+      |  JOIN sizes s1 ON c.contained = s1.doc_id JOIN sizes s2 ON c.container = s2.doc_id
+      |  WHERE i.inter * 10 >= s1.n * 9)""".stripMargin
+
+  private val q180Sql =
+    s"""WITH $containSqlCtes
+      |SELECT contained, container, inter, n_contained, n_container, containment
+      |FROM bpairs
+      |ORDER BY contained, container""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q181 — CONTAINMENT BANDED-vs-EXACT RECALL (the q86 move on the
+  // containment family): runs q172's exact pair set and q180's banded
+  // pair set over the same corpus and reports the coverage row the scale
+  // twin is adopted on — n_exact, n_banded, n_hit (banded ∩ exact; equal
+  // to n_banded by the subset property, but measured by join rather than
+  // assumed), recall. The measurement IS the two detectors (the q119
+  // cost class); at sf1 this is the committed recall point BASELINE.md
+  // cites next to the sub-quadratic candidate-volume step.
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val docSets = jaccardDocSets(s, dir)
+    val exact = containPairsExact(docSets).select("contained", "container")
+    val banded = containPairsBanded(docSets).select("contained", "container")
+    val nEx = exact.agg(count(lit(1)).as("n_exact"))
+    val nBd = banded.agg(count(lit(1)).as("n_banded"))
+    val nHit = exact.join(banded, Seq("contained", "container"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nEx.crossJoin(nBd).crossJoin(nHit)
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / greatest(col("n_exact"), lit(1L)), 6))
+      .select("n_exact", "n_banded", "n_hit", "recall")
+  }
+
+  private val q181Sql =
+    s"""WITH $containSqlCtes,
+      |ecand AS (
+      |  SELECT DISTINCT a.doc_id AS contained, b.doc_id AS container
+      |  FROM apre a JOIN ranked b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      |  WHERE b.n * 10 >= a.n * 9
+      |    AND LEAST(a.n - a.rk, b.n - b.rk) + 1 >= (9 * a.n + 9) // 10),
+      |einter AS (
+      |  SELECT c.contained, c.container, COUNT(*) AS inter
+      |  FROM ecand c JOIN tok a ON a.doc_id = c.contained
+      |               JOIN tok b ON b.doc_id = c.container AND a.tok = b.tok
+      |  GROUP BY 1, 2),
+      |epairs AS (
+      |  SELECT c.contained, c.container
+      |  FROM ecand c JOIN einter i ON c.contained = i.contained AND c.container = i.container
+      |  JOIN sizes s1 ON c.contained = s1.doc_id
+      |  WHERE i.inter * 10 >= s1.n * 9),
+      |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM epairs),
+      |bd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_banded FROM bpairs),
+      |ht AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM epairs e
+      |  WHERE EXISTS (SELECT 1 FROM bpairs b
+      |                WHERE b.contained = e.contained AND b.container = e.container))
+      |SELECT ex.n_exact, bd.n_banded, ht.n_hit,
+      |       ROUND(CAST(ht.n_hit AS DOUBLE) / GREATEST(ex.n_exact, 1), 6) AS recall
+      |FROM ex, bd, ht""".stripMargin
 
   // ---------------------------------------------------------------------
   // q33 — MinHash + banded LSH, the scale path: 16 minhashes per doc
@@ -1196,13 +1369,36 @@ object Dedup extends QueryModule {
   // among W distinct windows] ≈ W²/2^61 — ~2·10⁻⁵ at the sf1 corpus
   // (W ≈ 6·10⁶) but ~1 at W ≈ 10⁹, i.e. EXPECTED at 100 TB window
   // counts. A collision's failure mode is one spurious span strip
-  // (q150/q161) or one merged profile row (q103), never a crash; the
-  // deployment-scale fix is mechanical — carry the full 128-bit digest
-  // as two int64 columns and join on both (the shuffle key stays
-  // fixed-width) — and is left un-defaulted here because the oracle
-  // gate compares the 60-bit formulation bit-for-bit on the test
-  // corpora, where the bound is negligible.
+  // (q150/q161) or one merged profile row (q103), never a crash. The
+  // deployment-scale fix is EXECUTABLE behind [[wideKeys]]: the key
+  // carries the FULL 128-bit digest (P ≈ W²/2^129 — negligible at any
+  // corpus) as extra int64 struct limbs; the shuffle key stays
+  // fixed-width and uniform and every plan is unchanged. Default stays
+  // 60-bit because the oracle gate compares that formulation
+  // bit-for-bit on the test corpora, where the bound is negligible;
+  // WideKeySpec pins both keyings output-identical there.
   private val WinLen = 8
+
+  /** Deployment flag: full-width stride-1 window keys (see above). */
+  private[graft] def wideKeys: Boolean =
+    sys.props.get("graft.dedup.widekeys")
+      .orElse(sys.env.get("SPARK_GRAFT_WIDE_KEYS"))
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** The stride-1 window join/group key over the window string `w`: ONE
+    * struct column either way, so every groupBy/join/distinct keys on
+    * it unchanged. The wide form splits the 32-nibble digest 15+15+2 —
+    * each limb's decimal form fits a signed int64 (Spark's `conv`
+    * returns a STRING; 16 nibbles can exceed Long.MaxValue and would
+    * null on the cast). */
+  private def wkeyCol(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = md5(w)
+    if (wideKeys)
+      struct(conv(substring(h, 1, 15), 16, 10).cast("long").as("k1"),
+        conv(substring(h, 16, 15), 16, 10).cast("long").as("k2"),
+        conv(substring(h, 31, 2), 16, 10).cast("long").as("k3"))
+    else struct(conv(substring(h, 1, 15), 16, 10).cast("long").as("k1"))
+  }
   private def q103(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documentsWide(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
@@ -1211,8 +1407,8 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("ts"),
         explode(expr(s"sequence(0, n - $WinLen)")).as("p0"))
       .withColumn("pos", col("p0").cast("int"))
-      .withColumn("wkey", conv(substring(md5(concat_ws(" ",
-        slice(col("ts"), col("pos") + 1, lit(WinLen)))), 1, 15), 16, 10).cast("long"))
+      .withColumn("wkey", wkeyCol(concat_ws(" ",
+        slice(col("ts"), col("pos") + 1, lit(WinLen)))))
       .select("doc_id", "pos", "wkey")
     val firsts = wins.groupBy("wkey")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -1316,8 +1512,8 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("ts"),
         explode(expr(s"sequence(0, n - $WinLen)")).as("p0"))
       .withColumn("pos", col("p0").cast("int"))
-      .withColumn("wkey", conv(substring(md5(concat_ws(" ",
-        slice(col("ts"), col("pos") + 1, lit(WinLen)))), 1, 15), 16, 10).cast("long"))
+      .withColumn("wkey", wkeyCol(concat_ws(" ",
+        slice(col("ts"), col("pos") + 1, lit(WinLen)))))
       .select("doc_id", "pos", "wkey")
     val firsts = wins.groupBy("wkey")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -1420,8 +1616,8 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("ts"),
         explode(expr(s"sequence(0, n - $WinLen)")).as("p0"))
       .withColumn("pos", col("p0").cast("int"))
-      .withColumn("wkey", conv(substring(md5(concat_ws(" ",
-        slice(col("ts"), col("pos") + 1, lit(WinLen)))), 1, 15), 16, 10).cast("long"))
+      .withColumn("wkey", wkeyCol(concat_ws(" ",
+        slice(col("ts"), col("pos") + 1, lit(WinLen)))))
       .select("doc_id", "pos", "wkey")
     val evalKeys = winsOf(toks.filter(col("doc_id") % 17 === 5))
       .select("wkey").distinct()
@@ -1706,6 +1902,8 @@ object Dedup extends QueryModule {
     "q161_decontam_strip"    -> (q161 _),
     "q32_ngram_jaccard"      -> (q32 _),
     "q172_containment_dedup" -> (q172 _),
+    "q180_contain_banded" -> (q180 _),
+    "q181_contain_recall" -> (q181 _),
     "q33_minhash_lsh"        -> (q33 _),
     "q34_simhash"            -> (q34 _),
     "q35_simhash_pairs"      -> (q35 _),
@@ -1726,6 +1924,8 @@ object Dedup extends QueryModule {
     "q161_decontam_strip"    -> q161Sql,
     "q32_ngram_jaccard"      -> q32Sql,
     "q172_containment_dedup" -> q172Sql,
+    "q180_contain_banded" -> q180Sql,
+    "q181_contain_recall" -> q181Sql,
     "q33_minhash_lsh"        -> q33Sql,
     "q34_simhash"            -> q34Sql,
     "q35_simhash_pairs"      -> q35Sql,

@@ -23,6 +23,10 @@ import graft.QueryModule
   *    perceptual/cleaned hashes stay blocking, the keeper citations
   *    null; one media payload (resp. one cleaned text) per doc makes
   *    rows redacted = docs priced structurally, exactly as for dedup.
+  *  - `contain / redact`     — q182's contract on the q179 containment
+  *    index (the seventh family): the shingle state keeps blocking, the
+  *    min-container citations null; one sets row per doc makes rows
+  *    redacted = docs priced structurally, as for the hash trio.
   *  - `lexical / tombstone`  — q133's contract on the q131 index:
   *    n_priced = request ∩ the doclens roster, n_rows = the postings
   *    rows the tombstone anti-join masks.
@@ -44,9 +48,9 @@ import graft.QueryModule
   * Everything reads the artifacts' own rosters — the raw corpus and
   * embeddings tables are never touched (PlanSpec), exactly the
   * q133/q136/q139 discipline. Every count is a bounded one-row
-  * aggregate over a roster ⋈ broadcast-request join; the ledger is 7
+  * aggregate over a roster ⋈ broadcast-request join; the ledger is 8
   * rows at any corpus size — one per (family, mechanism) across all
-  * six persisted families.
+  * seven persisted families.
   *
   * The oracle recomputes each family's pricing from the RAW tables
   * (documents token explode for postings rows, embeddings × PqM for
@@ -102,6 +106,17 @@ object Takedown extends QueryModule {
       pExact.join(broadcast(prIds.select(col("doc_id").as("keeper"))), "keeper")
         .agg(count(lit(1)).as("n_rows")))
 
+    // contain: the q179 artifact's sets roster — q182's redaction
+    // contract (the shingle state keeps blocking; the min-container
+    // citations null; one sets row per doc ⇒ rows redacted = docs
+    // priced, structurally — the dedup-row arithmetic)
+    val containIdx = IncrementalContain.buildIndex(s, dir)
+    val cSets = s.read.parquet(s"$containIdx/sets")
+    val cIds = cSets.select("doc_id").filter(col("doc_id") % 7 === 3)
+    val con = one("contain", "redact",
+      cIds.agg(count(lit(1)).as("n_priced")),
+      cSets.join(broadcast(cIds), "doc_id").agg(count(lit(1)).as("n_rows")))
+
     // lexical: the q131 artifact's roster and postings
     val lexIdx = LexIndex.fullIndex(s, dir)
     val lexIds = s.read.parquet(s"$lexIdx/doclens")
@@ -139,7 +154,7 @@ object Takedown extends QueryModule {
         .filter(col("first_hit").isNotNull && col("seq_id") >= col("first_hit"))
         .agg(count(lit(1)).as("n_rows")))
 
-    ded.unionByName(lex).unionByName(med).unionByName(prep)
+    con.unionByName(ded).unionByName(lex).unionByName(med).unionByName(prep)
       .unionByName(pad).unionByName(repack).unionByName(vec)
       .orderBy("family", "mechanism")
   }
@@ -152,6 +167,10 @@ object Takedown extends QueryModule {
       |  FROM hash WHERE doc_id % 5 <> 4 GROUP BY 1, 2),
       |mp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM mcex WHERE keeper % 7 = 3),
       |prp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM cex WHERE keeper % 7 = 3),
+      |cn AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM documents
+      |  WHERE doc_id % 5 <> 4 AND doc_id % 7 = 3
+      |    AND len(string_split(text, ' ')) >= 2),
       |dkeep AS (
       |  SELECT md5(text) AS h, MIN(doc_id) AS keeper
       |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1),
@@ -189,7 +208,10 @@ object Takedown extends QueryModule {
       |  SELECT CASE WHEN (SELECT COUNT(*) FROM phit) = 0 THEN CAST(0 AS BIGINT)
       |         ELSE CAST(n.n_seqs - (SELECT MIN(seq_id) FROM phit) AS BIGINT) END AS n_rows
       |  FROM pnseq n)
-      |SELECT 'dedup' AS family, 'redact' AS mechanism, dp.n_priced, dp.n_priced AS n_rows
+      |SELECT 'contain' AS family, 'redact' AS mechanism, cn.n_priced, cn.n_priced AS n_rows
+      |FROM cn
+      |UNION ALL
+      |SELECT 'dedup', 'redact', dp.n_priced, dp.n_priced AS n_rows
       |FROM dp
       |UNION ALL
       |SELECT 'lexical', 'tombstone', lp.n_priced, lr.n_rows

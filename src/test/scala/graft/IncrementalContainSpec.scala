@@ -96,4 +96,71 @@ class IncrementalContainSpec extends SparkTestBase {
         s"sets table grew by ${s2.size - s1.size}, expected ${kept1.size}")
     }
   }
+
+  test("q182 takedown: redact, don't re-admit — citation nulls, blocking verdict stands") {
+    withTempRoot { _ =>
+      val dir = plantedDir()
+      // planted corpus ids {0, 6, 10, 20}: only 10 matches the % 7 = 3
+      // request, and 10 is a CITED container (snippet 1000010's)
+      val out = SparkEntry.queries("q182_contain_takedown")(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.get(3)))).toMap
+      graft.Caches.release()
+      // the tombstoned container's citation nulls — but the verdict and
+      // keep are UNTOUCHED: the content keeps blocking (the q142 policy)
+      assert(out(1000010L) == (("contained_in_corpus", false, null)),
+        s"redacted row wrong: ${out(1000010L)}")
+      // every other row is bit-identical to q179's
+      assert(out(1000000L) == (("contained_in_corpus", false, 0L)))
+      assert(out(1000020L) == (("contained_in_corpus", false, 20L)))
+      assert(out(3000004L) == (("contained_in_batch", false, null)))
+      assert(out(4L) == (("kept", true, null)))
+      assert(out(9L) == (("kept", true, null)))
+    }
+  }
+
+  test("q183 retention window: retired-era containments readmit, live-era ones block") {
+    withTempRoot { root =>
+      val dir = plantedDir()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").filter(col("doc_id") % 5 =!= 4)
+      // custom eras (sharper than the registered parity split): docs 0
+      // and 10 retire, 6 and 20 stay live
+      val g0 = IncrementalContain.buildGenIndex(spark,
+        docs.filter(col("doc_id").isin(0L, 10L)), s"$root/era0")
+      val g1 = IncrementalContain.buildGenIndex(spark,
+        docs.filter(col("doc_id").isin(6L, 20L)), s"$root/era1")
+      val shard = spark.read.parquet(s"${IncrementalContain.stageShard(spark, dir)}/docs")
+      val win = IncrementalContain.verdictsWindow(spark, shard, Seq(g1)).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.get(3)))).toMap
+      val hit0 = IncrementalContain.corpusContainers(
+          graft.queries.Dedup.shingleSetsOf(shard),
+          spark.read.parquet(s"$g0/postings"), spark.read.parquet(s"$g0/sets"),
+          spark.read.parquet(s"$g0/df"))
+        .collect().map(_.getLong(0)).toSet
+      graft.Caches.release()
+      // live-era containment still blocks, citing the live container
+      assert(win(1000020L) == (("contained_in_corpus", false, 20L)))
+      // retired-era containments are ADMITTED by the window serve...
+      assert(win(1000000L) == (("kept", true, null)))
+      assert(win(1000010L) == (("kept", true, null)))
+      // ...and the era-0 audit arm flags exactly them as readmissions
+      assert(hit0.contains(1000000L) && hit0.contains(1000010L),
+        s"audit arm missed a retired-era containment: $hit0")
+      assert(!hit0.contains(4L) && !hit0.contains(9L),
+        "audit arm flagged a genuinely new page")
+      // batch containment is era-independent
+      assert(win(3000004L) == (("contained_in_batch", false, null)))
+    }
+  }
+
+  test("q183 on the driver corpus: non-vacuous readmission, readmitted ⊆ kept") {
+    withTempRoot { _ =>
+      val rows = SparkEntry.queries("q183_contain_retention")(spark, sfDir).collect()
+      graft.Caches.release()
+      assert(rows.exists(_.getBoolean(4)),
+        "driver corpus must exercise the readmission path (the +1e6 snippets cut % 10 = 0 docs — all era-0)")
+      rows.filter(_.getBoolean(4)).foreach(r =>
+        assert(r.getBoolean(2), s"readmitted row ${r.getLong(0)} is not kept"))
+    }
+  }
 }
