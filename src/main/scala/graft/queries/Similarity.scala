@@ -535,11 +535,24 @@ object Similarity extends QueryModule {
     * production detector. */
   private def ivfCells(s: SparkSession, dir: String,
                        maxProbe: Int = NProbe): (DataFrame, DataFrame) = {
+    val affinity = ivfAffinity(s, dir)
+    val assigned = affinity.filter(col("crank") === 1).select("vec_id", "cell")
+    val probes = affinity.filter(col("vec_id") < NumQueries && col("crank") <= maxProbe)
+      .select(col("vec_id").as("qid"), col("cell"), col("crank"))
+    (assigned, probes)
+  }
+
+  /** The tracked (vec_id, cell, crank) cell-affinity relation under the
+    * IVF coarse layer — factored out of [[ivfCells]] so the graph-ANN
+    * build (q184) can read per-NODE probe lists, not just the query
+    * set's. Assignment, probes, and the graph's candidate generation
+    * all branch from this ONE cached O(N·K) pass. */
+  private def ivfAffinity(s: SparkSession, dir: String): DataFrame = {
     val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
       // tracked cache: assignment + probe + scoring all read it
     val pivots = vecs.filter(col("vec_id") % PivotStride === PivotPhase)
       .select(col("vec_id").as("cell"), col("qa").as("pa"), col("n2").as("pn2"))
-    val affinity = graft.Caches.track(vecs.crossJoin(broadcast(pivots))
+    graft.Caches.track(vecs.crossJoin(broadcast(pivots))
       .withColumn("dot", expr("graft_dot(qa, pa)")) // native codegen'd dot (plans.DotProduct)
       .withColumn("cos", cosine(col("dot"), col("n2"), col("pn2")))
       .withColumn("crank", row_number().over(
@@ -547,10 +560,6 @@ object Similarity extends QueryModule {
       .select("vec_id", "cell", "crank"))
       // tracked cache: assignment AND probe branch from it — the O(N·K)
       // pass must run once
-    val assigned = affinity.filter(col("crank") === 1).select("vec_id", "cell")
-    val probes = affinity.filter(col("vec_id") < NumQueries && col("crank") <= maxProbe)
-      .select(col("vec_id").as("qid"), col("cell"), col("crank"))
-    (assigned, probes)
   }
 
   private def q48(s: SparkSession, dir: String): DataFrame = {
@@ -1358,6 +1367,243 @@ object Similarity extends QueryModule {
       |       CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
       |       ROUND(CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $RecallK.0, 6) AS recall
       |FROM exact3 e LEFT JOIN served s ON e.qid = s.qid AND e.vec_id = s.vec_id
+      |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q184 — GRAPH-BASED ANN (NSW-shape greedy beam search over a bounded
+  // neighbor graph): the production ANN family (HNSW/NSW) the
+  // IVF/PQ/LSH/brute quartet does not cover. Two halves, both
+  // deterministic and both replayed relationally by the oracle:
+  //
+  //  BUILD — a bounded-degree neighbor graph: each node's candidates are
+  //  the co-members of its GraphBuildProbe nearest IVF cells (the
+  //  tracked ivfAffinity relation — ONE O(N·K) pass shared with
+  //  q48/q71/q120/q122), and its out-edges are CELL-STRATIFIED: the
+  //  GraphM/GraphBuildProbe nearest co-members of EACH probed cell, not
+  //  the GraphM nearest overall. Stratification is the role HNSW's
+  //  edge-diversity heuristic plays — a plain kNN graph's edges all
+  //  point into the node's own cluster and greedy search cannot cross
+  //  cluster boundaries (measured on the driver embeddings: recall@3
+  //  0.08 with global top-4 edges vs 0.92+ stratified — the corpus has
+  //  10 label clusters and the stride-61 pivots miss 3 of them, so
+  //  cross-cell edges are the only long-range links). This is the NSW
+  //  construction discipline with the insert-order dependence removed:
+  //  candidate generation via a coarse quantizer instead of incremental
+  //  greedy insertion keeps the build ORDER-FREE (hence replayable by a
+  //  set-oriented engine — the q47/q89/q164 determinism requirement met
+  //  without golden files) and embarrassingly parallel: candidates =
+  //  Σ_cells members × probers, never N², and the per-(node, cell)
+  //  top-k is a bounded window.
+  //
+  //  SEARCH — greedy beam over the graph, GraphRounds unrolled rounds:
+  //  the frontier seeds at the query's GraphEntries nearest PIVOTS (the
+  //  coarse layer stands in for HNSW's upper hierarchy — its job, a
+  //  good entry point in O(K), is exactly what the pivot affinity row
+  //  already computed), then each round expands the frontier along
+  //  out-edges, scores frontier ∪ neighbors by exact cosine against the
+  //  query, and keeps the GraphBeam best (monotone: the frontier rides
+  //  along, so the best-so-far never regresses). Served top-k = the
+  //  final frontier's best GraphK. Per-query cost is E + R·B·M scored
+  //  candidates — INDEPENDENT of corpus size, the bounded-probe serve
+  //  contract (census row), with recall measured q86-style by q185.
+  //  Ties break (cos desc, vec_id) everywhere, so both engines agree
+  //  bit-for-bit.
+  private val GraphM = 32         // out-degree bound of the neighbor graph
+  private val GraphBuildProbe = 8 // IVF cells probed per node at build
+  private val GraphPerCell = GraphM / GraphBuildProbe // stratified edges/cell
+  private val GraphEntries = 8    // entry pivots per query
+  private val GraphBeam = 16      // beam width per round
+  private val GraphRounds = 6     // unrolled greedy rounds
+  private val GraphK = 3          // served top-k (q185 measures recall@3)
+
+  /** The bounded-degree neighbor graph (src, dst), GraphM out-edges per
+    * node from IVF-co-member candidates. Tracked: the search reads it
+    * once per round. private[graft] for GraphAnnSpec's degree audit. */
+  private[graft] def graphAdj(s: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val aff = ivfAffinity(s, dir)
+    val probes = aff.filter(col("crank") <= GraphBuildProbe).select("vec_id", "cell")
+    val members = aff.filter(col("crank") === 1)
+      .select(col("vec_id").as("nbr"), col("cell"))
+    // each candidate arrives through exactly ONE cell (its assignment),
+    // so (vec_id, nbr) is already unique and the per-(node, cell) rank
+    // below stratifies without a distinct
+    val cand = probes.join(members, "cell")
+      .filter(col("vec_id") =!= col("nbr"))
+      .select("vec_id", "cell", "nbr")
+    graft.Caches.track(cand
+      .join(vecs.select(col("vec_id"), col("qa").as("qa1"), col("n2").as("n21")), "vec_id")
+      .join(vecs.select(col("vec_id").as("nbr"), col("qa").as("qa2"), col("n2").as("n22")), "nbr")
+      .withColumn("dot", expr("graft_dot(qa1, qa2)"))
+      .withColumn("cos", cosine(col("dot"), col("n21"), col("n22")))
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy("vec_id", "cell").orderBy(col("cos").desc, col("nbr"))))
+      .filter(col("nrank") <= GraphPerCell)
+      .select(col("vec_id").as("src"), col("nbr").as("dst")))
+  }
+
+  /** Beam-search frontiers per round (index 0 = entries, last = final) —
+    * exposed for GraphAnnSpec's monotonicity assertion. */
+  private[graft] def graphFrontiers(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val queriesV = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    val adj = graphAdj(s, dir)
+    val f0 = ivfAffinity(s, dir)
+      .filter(col("vec_id") < NumQueries && col("crank") <= GraphEntries &&
+        col("vec_id") =!= col("cell"))
+      .select(col("vec_id").as("qid"), col("cell").as("vec_id"))
+    val rounds = scala.collection.mutable.ArrayBuffer(f0)
+    var frontier = f0
+    for (_ <- 1 to GraphRounds) {
+      val grown = frontier.unionByName(
+          frontier.join(adj, frontier("vec_id") === adj("src"))
+            .select(col("qid"), col("dst").as("vec_id")))
+        .filter(col("qid") =!= col("vec_id")).distinct()
+      // each round's frontier (≤ queries × beam rows) is tracked so the
+      // next round's plan starts at an InMemoryRelation instead of
+      // embedding the whole prefix of unrolled rounds — without this
+      // the final round ships a ~40 MiB task binary of compounded
+      // lineage (and the planner re-optimizes the prefix every round)
+      frontier = graft.Caches.track(grown
+        .join(vecs, "vec_id")
+        .join(broadcast(queriesV), "qid")
+        .withColumn("dot", expr("graft_dot(qq, qa)"))
+        .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rnk") <= GraphBeam)
+        .select("qid", "vec_id"))
+      rounds += frontier
+    }
+    rounds.toSeq
+  }
+
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val queriesV = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    graphFrontiers(s, dir).last
+      .join(vecs, "vec_id")
+      .join(broadcast(queriesV), "qid")
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= GraphK)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Oracle CTEs for the graph family: adjacency + the unrolled beam
+    * rounds. Expects `$quantSqlCte, $ivfSqlCtes` upstream; yields
+    * `gadj(src, dst)` and `gs$GraphRounds(qid, vec_id, cos)` (the final
+    * scored frontier). */
+  private def graphSqlCtes: String = {
+    val cosExpr = (a: String, b: String) =>
+      s"""CAST(list_sum([$a.qa[i] * $b.qa[i] for i in range(1, len($a.qa) + 1)]) AS DOUBLE)
+         |           / (SQRT(CAST($a.n2 AS DOUBLE)) * SQRT(CAST($b.n2 AS DOUBLE)))""".stripMargin
+    val rounds = (1 to GraphRounds).map { r =>
+      val prev = if (r == 1) "gf0" else s"gf${r - 1}"
+      s"""gg$r AS (
+        |  SELECT DISTINCT qid, vec_id FROM (
+        |    SELECT qid, vec_id FROM $prev
+        |    UNION ALL
+        |    SELECT f.qid, a.dst AS vec_id FROM $prev f JOIN gadj a ON f.vec_id = a.src)
+        |  WHERE qid <> vec_id),
+        |gs$r AS (
+        |  SELECT g.qid, g.vec_id,
+        |         ${cosExpr("q", "y")} AS cos
+        |  FROM gg$r g JOIN vecs q ON g.qid = q.vec_id JOIN vecs y ON g.vec_id = y.vec_id),
+        |gf$r AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |    FROM gs$r) WHERE rnk <= $GraphBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""gprobe AS (SELECT vec_id, cell FROM ranked_cells WHERE crank <= $GraphBuildProbe),
+      |gmem AS (SELECT vec_id AS nbr, cell FROM ranked_cells WHERE crank = 1),
+      |gcand AS (
+      |  SELECT p.vec_id, p.cell, m.nbr
+      |  FROM gprobe p JOIN gmem m ON p.cell = m.cell AND p.vec_id <> m.nbr),
+      |gadjs AS (
+      |  SELECT c.vec_id, c.cell, c.nbr,
+      |         ${cosExpr("x", "y")} AS cos
+      |  FROM gcand c JOIN vecs x ON c.vec_id = x.vec_id JOIN vecs y ON c.nbr = y.vec_id),
+      |gadj AS (
+      |  SELECT vec_id AS src, nbr AS dst FROM (
+      |    SELECT vec_id, nbr, ROW_NUMBER() OVER (PARTITION BY vec_id, cell ORDER BY cos DESC, nbr) AS nrank
+      |    FROM gadjs) WHERE nrank <= $GraphPerCell),
+      |gf0 AS (
+      |  SELECT vec_id AS qid, cell AS vec_id FROM ranked_cells
+      |  WHERE vec_id < $NumQueries AND crank <= $GraphEntries AND vec_id <> cell),
+      |$rounds""".stripMargin
+  }
+
+  private val q184Sql =
+    s"""WITH $quantSqlCte,
+      |$ivfSqlCtes,
+      |$graphSqlCtes
+      |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rnk AS INT) AS rank FROM (
+      |  SELECT qid, vec_id, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM gs$GraphRounds)
+      |WHERE rnk <= $GraphK
+      |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q185 — GRAPH-ANN RECALL@k vs the exact arm (the q86 contract on the
+  // graph family): exact brute-force top-GraphK per query vs q184's
+  // served set, hits and recall per query. Both arms are deterministic
+  // relational pipelines, so — unlike production HNSW, whose
+  // insert-order graph defies replay — the recall row itself is
+  // oracle-checkable end to end.
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val vecs = vecsOf(quant(s, dir)).select("vec_id", "qa", "n2")
+    val queriesV = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    val exact = vecs.crossJoin(broadcast(queriesV))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= GraphK)
+      .select("qid", "vec_id")
+    val served = q184(s, dir).select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    exact.join(served, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .withColumn("recall", round(col("hits") / lit(GraphK.toDouble), 6))
+      .orderBy("qid")
+      .select("qid", "hits", "recall")
+  }
+
+  private val q185Sql =
+    s"""WITH $quantSqlCte,
+      |$ivfSqlCtes,
+      |$graphSqlCtes,
+      |gdots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      |  FROM quant a JOIN quant b ON a.pos = b.pos AND a.vec_id < $NumQueries AND a.vec_id != b.vec_id
+      |  GROUP BY 1, 2),
+      |gexact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT d.qid, d.vec_id,
+      |           ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+      |             CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))) DESC,
+      |             d.vec_id) AS rank
+      |    FROM gdots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nd ON d.vec_id = nd.vec_id)
+      |  WHERE rank <= $GraphK),
+      |gserved AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+      |    FROM gs$GraphRounds)
+      |  WHERE rnk <= $GraphK)
+      |SELECT e.qid AS qid,
+      |       CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |       ROUND(CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $GraphK.0, 6) AS recall
+      |FROM gexact e LEFT JOIN gserved s ON e.qid = s.qid AND e.vec_id = s.vec_id
       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -2666,6 +2912,8 @@ object Similarity extends QueryModule {
     "q68_embed_outliers"   -> (q68 _),
     "q71_ivfpq_search"     -> (q71 _),
     "q86_ann_recall"       -> (q86 _),
+    "q184_graph_ann"       -> (q184 _),
+    "q185_graph_recall"    -> (q185 _),
     "q78_pq_index_build"   -> (q78 _),
     "q79_pq_index_search"  -> (q79 _),
     "q87_pq_index_ingest"  -> (q87 _),
@@ -2698,6 +2946,8 @@ object Similarity extends QueryModule {
     "q68_embed_outliers"   -> q68Sql,
     "q71_ivfpq_search"     -> q71Sql,
     "q86_ann_recall"       -> q86Sql,
+    "q184_graph_ann"       -> q184Sql,
+    "q185_graph_recall"    -> q185Sql,
     "q78_pq_index_build"   -> q78Sql,
     "q79_pq_index_search"  -> q64Sql, // identical contract, served from the artifact
     "q87_pq_index_ingest"  -> q87Sql,

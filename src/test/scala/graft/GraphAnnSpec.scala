@@ -1,0 +1,87 @@
+package graft
+
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+
+/** The graph-ANN contracts the DuckDB oracle proves only by value
+  * equality: the structural invariants of the build and the greedy
+  * search. (q184/q185 are fully oracle-checked — unlike production HNSW,
+  * the order-free IVF-candidate construction makes the graph replayable
+  * relationally — so this spec pins the SHAPE claims: bounded degree, no
+  * self-edges, bounded frontiers, monotone beam improvement, non-vacuous
+  * recall.)
+  */
+class GraphAnnSpec extends SparkTestBase {
+
+  private val GraphM = 32
+  private val GraphEntries = 8
+  private val GraphBeam = 16
+  private val GraphK = 3
+
+  /** Exact cosine from the raw embeddings, replicating the quantized
+    * integer pipeline (round(v·1e7) per coordinate). */
+  private lazy val vecs: Map[Long, Array[Long]] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * 1e7)).toArray)
+      .toMap
+
+  private def cos(a: Long, b: Long): Double = {
+    val (x, y) = (vecs(a), vecs(b))
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    for (i <- x.indices) {
+      dot += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i)
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  test("build: out-degree <= M, no self-edges, every src has a neighbor list") {
+    val adj = Similarity.graphAdj(spark, sfDir).collect()
+    try {
+      assert(adj.nonEmpty, "empty adjacency")
+      assert(!adj.exists(r => r.getLong(0) == r.getLong(1)), "self edge")
+      val deg = adj.groupBy(_.getLong(0)).view.mapValues(_.length)
+      assert(deg.values.max <= GraphM, s"out-degree ${deg.values.max} > $GraphM")
+    } finally Caches.release()
+  }
+
+  test("search: bounded frontiers, monotone best-cos per round, bounded serve") {
+    val fronts = Similarity.graphFrontiers(spark, sfDir).map(_.collect())
+    try {
+      val f0 = fronts.head
+      assert(f0.groupBy(_.getLong(0)).values.map(_.size).max <= GraphEntries)
+      fronts.tail.foreach { f =>
+        assert(f.groupBy(_.getLong(0)).values.map(_.size).max <= GraphBeam)
+      }
+      // greedy beam with the frontier riding along: the best candidate
+      // per query can never regress between rounds
+      def best(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+        rows.groupBy(_.getLong(0)).view
+          .mapValues(_.map(r => cos(r.getLong(0), r.getLong(1))).max).toMap
+      fronts.sliding(2).foreach { case Seq(a, b) =>
+        val (ba, bb) = (best(a), best(b))
+        ba.keys.foreach { q =>
+          assert(bb(q) >= ba(q) - 1e-12,
+            s"query $q best-cos regressed: ${ba(q)} -> ${bb(q)}")
+        }
+      case _ => ()
+      }
+    } finally Caches.release()
+  }
+
+  test("recall row: hits bounded by k, recall in [0,1], search beats nothing") {
+    val rows = SparkEntry.queries("q185_graph_recall")(spark, sfDir).collect()
+    try {
+      assert(rows.length == 8)
+      rows.foreach { r =>
+        val hits = r.getLong(1)
+        assert(hits >= 0 && hits <= GraphK)
+        assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      }
+      assert(rows.map(_.getLong(1)).sum >= 20,
+        s"graph recall collapsed: ${rows.map(_.getLong(1)).sum}/24 hits " +
+          "(stratified-edge navigability regressed — see the q184 build comment)")
+    } finally Caches.release()
+  }
+}
