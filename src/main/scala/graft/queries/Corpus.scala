@@ -909,7 +909,7 @@ object Corpus extends QueryModule {
   // contract (a 100 TB crawl's bigram vocabulary outgrows an executor)
   // — then one per-doc aggregation. The corpus is never re-keyed
   // beyond those two shuffles.
-  private val LmTrainMod = 3
+  private[graft] val LmTrainMod = 3 // private[graft]: q178's oracle interpolates it
   private[graft] val LmOovBits = 20L
   private[graft] val LmLo = 1000L // millibits/bigram — below = template boilerplate
   private[graft] val LmHi = 8000L // above = out-of-model gibberish

@@ -1595,13 +1595,39 @@ object Curation extends QueryModule {
     Tables.documents(s, dir).select(col("doc_id"),
       (TextPipeline.qualityCol(split(col("text"), " ")) >= Dedup.QualityFloor).as("keep"))
 
+  /** Persisted per-doc selector verdicts — the q78 train-once/serve-many
+    * split applied to the selector family. q178 composes FOUR parent
+    * detector stacks (q93/q88/q170/q67); their (doc_id, keep) verdict
+    * relations are corpus-keyed artifacts a production pipeline
+    * materializes once per corpus snapshot, not once per consumer. The
+    * first consumer builds + publishes (fingerprinted, marker-last —
+    * the q78 contract via IncrementalDedup.publish); every later
+    * consumer serves from the 2-column parquet, so the composition's
+    * plan carries four scans instead of four detector stacks. No oracle
+    * change: artifact rows ARE the deterministic parent relations, and
+    * q178's oracle keeps composing the parents' CTE stacks from raw
+    * tables — the hash gate proves artifact serving ≡ recomputation. */
+  private def verdictArtifact(s: SparkSession, dir: String, name: String)
+                             (build: => DataFrame): DataFrame = {
+    val fp = IncrementalDedup.dataFingerprint(s, dir)
+    val path = new org.apache.hadoop.fs.Path(
+      s"${IncrementalDedup.indexRoot}/verdict-$name-$fp")
+    IncrementalDedup.publish(s, path) { tmp =>
+      build.write.mode("overwrite").parquet(s"$tmp/keep")
+    }
+    s.read.parquet(s"$path/keep")
+  }
+
   private def q178(s: SparkSession, dir: String): DataFrame = {
     val verdicts = Seq(
-      "bigram_lm" -> Corpus.bigramVerdicts(s, dir),
-      "classifier" -> classifierVerdicts(s, dir),
-      "dsir" -> dsirVerdicts(s, dir),
+      "bigram_lm" -> verdictArtifact(s, dir, "bigram")(Corpus.bigramVerdicts(s, dir)),
+      "classifier" -> verdictArtifact(s, dir, "classifier")(classifierVerdicts(s, dir)),
+      "dsir" -> verdictArtifact(s, dir, "dsir")(dsirVerdicts(s, dir)),
+      // quality is a stateless narrow map over the documents scan the
+      // base relation reads anyway — persisting it would trade one
+      // codegen'd expression for an extra artifact read
       "quality" -> qualityVerdicts(s, dir),
-      "surprisal" -> TextPipeline.surprisalVerdicts(s, dir))
+      "surprisal" -> verdictArtifact(s, dir, "surprisal")(TextPipeline.surprisalVerdicts(s, dir)))
     val base = Tables.documents(s, dir).select("doc_id")
     val wide = graft.Caches.track(verdicts.foldLeft(base) { case (acc, (n, v)) =>
       acc.join(v.withColumnRenamed("keep", n), Seq("doc_id"), "left")
@@ -1661,7 +1687,7 @@ object Curation extends QueryModule {
       |  WHERE len(ts) >= 2),
       |b_m2 AS (
       |  SELECT w1, w2, COUNT(*) AS c2 FROM b_big
-      |  WHERE doc_id % 3 = 0 GROUP BY w1, w2),
+      |  WHERE doc_id % ${Corpus.LmTrainMod} = 0 GROUP BY w1, w2),
       |b_m1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM b_m2 GROUP BY w1),
       |b_model AS (
       |  SELECT b_m2.w1, b_m2.w2, CAST(length(bin(c1 // c2)) - 1 AS BIGINT) AS bits

@@ -846,7 +846,10 @@ object Streams {
     * zero-count default, and the keep decision applies the frozen
     * training-time above-average cut. Stateless narrow map: same
     * md5-bucket hashing and integer arithmetic as the batch query, so
-    * replaying the corpus through the stream reproduces q170 exactly.
+    * replaying the raw (non-curated) pool through the stream reproduces
+    * q170 exactly — batch q170 scores ONLY the raw pool; a curated doc
+    * fed through the stream is scored against the same frozen model but
+    * has no batch counterpart (the StreamingSpec replay slices to raw).
     */
   def dsirScore(docs: Dataset[Doc], weights: Map[Long, Long],
                 wDefault: Long, nRaw: Long, sumMb: Long): DataFrame = {
