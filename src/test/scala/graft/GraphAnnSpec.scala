@@ -47,18 +47,18 @@ class GraphAnnSpec extends SparkTestBase {
   }
 
   test("search: bounded frontiers, monotone best-cos per round, bounded serve") {
-    val fronts = Similarity.graphFrontiers(spark, sfDir).map(_.collect())
+    val fronts = Similarity.graphFrontiers(spark, sfDir)
     try {
       val f0 = fronts.head
-      assert(f0.groupBy(_.getLong(0)).values.map(_.size).max <= GraphEntries)
+      assert(f0.groupBy(_._1).values.map(_.size).max <= GraphEntries)
       fronts.tail.foreach { f =>
-        assert(f.groupBy(_.getLong(0)).values.map(_.size).max <= GraphBeam)
+        assert(f.groupBy(_._1).values.map(_.size).max <= GraphBeam)
       }
       // greedy beam with the frontier riding along: the best candidate
       // per query can never regress between rounds
-      def best(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
-        rows.groupBy(_.getLong(0)).view
-          .mapValues(_.map(r => cos(r.getLong(0), r.getLong(1))).max).toMap
+      def best(rows: Seq[(Long, Long)]): Map[Long, Double] =
+        rows.groupBy(_._1).view
+          .mapValues(_.map { case (q, v) => cos(q, v) }.max).toMap
       fronts.sliding(2).foreach { case Seq(a, b) =>
         val (ba, bb) = (best(a), best(b))
         ba.keys.foreach { q =>
