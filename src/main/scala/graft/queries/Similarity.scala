@@ -1463,14 +1463,17 @@ object Similarity extends QueryModule {
     * 2⁵³), so the Long→Double conversion is exact and cosine here is
     * bit-identical to the distributed `graft_dot`/`cosine` form the
     * final ranking and the DuckDB oracle compute. */
-  private[graft] def graphFrontiers(s: SparkSession, dir: String): Seq[Seq[(Long, Long)]] = {
+  private[graft] def graphFrontiers(s: SparkSession, dir: String,
+                                    entries: Int = GraphEntries,
+                                    beam: Int = GraphBeam,
+                                    rounds: Int = GraphRounds): Seq[Seq[(Long, Long)]] = {
     val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
     val adj = graphAdj(s, dir)
     def vecRows(rows: Array[org.apache.spark.sql.Row]): Map[Long, (Array[Long], Long)] =
       rows.map(r => r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
     val qv = vecRows(vecs.filter(col("vec_id") < NumQueries).collect())
     val f0 = ivfAffinity(s, dir)
-      .filter(col("vec_id") < NumQueries && col("crank") <= GraphEntries &&
+      .filter(col("vec_id") < NumQueries && col("crank") <= entries &&
         col("vec_id") =!= col("cell"))
       .select("vec_id", "cell").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
@@ -1497,9 +1500,9 @@ object Similarity extends QueryModule {
       dot.toDouble / (math.sqrt(n2q.toDouble) * math.sqrt(n2v.toDouble))
     }
     var frontier: Map[Long, Seq[Long]] = f0
-    val rounds = scala.collection.mutable.ArrayBuffer(
+    val trace = scala.collection.mutable.ArrayBuffer(
       frontier.toSeq.flatMap { case (q, vs) => vs.map(q -> _) })
-    for (_ <- 1 to GraphRounds) {
+    for (_ <- 1 to rounds) {
       fetchEdges(frontier.values.flatten.toSet)
       val grown = frontier.map { case (q, ids) =>
         q -> (ids.toSet ++ ids.flatMap(edgesOf(_)) - q)
@@ -1507,11 +1510,11 @@ object Similarity extends QueryModule {
       fetchVecs(grown.values.flatten.toSet)
       frontier = grown.map { case (q, cands) =>
         q -> cands.toSeq.map(v => (v, cosTo(q, v)))
-          .sortBy { case (v, c) => (-c, v) }.take(GraphBeam).map(_._1)
+          .sortBy { case (v, c) => (-c, v) }.take(beam).map(_._1)
       }
-      rounds += frontier.toSeq.flatMap { case (q, vs) => vs.map(q -> _) }
+      trace += frontier.toSeq.flatMap { case (q, vs) => vs.map(q -> _) }
     }
-    rounds.toSeq.map(_.sorted)
+    trace.toSeq.map(_.sorted)
   }
 
   private def q184(s: SparkSession, dir: String): DataFrame = {
@@ -1536,31 +1539,13 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
-  /** Oracle CTEs for the graph family: adjacency + the unrolled beam
-    * rounds. Expects `$quantSqlCte, $ivfSqlCtes` upstream; yields
-    * `gadj(src, dst)` and `gs$GraphRounds(qid, vec_id, cos)` (the final
-    * scored frontier). */
-  private def graphSqlCtes: String = {
-    val cosExpr = (a: String, b: String) =>
-      s"""CAST(list_sum([$a.qa[i] * $b.qa[i] for i in range(1, len($a.qa) + 1)]) AS DOUBLE)
-         |           / (SQRT(CAST($a.n2 AS DOUBLE)) * SQRT(CAST($b.n2 AS DOUBLE)))""".stripMargin
-    val rounds = (1 to GraphRounds).map { r =>
-      val prev = if (r == 1) "gf0" else s"gf${r - 1}"
-      s"""gg$r AS (
-        |  SELECT DISTINCT qid, vec_id FROM (
-        |    SELECT qid, vec_id FROM $prev
-        |    UNION ALL
-        |    SELECT f.qid, a.dst AS vec_id FROM $prev f JOIN gadj a ON f.vec_id = a.src)
-        |  WHERE qid <> vec_id),
-        |gs$r AS (
-        |  SELECT g.qid, g.vec_id,
-        |         ${cosExpr("q", "y")} AS cos
-        |  FROM gg$r g JOIN vecs q ON g.qid = q.vec_id JOIN vecs y ON g.vec_id = y.vec_id),
-        |gf$r AS (
-        |  SELECT qid, vec_id FROM (
-        |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
-        |    FROM gs$r) WHERE rnk <= $GraphBeam)""".stripMargin
-    }.mkString(",\n")
+  private def graphCosSql(a: String, b: String): String =
+    s"""CAST(list_sum([$a.qa[i] * $b.qa[i] for i in range(1, len($a.qa) + 1)]) AS DOUBLE)
+       |           / (SQRT(CAST($a.n2 AS DOUBLE)) * SQRT(CAST($b.n2 AS DOUBLE)))""".stripMargin
+
+  /** Oracle CTEs for the graph BUILD: expects `$quantSqlCte, $ivfSqlCtes`
+    * upstream; yields `gadj(src, dst)`. Shared by every walk config. */
+  private def graphAdjSqlCtes: String =
     s"""gprobe AS (SELECT vec_id, cell FROM ranked_cells WHERE crank <= $GraphBuildProbe),
       |gmem AS (SELECT vec_id AS nbr, cell FROM ranked_cells WHERE crank = 1),
       |gcand AS (
@@ -1568,17 +1553,46 @@ object Similarity extends QueryModule {
       |  FROM gprobe p JOIN gmem m ON p.cell = m.cell AND p.vec_id <> m.nbr),
       |gadjs AS (
       |  SELECT c.vec_id, c.cell, c.nbr,
-      |         ${cosExpr("x", "y")} AS cos
+      |         ${graphCosSql("x", "y")} AS cos
       |  FROM gcand c JOIN vecs x ON c.vec_id = x.vec_id JOIN vecs y ON c.nbr = y.vec_id),
-      |gadj AS (
+      |gadj AS MATERIALIZED (
       |  SELECT vec_id AS src, nbr AS dst FROM (
       |    SELECT vec_id, nbr, ROW_NUMBER() OVER (PARTITION BY vec_id, cell ORDER BY cos DESC, nbr) AS nrank
-      |    FROM gadjs) WHERE nrank <= $GraphPerCell),
-      |gf0 AS (
+      |    FROM gadjs) WHERE nrank <= $GraphPerCell)""".stripMargin
+
+  /** Oracle CTEs for ONE walk config: entry frontier + the unrolled beam
+    * rounds, names prefixed by `p` — yields `${p}s$rounds(qid, vec_id,
+    * cos)`, the final scored frontier. Expects `gadj` + `ranked_cells` +
+    * `vecs` upstream. q184/q185 use p = "g" at the production constants;
+    * q186 lays three configs side by side. */
+  private def graphWalkSqlCtes(p: String, entries: Int, beam: Int, rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      val prev = s"${p}f${r - 1}"
+      s"""${p}g$r AS (
+        |  SELECT DISTINCT qid, vec_id FROM (
+        |    SELECT qid, vec_id FROM $prev
+        |    UNION ALL
+        |    SELECT f.qid, a.dst AS vec_id FROM $prev f JOIN gadj a ON f.vec_id = a.src)
+        |  WHERE qid <> vec_id),
+        |${p}s$r AS (
+        |  SELECT g.qid, g.vec_id,
+        |         ${graphCosSql("q", "y")} AS cos
+        |  FROM ${p}g$r g JOIN vecs q ON g.qid = q.vec_id JOIN vecs y ON g.vec_id = y.vec_id),
+        |${p}f$r AS MATERIALIZED (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |    FROM ${p}s$r) WHERE rnk <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}f0 AS MATERIALIZED (
       |  SELECT vec_id AS qid, cell AS vec_id FROM ranked_cells
-      |  WHERE vec_id < $NumQueries AND crank <= $GraphEntries AND vec_id <> cell),
-      |$rounds""".stripMargin
+      |  WHERE vec_id < $NumQueries AND crank <= $entries AND vec_id <> cell),
+      |$chain""".stripMargin
   }
+
+  /** The production-config CTE stack (q184/q185's oracle). */
+  private def graphSqlCtes: String =
+    graphAdjSqlCtes + ",\n" +
+      graphWalkSqlCtes("g", GraphEntries, GraphBeam, GraphRounds)
 
   private val q184Sql =
     s"""WITH $quantSqlCte,
@@ -1646,6 +1660,97 @@ object Similarity extends QueryModule {
       |       ROUND(CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $GraphK.0, 6) AS recall
       |FROM gexact e LEFT JOIN gserved s ON e.qid = s.qid AND e.vec_id = s.vec_id
       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q186 — GRAPH-ANN TUNING CURVE (the q122 nprobe-sweep discipline on
+  // the walk's knobs): recall@k of the SAME graph under three
+  // entry/beam/round budgets — the recall/latency dial a deployment
+  // actually turns (measured at sf1: the fixed production config reads
+  // 0.54 where the gate scales read 0.92–1.0, because 8 entry probes
+  // cover 2.4% of sf1's 328-cell coarse layer — this curve is how that
+  // deployment picks its operating point). ONE definition of the walk
+  // serves all arms (graphFrontiers parameterized; the adjacency builds
+  // once behind its tracked cache and every config's oracle replay
+  // shares the gadj CTEs), so the sweep cannot drift from the
+  // production q184 serve — whose config is the middle row.
+  private val GraphSweep = Seq((4, 8, 3), (GraphEntries, GraphBeam, GraphRounds), (16, 32, 8))
+
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val queriesV = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    val exact = graft.Caches.track(vecs.crossJoin(broadcast(queriesV))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= GraphK)
+      .select("qid", "vec_id"))
+      // tracked cache: the exact arm compares against every sweep config
+    GraphSweep.map { case (e, b, r) =>
+      val served = graphFrontiers(s, dir, e, b, r).last.toDF("qid", "vec_id")
+        .join(vecs, "vec_id")
+        .join(broadcast(queriesV), "qid")
+        .withColumn("dot", expr("graft_dot(qq, qa)"))
+        .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rnk") <= GraphK)
+        .select("qid", "vec_id")
+      exact.join(served, Seq("qid", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(e).as("entries"), lit(b).as("beam"), lit(r).as("rounds"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / lit((NumQueries * GraphK).toDouble), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _).orderBy("entries", "beam", "rounds")
+  }
+
+  private val q186Sql = {
+    val walks = GraphSweep.zip(Seq("wa", "wb", "wc")).map { case ((e, b, r), p) =>
+      graphWalkSqlCtes(p, e, b, r)
+    }.mkString(",\n")
+    val arms = GraphSweep.zip(Seq("wa", "wb", "wc")).map { case ((e, b, r), p) =>
+      s"""SELECT CAST($e AS INT) AS entries, CAST($b AS INT) AS beam, CAST($r AS INT) AS rounds,
+        |       n_hits, ROUND(CAST(n_hits AS DOUBLE) / ${NumQueries * GraphK}.0, 6) AS recall
+        |FROM ${p}hits""".stripMargin
+    }.mkString("\n      |UNION ALL\n      |")
+    // each walk's served set and hit count are single-reference CTEs —
+    // a scalar-subquery formulation makes DuckDB re-inline (and thus
+    // re-run) the whole walk chain per reference
+    val servedCtes = GraphSweep.zip(Seq("wa", "wb", "wc")).map { case ((_, _, r), p) =>
+      s"""${p}served AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |    FROM ${p}s$r)
+        |  WHERE rnk <= $GraphK),
+        |${p}hits AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM gexact x JOIN ${p}served s ON s.qid = x.qid AND s.vec_id = x.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantSqlCte,
+      |$ivfSqlCtes,
+      |$graphAdjSqlCtes,
+      |$walks,
+      |gdots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      |  FROM quant a JOIN quant b ON a.pos = b.pos AND a.vec_id < $NumQueries AND a.vec_id != b.vec_id
+      |  GROUP BY 1, 2),
+      |gexact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT d.qid, d.vec_id,
+      |           ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+      |             CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))) DESC,
+      |             d.vec_id) AS rank
+      |    FROM gdots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nd ON d.vec_id = nd.vec_id)
+      |  WHERE rank <= $GraphK),
+      |$servedCtes
+      |$arms
+      |ORDER BY entries, beam, rounds""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q78/q79 — the PERSISTED PQ index: train once, search many. q63/q64/
@@ -2955,6 +3060,7 @@ object Similarity extends QueryModule {
     "q86_ann_recall"       -> (q86 _),
     "q184_graph_ann"       -> (q184 _),
     "q185_graph_recall"    -> (q185 _),
+    "q186_graph_tuning"    -> (q186 _),
     "q78_pq_index_build"   -> (q78 _),
     "q79_pq_index_search"  -> (q79 _),
     "q87_pq_index_ingest"  -> (q87 _),
@@ -2989,6 +3095,7 @@ object Similarity extends QueryModule {
     "q86_ann_recall"       -> q86Sql,
     "q184_graph_ann"       -> q184Sql,
     "q185_graph_recall"    -> q185Sql,
+    "q186_graph_tuning"    -> q186Sql,
     "q78_pq_index_build"   -> q78Sql,
     "q79_pq_index_search"  -> q64Sql, // identical contract, served from the artifact
     "q87_pq_index_ingest"  -> q87Sql,

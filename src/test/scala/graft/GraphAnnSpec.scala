@@ -70,6 +70,21 @@ class GraphAnnSpec extends SparkTestBase {
     } finally Caches.release()
   }
 
+  test("q186 sweep: production row equals q185's total hits; recall non-decreasing in budget") {
+    val sweep = SparkEntry.queries("q186_graph_tuning")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val q185hits = SparkEntry.queries("q185_graph_recall")(spark, sfDir).collect()
+      .map(_.getLong(1)).sum
+    Caches.release()
+    assert(sweep.length == 3)
+    val mid = sweep.find(x => (x._1, x._2, x._3) == ((8, 16, 6))).get
+    assert(mid._4 == q185hits,
+      s"sweep's production row (${mid._4}) != q185's total hits ($q185hits) — the arms drifted")
+    val byBudget = sweep.sortBy(x => (x._1, x._2, x._3)).map(_._4)
+    assert(byBudget.zip(byBudget.tail).forall { case (a, b) => b >= a },
+      s"recall decreased with a larger search budget: ${byBudget.mkString(",")}")
+  }
+
   test("recall row: hits bounded by k, recall in [0,1], search beats nothing") {
     val rows = SparkEntry.queries("q185_graph_recall")(spark, sfDir).collect()
     try {
