@@ -253,6 +253,23 @@ class PlanSpec extends SparkTestBase {
         p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
   }
 
+  test("q182/q183 containment lifecycle serves: the corpus is never rescanned") {
+    // q182's redaction is q179's serve + one broadcast tombstone join;
+    // q183's retention serve unions per-era generations — in BOTH the
+    // generation builds are publish-gated (markers exist after the
+    // first run), so the registered queries' plans must read artifacts
+    // and the staged shard only. A documents scan would mean a takedown
+    // or a TTL window re-reads the 100 TB corpus per serve.
+    for ((name, marker) <- Seq("q182_contain_takedown" -> "contain-tomb-",
+                               "q183_contain_retention" -> "contain-gen")) {
+      val p = plan(graft.queries.IncrementalContain.queries(name)(spark, sfDir))
+      assert(p.contains(marker), s"$name plan does not read its artifact ($marker)")
+      assert(!p.contains("documents.parquet"),
+        s"$name rescans the documents table:\n" +
+          p.split("\n").filter(_.contains("documents.parquet")).mkString("\n"))
+    }
+  }
+
   test("q101 serves from the media index + staged shard: the corpus is never rescanned or re-decoded") {
     // the media-intake claim: after the offline build (which pays the
     // corpus decode ONCE), a day's media shard is verdicted by decoding
