@@ -47,7 +47,13 @@ object SkewProbe {
     val docQs = Seq("q33_minhash_lsh", "q35_simhash_pairs", "q44_corpus_filter",
       "q51_decontaminate", "q90_boilerplate_strip", "q93_bigram_surprisal",
       "q91_bm25_topk", "q103_dupspan_profile", "q111_novelty_audit",
-      "q113_source_overlap")
+      "q113_source_overlap",
+      // round 17: the banded containment twin — the boilerplate plant
+      // drives every boiler shingle's df to ~0.9·N, far over
+      // ContainBandCap, so the count-prune must DROP the hot buckets
+      // (the q33 mega-bucket rule) and the candidate join stays bounded
+      // by the rare-prefix volume
+      "q180_contain_banded")
     val embQs = Seq("q39_cosine_neardup")
     // media saturation (round 11): the perceptual family's skew surface
     // is HASH-IDENTICAL media, not text — probed in its own `msat`
