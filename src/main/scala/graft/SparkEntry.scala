@@ -16,6 +16,7 @@ object SparkEntry {
     _root_.graft.queries.Dedup,
     _root_.graft.queries.IncrementalDedup,
     _root_.graft.queries.IncrementalContain,
+    _root_.graft.queries.IncrementalGraphAnn,
     _root_.graft.queries.IncrementalMediaDedup,
     _root_.graft.queries.IncrementalPrepare,
     _root_.graft.queries.IncrementalPack,

@@ -387,6 +387,17 @@ object Dedup extends QueryModule {
   // instead and is exact per-row.
   private[graft] val ContainBandCap = 512
 
+  /** Max corpus shingle df over the containment family's token relation
+    * — the premise ContainBandedSpec asserts before claiming banded ≡
+    * exact (every token under [[ContainBandCap]] ⇒ recall 1.0 by
+    * construction): a fixture-scale change then fails with the actual
+    * cause, not a misleading recall message. */
+  private[graft] def containMaxDf(s: SparkSession, dir: String): Long =
+    jaccardDocSets(s, dir)
+      .select(explode(col("set")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head.getLong(0)
+
   /** q180's banded pair set over `docSets` — see the block comment. */
   private[graft] def containPairsBanded(docSets: DataFrame): DataFrame = {
     val ranked = containRanked(docSets)
@@ -1390,16 +1401,22 @@ object Dedup extends QueryModule {
     * it unchanged. The wide form splits the 32-nibble digest 15+15+2 —
     * each limb's decimal form fits a signed int64 (Spark's `conv`
     * returns a STRING; 16 nibbles can exceed Long.MaxValue and would
-    * null on the cast). */
-  private def wkeyCol(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    * null on the cast). The width is threaded EXPLICITLY from each
+    * entry point (the registered query reads [[wideKeys]] once at its
+    * own call) so tests exercising the wide form never flip JVM-global
+    * state under concurrently-building plans. */
+  private def wkeyCol(w: org.apache.spark.sql.Column, wide: Boolean): org.apache.spark.sql.Column = {
     val h = md5(w)
-    if (wideKeys)
+    if (wide)
       struct(conv(substring(h, 1, 15), 16, 10).cast("long").as("k1"),
         conv(substring(h, 16, 15), 16, 10).cast("long").as("k2"),
         conv(substring(h, 31, 2), 16, 10).cast("long").as("k3"))
     else struct(conv(substring(h, 1, 15), 16, 10).cast("long").as("k1"))
   }
-  private def q103(s: SparkSession, dir: String): DataFrame = {
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    q103Plan(s, dir, wideKeys)
+
+  private[graft] def q103Plan(s: SparkSession, dir: String, wide: Boolean): DataFrame = {
     val toks = Tables.documentsWide(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .withColumn("n", size(col("ts")))
@@ -1408,7 +1425,7 @@ object Dedup extends QueryModule {
         explode(expr(s"sequence(0, n - $WinLen)")).as("p0"))
       .withColumn("pos", col("p0").cast("int"))
       .withColumn("wkey", wkeyCol(concat_ws(" ",
-        slice(col("ts"), col("pos") + 1, lit(WinLen)))))
+        slice(col("ts"), col("pos") + 1, lit(WinLen))), wide))
       .select("doc_id", "pos", "wkey")
     val firsts = wins.groupBy("wkey")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -1504,7 +1521,10 @@ object Dedup extends QueryModule {
   // (q66's buffer class), the reassembly one codegen-friendly
   // filter-with-index over the token array. No second corpus-sized
   // exchange beyond the per-doc partial agg.
-  private def q150(s: SparkSession, dir: String): DataFrame = {
+  private def q150(s: SparkSession, dir: String): DataFrame =
+    q150Plan(s, dir, wideKeys)
+
+  private[graft] def q150Plan(s: SparkSession, dir: String, wide: Boolean): DataFrame = {
     val toks = Tables.documentsWide(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .withColumn("n", size(col("ts")))
@@ -1513,7 +1533,7 @@ object Dedup extends QueryModule {
         explode(expr(s"sequence(0, n - $WinLen)")).as("p0"))
       .withColumn("pos", col("p0").cast("int"))
       .withColumn("wkey", wkeyCol(concat_ws(" ",
-        slice(col("ts"), col("pos") + 1, lit(WinLen)))))
+        slice(col("ts"), col("pos") + 1, lit(WinLen))), wide))
       .select("doc_id", "pos", "wkey")
     val firsts = wins.groupBy("wkey")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -1610,14 +1630,15 @@ object Dedup extends QueryModule {
     * strip): (doc_id, cov = sorted distinct positions covered by an
     * 8-token window that also occurs in the eval slice) — only docs
     * with ≥ 1 covered position appear. Same geometry/audit as q161. */
-  private[graft] def evalCoveredSpans(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def evalCoveredSpans(s: SparkSession, dir: String,
+                                      wide: Boolean = wideKeys): DataFrame = {
     val toks = decontamToks(s, dir)
     def winsOf(docs: DataFrame): DataFrame = docs.filter(col("n") >= WinLen)
       .select(col("doc_id"), col("ts"),
         explode(expr(s"sequence(0, n - $WinLen)")).as("p0"))
       .withColumn("pos", col("p0").cast("int"))
       .withColumn("wkey", wkeyCol(concat_ws(" ",
-        slice(col("ts"), col("pos") + 1, lit(WinLen)))))
+        slice(col("ts"), col("pos") + 1, lit(WinLen))), wide))
       .select("doc_id", "pos", "wkey")
     val evalKeys = winsOf(toks.filter(col("doc_id") % 17 === 5))
       .select("wkey").distinct()
@@ -1631,9 +1652,12 @@ object Dedup extends QueryModule {
       .select("doc_id", "cov")
   }
 
-  private def q161(s: SparkSession, dir: String): DataFrame = {
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    q161Plan(s, dir, wideKeys)
+
+  private[graft] def q161Plan(s: SparkSession, dir: String, wide: Boolean): DataFrame = {
     val train = decontamToks(s, dir).filter(col("doc_id") % 17 =!= 5)
-    val covered = evalCoveredSpans(s, dir)
+    val covered = evalCoveredSpans(s, dir, wide)
     train.join(covered, Seq("doc_id"), "left")
       .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS array<int>)")))
       .select(col("doc_id"),

@@ -276,16 +276,29 @@ object IncrementalContain extends QueryModule {
   }
 
   /** Publish the redaction tombstone: the request priced against the
-    * index's own sets roster (unknown ids drop — the q133 contract). */
+    * index's own sets roster (unknown ids drop — the q133 contract).
+    * The published path folds in a digest of the PRICED id set (the
+    * verdictArtifact discipline), so two different requests against the
+    * same base path can never collide on the marker gate — without the
+    * digest, a second call with a different ids set would silently
+    * no-op and serve the first request's stale tombstone (round-17
+    * ADVICE item). The request is broadcast-small by contract, so the
+    * one bounded collect here is control-plane, not data-plane. */
   private[graft] def takedown(s: SparkSession, ids: DataFrame,
                               idxPath: String, outPath: String): String = {
-    val path = new org.apache.hadoop.fs.Path(outPath)
+    val priced = s.read.parquet(s"$idxPath/sets").select("doc_id")
+      .join(broadcast(ids), "doc_id").distinct()
+    val pricedIds = priced.collect().map(_.getLong(0)).sorted
+    val full = s"$outPath-${md5key(pricedIds.mkString(","))}"
+    val path = new org.apache.hadoop.fs.Path(full)
     publish(s, path) { tmp =>
-      s.read.parquet(s"$idxPath/sets").select("doc_id")
-        .join(broadcast(ids), "doc_id").distinct()
+      s.createDataFrame(s.sparkContext.parallelize(
+          pricedIds.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+          new org.apache.spark.sql.types.StructType()
+            .add("doc_id", org.apache.spark.sql.types.LongType, nullable = false))
         .write.mode("overwrite").parquet(s"$tmp/ids")
     }
-    outPath
+    full
   }
 
   /** q179's serve with redaction: `container` nulls where the cited

@@ -1,0 +1,379 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+
+/** q188/q189 — the INCREMENTAL GRAPH-ANN serving family (the q84/q87
+  * move on the q184 graph index — the catalog's eighth persisted
+  * serving family). A 100 TB vector store does not rebuild its
+  * navigable graph when a day's embeddings arrive: the COARSE LAYER IS
+  * FROZEN at build time (exactly q87's frozen-codebook contract — the
+  * pivots are the index's trained state), a batch computes its own
+  * out-edges against the frozen cells by the SAME cell-stratified build
+  * rule the base graph used, and the new edges UNION into the serve —
+  * no base vector is re-read, no base edge recomputed (reference
+  * anchor: the watermark-driven incremental contract of
+  * /root/reference/nikon_ETL.py:425-499 — only new slices touch
+  * persisted state).
+  *
+  * Artifact layout (fingerprinted, marker-last, q78 publication), one
+  * generation per ingest:
+  *  - `pivots/`  — (cell, pa, pn2): the FROZEN coarse layer — base
+  *    vectors on the q48 stride rule. Never grows on ingest.
+  *  - `vectors/` — (vec_id, qa, n2): every served vector's quantized
+  *    array + squared norm (the walk's scoring relation).
+  *  - `members/` — (vec_id, cell): assignment to the frozen cells
+  *    (crank = 1 against `pivots/`) — the candidate pool the NEXT
+  *    batch's edges draw from.
+  *  - `adj/`     — (src, dst): the navigable graph.
+  *
+  * INGEST: the staged batch (embeddings with vec_id % 5 = 4; base is
+  * the complement — the family's fixture split) is assigned and probed
+  * against the FROZEN pivots; its out-edges are the per-(node, probed
+  * cell) top-[[Similarity.GraphPerCell]] co-members among base ∪ batch
+  * members of those cells — the q184 build rule verbatim, pointed at
+  * the artifact's member relation instead of a corpus rescan. Each
+  * batch edge also unions in REVERSED (the back-link every
+  * incremental graph-ANN index needs: batch out-edges alone would
+  * leave new content unreachable from base entry points — the walk
+  * could never route INTO a batch node). Reverse rows are ADDITIVE
+  * adjacency state: no base row is rewritten, which is exactly what
+  * makes takedown subtractive (below).
+  *
+  * SERVE: the q184 walk (entries from the frozen pivots, greedy beam,
+  * GraphRounds rounds, exact integer cosine, ties (cos desc, vec_id))
+  * over the ARTIFACT relations only — Similarity.walkTrace, the same
+  * driver-walk core the q184 serve uses, reading `vectors/` and
+  * `adj/`. The query workload arrives as a STAGED file (quantized at
+  * stage time), so the serving plan never scans the embeddings table
+  * (PlanSpec no-rescan). The DuckDB oracle replays build + ingest +
+  * walk from the raw embeddings end to end — a hash match proves the
+  * artifact algebra serves exactly what a from-scratch frozen-pivot
+  * computation would.
+  *
+  * TAKEDOWN (q189): edges are per-vector rows, so removal is EXACTLY
+  * subtractive (the q157 positional contract): tombstone the priced
+  * ids; the serve drops adjacency rows with a tombstoned endpoint,
+  * tombstoned vectors from scoring, and tombstoned cells from the
+  * entry frontier. No rewrite, no re-admission path — and the removed
+  * vector can neither be SERVED nor RELAY a walk (dropping its
+  * through-edges is the conservative compliance reading: removed
+  * content stops influencing results entirely).
+  */
+object IncrementalGraphAnn extends QueryModule {
+  import IncrementalDedup.{indexRoot, publish}
+  import Similarity.{GraphBeam, GraphBuildProbe, GraphEntries, GraphK,
+    GraphPerCell, GraphRounds, NumQueries, PivotPhase, PivotStride}
+
+  private def md5key(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  private def fp(s: SparkSession, dir: String): String =
+    Similarity.pqDataFingerprint(s, dir)
+
+  private[graft] def indexPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/gann-${md5key(s"gann#${fp(s, dir)}")}"
+  private[graft] def genPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/gann-gen1-${md5key(s"ganngen1#${fp(s, dir)}")}"
+  private[graft] def batchPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/gann-batch-${md5key(s"gannbatch#${fp(s, dir)}")}"
+  private[graft] def queryPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/gann-q-${md5key(s"gannq#${fp(s, dir)}")}"
+  private[graft] def tombBase(s: SparkSession, dir: String): String =
+    s"$indexRoot/gann-tomb-${md5key(s"ganntomb#${fp(s, dir)}")}"
+
+  /** All vectors, rolled up: (vec_id, qa, n2) — the q184 quantization. */
+  private def allVecs(s: SparkSession, dir: String): DataFrame =
+    Similarity.vecsOf(Similarity.quant(s, dir)).select("vec_id", "qa", "n2")
+
+  /** Affinity of `vecs` against the FROZEN pivot relation: (vec_id,
+    * cell, crank) with the shared (cos desc, cell) tie-break — the
+    * exact ranked_cells arithmetic the oracle replays. */
+  private def affinityTo(vecs: DataFrame, pivots: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(pivots))
+      .withColumn("dot", expr("graft_dot(qa, pa)"))
+      .withColumn("cos", Similarity.cosine(col("dot"), col("n2"), col("pn2")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell"))))
+      .select("vec_id", "cell", "crank")
+
+  /** Cell-stratified out-edges for `nodes` (vec_id, qa, n2, + their
+    * affinity rows) against candidate `pool` members: per-(node, probed
+    * cell) top-perCell by exact cosine — the q184 build rule. */
+  private def edgesOf(nodes: DataFrame, nodeAff: DataFrame,
+                      pool: DataFrame, scoreVecs: DataFrame): DataFrame = {
+    val probes = nodeAff.filter(col("crank") <= GraphBuildProbe).select("vec_id", "cell")
+    val cand = probes.join(pool, "cell")
+      .filter(col("vec_id") =!= col("nbr"))
+      .select("vec_id", "cell", "nbr")
+    cand
+      .join(nodes.select(col("vec_id"), col("qa").as("qa1"), col("n2").as("n21")), "vec_id")
+      .join(scoreVecs.select(col("vec_id").as("nbr"), col("qa").as("qa2"), col("n2").as("n22")), "nbr")
+      .withColumn("dot", expr("graft_dot(qa1, qa2)"))
+      .withColumn("cos", Similarity.cosine(col("dot"), col("n21"), col("n22")))
+      .withColumn("nrank", row_number().over(
+        Window.partitionBy("vec_id", "cell").orderBy(col("cos").desc, col("nbr"))))
+      .filter(col("nrank") <= GraphPerCell)
+      .select(col("vec_id").as("src"), col("nbr").as("dst"))
+  }
+
+  /** Offline: the base generation — frozen pivots, base vectors/members,
+    * and the base graph (probes × base members, the q184 rule). */
+  private[graft] def buildIndex(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(indexPath(s, dir))
+    publish(s, path) { tmp =>
+      val base = allVecs(s, dir).filter(col("vec_id") % 5 =!= 4)
+      base.cache()
+      val pivots = base.filter(col("vec_id") % PivotStride === PivotPhase)
+        .select(col("vec_id").as("cell"), col("qa").as("pa"), col("n2").as("pn2"))
+      pivots.write.mode("overwrite").parquet(s"$tmp/pivots")
+      base.write.mode("overwrite").parquet(s"$tmp/vectors")
+      val aff = affinityTo(base, pivots).cache()
+      val members = aff.filter(col("crank") === 1).select("vec_id", "cell")
+      members.write.mode("overwrite").parquet(s"$tmp/members")
+      edgesOf(base, aff, members.select(col("vec_id").as("nbr"), col("cell")), base)
+        .write.mode("overwrite").parquet(s"$tmp/adj")
+      aff.unpersist(); base.unpersist()
+    }
+    path.toString
+  }
+
+  /** Stage the day's batch (quantized at stage time, like the shard
+    * docs of the text families) and the query workload. */
+  private[graft] def stageBatch(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(batchPath(s, dir))
+    publish(s, path) { tmp =>
+      allVecs(s, dir).filter(col("vec_id") % 5 === 4)
+        .write.mode("overwrite").parquet(s"$tmp/vecs")
+    }
+    path.toString
+  }
+  private[graft] def stageQueries(s: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(queryPath(s, dir))
+    publish(s, path) { tmp =>
+      allVecs(s, dir).filter(col("vec_id") < NumQueries)
+        .write.mode("overwrite").parquet(s"$tmp/vecs")
+    }
+    path.toString
+  }
+
+  /** Fold the staged batch into a new generation: batch assigned and
+    * probed against the FROZEN pivots; its out-edges drawn from base ∪
+    * batch members of the probed cells; reversed copies union in (the
+    * back-links that make the new content reachable). Vectors/members
+    * union; pivots copy FROZEN. */
+  private[graft] def ingest(s: SparkSession, idxPath: String,
+                            bPath: String, outPath: String): String = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
+    publish(s, path) { tmp =>
+      val pivots = s.read.parquet(s"$idxPath/pivots")
+      val baseVecs = s.read.parquet(s"$idxPath/vectors")
+      val baseMembers = s.read.parquet(s"$idxPath/members")
+      val batch = s.read.parquet(s"$bPath/vecs").cache()
+      val bAff = affinityTo(batch, pivots).cache()
+      val bMembers = bAff.filter(col("crank") === 1).select("vec_id", "cell")
+      val vectors = baseVecs.unionByName(batch)
+      val members = baseMembers.unionByName(bMembers)
+      val bEdges = edgesOf(batch, bAff,
+        members.select(col("vec_id").as("nbr"), col("cell")), vectors).cache()
+      s.read.parquet(s"$idxPath/adj")
+        .unionByName(bEdges)
+        .unionByName(bEdges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$tmp/adj")
+      vectors.write.mode("overwrite").parquet(s"$tmp/vectors")
+      members.write.mode("overwrite").parquet(s"$tmp/members")
+      pivots.write.mode("overwrite").parquet(s"$tmp/pivots")
+      bEdges.unpersist(); bAff.unpersist(); batch.unpersist()
+    }
+    path.toString
+  }
+
+  /** The walk serve over one generation's relations, optionally under
+    * tombstones: q184's entry/beam/round/tie arithmetic verbatim
+    * (Similarity.walkTrace), reading the ARTIFACT and staged queries
+    * only. Returns (qid, vec_id, cosine, rank ≤ GraphK). */
+  private[graft] def serve(s: SparkSession, idxPath: String, qPath: String,
+                           tombPaths: Seq[String] = Nil): DataFrame = {
+    import s.implicits._
+    val tomb: Option[DataFrame] =
+      if (tombPaths.isEmpty) None
+      else Some(tombPaths.map(t => s.read.parquet(s"$t/ids")).reduce(_ unionByName _)
+        .distinct())
+    // re-select the original column ORDER after the anti-joins: a USING
+    // join moves its key first, and the driver walk reads rows
+    // positionally
+    def dropTomb(df: DataFrame, cols: Seq[String]): DataFrame =
+      tomb.fold(df)(t => cols.foldLeft(df)((d, c) =>
+        d.join(broadcast(t.select(col("doc_id").as(c))), Seq(c), "left_anti"))
+        .select(df.columns.map(col).toIndexedSeq: _*))
+    val vectors = dropTomb(s.read.parquet(s"$idxPath/vectors"), Seq("vec_id"))
+    val adj = dropTomb(s.read.parquet(s"$idxPath/adj"), Seq("src", "dst"))
+    val qvecs = s.read.parquet(s"$qPath/vecs")
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    val pivots = s.read.parquet(s"$idxPath/pivots")
+    // entry frontier: crank over ALL frozen cells (self included — the
+    // oracle's ranked_cells), THEN the self/tombstone exclusions
+    val f0rows = qvecs
+      .crossJoin(broadcast(pivots))
+      .withColumn("dot", expr("graft_dot(qq, pa)"))
+      .withColumn("cos", Similarity.cosine(col("dot"), col("n2q"), col("pn2")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cell"))))
+      .filter(col("crank") <= GraphEntries && col("qid") =!= col("cell"))
+    val f0filtered = dropTomb(f0rows, Seq("cell"))
+      .select("qid", "cell").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    val qv = qvecs.collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
+    val last = Similarity.walkTrace(vectors, adj, qv, f0filtered, GraphBeam, GraphRounds)
+      .last
+    last.toDF("qid", "vec_id")
+      .join(vectors, "vec_id")
+      .join(broadcast(qvecs), "qid")
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
+      .withColumn("cos", Similarity.cosine(col("dot"), col("n2q"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= GraphK)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Publish the takedown tombstone: the request priced against the
+    * generation's own vectors roster, digest folded into the path (the
+    * q182 discipline — two requests can never collide on the marker). */
+  private[graft] def takedown(s: SparkSession, ids: DataFrame,
+                              idxPath: String, outBase: String): String = {
+    val priced = s.read.parquet(s"$idxPath/vectors").select(col("vec_id").as("doc_id"))
+      .join(broadcast(ids.select(col("doc_id"))), "doc_id").distinct()
+    val pricedIds = priced.collect().map(_.getLong(0)).sorted
+    val full = s"$outBase-${md5key(pricedIds.mkString(","))}"
+    val path = new org.apache.hadoop.fs.Path(full)
+    publish(s, path) { tmp =>
+      s.createDataFrame(s.sparkContext.parallelize(
+          pricedIds.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+          new org.apache.spark.sql.types.StructType()
+            .add("doc_id", org.apache.spark.sql.types.LongType, nullable = false))
+        .write.mode("overwrite").parquet(s"$tmp/ids")
+    }
+    full
+  }
+
+  /** The ingested (serving) generation — build, stage, ingest; each
+    * step marker-gated, so repeat calls only read. Shared by q188/q189
+    * and the q140 ledger row. */
+  private[graft] def servingIndex(s: SparkSession, dir: String): String = {
+    val idx = buildIndex(s, dir)
+    val b = stageBatch(s, dir)
+    ingest(s, idx, b, genPath(s, dir))
+  }
+
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val gen = servingIndex(s, dir)
+    serve(s, gen, stageQueries(s, dir))
+  }
+
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val gen = servingIndex(s, dir)
+    val t = takedown(s,
+      s.read.parquet(s"$gen/vectors").select(col("vec_id").as("doc_id"))
+        .filter(col("doc_id") % 7 === 3),
+      gen, tombBase(s, dir))
+    serve(s, gen, stageQueries(s, dir), Seq(t))
+  }
+
+  /** Oracle CTE chain for the ingested graph state from RAW embeddings
+    * (never the artifact — the q84 convention): frozen pivots, base
+    * graph, batch edges against the frozen cells, reversed back-links,
+    * the UNION-dedup'd serving adjacency `iadj`, plus `vecs` and
+    * `ranked_cells` in the names [[Similarity.graphWalkSqlCtes]]
+    * expects. Shared by q188/q189/q140. */
+  private[graft] def graphStateSqlCtes: String =
+    s"""vecs AS (
+      |  SELECT vec_id, list(q ORDER BY pos) AS qa, CAST(SUM(q * q) AS BIGINT) AS n2
+      |  FROM quant GROUP BY vec_id),
+      |pivots AS (
+      |  SELECT vec_id AS cell, qa AS pa, n2 AS pn2 FROM vecs
+      |  WHERE vec_id % 5 <> 4 AND vec_id % $PivotStride = $PivotPhase),
+      |affinity AS (
+      |  SELECT v.vec_id, p.cell,
+      |         CAST(list_sum([v.qa[i] * p.pa[i] for i in range(1, len(v.qa) + 1)]) AS DOUBLE)
+      |           / (SQRT(CAST(v.n2 AS DOUBLE)) * SQRT(CAST(p.pn2 AS DOUBLE))) AS cos
+      |  FROM vecs v CROSS JOIN pivots p),
+      |ranked_cells AS (
+      |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS crank
+      |  FROM affinity),
+      |bprobe AS (SELECT vec_id, cell FROM ranked_cells WHERE vec_id % 5 <> 4 AND crank <= $GraphBuildProbe),
+      |bmem AS (SELECT vec_id AS nbr, cell FROM ranked_cells WHERE vec_id % 5 <> 4 AND crank = 1),
+      |bcand AS (
+      |  SELECT p.vec_id, p.cell, m.nbr
+      |  FROM bprobe p JOIN bmem m ON p.cell = m.cell AND p.vec_id <> m.nbr),
+      |badjs AS (
+      |  SELECT c.vec_id, c.cell, c.nbr,
+      |         ${Similarity.graphCosSql("x", "y")} AS cos
+      |  FROM bcand c JOIN vecs x ON c.vec_id = x.vec_id JOIN vecs y ON c.nbr = y.vec_id),
+      |badj AS (
+      |  SELECT vec_id AS src, nbr AS dst FROM (
+      |    SELECT vec_id, nbr, ROW_NUMBER() OVER (PARTITION BY vec_id, cell ORDER BY cos DESC, nbr) AS nrank
+      |    FROM badjs) WHERE nrank <= $GraphPerCell),
+      |nprobe AS (SELECT vec_id, cell FROM ranked_cells WHERE vec_id % 5 = 4 AND crank <= $GraphBuildProbe),
+      |amem AS (SELECT vec_id AS nbr, cell FROM ranked_cells WHERE crank = 1),
+      |ncand AS (
+      |  SELECT p.vec_id, p.cell, m.nbr
+      |  FROM nprobe p JOIN amem m ON p.cell = m.cell AND p.vec_id <> m.nbr),
+      |nadjs AS (
+      |  SELECT c.vec_id, c.cell, c.nbr,
+      |         ${Similarity.graphCosSql("x", "y")} AS cos
+      |  FROM ncand c JOIN vecs x ON c.vec_id = x.vec_id JOIN vecs y ON c.nbr = y.vec_id),
+      |nadj AS (
+      |  SELECT vec_id AS src, nbr AS dst FROM (
+      |    SELECT vec_id, nbr, ROW_NUMBER() OVER (PARTITION BY vec_id, cell ORDER BY cos DESC, nbr) AS nrank
+      |    FROM nadjs) WHERE nrank <= $GraphPerCell),
+      |iadj AS MATERIALIZED (
+      |  SELECT src, dst FROM badj
+      |  UNION
+      |  SELECT src, dst FROM nadj
+      |  UNION
+      |  SELECT dst AS src, src AS dst FROM nadj)""".stripMargin
+
+  private val q188Sql =
+    s"""WITH ${Similarity.quantSqlCte},
+      |$graphStateSqlCtes,
+      |${Similarity.graphWalkSqlCtes("i", GraphEntries, GraphBeam, GraphRounds, adj = "iadj")}
+      |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rnk AS INT) AS rank FROM (
+      |  SELECT qid, vec_id, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM is$GraphRounds)
+      |WHERE rnk <= $GraphK
+      |ORDER BY qid, rank""".stripMargin
+
+  private val q189Sql =
+    s"""WITH ${Similarity.quantSqlCte},
+      |$graphStateSqlCtes,
+      |gtomb AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 3),
+      |tadj AS MATERIALIZED (
+      |  SELECT src, dst FROM iadj
+      |  WHERE src NOT IN (SELECT vec_id FROM gtomb)
+      |    AND dst NOT IN (SELECT vec_id FROM gtomb)),
+      |${Similarity.graphWalkSqlCtes("t", GraphEntries, GraphBeam, GraphRounds,
+          adj = "tadj", f0Where = "cell NOT IN (SELECT vec_id FROM gtomb)")}
+      |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rnk AS INT) AS rank FROM (
+      |  SELECT qid, vec_id, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM ts$GraphRounds)
+      |WHERE rnk <= $GraphK
+      |ORDER BY qid, rank""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_gann_intake" -> (q188 _),
+    "q189_gann_takedown" -> (q189 _),
+  )
+  override val oracle: Map[String, String] = Map(
+    "q188_gann_intake" -> q188Sql,
+    "q189_gann_takedown" -> q189Sql,
+  )
+}

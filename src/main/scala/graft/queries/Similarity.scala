@@ -28,17 +28,17 @@ import graft.{QueryModule, Tables}
 object Similarity extends QueryModule {
 
   private val Scale = 1e7
-  private val NumQueries = 8 // query set: vec_id < 8
+  private[graft] val NumQueries = 8 // query set: vec_id < 8
 
   /** Quantized coordinates: (vec_id, label, pos, q). */
-  private def quant(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def quant(s: SparkSession, dir: String): DataFrame = {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
       .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
         round(col("v").cast("double") * Scale).cast("long").as("q"))
   }
 
-  private val quantSqlCte =
+  private[graft] val quantSqlCte =
     """quant AS (
       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
       |         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 10000000.0) AS BIGINT) AS q
@@ -47,7 +47,7 @@ object Similarity extends QueryModule {
       |  SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM quant GROUP BY vec_id)""".stripMargin
 
   /** cosine between query q and doc d given integer dot and norms. */
-  private def cosine(dot: org.apache.spark.sql.Column,
+  private[graft] def cosine(dot: org.apache.spark.sql.Column,
                      n2a: org.apache.spark.sql.Column,
                      n2b: org.apache.spark.sql.Column) =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
@@ -174,7 +174,7 @@ object Similarity extends QueryModule {
   /** Per-vector rolled-up relation: (vec_id, label, qa = pos-ordered
     * quantized array, n2 = squared norm). The ONE corpus-wide roll-up
     * every similarity query starts from. */
-  private def vecsOf(qdf: DataFrame): DataFrame = {
+  private[graft] def vecsOf(qdf: DataFrame): DataFrame = {
     qdf.groupBy("vec_id", "label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
            sum(col("q") * col("q")).as("n2"))
@@ -518,8 +518,8 @@ object Similarity extends QueryModule {
   //     the corpus.
   // All ties (equal cosine) break on the lower id, so Spark and DuckDB
   // agree bit-for-bit.
-  private val PivotStride = 61
-  private val PivotPhase = 3
+  private[graft] val PivotStride = 61
+  private[graft] val PivotPhase = 3
   private val NProbe = 2
 
   /** The IVF coarse layer shared by q48 (exact in-cell ranking), q71
@@ -1408,21 +1408,29 @@ object Similarity extends QueryModule {
   //  contract (census row), with recall measured q86-style by q185.
   //  Ties break (cos desc, vec_id) everywhere, so both engines agree
   //  bit-for-bit.
-  private val GraphM = 32         // out-degree bound of the neighbor graph
-  private val GraphBuildProbe = 8 // IVF cells probed per node at build
-  private val GraphPerCell = GraphM / GraphBuildProbe // stratified edges/cell
-  private val GraphEntries = 8    // entry pivots per query
-  private val GraphBeam = 16      // beam width per round
-  private val GraphRounds = 6     // unrolled greedy rounds
-  private val GraphK = 3          // served top-k (q185 measures recall@3)
+  private[graft] val GraphM = 32         // out-degree bound of the neighbor graph
+  private[graft] val GraphBuildProbe = 8 // IVF cells probed per node at build
+  private[graft] val GraphPerCell = GraphM / GraphBuildProbe // stratified edges/cell
+  private[graft] val GraphEntries = 8    // entry pivots per query
+  private[graft] val GraphBeam = 16      // beam width per round
+  private[graft] val GraphRounds = 6     // unrolled greedy rounds
+  private[graft] val GraphK = 3          // served top-k (q185 measures recall@3)
 
   /** The bounded-degree neighbor graph (src, dst), GraphM out-edges per
     * node from IVF-co-member candidates. Tracked: the search reads it
     * once per round. private[graft] for GraphAnnSpec's degree audit. */
-  private[graft] def graphAdj(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def graphAdj(s: SparkSession, dir: String): DataFrame =
+    graphAdjOf(s, dir, GraphBuildProbe, GraphPerCell)
+
+  /** [[graphAdj]] parameterized by build density — `buildProbe` cells
+    * probed per node × `perCell` stratified edges per probed cell, so
+    * M = buildProbe·perCell. q187's densification curve sweeps these
+    * (the 100 TB recall lever q186's walk-budget sweep plateaus on). */
+  private[graft] def graphAdjOf(s: SparkSession, dir: String,
+                                buildProbe: Int, perCell: Int): DataFrame = {
     val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
     val aff = ivfAffinity(s, dir)
-    val probes = aff.filter(col("crank") <= GraphBuildProbe).select("vec_id", "cell")
+    val probes = aff.filter(col("crank") <= buildProbe).select("vec_id", "cell")
     val members = aff.filter(col("crank") === 1)
       .select(col("vec_id").as("nbr"), col("cell"))
     // each candidate arrives through exactly ONE cell (its assignment),
@@ -1438,7 +1446,7 @@ object Similarity extends QueryModule {
       .withColumn("cos", cosine(col("dot"), col("n21"), col("n22")))
       .withColumn("nrank", row_number().over(
         Window.partitionBy("vec_id", "cell").orderBy(col("cos").desc, col("nbr"))))
-      .filter(col("nrank") <= GraphPerCell)
+      .filter(col("nrank") <= perCell)
       .select(col("vec_id").as("src"), col("nbr").as("dst")))
   }
 
@@ -1466,17 +1474,34 @@ object Similarity extends QueryModule {
   private[graft] def graphFrontiers(s: SparkSession, dir: String,
                                     entries: Int = GraphEntries,
                                     beam: Int = GraphBeam,
-                                    rounds: Int = GraphRounds): Seq[Seq[(Long, Long)]] = {
+                                    rounds: Int = GraphRounds,
+                                    buildProbe: Int = GraphBuildProbe,
+                                    perCell: Int = GraphPerCell): Seq[Seq[(Long, Long)]] = {
     val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
-    val adj = graphAdj(s, dir)
-    def vecRows(rows: Array[org.apache.spark.sql.Row]): Map[Long, (Array[Long], Long)] =
-      rows.map(r => r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
+    val adj = graphAdjOf(s, dir, buildProbe, perCell)
     val qv = vecRows(vecs.filter(col("vec_id") < NumQueries).collect())
     val f0 = ivfAffinity(s, dir)
       .filter(col("vec_id") < NumQueries && col("crank") <= entries &&
         col("vec_id") =!= col("cell"))
       .select("vec_id", "cell").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    walkTrace(vecs, adj, qv, f0, beam, rounds)
+  }
+
+  /** Row→(id, (qa, n2)) decoder for the driver walk's bounded fetches. */
+  private def vecRows(rows: Array[org.apache.spark.sql.Row]): Map[Long, (Array[Long], Long)] =
+    rows.map(r => r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
+
+  /** The driver walk's core over EXPLICIT relations — `vecs(vec_id, qa,
+    * n2)` for candidate scoring, `adj(src, dst)` for expansion, `qv` the
+    * query vectors, `f0` the entry frontier. Factored out of
+    * [[graphFrontiers]] so the persisted graph-ANN serving family
+    * (IncrementalGraphAnn) walks its ARTIFACT relations through the
+    * exact same arithmetic and tie-breaks the oracle replays. */
+  private[graft] def walkTrace(vecs: DataFrame, adj: DataFrame,
+                               qv: Map[Long, (Array[Long], Long)],
+                               f0: Map[Long, Seq[Long]],
+                               beam: Int, rounds: Int): Seq[Seq[(Long, Long)]] = {
     val fetched = scala.collection.mutable.Map[Long, (Array[Long], Long)]()
     val edgesOf = scala.collection.mutable.Map[Long, Seq[Long]]()
     def fetchVecs(ids: Set[Long]): Unit = {
@@ -1517,8 +1542,83 @@ object Similarity extends QueryModule {
     trace.toSeq.map(_.sorted)
   }
 
-  private def q184(s: SparkSession, dir: String): DataFrame = {
+  /** The per-round job cap of the driver walk: above this many queries
+    * the serve routes through [[graphFrontiersBatched]]. The crossover
+    * is measured, not guessed (BASELINE.md graph-walk Q-scaling table):
+    * the driver walk's per-round fetch is `isin`-list-sized — linear in
+    * Q on the DRIVER — while the batched walk pays ~constant per-job
+    * overhead that amortizes once the frontier relation carries
+    * thousands of rows. */
+  private[graft] val GraphDriverWalkMaxQ = 64L
+
+  /** Batched relational beam walk — the SAME walk as [[graphFrontiers]]
+    * executed as ONE eager Spark job per round for ALL queries (the
+    * q46/q89 round-loop discipline: localCheckpoint cuts the unrolled
+    * lineage each round, so round r+1's plan never replays round r).
+    * Walk state is a DISTRIBUTED (qid, vec_id) relation of ≤ Q·beam
+    * rows: per round it grows along out-edges (one equi-join against
+    * the tracked adjacency), scores frontier ∪ neighbors by the exact
+    * codegen'd integer cosine, and keeps the per-query beam — identical
+    * arithmetic, tie-breaks, and therefore frontiers to the driver walk
+    * (GraphAnnSpec pins bit-equality). This is the production serve
+    * shape for BULK query workloads (Q = 10³–10⁶, e.g. q110's
+    * mining pass or a recall sweep): per-round cost is one shuffle of
+    * Q·beam·(M+1) candidate rows across the cluster, corpus-independent
+    * and driver-free, where the driver walk would serialize Q beam
+    * selections through one process. */
+  private[graft] def graphFrontiersBatched(s: SparkSession, dir: String,
+                                           numQueries: Long = NumQueries,
+                                           entries: Int = GraphEntries,
+                                           beam: Int = GraphBeam,
+                                           rounds: Int = GraphRounds,
+                                           buildProbe: Int = GraphBuildProbe,
+                                           perCell: Int = GraphPerCell): DataFrame = {
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val adj = graphAdjOf(s, dir, buildProbe, perCell)
+    val queriesV = vecs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    var frontier = ivfAffinity(s, dir)
+      .filter(col("vec_id") < numQueries && col("crank") <= entries &&
+        col("vec_id") =!= col("cell"))
+      .select(col("vec_id").as("qid"), col("cell").as("vec_id"))
+    for (_ <- 1 to rounds) {
+      val grown = frontier.unionByName(
+          frontier.join(adj, frontier("vec_id") === adj("src"))
+            .select(col("qid"), col("dst").as("vec_id")))
+        .filter(col("qid") =!= col("vec_id"))
+        .distinct()
+      val beamed = grown
+        .join(vecs, "vec_id")
+        .join(queriesV, "qid")
+        .withColumn("dot", expr("graft_dot(qq, qa)"))
+        .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rnk") <= beam)
+        .select("qid", "vec_id")
+      frontier = beamed.localCheckpoint(true) // ONE job; cut lineage for round r+1
+    }
+    frontier
+  }
+
+  /** The serve's final frontier, Q-gated: the measured-faster driver
+    * walk below [[GraphDriverWalkMaxQ]] queries (the catalog's 8-query
+    * configs), the batched relational walk above it. Both produce
+    * bit-identical frontiers (GraphAnnSpec), so the gate is purely a
+    * physical-plan decision — the oracle replay is unchanged either
+    * way. */
+  private[graft] def graphServedFrontier(s: SparkSession, dir: String,
+                                         numQueries: Long = NumQueries,
+                                         entries: Int = GraphEntries,
+                                         beam: Int = GraphBeam,
+                                         rounds: Int = GraphRounds): DataFrame = {
     import s.implicits._
+    if (numQueries <= GraphDriverWalkMaxQ)
+      graphFrontiers(s, dir, entries, beam, rounds).last.toDF("qid", "vec_id")
+    else graphFrontiersBatched(s, dir, numQueries, entries, beam, rounds)
+  }
+
+  private def q184(s: SparkSession, dir: String): DataFrame = {
     val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
     val queriesV = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
@@ -1527,7 +1627,7 @@ object Similarity extends QueryModule {
     // emitted cosine column carries the same expression tree as every
     // other ANN serve — and the oracle's replay of the whole walk
     // hash-matches it end to end
-    graphFrontiers(s, dir).last.toDF("qid", "vec_id")
+    graphServedFrontier(s, dir)
       .join(vecs, "vec_id")
       .join(broadcast(queriesV), "qid")
       .withColumn("dot", expr("graft_dot(qq, qa)"))
@@ -1539,40 +1639,48 @@ object Similarity extends QueryModule {
       .orderBy("qid", "rank")
   }
 
-  private def graphCosSql(a: String, b: String): String =
+  private[graft] def graphCosSql(a: String, b: String): String =
     s"""CAST(list_sum([$a.qa[i] * $b.qa[i] for i in range(1, len($a.qa) + 1)]) AS DOUBLE)
        |           / (SQRT(CAST($a.n2 AS DOUBLE)) * SQRT(CAST($b.n2 AS DOUBLE)))""".stripMargin
 
   /** Oracle CTEs for the graph BUILD: expects `$quantSqlCte, $ivfSqlCtes`
     * upstream; yields `gadj(src, dst)`. Shared by every walk config. */
   private def graphAdjSqlCtes: String =
-    s"""gprobe AS (SELECT vec_id, cell FROM ranked_cells WHERE crank <= $GraphBuildProbe),
-      |gmem AS (SELECT vec_id AS nbr, cell FROM ranked_cells WHERE crank = 1),
-      |gcand AS (
+    graphAdjSqlCtesOf("g", GraphBuildProbe, GraphPerCell)
+
+  /** [[graphAdjSqlCtes]] parameterized by name prefix and build density
+    * — yields `${p}adj(src, dst)`; q187 lays three densities side by
+    * side from the one ranked_cells relation. */
+  private def graphAdjSqlCtesOf(p: String, buildProbe: Int, perCell: Int): String =
+    s"""${p}probe AS (SELECT vec_id, cell FROM ranked_cells WHERE crank <= $buildProbe),
+      |${p}mem AS (SELECT vec_id AS nbr, cell FROM ranked_cells WHERE crank = 1),
+      |${p}cand AS (
       |  SELECT p.vec_id, p.cell, m.nbr
-      |  FROM gprobe p JOIN gmem m ON p.cell = m.cell AND p.vec_id <> m.nbr),
-      |gadjs AS (
+      |  FROM ${p}probe p JOIN ${p}mem m ON p.cell = m.cell AND p.vec_id <> m.nbr),
+      |${p}adjs AS (
       |  SELECT c.vec_id, c.cell, c.nbr,
       |         ${graphCosSql("x", "y")} AS cos
-      |  FROM gcand c JOIN vecs x ON c.vec_id = x.vec_id JOIN vecs y ON c.nbr = y.vec_id),
-      |gadj AS MATERIALIZED (
+      |  FROM ${p}cand c JOIN vecs x ON c.vec_id = x.vec_id JOIN vecs y ON c.nbr = y.vec_id),
+      |${p}adj AS MATERIALIZED (
       |  SELECT vec_id AS src, nbr AS dst FROM (
       |    SELECT vec_id, nbr, ROW_NUMBER() OVER (PARTITION BY vec_id, cell ORDER BY cos DESC, nbr) AS nrank
-      |    FROM gadjs) WHERE nrank <= $GraphPerCell)""".stripMargin
+      |    FROM ${p}adjs) WHERE nrank <= $perCell)""".stripMargin
 
   /** Oracle CTEs for ONE walk config: entry frontier + the unrolled beam
     * rounds, names prefixed by `p` — yields `${p}s$rounds(qid, vec_id,
     * cos)`, the final scored frontier. Expects `gadj` + `ranked_cells` +
     * `vecs` upstream. q184/q185 use p = "g" at the production constants;
     * q186 lays three configs side by side. */
-  private def graphWalkSqlCtes(p: String, entries: Int, beam: Int, rounds: Int): String = {
+  private[graft] def graphWalkSqlCtes(p: String, entries: Int, beam: Int, rounds: Int,
+                               adj: String = "gadj",
+                               f0Where: String = "TRUE"): String = {
     val chain = (1 to rounds).map { r =>
       val prev = s"${p}f${r - 1}"
       s"""${p}g$r AS (
         |  SELECT DISTINCT qid, vec_id FROM (
         |    SELECT qid, vec_id FROM $prev
         |    UNION ALL
-        |    SELECT f.qid, a.dst AS vec_id FROM $prev f JOIN gadj a ON f.vec_id = a.src)
+        |    SELECT f.qid, a.dst AS vec_id FROM $prev f JOIN $adj a ON f.vec_id = a.src)
         |  WHERE qid <> vec_id),
         |${p}s$r AS (
         |  SELECT g.qid, g.vec_id,
@@ -1585,7 +1693,8 @@ object Similarity extends QueryModule {
     }.mkString(",\n")
     s"""${p}f0 AS MATERIALIZED (
       |  SELECT vec_id AS qid, cell AS vec_id FROM ranked_cells
-      |  WHERE vec_id < $NumQueries AND crank <= $entries AND vec_id <> cell),
+      |  WHERE vec_id < $NumQueries AND crank <= $entries AND vec_id <> cell
+      |    AND $f0Where),
       |$chain""".stripMargin
   }
 
@@ -1750,6 +1859,103 @@ object Similarity extends QueryModule {
       |$servedCtes
       |$arms
       |ORDER BY entries, beam, rounds""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q187 — GRAPH-ANN DENSIFICATION CURVE: recall@k of the PRODUCTION
+  // walk config (E=8, B=16, R=6) over graphs of increasing edge density
+  // — the lever q186's walk-budget sweep PLATEAUS on (measured at sf1:
+  // entries/beam/rounds dialed 2× past production still read 0.54,
+  // because the M=32 graph simply lacks the edges to route across sf1's
+  // 328-cell coarse layer). Three build densities from the ONE shared
+  // ivfAffinity pass: the production (probe=8, perCell=4, M=32) graph,
+  // the within-cell densification (8×8, M=64 — more edges into the
+  // same neighborhoods), and the spread densification (16×4, M=64 —
+  // the same edge budget reaching twice the cells). Build cost is
+  // linear in N·probe·perCell either way; the sf1 BASELINE row records
+  // which M=64 shape buys the recall (spread, 0.54 → target ≥ 0.9) —
+  // the q122/q186 measurement discipline: a deployment reads this
+  // curve, not a guess, when sizing its graph.
+  private val GraphDensitySweep = Seq(
+    (GraphBuildProbe, GraphPerCell),     // production M=32
+    (GraphBuildProbe, GraphPerCell * 2), // M=64, denser within probed cells
+    (GraphBuildProbe * 2, GraphPerCell)) // M=64, spread across 2× cells
+
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val queriesV = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    val exact = graft.Caches.track(vecs.crossJoin(broadcast(queriesV))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
+      .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= GraphK)
+      .select("qid", "vec_id"))
+      // tracked cache: the exact arm compares against every density arm
+    GraphDensitySweep.map { case (bp, pc) =>
+      val served = graphFrontiers(s, dir,
+          GraphEntries, GraphBeam, GraphRounds, bp, pc).last.toDF("qid", "vec_id")
+        .join(vecs, "vec_id")
+        .join(broadcast(queriesV), "qid")
+        .withColumn("dot", expr("graft_dot(qq, qa)"))
+        .withColumn("cos", cosine(col("dot"), col("n2q"), col("n2")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rnk") <= GraphK)
+        .select("qid", "vec_id")
+      exact.join(served, Seq("qid", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(bp).as("build_probe"), lit(pc).as("per_cell"),
+          lit(bp * pc).as("m"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit((NumQueries * GraphK).toDouble), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _).orderBy("build_probe", "per_cell")
+  }
+
+  private val q187Sql = {
+    val prefixes = Seq("da", "db", "dc")
+    val builds = GraphDensitySweep.zip(prefixes).map { case ((bp, pc), p) =>
+      graphAdjSqlCtesOf(p, bp, pc) + ",\n" +
+        graphWalkSqlCtes(s"${p}w", GraphEntries, GraphBeam, GraphRounds, adj = s"${p}adj")
+    }.mkString(",\n")
+    val servedCtes = prefixes.map { p =>
+      s"""${p}served AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |    FROM ${p}ws$GraphRounds)
+        |  WHERE rnk <= $GraphK),
+        |${p}hits AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM gexact x JOIN ${p}served s ON s.qid = x.qid AND s.vec_id = x.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val arms = GraphDensitySweep.zip(prefixes).map { case ((bp, pc), p) =>
+      s"""SELECT CAST($bp AS INT) AS build_probe, CAST($pc AS INT) AS per_cell,
+        |       CAST(${bp * pc} AS INT) AS m, n_hits,
+        |       ROUND(CAST(n_hits AS DOUBLE) / ${NumQueries * GraphK}.0, 6) AS recall
+        |FROM ${p}hits""".stripMargin
+    }.mkString("\n      |UNION ALL\n      |")
+    s"""WITH $quantSqlCte,
+      |$ivfSqlCtes,
+      |$builds,
+      |gdots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+      |  FROM quant a JOIN quant b ON a.pos = b.pos AND a.vec_id < $NumQueries AND a.vec_id != b.vec_id
+      |  GROUP BY 1, 2),
+      |gexact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT d.qid, d.vec_id,
+      |           ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+      |             CAST(d.dot AS DOUBLE) / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nd.n2 AS DOUBLE))) DESC,
+      |             d.vec_id) AS rank
+      |    FROM gdots d JOIN norms nq ON d.qid = nq.vec_id JOIN norms nd ON d.vec_id = nd.vec_id)
+      |  WHERE rank <= $GraphK),
+      |$servedCtes
+      |$arms
+      |ORDER BY build_probe, per_cell""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -3061,6 +3267,7 @@ object Similarity extends QueryModule {
     "q184_graph_ann"       -> (q184 _),
     "q185_graph_recall"    -> (q185 _),
     "q186_graph_tuning"    -> (q186 _),
+    "q187_graph_density"   -> (q187 _),
     "q78_pq_index_build"   -> (q78 _),
     "q79_pq_index_search"  -> (q79 _),
     "q87_pq_index_ingest"  -> (q87 _),
@@ -3096,6 +3303,7 @@ object Similarity extends QueryModule {
     "q184_graph_ann"       -> q184Sql,
     "q185_graph_recall"    -> q185Sql,
     "q186_graph_tuning"    -> q186Sql,
+    "q187_graph_density"   -> q187Sql,
     "q78_pq_index_build"   -> q78Sql,
     "q79_pq_index_search"  -> q64Sql, // identical contract, served from the artifact
     "q87_pq_index_ingest"  -> q87Sql,

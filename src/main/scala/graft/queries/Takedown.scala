@@ -33,6 +33,10 @@ import graft.QueryModule
   *  - `vector / tombstone`   — q136's contract on the q79 index:
   *    n_priced = request ∩ the code roster, n_rows = the code rows
   *    masked (PqM per vector).
+  *  - `graphann / tombstone` — q189's contract on the q188 graph index
+  *    (the eighth family): edges are per-vector rows, so n_priced =
+  *    request ∩ the vectors roster and n_rows = the adjacency rows the
+  *    tombstone anti-join masks (any row with a priced endpoint).
   *  - `pack / pad_rewrite` and `pack / repack` — q139's contract on the
   *    packed corpus, where a tombstone is IMPOSSIBLE (global token
   *    positions): the two rewrite options priced from the docspans
@@ -48,9 +52,9 @@ import graft.QueryModule
   * Everything reads the artifacts' own rosters — the raw corpus and
   * embeddings tables are never touched (PlanSpec), exactly the
   * q133/q136/q139 discipline. Every count is a bounded one-row
-  * aggregate over a roster ⋈ broadcast-request join; the ledger is 8
+  * aggregate over a roster ⋈ broadcast-request join; the ledger is 9
   * rows at any corpus size — one per (family, mechanism) across all
-  * seven persisted families.
+  * eight persisted families.
   *
   * The oracle recomputes each family's pricing from the RAW tables
   * (documents token explode for postings rows, embeddings × PqM for
@@ -134,6 +138,18 @@ object Takedown extends QueryModule {
       vecIds.agg(count(lit(1)).as("n_priced")),
       codes.join(broadcast(vecIds), "vec_id").agg(count(lit(1)).as("n_rows")))
 
+    // graphann: the q188 artifact's vectors roster — q189's subtractive
+    // contract: edges are per-vector rows, so the masked rows are
+    // exactly the adjacency rows with a priced endpoint (src or dst)
+    val gannIdx = IncrementalGraphAnn.servingIndex(s, dir)
+    val gVecs = s.read.parquet(s"$gannIdx/vectors")
+    val gann = one("graphann", "tombstone",
+      gVecs.select("vec_id").filter(col("vec_id") % 7 === 3)
+        .agg(count(lit(1)).as("n_priced")),
+      s.read.parquet(s"$gannIdx/adj")
+        .filter(col("src") % 7 === 3 || col("dst") % 7 === 3)
+        .agg(count(lit(1)).as("n_rows")))
+
     // pack: the q139 audit's two rewrite sets from the docspans roster
     val packIdx = IncrementalPack.corpusIndex(s, dir)
     val spans = s.read.parquet(s"$packIdx/docspans")
@@ -154,14 +170,21 @@ object Takedown extends QueryModule {
         .filter(col("first_hit").isNotNull && col("seq_id") >= col("first_hit"))
         .agg(count(lit(1)).as("n_rows")))
 
-    con.unionByName(ded).unionByName(lex).unionByName(med).unionByName(prep)
-      .unionByName(pad).unionByName(repack).unionByName(vec)
+    con.unionByName(ded).unionByName(gann).unionByName(lex).unionByName(med)
+      .unionByName(prep).unionByName(pad).unionByName(repack).unionByName(vec)
       .orderBy("family", "mechanism")
   }
 
   private val q140Sql =
     s"""WITH ${IncrementalMediaDedup.oracleHashCtes},
       |${IncrementalPrepare.oracleCexCtes},
+      |${Similarity.quantSqlCte},
+      |${IncrementalGraphAnn.graphStateSqlCtes},
+      |gp AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_priced FROM embeddings WHERE vec_id % 7 = 3),
+      |gr AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM iadj
+      |  WHERE src % 7 = 3 OR dst % 7 = 3),
       |mcex AS (
       |  SELECT media_type, fhash, MIN(doc_id) AS keeper
       |  FROM hash WHERE doc_id % 5 <> 4 GROUP BY 1, 2),
@@ -213,6 +236,9 @@ object Takedown extends QueryModule {
       |UNION ALL
       |SELECT 'dedup', 'redact', dp.n_priced, dp.n_priced AS n_rows
       |FROM dp
+      |UNION ALL
+      |SELECT 'graphann', 'tombstone', gp.n_priced, gr.n_rows
+      |FROM gp, gr
       |UNION ALL
       |SELECT 'lexical', 'tombstone', lp.n_priced, lr.n_rows
       |FROM lp, lr

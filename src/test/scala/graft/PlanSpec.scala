@@ -270,6 +270,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q188/q189 serve from the graph-ANN index + staged queries: embeddings never rescanned") {
+    // the eighth family's no-rescan contract: after the marker-gated
+    // build/stage/ingest, the serving plan reads the gann artifact and
+    // the staged query file only — an embeddings scan would re-read the
+    // 100 TB vector store per query batch (the walk's whole point is
+    // that it touches ≤ E + R·B·M artifact rows per query)
+    for (name <- Seq("q188_gann_intake", "q189_gann_takedown")) {
+      val p = plan(graft.queries.IncrementalGraphAnn.queries(name)(spark, sfDir))
+      assert(p.contains("gann-"), s"$name plan does not read the gann artifact")
+      assert(!p.contains("embeddings.parquet"),
+        s"$name rescans the embeddings table:\n" +
+          p.split("\n").filter(_.contains("embeddings.parquet")).mkString("\n"))
+    }
+  }
+
   test("q101 serves from the media index + staged shard: the corpus is never rescanned or re-decoded") {
     // the media-intake claim: after the offline build (which pays the
     // corpus decode ONCE), a day's media shard is verdicted by decoding
