@@ -138,7 +138,9 @@ object IncrementalContain extends QueryModule {
     postexOf(s.read.parquet(s"$idxPath/postings"), s.read.parquet(s"$idxPath/sets"))
 
   /** Shard prefix, rarest-first against a FROZEN df relation (unseen
-    * tokens df 0 — exact for any order, see scaladoc). */
+    * tokens df 0 — exact for any order, see scaladoc). Carries each
+    * prefix row's frozen df and the per-doc prefix MAX df (`pmax`) —
+    * the regime gate [[corpusContainers]] routes on. */
   private def shardPrefix(shardSets: DataFrame, dfRel: DataFrame): DataFrame =
     shardSets.filter(col("n") >= MinSet)
       .select(col("doc_id").as("sdoc"), col("n").as("n1"),
@@ -149,7 +151,9 @@ object IncrementalContain extends QueryModule {
         org.apache.spark.sql.expressions.Window
           .partitionBy("sdoc").orderBy("df", "tok")))
       .filter(col("rk") <= col("n1") - expr("(9 * n1 + 9) div 10") + 1)
-      .select("sdoc", "tok", "n1", "s1")
+      .withColumn("pmax", max(col("df")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sdoc")))
+      .select("sdoc", "tok", "n1", "s1", "pmax")
 
   /** Corpus-arm containers (doc_id, container) for the shard against
     * the given artifact relations. The exact containment test runs
@@ -162,15 +166,49 @@ object IncrementalContain extends QueryModule {
     * deduplicated, or aggregated. The container's set rides the
     * postings via one cdoc-keyed join (in production a bucketed
     * artifact table co-locates it for free). Also the q183 audit arm,
-    * pointed at a retired era's relations. */
+    * pointed at a retired era's relations.
+    *
+    * REGIME GATE (the round-17 ask, strengthened): candidate generation
+    * routes PER SHARD DOC on the frozen df spectrum — q180's banded
+    * path where it is provably lossless, the exact path everywhere
+    * else, decided entirely from artifact state (each prefix row's
+    * frozen df). A doc whose whole rarest-first prefix sits under
+    * [[Dedup.ContainBandCap]] can only match under-cap postings (df IS
+    * the posting count of a token), so for it the banded join — the
+    * prefix against the df-capped posting slice — generates exactly the
+    * candidates the full-postings join would: zero recall loss, by
+    * construction, not by threshold. Docs with an over-cap prefix token
+    * (the fixed-vocab / boilerplate regime) keep the exact arm — the
+    * early-exit join that regime already owns. On a Heaps-law corpus
+    * ~every doc routes banded and the corpus-sized join side shrinks to
+    * the under-cap posting slice (the stopword head's rows — the bulk
+    * of a Zipf posting list — never shuffle); on the fixed-vocab
+    * bootstrap every doc routes exact and the plan is unchanged. Gated
+    * ≡ exact is spec-pinned on BOTH routes (ContainGateSpec plants an
+    * over-cap boilerplate block next to a Heaps tail). */
   private[graft] def corpusContainers(shardSets: DataFrame, postings: DataFrame,
-                                      sets: DataFrame, dfRel: DataFrame): DataFrame =
-    shardPrefix(shardSets, dfRel).as("a").join(postexOf(postings, sets).as("b"),
+                                      sets: DataFrame, dfRel: DataFrame,
+                                      gated: Boolean = true): DataFrame = {
+    val prefix = shardPrefix(shardSets, dfRel)
+    val postex = postexOf(postings, sets)
+    def containJoin(pfx: DataFrame, post: DataFrame): DataFrame =
+      pfx.as("a").join(post.as("b"),
         col("a.tok") === col("b.tok") &&
           col("b.n2") * 10 >= col("a.n1") * 9 &&
           expr("graft_overlap_reaches(a.s1, b.s2, cast((9 * a.n1 + 9) div 10 AS bigint))"))
-      .groupBy(col("a.sdoc").as("doc_id"))
-      .agg(min(col("b.cdoc")).as("container"))
+        .select(col("a.sdoc"), col("b.cdoc"))
+    val pairs =
+      if (!gated) containJoin(prefix, postex)
+      else {
+        val cap = Dedup.ContainBandCap
+        val bandedPost = postex.join(
+          dfRel.filter(col("df") <= cap).select("tok"), Seq("tok"), "left_semi")
+        containJoin(prefix.filter(col("pmax") <= cap), bandedPost)
+          .unionByName(containJoin(prefix.filter(col("pmax") > cap), postex))
+      }
+    pairs.groupBy(col("sdoc").as("doc_id"))
+      .agg(min(col("cdoc")).as("container"))
+  }
 
   /** Online: verdict every shard doc against the artifact ONLY. */
   private[graft] def verdictsAgainst(s: SparkSession, shard: DataFrame,
