@@ -398,6 +398,33 @@ object Dedup extends QueryModule {
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .agg(max(col("df"))).head.getLong(0)
 
+  /** Stage sizes of the containment family's candidate pipelines —
+    * exact (q172) vs banded (q180) — over the SAME relations the
+    * production queries join (the jaccardCandidateStats discipline):
+    * raw matched join rows (the shuffle/early-exit volume driver),
+    * prefix row counts per arm, and verified output pairs. HeapsProbe
+    * prints these per scale; BASELINE.md's regime-split table cites
+    * them as the measured candidate-volume points. */
+  private[graft] def containCandidateStats(s: SparkSession, dir: String): Map[String, Long] = {
+    val docSets = jaccardDocSets(s, dir)
+    val ranked = containRanked(docSets)
+    val aPrefix = ranked.filter(col("n") >= MinContainedSet &&
+      col("rk") <= col("n") - expr("(9 * n + 9) div 10") + 1)
+    val rawExact = aPrefix.as("a").join(ranked.as("b"),
+      col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id") &&
+        col("b.n") * 10 >= col("a.n") * 9).count()
+    val bPrefix = aPrefix.filter(col("df") <= ContainBandCap)
+    val buckets = ranked.filter(col("df") <= ContainBandCap)
+    val rawBanded = bPrefix.as("a").join(buckets.as("b"),
+      col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id") &&
+        col("b.n") * 10 >= col("a.n") * 9).count()
+    Map("docs" -> docSets.count(), "prefix_rows" -> aPrefix.count(),
+      "prefix_rows_banded" -> bPrefix.count(),
+      "raw_exact" -> rawExact, "raw_banded" -> rawBanded,
+      "out_exact" -> containPairsExact(docSets).count(),
+      "out_banded" -> containPairsBanded(docSets).count())
+  }
+
   /** q180's banded pair set over `docSets` — see the block comment. */
   private[graft] def containPairsBanded(docSets: DataFrame): DataFrame = {
     val ranked = containRanked(docSets)

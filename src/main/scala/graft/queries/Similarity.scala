@@ -1476,12 +1476,13 @@ object Similarity extends QueryModule {
                                     beam: Int = GraphBeam,
                                     rounds: Int = GraphRounds,
                                     buildProbe: Int = GraphBuildProbe,
-                                    perCell: Int = GraphPerCell): Seq[Seq[(Long, Long)]] = {
+                                    perCell: Int = GraphPerCell,
+                                    numQueries: Long = NumQueries): Seq[Seq[(Long, Long)]] = {
     val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
     val adj = graphAdjOf(s, dir, buildProbe, perCell)
-    val qv = vecRows(vecs.filter(col("vec_id") < NumQueries).collect())
+    val qv = vecRows(vecs.filter(col("vec_id") < numQueries).collect())
     val f0 = ivfAffinity(s, dir)
-      .filter(col("vec_id") < NumQueries && col("crank") <= entries &&
+      .filter(col("vec_id") < numQueries && col("crank") <= entries &&
         col("vec_id") =!= col("cell"))
       .select("vec_id", "cell").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
@@ -1542,14 +1543,17 @@ object Similarity extends QueryModule {
     trace.toSeq.map(_.sorted)
   }
 
-  /** The per-round job cap of the driver walk: above this many queries
-    * the serve routes through [[graphFrontiersBatched]]. The crossover
-    * is measured, not guessed (BASELINE.md graph-walk Q-scaling table):
-    * the driver walk's per-round fetch is `isin`-list-sized — linear in
-    * Q on the DRIVER — while the batched walk pays ~constant per-job
-    * overhead that amortizes once the frontier relation carries
-    * thousands of rows. */
-  private[graft] val GraphDriverWalkMaxQ = 64L
+  /** The Q-gate of the serve: at or below this many queries the walk
+    * runs on the driver, above it through [[graphFrontiersBatched]].
+    * The crossover is MEASURED, not guessed (GraphWalkProbe, BASELINE.md
+    * graph-walk Q-scaling table): at sf1 (20k vectors) the driver walk
+    * reads 5.5/5.8/7.9/19.5 s at Q = 8/256/1024/4096 — its per-round
+    * fetch lists and plain-Scala beam selection grow linearly in Q —
+    * while the batched walk reads 6.9/8.9/10.8/12.3 s (near-flat:
+    * per-job overhead amortized over a distributed frontier). The arms
+    * are bit-identical (GraphAnnSpec + the probe's own Q=256 equality
+    * check), so the gate is purely a physical-plan decision. */
+  private[graft] val GraphDriverWalkMaxQ = 1024L
 
   /** Batched relational beam walk — the SAME walk as [[graphFrontiers]]
     * executed as ONE eager Spark job per round for ALL queries (the

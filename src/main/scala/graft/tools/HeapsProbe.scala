@@ -65,12 +65,19 @@ object HeapsProbe extends Serializable { // generator closures call the (statele
   // embeddings table this text-only corpus does not generate.
   // This list times every vocabulary-keyed member of the catalog in
   // the growing-vocabulary regime its plan claims to survive.
+  // q172/q180/q181/q179 joined in round 18 (verdict ask #2): the
+  // containment family measured in the Heaps regime its 100 TB story
+  // claims — q181's recall row is the committed "banded recall → 1 on
+  // real-vocabulary corpora" point, containCandidateStats the
+  // near-linear candidate-volume point, and q179 the gated serve's step
+  // on the same corpus.
   private val Queries = Seq("q32_ngram_jaccard", "q33_minhash_lsh", "q44_corpus_filter",
     "q46_neardup_components", "q51_decontaminate", "q85_bloom_decontaminate",
     "q93_bigram_surprisal", "q103_dupspan_profile", "q111_novelty_audit",
     "q130_vocab_report", "q150_dupspan_strip", "q152_oov_drift",
     "q153_ppl_buckets", "q156_curriculum_plan", "q161_decontam_strip",
-    "q164_unigram_encode")
+    "q164_unigram_encode", "q172_containment_dedup", "q180_contain_banded",
+    "q179_contain_intake")
 
   /** Zipf(s) CDF over ranks 1..v — tiny (V ≤ ~15k doubles), captured
     * into the generator closure. */
@@ -162,9 +169,16 @@ object HeapsProbe extends Serializable { // generator closures call the (statele
       graft.Caches.release(); spark.catalog.clearCache()
       val stats = graft.queries.Dedup.jaccardCandidateStats(spark, dir)
       graft.Caches.release(); spark.catalog.clearCache()
+      val cstats = graft.queries.Dedup.containCandidateStats(spark, dir)
+      graft.Caches.release(); spark.catalog.clearCache()
+      val recall = graft.SparkEntry.queries("q181_contain_recall")(spark, dir).collect().head
+      graft.Caches.release(); spark.catalog.clearCache()
       val qs = times.map { case (q, t) => s""""$q":${math.round(t * 1000) / 1000.0}""" }.mkString(",")
       val st = stats.toSeq.sortBy(_._1).map { case (n, x) => s""""$n":$x""" }.mkString(",")
-      println(s"""[heaps] {"scale":$k,"docs":${BaseDocs.toLong * k},"vocab":$vocab,"times":{$qs},"q32_stats":{$st}}""")
+      val cs = cstats.toSeq.sortBy(_._1).map { case (n, x) => s""""$n":$x""" }.mkString(",")
+      val rc = s""""n_exact":${recall.getLong(0)},"n_banded":${recall.getLong(1)},""" +
+        s""""n_hit":${recall.getLong(2)},"recall":${recall.getDouble(3)}"""
+      println(s"""[heaps] {"scale":$k,"docs":${BaseDocs.toLong * k},"vocab":$vocab,"times":{$qs},"q32_stats":{$st},"contain_stats":{$cs},"contain_recall":{$rc}}""")
     }
     spark.stop()
   }
