@@ -78,6 +78,10 @@ object IncrementalGraphAnn extends QueryModule {
     s"$indexRoot/gann-${md5key(s"gann#${fp(s, dir)}")}"
   private[graft] def genPath(s: SparkSession, dir: String): String =
     s"$indexRoot/gann-gen1-${md5key(s"ganngen1#${fp(s, dir)}")}"
+  private[graft] def eraPath(s: SparkSession, dir: String, tag: String): String =
+    s"$indexRoot/gann-era$tag-${md5key(s"gannera$tag#${fp(s, dir)}")}"
+  private[graft] def compPath(s: SparkSession, dir: String): String =
+    s"$indexRoot/gann-comp-${md5key(s"ganncomp#${fp(s, dir)}")}"
   private[graft] def batchPath(s: SparkSession, dir: String): String =
     s"$indexRoot/gann-batch-${md5key(s"gannbatch#${fp(s, dir)}")}"
   private[graft] def queryPath(s: SparkSession, dir: String): String =
@@ -122,10 +126,20 @@ object IncrementalGraphAnn extends QueryModule {
 
   /** Offline: the base generation — frozen pivots, base vectors/members,
     * and the base graph (probes × base members, the q184 rule). */
-  private[graft] def buildIndex(s: SparkSession, dir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(indexPath(s, dir))
+  private[graft] def buildIndex(s: SparkSession, dir: String): String =
+    buildGenIndex(s, dir, col("vec_id") % 5 =!= 4, indexPath(s, dir))
+
+  /** One generation built over the vectors selected by `pred` — the
+    * era-granular build q190's retention window composes; its pivots
+    * are ITS trained coarse layer (each era is a self-contained index,
+    * the sharded-ANN shape — cross-era edges never exist, so a window
+    * serve is scatter-gather over era walks, not a union walk). */
+  private[graft] def buildGenIndex(s: SparkSession, dir: String,
+                                   pred: org.apache.spark.sql.Column,
+                                   outPath: String): String = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
     publish(s, path) { tmp =>
-      val base = allVecs(s, dir).filter(col("vec_id") % 5 =!= 4)
+      val base = allVecs(s, dir).filter(pred)
       base.cache()
       val pivots = base.filter(col("vec_id") % PivotStride === PivotPhase)
         .select(col("vec_id").as("cell"), col("qa").as("pa"), col("n2").as("pn2"))
@@ -192,28 +206,28 @@ object IncrementalGraphAnn extends QueryModule {
     path.toString
   }
 
-  /** The walk serve over one generation's relations, optionally under
-    * tombstones: q184's entry/beam/round/tie arithmetic verbatim
+  private def tombOf(s: SparkSession, tombPaths: Seq[String]): Option[DataFrame] =
+    if (tombPaths.isEmpty) None
+    else Some(tombPaths.map(t => s.read.parquet(s"$t/ids")).reduce(_ unionByName _)
+      .distinct())
+
+  /** Anti-join `df` against the tombstone on each of `cols`, then
+    * RE-SELECT the original column order: a USING join moves its key
+    * first, and the driver walk reads rows positionally. */
+  private def dropTomb(df: DataFrame, tomb: Option[DataFrame],
+                       cols: Seq[String]): DataFrame =
+    tomb.fold(df)(t => cols.foldLeft(df)((d, c) =>
+      d.join(broadcast(t.select(col("doc_id").as(c))), Seq(c), "left_anti"))
+      .select(df.columns.map(col).toIndexedSeq: _*))
+
+  /** One generation's final walk frontier (qid, vec_id) under optional
+    * tombstones — q184's entry/beam/round/tie arithmetic verbatim
     * (Similarity.walkTrace), reading the ARTIFACT and staged queries
-    * only. Returns (qid, vec_id, cosine, rank ≤ GraphK). */
-  private[graft] def serve(s: SparkSession, idxPath: String, qPath: String,
-                           tombPaths: Seq[String] = Nil): DataFrame = {
-    import s.implicits._
-    val tomb: Option[DataFrame] =
-      if (tombPaths.isEmpty) None
-      else Some(tombPaths.map(t => s.read.parquet(s"$t/ids")).reduce(_ unionByName _)
-        .distinct())
-    // re-select the original column ORDER after the anti-joins: a USING
-    // join moves its key first, and the driver walk reads rows
-    // positionally
-    def dropTomb(df: DataFrame, cols: Seq[String]): DataFrame =
-      tomb.fold(df)(t => cols.foldLeft(df)((d, c) =>
-        d.join(broadcast(t.select(col("doc_id").as(c))), Seq(c), "left_anti"))
-        .select(df.columns.map(col).toIndexedSeq: _*))
-    val vectors = dropTomb(s.read.parquet(s"$idxPath/vectors"), Seq("vec_id"))
-    val adj = dropTomb(s.read.parquet(s"$idxPath/adj"), Seq("src", "dst"))
-    val qvecs = s.read.parquet(s"$qPath/vecs")
-      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    * only. */
+  private def eraFrontier(s: SparkSession, idxPath: String, qvecs: DataFrame,
+                          tomb: Option[DataFrame]): Seq[(Long, Long)] = {
+    val vectors = dropTomb(s.read.parquet(s"$idxPath/vectors"), tomb, Seq("vec_id"))
+    val adj = dropTomb(s.read.parquet(s"$idxPath/adj"), tomb, Seq("src", "dst"))
     val pivots = s.read.parquet(s"$idxPath/pivots")
     // entry frontier: crank over ALL frozen cells (self included — the
     // oracle's ranked_cells), THEN the self/tombstone exclusions
@@ -224,14 +238,32 @@ object IncrementalGraphAnn extends QueryModule {
       .withColumn("crank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cell"))))
       .filter(col("crank") <= GraphEntries && col("qid") =!= col("cell"))
-    val f0filtered = dropTomb(f0rows, Seq("cell"))
+    val f0 = dropTomb(f0rows, tomb, Seq("cell"))
       .select("qid", "cell").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
     val qv = qvecs.collect()
       .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
-    val last = Similarity.walkTrace(vectors, adj, qv, f0filtered, GraphBeam, GraphRounds)
-      .last
-    last.toDF("qid", "vec_id")
+    Similarity.walkTrace(vectors, adj, qv, f0, GraphBeam, GraphRounds).last
+  }
+
+  /** Scatter-gather serve over a WINDOW of generations: each live era's
+    * graph is walked independently (cross-era edges never exist — each
+    * era froze its own coarse layer, the sharded-ANN shape) and the
+    * final exact-cosine ranking merges the frontiers globally. With one
+    * era this is exactly the single-index serve. Returns the UNROUNDED
+    * scored rows (qid, vec_id, cos, rank ≤ GraphK) so q190's audit can
+    * compare cosines before display rounding. */
+  private def windowScored(s: SparkSession, idxPaths: Seq[String], qPath: String,
+                           tombPaths: Seq[String] = Nil): DataFrame = {
+    import s.implicits._
+    val tomb = tombOf(s, tombPaths)
+    val qvecs = s.read.parquet(s"$qPath/vecs")
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    val fronts = idxPaths.flatMap(p => eraFrontier(s, p, qvecs, tomb)).distinct
+    val vectors = idxPaths.map(p =>
+        dropTomb(s.read.parquet(s"$p/vectors"), tomb, Seq("vec_id")))
+      .reduce(_ unionByName _).dropDuplicates("vec_id")
+    fronts.toDF("qid", "vec_id")
       .join(vectors, "vec_id")
       .join(broadcast(qvecs), "qid")
       .withColumn("dot", expr("graft_dot(qq, qa)"))
@@ -239,9 +271,20 @@ object IncrementalGraphAnn extends QueryModule {
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= GraphK)
+  }
+
+  /** The walk serve over one generation, optionally under tombstones:
+    * (qid, vec_id, cosine, rank ≤ GraphK). */
+  private[graft] def serve(s: SparkSession, idxPath: String, qPath: String,
+                           tombPaths: Seq[String] = Nil): DataFrame =
+    windowServe(s, Seq(idxPath), qPath, tombPaths)
+
+  /** [[windowScored]] in display shape. */
+  private[graft] def windowServe(s: SparkSession, idxPaths: Seq[String], qPath: String,
+                                 tombPaths: Seq[String] = Nil): DataFrame =
+    windowScored(s, idxPaths, qPath, tombPaths)
       .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
       .orderBy("qid", "rank")
-  }
 
   /** Publish the takedown tombstone: the request priced against the
     * generation's own vectors roster, digest folded into the path (the
@@ -284,6 +327,77 @@ object IncrementalGraphAnn extends QueryModule {
         .filter(col("doc_id") % 7 === 3),
       gen, tombBase(s, dir))
     serve(s, gen, stageQueries(s, dir), Seq(t))
+  }
+
+  // ---------------------------------------------------------------------
+  // q190 — GRAPH-ANN RETENTION-WINDOW SERVE (q162/q183's TTL move on the
+  // eighth family): per-era generations become the expiry policy. Each
+  // era is a SELF-CONTAINED index (its own frozen coarse layer, its own
+  // graph — cross-era edges never exist), so the window serve is
+  // scatter-gather: walk each LIVE era, merge frontiers by the exact
+  // global ranking — exactly how sharded ANN serving retires a shard:
+  // drop it from the scatter list, no state rewritten. Fixture eras:
+  // corpus parity split (era 0 = even base ids = RETIRED, era 1 = odd =
+  // live). The audit bit compliance/quality review wants rides along:
+  // `retired_better` — TRUE when the retired era still held a strictly
+  // better neighbor than this served row (the recall cost of the expiry,
+  // priced per row from era-0's ARTIFACT vectors, never the raw table).
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val base = col("vec_id") % 5 =!= 4
+    buildGenIndex(s, dir, base && col("vec_id") % 2 === 0, eraPath(s, dir, "0"))
+    val g1 = buildGenIndex(s, dir, base && col("vec_id") % 2 === 1, eraPath(s, dir, "1"))
+    val qP = stageQueries(s, dir)
+    val served = windowScored(s, Seq(g1), qP) // era 0 retired
+    val qvecs = s.read.parquet(s"$qP/vecs")
+      .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
+    val e0best = s.read.parquet(s"${eraPath(s, dir, "0")}/vectors")
+      .crossJoin(broadcast(qvecs))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("dot", expr("graft_dot(qq, qa)"))
+      .withColumn("c0", Similarity.cosine(col("dot"), col("n2q"), col("n2")))
+      .groupBy("qid").agg(max(col("c0")).as("cos0"))
+    served.join(e0best, Seq("qid"), "left")
+      .withColumn("retired_better",
+        coalesce(col("cos") < col("cos0"), lit(false)))
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"),
+        col("rank"), col("retired_better"))
+      .orderBy("qid", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // q191 — GRAPH-ANN COMPACTION (q134/q137's move on the eighth family):
+  // fold the tombstone generations INTO the artifact — vectors, members,
+  // adjacency endpoints, and pivot cells all physically dropped — so the
+  // serve stops paying the per-query anti-join mask and later intakes
+  // assign against the surviving cells only. Serving values are
+  // UNCHANGED by construction (compaction rewrites state, never
+  // semantics): the oracle is q189's replay verbatim, and the hash match
+  // proves compacted-serve ≡ tombstone-masked-serve end to end.
+  private[graft] def compact(s: SparkSession, idxPath: String,
+                             tombPaths: Seq[String], outPath: String): String = {
+    val path = new org.apache.hadoop.fs.Path(outPath)
+    publish(s, path) { tmp =>
+      val tomb = tombOf(s, tombPaths)
+      dropTomb(s.read.parquet(s"$idxPath/vectors"), tomb, Seq("vec_id"))
+        .write.mode("overwrite").parquet(s"$tmp/vectors")
+      dropTomb(s.read.parquet(s"$idxPath/members"), tomb, Seq("vec_id"))
+        .write.mode("overwrite").parquet(s"$tmp/members")
+      dropTomb(s.read.parquet(s"$idxPath/adj"), tomb, Seq("src", "dst"))
+        .write.mode("overwrite").parquet(s"$tmp/adj")
+      dropTomb(s.read.parquet(s"$idxPath/pivots"), tomb, Seq("cell"))
+        .write.mode("overwrite").parquet(s"$tmp/pivots")
+    }
+    path.toString
+  }
+
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val gen = servingIndex(s, dir)
+    val t = takedown(s,
+      s.read.parquet(s"$gen/vectors").select(col("vec_id").as("doc_id"))
+        .filter(col("doc_id") % 7 === 3),
+      gen, tombBase(s, dir))
+    val comp = compact(s, gen, Seq(t), compPath(s, dir))
+    serve(s, comp, stageQueries(s, dir))
   }
 
   /** Oracle CTE chain for the ingested graph state from RAW embeddings
@@ -368,12 +482,77 @@ object IncrementalGraphAnn extends QueryModule {
       |WHERE rnk <= $GraphK
       |ORDER BY qid, rank""".stripMargin
 
+  /** Oracle CTEs for ONE ERA's self-contained index (pivots trained on
+    * the era's own vectors, members/edges era-internal, ranked cells for
+    * EVERY vector against the era's pivots — the f0 and member relation
+    * in one): yields `${p}rc` and `${p}adj`. */
+  private def eraStateSqlCtes(p: String, pred: String): String =
+    s"""${p}piv AS (
+      |  SELECT vec_id AS cell, qa AS pa, n2 AS pn2 FROM vecs
+      |  WHERE ($pred) AND vec_id % $PivotStride = $PivotPhase),
+      |${p}aff AS (
+      |  SELECT v.vec_id, pv.cell,
+      |         CAST(list_sum([v.qa[i] * pv.pa[i] for i in range(1, len(v.qa) + 1)]) AS DOUBLE)
+      |           / (SQRT(CAST(v.n2 AS DOUBLE)) * SQRT(CAST(pv.pn2 AS DOUBLE))) AS cos
+      |  FROM vecs v CROSS JOIN ${p}piv pv),
+      |${p}rc AS (
+      |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS crank
+      |  FROM ${p}aff),
+      |${p}probe AS (SELECT vec_id, cell FROM ${p}rc WHERE ($pred) AND crank <= $GraphBuildProbe),
+      |${p}mem AS (SELECT vec_id AS nbr, cell FROM ${p}rc WHERE ($pred) AND crank = 1),
+      |${p}cand AS (
+      |  SELECT pr.vec_id, pr.cell, m.nbr
+      |  FROM ${p}probe pr JOIN ${p}mem m ON pr.cell = m.cell AND pr.vec_id <> m.nbr),
+      |${p}adjs AS (
+      |  SELECT c.vec_id, c.cell, c.nbr,
+      |         ${Similarity.graphCosSql("x", "y")} AS cos
+      |  FROM ${p}cand c JOIN vecs x ON c.vec_id = x.vec_id JOIN vecs y ON c.nbr = y.vec_id),
+      |${p}adj AS MATERIALIZED (
+      |  SELECT vec_id AS src, nbr AS dst FROM (
+      |    SELECT vec_id, nbr, ROW_NUMBER() OVER (PARTITION BY vec_id, cell ORDER BY cos DESC, nbr) AS nrank
+      |    FROM ${p}adjs) WHERE nrank <= $GraphPerCell)""".stripMargin
+
+  private val Era0Pred = "vec_id % 5 <> 4 AND vec_id % 2 = 0"
+  private val Era1Pred = "vec_id % 5 <> 4 AND vec_id % 2 = 1"
+
+  private val q190Sql =
+    s"""WITH ${Similarity.quantSqlCte},
+      |vecs AS (
+      |  SELECT vec_id, list(q ORDER BY pos) AS qa, CAST(SUM(q * q) AS BIGINT) AS n2
+      |  FROM quant GROUP BY vec_id),
+      |${eraStateSqlCtes("e1", Era1Pred)},
+      |${Similarity.graphWalkSqlCtes("e1w", GraphEntries, GraphBeam, GraphRounds,
+          adj = "e1adj", rankedCells = "e1rc")},
+      |e0best AS (
+      |  SELECT q.vec_id AS qid, MAX(${Similarity.graphCosSql("q", "v")}) AS cos0
+      |  FROM vecs q JOIN vecs v ON q.vec_id < $NumQueries AND v.vec_id <> q.vec_id
+      |  WHERE v.vec_id % 5 <> 4 AND v.vec_id % 2 = 0
+      |  GROUP BY 1)
+      |SELECT s.qid, s.vec_id, ROUND(s.cos, 6) AS cosine, CAST(s.rnk AS INT) AS rank,
+      |       COALESCE(s.cos < m.cos0, FALSE) AS retired_better
+      |FROM (
+      |  SELECT qid, vec_id, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM e1ws$GraphRounds) s
+      |LEFT JOIN e0best m ON s.qid = m.qid
+      |WHERE s.rnk <= $GraphK
+      |ORDER BY s.qid, s.rnk""".stripMargin
+
+  // q191's oracle IS q189's replay: compaction rewrites state, never
+  // serving semantics — the hash match proves compacted-serve ≡
+  // tombstone-masked-serve end to end (the q137 contract).
+  private val q191Sql = q189Sql
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_gann_intake" -> (q188 _),
     "q189_gann_takedown" -> (q189 _),
+    "q190_gann_retention" -> (q190 _),
+    "q191_gann_compact" -> (q191 _),
   )
   override val oracle: Map[String, String] = Map(
     "q188_gann_intake" -> q188Sql,
     "q189_gann_takedown" -> q189Sql,
+    "q190_gann_retention" -> q190Sql,
+    "q191_gann_compact" -> q191Sql,
   )
 }

@@ -1677,7 +1677,8 @@ object Similarity extends QueryModule {
     * q186 lays three configs side by side. */
   private[graft] def graphWalkSqlCtes(p: String, entries: Int, beam: Int, rounds: Int,
                                adj: String = "gadj",
-                               f0Where: String = "TRUE"): String = {
+                               f0Where: String = "TRUE",
+                               rankedCells: String = "ranked_cells"): String = {
     val chain = (1 to rounds).map { r =>
       val prev = s"${p}f${r - 1}"
       s"""${p}g$r AS (
@@ -1696,7 +1697,7 @@ object Similarity extends QueryModule {
         |    FROM ${p}s$r) WHERE rnk <= $beam)""".stripMargin
     }.mkString(",\n")
     s"""${p}f0 AS MATERIALIZED (
-      |  SELECT vec_id AS qid, cell AS vec_id FROM ranked_cells
+      |  SELECT vec_id AS qid, cell AS vec_id FROM $rankedCells
       |  WHERE vec_id < $NumQueries AND crank <= $entries AND vec_id <> cell
       |    AND $f0Where),
       |$chain""".stripMargin

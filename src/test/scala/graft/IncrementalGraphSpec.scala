@@ -66,6 +66,45 @@ class IncrementalGraphSpec extends SparkTestBase {
       "no batch vector reached any served top-k — back-links not navigable")
   }
 
+  test("retention window: only live-era vectors serve; the retired-era audit is non-vacuous") {
+    val rows = SparkEntry.queries("q190_gann_retention")(spark, sfDir).collect()
+    Caches.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getLong(1)
+      assert(v % 5 != 4 && v % 2 == 1,
+        s"retired or un-ingested vector $v served from the live window")
+    }
+    // the audit bit must price a REAL recall cost on the parity split:
+    // with half the corpus retired, some served row has a strictly
+    // better retired neighbor, and not all do (else the bit is a
+    // constant, not a measurement)
+    val bits = rows.map(_.getBoolean(4)).toSet
+    assert(bits == Set(true, false),
+      s"retired_better is constant ($bits) — the audit is vacuous on this fixture")
+  }
+
+  test("compaction folds the tombstone physically; serve values unchanged") {
+    val comp = IncrementalGraphAnn.compact(spark, gen,
+      Seq(IncrementalGraphAnn.takedown(spark,
+        spark.read.parquet(s"$gen/vectors").select(col("vec_id").as("doc_id"))
+          .filter(col("doc_id") % 7 === 3),
+        gen, IncrementalGraphAnn.tombBase(spark, sfDir))),
+      IncrementalGraphAnn.compPath(spark, sfDir))
+    for ((rel, cols) <- Seq("vectors" -> Seq("vec_id"), "members" -> Seq("vec_id"),
+                            "adj" -> Seq("src", "dst"), "pivots" -> Seq("cell"))) {
+      val hit = cols.map(c =>
+        spark.read.parquet(s"$comp/$rel").filter(col(c) % 7 === 3).count()).sum
+      assert(hit == 0, s"compacted $rel still holds $hit tombstoned rows")
+    }
+    val compacted = SparkEntry.queries("q191_gann_compact")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val masked = SparkEntry.queries("q189_gann_takedown")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    Caches.release()
+    assert(compacted == masked, "compacted serve diverged from the tombstone-masked serve")
+  }
+
   test("takedown is subtractive: no tombstoned id is served, cited, or relayed") {
     val out = SparkEntry.queries("q189_gann_takedown")(spark, sfDir).collect()
     Caches.release()

@@ -276,7 +276,8 @@ class PlanSpec extends SparkTestBase {
     // the staged query file only — an embeddings scan would re-read the
     // 100 TB vector store per query batch (the walk's whole point is
     // that it touches ≤ E + R·B·M artifact rows per query)
-    for (name <- Seq("q188_gann_intake", "q189_gann_takedown")) {
+    for (name <- Seq("q188_gann_intake", "q189_gann_takedown",
+                     "q190_gann_retention", "q191_gann_compact")) {
       val p = plan(graft.queries.IncrementalGraphAnn.queries(name)(spark, sfDir))
       assert(p.contains("gann-"), s"$name plan does not read the gann artifact")
       assert(!p.contains("embeddings.parquet"),
