@@ -221,11 +221,16 @@ object IncrementalGraphAnn extends QueryModule {
       .select(df.columns.map(col).toIndexedSeq: _*))
 
   /** One generation's final walk frontier (qid, vec_id) under optional
-    * tombstones — q184's entry/beam/round/tie arithmetic verbatim
-    * (Similarity.walkTrace), reading the ARTIFACT and staged queries
-    * only. */
+    * tombstones, reading the ARTIFACT and staged queries only — q184's
+    * entry/beam/round/tie arithmetic verbatim, through whichever
+    * physical walk `batched` selects: the driver walk
+    * (Similarity.walkTrace — measured faster below the Q=1024
+    * crossover) or the batched relational rounds
+    * (Similarity.walkBatchedCore — the bulk-workload arm; bit-identical
+    * frontiers either way, IncrementalGraphSpec). */
   private def eraFrontier(s: SparkSession, idxPath: String, qvecs: DataFrame,
-                          tomb: Option[DataFrame]): Seq[(Long, Long)] = {
+                          tomb: Option[DataFrame], batched: Boolean): DataFrame = {
+    import s.implicits._
     val vectors = dropTomb(s.read.parquet(s"$idxPath/vectors"), tomb, Seq("vec_id"))
     val adj = dropTomb(s.read.parquet(s"$idxPath/adj"), tomb, Seq("src", "dst"))
     val pivots = s.read.parquet(s"$idxPath/pivots")
@@ -238,12 +243,18 @@ object IncrementalGraphAnn extends QueryModule {
       .withColumn("crank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cell"))))
       .filter(col("crank") <= GraphEntries && col("qid") =!= col("cell"))
-    val f0 = dropTomb(f0rows, tomb, Seq("cell"))
-      .select("qid", "cell").collect()
-      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
-    val qv = qvecs.collect()
-      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
-    Similarity.walkTrace(vectors, adj, qv, f0, GraphBeam, GraphRounds).last
+    val f0 = dropTomb(f0rows.select(col("qid"), col("cell"), col("crank")),
+      tomb, Seq("cell")).select(col("qid"), col("cell").as("vec_id"))
+    if (batched)
+      Similarity.walkBatchedCore(vectors, adj, qvecs, f0, GraphBeam, GraphRounds)
+    else {
+      val f0m = f0.collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+      val qv = qvecs.collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
+      Similarity.walkTrace(vectors, adj, qv, f0m, GraphBeam, GraphRounds).last
+        .toDF("qid", "vec_id")
+    }
   }
 
   /** Scatter-gather serve over a WINDOW of generations: each live era's
@@ -254,16 +265,22 @@ object IncrementalGraphAnn extends QueryModule {
     * scored rows (qid, vec_id, cos, rank ≤ GraphK) so q190's audit can
     * compare cosines before display rounding. */
   private def windowScored(s: SparkSession, idxPaths: Seq[String], qPath: String,
-                           tombPaths: Seq[String] = Nil): DataFrame = {
-    import s.implicits._
+                           tombPaths: Seq[String] = Nil,
+                           batched: Option[Boolean] = None): DataFrame = {
     val tomb = tombOf(s, tombPaths)
     val qvecs = s.read.parquet(s"$qPath/vecs")
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
-    val fronts = idxPaths.flatMap(p => eraFrontier(s, p, qvecs, tomb)).distinct
+    // the measured Q-gate (Similarity.GraphDriverWalkMaxQ): catalog-sized
+    // workloads walk on the driver, bulk workloads through the batched
+    // relational rounds — one bounded count on the staged query file
+    val useBatched = batched.getOrElse(
+      qvecs.count() > Similarity.GraphDriverWalkMaxQ)
+    val fronts = idxPaths.map(p => eraFrontier(s, p, qvecs, tomb, useBatched))
+      .reduce(_ unionByName _).distinct()
     val vectors = idxPaths.map(p =>
         dropTomb(s.read.parquet(s"$p/vectors"), tomb, Seq("vec_id")))
       .reduce(_ unionByName _).dropDuplicates("vec_id")
-    fronts.toDF("qid", "vec_id")
+    fronts
       .join(vectors, "vec_id")
       .join(broadcast(qvecs), "qid")
       .withColumn("dot", expr("graft_dot(qq, qa)"))
@@ -279,10 +296,12 @@ object IncrementalGraphAnn extends QueryModule {
                            tombPaths: Seq[String] = Nil): DataFrame =
     windowServe(s, Seq(idxPath), qPath, tombPaths)
 
-  /** [[windowScored]] in display shape. */
+  /** [[windowScored]] in display shape. `batched` forces a walk arm
+    * (tests); None applies the measured Q-gate. */
   private[graft] def windowServe(s: SparkSession, idxPaths: Seq[String], qPath: String,
-                                 tombPaths: Seq[String] = Nil): DataFrame =
-    windowScored(s, idxPaths, qPath, tombPaths)
+                                 tombPaths: Seq[String] = Nil,
+                                 batched: Option[Boolean] = None): DataFrame =
+    windowScored(s, idxPaths, qPath, tombPaths, batched)
       .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cosine"), col("rank"))
       .orderBy("qid", "rank")
 

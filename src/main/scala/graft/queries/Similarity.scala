@@ -1581,10 +1581,23 @@ object Similarity extends QueryModule {
     val adj = graphAdjOf(s, dir, buildProbe, perCell)
     val queriesV = vecs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
-    var frontier = ivfAffinity(s, dir)
+    val f0 = ivfAffinity(s, dir)
       .filter(col("vec_id") < numQueries && col("crank") <= entries &&
         col("vec_id") =!= col("cell"))
       .select(col("vec_id").as("qid"), col("cell").as("vec_id"))
+    walkBatchedCore(vecs, adj, queriesV, f0, beam, rounds)
+  }
+
+  /** The batched walk's core over EXPLICIT relations (the walkTrace
+    * counterpart): `vecs(vec_id, qa, n2)` for scoring, `adj(src, dst)`,
+    * `queriesV(qid, qq, n2q)`, `f0(qid, vec_id)` the entry frontier.
+    * One eager job per round, lineage cut per round. The incremental
+    * graph family's window serve routes its bulk-Q workloads through
+    * this over ARTIFACT relations. */
+  private[graft] def walkBatchedCore(vecs: DataFrame, adj: DataFrame,
+                                     queriesV: DataFrame, f0: DataFrame,
+                                     beam: Int, rounds: Int): DataFrame = {
+    var frontier = f0
     for (_ <- 1 to rounds) {
       val grown = frontier.unionByName(
           frontier.join(adj, frontier("vec_id") === adj("src"))

@@ -66,6 +66,21 @@ class IncrementalGraphSpec extends SparkTestBase {
       "no batch vector reached any served top-k — back-links not navigable")
   }
 
+  test("window serve: batched relational walk ≡ driver walk over the artifact") {
+    // the family's Q-gate (the measured GraphDriverWalkMaxQ crossover)
+    // is a physical-plan decision only: both arms must serve the same
+    // rows over the SAME artifact relations, tombstones included
+    val qP = IncrementalGraphAnn.stageQueries(spark, sfDir)
+    def rows(b: Boolean): Seq[String] =
+      IncrementalGraphAnn.windowServe(spark, Seq(gen), qP, Nil, Some(b))
+        .collect().map(_.toString).toSeq
+    val driver = rows(false)
+    val batched = rows(true)
+    Caches.release()
+    assert(driver.nonEmpty)
+    assert(batched == driver, s"walk arms diverged on the artifact serve")
+  }
+
   test("retention window: only live-era vectors serve; the retired-era audit is non-vacuous") {
     val rows = SparkEntry.queries("q190_gann_retention")(spark, sfDir).collect()
     Caches.release()
