@@ -388,23 +388,49 @@ object IncrementalGraphAnn extends QueryModule {
   // fold the tombstone generations INTO the artifact — vectors, members,
   // adjacency endpoints, and pivot cells all physically dropped — so the
   // serve stops paying the per-query anti-join mask and later intakes
-  // assign against the surviving cells only. Serving values are
-  // UNCHANGED by construction (compaction rewrites state, never
-  // semantics): the oracle is q189's replay verbatim, and the hash match
-  // proves compacted-serve ≡ tombstone-masked-serve end to end.
+  // assign against the surviving cells only (members whose cell was
+  // retired are REASSIGNED to their best surviving cell, crank = 1
+  // against the compacted coarse layer, so every surviving vector stays
+  // in the candidate pool of future ingests). The serving CONTRACT here
+  // is rank-AFTER-drop: a compacted index ranks its entry frontier over
+  // the SURVIVING coarse layer — physical removal means the retired
+  // pivot vectors are gone (keeping them around to replay the masked
+  // serve's rank-then-drop frontier would retain removed content, the
+  // opposite of what compaction is for), and the serve recovers the
+  // full GraphEntries budget the masked serve loses to dropped entry
+  // slots. The masked f0 is a SUBSET of the compacted f0 by
+  // construction (a surviving cell's crank only improves when the pool
+  // shrinks — IncrementalGraphSpec pins this), so q191 carries its OWN
+  // oracle that builds f0 from surviving pivots; it is NOT q189's
+  // replay, and the two serves may legitimately differ at the
+  // entry-frontier margin.
   private[graft] def compact(s: SparkSession, idxPath: String,
                              tombPaths: Seq[String], outPath: String): String = {
     val path = new org.apache.hadoop.fs.Path(outPath)
     publish(s, path) { tmp =>
       val tomb = tombOf(s, tombPaths)
-      dropTomb(s.read.parquet(s"$idxPath/vectors"), tomb, Seq("vec_id"))
-        .write.mode("overwrite").parquet(s"$tmp/vectors")
-      dropTomb(s.read.parquet(s"$idxPath/members"), tomb, Seq("vec_id"))
-        .write.mode("overwrite").parquet(s"$tmp/members")
+      val pivots = s.read.parquet(s"$idxPath/pivots")
+      val survPiv = dropTomb(pivots, tomb, Seq("cell"))
+      survPiv.write.mode("overwrite").parquet(s"$tmp/pivots")
+      val survVecs = dropTomb(s.read.parquet(s"$idxPath/vectors"), tomb, Seq("vec_id"))
+      survVecs.write.mode("overwrite").parquet(s"$tmp/vectors")
       dropTomb(s.read.parquet(s"$idxPath/adj"), tomb, Seq("src", "dst"))
         .write.mode("overwrite").parquet(s"$tmp/adj")
-      dropTomb(s.read.parquet(s"$idxPath/pivots"), tomb, Seq("cell"))
-        .write.mode("overwrite").parquet(s"$tmp/pivots")
+      val mKeep = dropTomb(s.read.parquet(s"$idxPath/members"), tomb, Seq("vec_id"))
+      val retiredCells = tomb.map(t => pivots
+        .join(broadcast(t.select(col("doc_id").as("cell"))), Seq("cell"), "left_semi")
+        .select("cell"))
+      val members = retiredCells.fold(mKeep) { rc =>
+        val keep = mKeep.join(broadcast(rc), Seq("cell"), "left_anti")
+          .select("vec_id", "cell")
+        val orphanVecs = survVecs.join(
+          mKeep.join(broadcast(rc), Seq("cell"), "left_semi").select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        keep.unionByName(
+          affinityTo(orphanVecs, survPiv).filter(col("crank") === 1)
+            .select("vec_id", "cell"))
+      }
+      members.select("vec_id", "cell").write.mode("overwrite").parquet(s"$tmp/members")
     }
     path.toString
   }
@@ -557,10 +583,37 @@ object IncrementalGraphAnn extends QueryModule {
       |WHERE s.rnk <= $GraphK
       |ORDER BY s.qid, s.rnk""".stripMargin
 
-  // q191's oracle IS q189's replay: compaction rewrites state, never
-  // serving semantics — the hash match proves compacted-serve ≡
-  // tombstone-masked-serve end to end (the q137 contract).
-  private val q191Sql = q189Sql
+  // q191's OWN oracle (NOT q189's replay — see the compact() contract):
+  // the adjacency/vector masking is identical to q189's (physical drop ≡
+  // endpoint mask), but the entry frontier ranks over the SURVIVING
+  // pivots only (`crc`), replaying rank-after-drop — the compacted
+  // index's full-entry-budget serve from raw embeddings end to end.
+  private val q191Sql =
+    s"""WITH ${Similarity.quantSqlCte},
+      |$graphStateSqlCtes,
+      |gtomb AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 3),
+      |tadj AS MATERIALIZED (
+      |  SELECT src, dst FROM iadj
+      |  WHERE src NOT IN (SELECT vec_id FROM gtomb)
+      |    AND dst NOT IN (SELECT vec_id FROM gtomb)),
+      |cpiv AS (SELECT cell, pa, pn2 FROM pivots
+      |         WHERE cell NOT IN (SELECT vec_id FROM gtomb)),
+      |caff AS (
+      |  SELECT v.vec_id, p.cell,
+      |         CAST(list_sum([v.qa[i] * p.pa[i] for i in range(1, len(v.qa) + 1)]) AS DOUBLE)
+      |           / (SQRT(CAST(v.n2 AS DOUBLE)) * SQRT(CAST(p.pn2 AS DOUBLE))) AS cos
+      |  FROM vecs v CROSS JOIN cpiv p WHERE v.vec_id < $NumQueries),
+      |crc AS (
+      |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS crank
+      |  FROM caff),
+      |${Similarity.graphWalkSqlCtes("c", GraphEntries, GraphBeam, GraphRounds,
+          adj = "tadj", rankedCells = "crc")}
+      |SELECT qid, vec_id, ROUND(cos, 6) AS cosine, CAST(rnk AS INT) AS rank FROM (
+      |  SELECT qid, vec_id, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM cs$GraphRounds)
+      |WHERE rnk <= $GraphK
+      |ORDER BY qid, rank""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_gann_intake" -> (q188 _),

@@ -1534,8 +1534,12 @@ object Similarity extends QueryModule {
         q -> (ids.toSet ++ ids.flatMap(edgesOf(_)) - q)
       }
       fetchVecs(grown.values.flatten.toSet)
+      // candidates absent from the vecs relation DROP, never throw —
+      // the batched arm's inner join against vecs does exactly this, so
+      // the Q-gate cannot flip crash-vs-silent behavior on a partially
+      // corrupt or hand-built artifact
       frontier = grown.map { case (q, cands) =>
-        q -> cands.toSeq.map(v => (v, cosTo(q, v)))
+        q -> cands.toSeq.filter(fetched.contains).map(v => (v, cosTo(q, v)))
           .sortBy { case (v, c) => (-c, v) }.take(beam).map(_._1)
       }
       trace += frontier.toSeq.flatMap { case (q, vs) => vs.map(q -> _) }
