@@ -71,8 +71,15 @@ object IncrementalGraphAnn extends QueryModule {
     java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
+  /** Data fingerprint + the BUILD CONFIG: a graph artifact is only
+    * reusable by the config that built it — a registered-density change
+    * must repath (and so rebuild), never serve a stale sparser graph
+    * against a denser oracle replay. Walk knobs are serve-time, but the
+    * entry budget shapes the staged-query contract too, so the whole
+    * operating point keys the path. */
   private def fp(s: SparkSession, dir: String): String =
-    Similarity.pqDataFingerprint(s, dir)
+    s"${Similarity.pqDataFingerprint(s, dir)}:M${Similarity.GraphM}" +
+      s"P${GraphBuildProbe}E${GraphEntries}B${GraphBeam}R$GraphRounds"
 
   private[graft] def indexPath(s: SparkSession, dir: String): String =
     s"$indexRoot/gann-${md5key(s"gann#${fp(s, dir)}")}"
@@ -224,8 +231,8 @@ object IncrementalGraphAnn extends QueryModule {
     * tombstones, reading the ARTIFACT and staged queries only — q184's
     * entry/beam/round/tie arithmetic verbatim, through whichever
     * physical walk `batched` selects: the driver walk
-    * (Similarity.walkTrace — measured faster below the Q=1024
-    * crossover) or the batched relational rounds
+    * (Similarity.walkTrace — measured faster below the
+    * GraphDriverWalkMaxQ crossover) or the batched relational rounds
     * (Similarity.walkBatchedCore — the bulk-workload arm; bit-identical
     * frontiers either way, IncrementalGraphSpec). */
   private def eraFrontier(s: SparkSession, idxPath: String, qvecs: DataFrame,

@@ -1408,12 +1408,26 @@ object Similarity extends QueryModule {
   //  contract (census row), with recall measured q86-style by q185.
   //  Ties break (cos desc, vec_id) everywhere, so both engines agree
   //  bit-for-bit.
-  private[graft] val GraphM = 32         // out-degree bound of the neighbor graph
-  private[graft] val GraphBuildProbe = 8 // IVF cells probed per node at build
+  //
+  //  OPERATING POINT — the registered config is the RECALL-CRITICAL
+  //  point off the round-18 measured (density × walk) surface
+  //  (BASELINE.md graph-ANN density curve, sf1 = 20k vectors): the
+  //  original M=32 + (8,16,6) config read recall@3 0.542 at sf1 — 8
+  //  entry probes cover 2.4% of sf1's 328-cell coarse layer and the
+  //  sparse graph lacks the edges to route across it — while M=128 +
+  //  (16,32,8) reads 0.917 (density 4× alone: 0.875; walk 2× alone:
+  //  0.542 — density is the binding lever, q187's curve). Build cost
+  //  stays linear in N·probe·perCell off the one shared ivfAffinity
+  //  pass; per-query serve cost stays corpus-independent (E + R·B·M
+  //  scored candidates). The q186/q187 sweeps keep the SPARSER configs
+  //  as their cheap arms, so the curve that justified this point stays
+  //  measured every round.
+  private[graft] val GraphM = 128        // out-degree bound of the neighbor graph
+  private[graft] val GraphBuildProbe = 16 // IVF cells probed per node at build
   private[graft] val GraphPerCell = GraphM / GraphBuildProbe // stratified edges/cell
-  private[graft] val GraphEntries = 8    // entry pivots per query
-  private[graft] val GraphBeam = 16      // beam width per round
-  private[graft] val GraphRounds = 6     // unrolled greedy rounds
+  private[graft] val GraphEntries = 16   // entry pivots per query
+  private[graft] val GraphBeam = 32      // beam width per round
+  private[graft] val GraphRounds = 8     // unrolled greedy rounds
   private[graft] val GraphK = 3          // served top-k (q185 measures recall@3)
 
   /** The bounded-degree neighbor graph (src, dst), GraphM out-edges per
@@ -1549,15 +1563,16 @@ object Similarity extends QueryModule {
 
   /** The Q-gate of the serve: at or below this many queries the walk
     * runs on the driver, above it through [[graphFrontiersBatched]].
-    * The crossover is MEASURED, not guessed (GraphWalkProbe, BASELINE.md
-    * graph-walk Q-scaling table): at sf1 (20k vectors) the driver walk
-    * reads 5.5/5.8/7.9/19.5 s at Q = 8/256/1024/4096 — its per-round
-    * fetch lists and plain-Scala beam selection grow linearly in Q —
-    * while the batched walk reads 6.9/8.9/10.8/12.3 s (near-flat:
-    * per-job overhead amortized over a distributed frontier). The arms
-    * are bit-identical (GraphAnnSpec + the probe's own Q=256 equality
-    * check), so the gate is purely a physical-plan decision. */
-  private[graft] val GraphDriverWalkMaxQ = 1024L
+    * The crossover is MEASURED, not guessed, and was RE-MEASURED when
+    * the dense M=128 + (16,32,8) operating point was registered — the
+    * driver walk's per-Q cost is ∝ B·M, so the old M=32 crossover
+    * (Q=1024) no longer held. GraphWalkProbe at sf1 (20k vectors),
+    * dense config: driver 9.1/16.4/40.9/205.3 s at Q = 8/256/1024/4096
+    * vs batched 11.5/16.4/20.7/51.3 s — the arms tie at Q=256 and the
+    * batched walk wins everywhere above. The arms are bit-identical
+    * (GraphAnnSpec + the probe's own Q=256 equality check), so the gate
+    * is purely a physical-plan decision. */
+  private[graft] val GraphDriverWalkMaxQ = 256L
 
   /** Batched relational beam walk — the SAME walk as [[graphFrontiers]]
     * executed as ONE eager Spark job per round for ALL queries (the
@@ -1796,15 +1811,15 @@ object Similarity extends QueryModule {
   // q186 — GRAPH-ANN TUNING CURVE (the q122 nprobe-sweep discipline on
   // the walk's knobs): recall@k of the SAME graph under three
   // entry/beam/round budgets — the recall/latency dial a deployment
-  // actually turns (measured at sf1: the fixed production config reads
-  // 0.54 where the gate scales read 0.92–1.0, because 8 entry probes
-  // cover 2.4% of sf1's 328-cell coarse layer — this curve is how that
-  // deployment picks its operating point). ONE definition of the walk
-  // serves all arms (graphFrontiers parameterized; the adjacency builds
-  // once behind its tracked cache and every config's oracle replay
-  // shares the gadj CTEs), so the sweep cannot drift from the
-  // production q184 serve — whose config is the middle row.
-  private val GraphSweep = Seq((4, 8, 3), (GraphEntries, GraphBeam, GraphRounds), (16, 32, 8))
+  // actually turns (the round-18 sf1 sweep on the then-M=32 graph is
+  // how the registered (16,32,8) point was picked; keeping the sparser
+  // budgets as arms keeps that curve measured every round). ONE
+  // definition of the walk serves all arms (graphFrontiers
+  // parameterized; the adjacency builds once behind its tracked cache
+  // and every config's oracle replay shares the gadj CTEs), so the
+  // sweep cannot drift from the production q184 serve — whose config is
+  // the LAST row.
+  private val GraphSweep = Seq((4, 8, 3), (8, 16, 6), (GraphEntries, GraphBeam, GraphRounds))
 
   private def q186(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1885,23 +1900,24 @@ object Similarity extends QueryModule {
 
   // ---------------------------------------------------------------------
   // q187 — GRAPH-ANN DENSIFICATION CURVE: recall@k of the PRODUCTION
-  // walk config (E=8, B=16, R=6) over graphs of increasing edge density
-  // — the lever q186's walk-budget sweep PLATEAUS on (measured at sf1:
-  // entries/beam/rounds dialed 2× past production still read 0.54,
-  // because the M=32 graph simply lacks the edges to route across sf1's
-  // 328-cell coarse layer). Three build densities from the ONE shared
-  // ivfAffinity pass: the production (probe=8, perCell=4, M=32) graph,
-  // the within-cell densification (8×8, M=64 — more edges into the
-  // same neighborhoods), and the spread densification (16×4, M=64 —
-  // the same edge budget reaching twice the cells). Build cost is
-  // linear in N·probe·perCell either way; the sf1 BASELINE row records
-  // which M=64 shape buys the recall (spread, 0.54 → target ≥ 0.9) —
-  // the q122/q186 measurement discipline: a deployment reads this
-  // curve, not a guess, when sizing its graph.
+  // walk config over graphs of increasing edge density — the lever
+  // q186's walk-budget sweep PLATEAUS on (measured at sf1 on the M=32
+  // graph: entries/beam/rounds dialed 2× still read 0.54, because the
+  // sparse graph simply lacks the edges to route across sf1's 328-cell
+  // coarse layer; density 4× lifted it to 0.875, and with the wide walk
+  // to 0.917 — the measurement that made M=128 the registered config).
+  // Three build densities from the ONE shared ivfAffinity pass: the
+  // round-18 sparse point (8×4, M=32), the intermediate (8×8, M=64),
+  // and the PRODUCTION density (16×8, M=128) — the curve climbs to the
+  // registered point, so the cost of the adopted density is re-priced
+  // against its cheaper alternatives every round. Build cost is linear
+  // in N·probe·perCell on every arm — the q122/q186 measurement
+  // discipline: a deployment reads this curve, not a guess, when
+  // sizing its graph.
   private val GraphDensitySweep = Seq(
-    (GraphBuildProbe, GraphPerCell),     // production M=32
-    (GraphBuildProbe, GraphPerCell * 2), // M=64, denser within probed cells
-    (GraphBuildProbe * 2, GraphPerCell)) // M=64, spread across 2× cells
+    (GraphBuildProbe / 2, GraphPerCell / 2), // M=32, the round-18 sparse point
+    (GraphBuildProbe / 2, GraphPerCell),     // M=64 intermediate
+    (GraphBuildProbe, GraphPerCell))         // production M=128
 
   private def q187(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

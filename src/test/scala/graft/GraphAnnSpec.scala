@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   */
 class GraphAnnSpec extends SparkTestBase {
 
-  private val GraphM = 32
-  private val GraphEntries = 8
-  private val GraphBeam = 16
-  private val GraphK = 3
+  private val GraphM = Similarity.GraphM
+  private val GraphEntries = Similarity.GraphEntries
+  private val GraphBeam = Similarity.GraphBeam
+  private val GraphK = Similarity.GraphK
 
   /** Exact cosine from the raw embeddings, replicating the quantized
     * integer pipeline (round(v·1e7) per coordinate). */
@@ -77,9 +77,10 @@ class GraphAnnSpec extends SparkTestBase {
       .map(_.getLong(1)).sum
     Caches.release()
     assert(sweep.length == 3)
-    val mid = sweep.find(x => (x._1, x._2, x._3) == ((8, 16, 6))).get
-    assert(mid._4 == q185hits,
-      s"sweep's production row (${mid._4}) != q185's total hits ($q185hits) — the arms drifted")
+    val prodRow = sweep.find(x => (x._1, x._2, x._3) ==
+      ((Similarity.GraphEntries, Similarity.GraphBeam, Similarity.GraphRounds))).get
+    assert(prodRow._4 == q185hits,
+      s"sweep's production row (${prodRow._4}) != q185's total hits ($q185hits) — the arms drifted")
     // Greedy beam search carries no monotonicity guarantee — a larger
     // budget can route a query into a different local neighborhood — so
     // a 1-hit dip is tolerated (fixture noise), while a real regression
@@ -94,7 +95,9 @@ class GraphAnnSpec extends SparkTestBase {
     // both walks must produce the SAME final frontier, per query, at any
     // config. Pinned at the production config and one off-production
     // config so a drift in either arm's arithmetic or tie-breaks fails.
-    for ((e, b, r) <- Seq((GraphEntries, GraphBeam, 6), (4, 8, 3))) {
+    for ((e, b, r) <- Seq(
+        (Similarity.GraphEntries, Similarity.GraphBeam, Similarity.GraphRounds),
+        (4, 8, 3))) {
       val driver = Similarity.graphFrontiers(spark, sfDir, e, b, r).last.toSet
       val batched = Similarity.graphFrontiersBatched(spark, sfDir, 8L, e, b, r)
         .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
@@ -105,23 +108,23 @@ class GraphAnnSpec extends SparkTestBase {
     }
   }
 
-  test("density curve: production row equals q185's hits; M=64 arms never lose to M=32") {
+  test("density curve: production row equals q185's hits; recall climbs with density") {
     val curve = SparkEntry.queries("q187_graph_density")(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
     val q185hits = SparkEntry.queries("q185_graph_recall")(spark, sfDir).collect()
       .map(_.getLong(1)).sum
     Caches.release()
     assert(curve.length == 3)
-    val prod = curve.find(x => (x._1, x._2) == ((8, 4))).get
+    val prod = curve.find(x => (x._1, x._2) ==
+      ((Similarity.GraphBuildProbe, Similarity.GraphPerCell))).get
     assert(prod._4 == q185hits,
       s"density curve's production row (${prod._4}) != q185's total hits ($q185hits)")
-    // a denser graph strictly adds edges on the within-cell arm (same
-    // probed cells, deeper per-cell rank) — a 1-hit greedy dip is
-    // tolerated, a collapse is a build bug
-    curve.filter(_._3 == 64).foreach { arm =>
-      assert(arm._4 >= prod._4 - 1,
-        s"densified arm $arm lost hits vs production $prod")
-    }
+    // production is now the DENSEST arm: a denser graph only adds
+    // routes, so a sparser arm beating a denser one by ≥ 2 hits is a
+    // build bug (a 1-hit greedy dip is fixture noise, tolerated)
+    val byM = curve.sortBy(_._3).map(_._4)
+    assert(byM.zip(byM.tail).forall { case (sparse, dense) => dense >= sparse - 1 },
+      s"recall fell with density: ${curve.sortBy(_._3).mkString(",")}")
   }
 
   test("recall row: hits bounded by k, recall in [0,1], search beats nothing") {

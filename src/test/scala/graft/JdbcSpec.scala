@@ -74,6 +74,51 @@ class JdbcSpec extends SparkTestBase {
     assert(spark.read.parquet(sink).count() == expect.count(), "JDBC replay duplicated rows")
   }
 
+  test("dialect renderings: Oracle FF3/to_date forms pinned; Derby forms execute with row parity") {
+    import graft.sources.{DerbyDialect, OracleDialect, PostgresDialect}
+    // the Oracle renderings are the reference's literal SQL, character
+    // for character (dbs/nikon.py:111-112 interval scan, :210 watermark
+    // read) — the forms a live Oracle wire would receive
+    assert(OracleDialect.intervalScan("TLCD01_rawdata", "tstamp",
+        "2020-01-01 00:00:00.000", "2020-01-02 00:00:00.000") ==
+      "SELECT * FROM TLCD01_rawdata WHERE " +
+        "tstamp >= to_timestamp('2020-01-01 00:00:00.000', 'YYYY-MM-DD HH24:MI:SS.FF3') " +
+        "AND tstamp < to_timestamp('2020-01-02 00:00:00.000', 'YYYY-MM-DD HH24:MI:SS.FF3')")
+    assert(OracleDialect.maxTsToSecond("fdc.index_glassout", "endtime") ==
+      "SELECT to_date(to_char(max(endtime),'yyyy-mm-dd hh24:mi:ss')," +
+        "'yyyy-mm-dd hh24:mi:ss') AS last_end_time FROM fdc.index_glassout")
+    // the Postgres rendering passes bare literals for the server-side
+    // cast (R/pg_db.R:22-28)
+    assert(PostgresDialect.intervalScan("t_rawdata", "tstamp",
+        "2020-01-01 00:00:00", "2020-01-02 00:00:00") ==
+      "SELECT * FROM t_rawdata WHERE tstamp >= '2020-01-01 00:00:00' " +
+        "AND tstamp < '2020-01-02 00:00:00'")
+    // Derby is the executable member: the rendered interval scan runs on
+    // a real JDBC wire and must agree row-for-row with the Catalyst
+    // pushdown path over the same bounds
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts", "user_id", "value")
+    writeTable(ev, "events_d")
+    val (lo, hi) = ("2024-01-02 00:00:00", "2024-01-04 00:00:00")
+    // Spark's JDBC writer creates case-sensitive (quoted) identifiers on
+    // Derby, so the rendered scan addresses the column quoted — exactly
+    // what a deployment against a quoting warehouse passes in
+    val viaDialect = spark.read.format("jdbc").option("url", url)
+      .option("query", DerbyDialect.intervalScan("events_d", "\"ts\"", lo, hi)).load()
+    val expect = ev.filter(col("ts") >= Timestamp.valueOf(lo) &&
+      col("ts") < Timestamp.valueOf(hi))
+    assert(expect.count() > 0)
+    assert(viaDialect.count() == expect.count(),
+      "dialect-rendered interval scan diverged from the pushdown filter")
+    // and the watermark read truncates to the second ON THE WIRE
+    val wmRow = spark.read.format("jdbc").option("url", url)
+      .option("query", DerbyDialect.maxTsToSecond("events_d", "\"ts\"")).load()
+      .collect().head
+    val maxTs = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    assert(wmRow.getTimestamp(0) ==
+      Timestamp.valueOf(maxTs.toLocalDateTime.withNano(0)),
+      s"wire-side second truncation diverged: ${wmRow.getTimestamp(0)} vs $maxTs")
+  }
+
   test("glassRawData pipeline over JDBC relations equals the parquet run") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_quantity")
