@@ -17,12 +17,12 @@ object GraphRecallProbe {
 
   // (buildProbe, perCell, entries, beam, rounds)
   private val Configs = Seq(
-    (8, 4, 8, 16, 6),    // production: M=32, the committed 0.54 point
+    (8, 4, 8, 16, 6),    // M=32, the round-18 sparse point (read 0.54 at sf1)
     (8, 8, 8, 16, 6),    // M=64 dense
     (16, 4, 8, 16, 6),   // M=64 spread
     (8, 8, 16, 32, 8),   // M=64 dense + wide walk
     (16, 8, 8, 16, 6),   // M=128
-    (16, 8, 16, 32, 8))  // M=128 + wide walk
+    (16, 8, 16, 32, 8))  // M=128 + wide walk — REGISTERED in round 19 (0.92)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")

@@ -71,11 +71,20 @@ object HeapsProbe extends Serializable { // generator closures call the (statele
   // real-vocabulary corpora" point, containCandidateStats the
   // near-linear candidate-volume point, and q179 the gated serve's step
   // on the same corpus.
+  // q69/q154 joined in round 19 (verdict ask #5): the vocabulary-
+  // coverage report and the skew profiler see an unrealistically CLOSED
+  // key space on the fixed-vocab sf1 bootstrap (~31 types: every token
+  // is a head token, df ≈ corpus size) — their Heaps-regime rows record
+  // the open-vocabulary behavior their plans claim: bucketed ranking
+  // over a √T-growing type relation (q69) and a salt profile whose head
+  // share actually thins as the tail grows (q154).
   private val Queries = Seq("q32_ngram_jaccard", "q33_minhash_lsh", "q44_corpus_filter",
-    "q46_neardup_components", "q51_decontaminate", "q85_bloom_decontaminate",
+    "q46_neardup_components", "q51_decontaminate", "q69_vocab_coverage",
+    "q85_bloom_decontaminate",
     "q93_bigram_surprisal", "q103_dupspan_profile", "q111_novelty_audit",
     "q130_vocab_report", "q150_dupspan_strip", "q152_oov_drift",
-    "q153_ppl_buckets", "q156_curriculum_plan", "q161_decontam_strip",
+    "q153_ppl_buckets", "q154_skew_profile", "q156_curriculum_plan",
+    "q161_decontam_strip",
     "q164_unigram_encode", "q172_containment_dedup", "q180_contain_banded",
     "q179_contain_intake")
 
