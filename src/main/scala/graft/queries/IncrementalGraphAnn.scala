@@ -433,6 +433,15 @@ object IncrementalGraphAnn extends QueryModule {
         val orphanVecs = survVecs.join(
           mKeep.join(broadcast(rc), Seq("cell"), "left_semi").select("vec_id"),
           Seq("vec_id"), "left_semi")
+        // a tombstone that retires EVERY pivot leaves no coarse layer to
+        // absorb orphans — affinityTo against an empty pivot relation
+        // would silently drop their membership, violating the
+        // full-candidate-pool contract; fail loudly instead (the coarse
+        // layer is ~sqrt(N) rows, so the emptiness probe is cheap, and
+        // publish() is marker-gated so the served path never re-pays it)
+        require(!survPiv.isEmpty,
+          "compact(): the tombstone retires the entire coarse layer — " +
+            "surviving vectors would lose membership; rebuild instead")
         keep.unionByName(
           affinityTo(orphanVecs, survPiv).filter(col("crank") === 1)
             .select("vec_id", "cell"))

@@ -1519,18 +1519,25 @@ object Similarity extends QueryModule {
                                beam: Int, rounds: Int): Seq[Seq[(Long, Long)]] = {
     val fetched = scala.collection.mutable.Map[Long, (Array[Long], Long)]()
     val edgesOf = scala.collection.mutable.Map[Long, Seq[Long]]()
+    // a round's uncached candidates can reach Q·beam·M ids; folding them
+    // into ONE `In` expression would build a ~10⁶-literal plan at the
+    // Q-gate ceiling on a cold cache — chunk every fetch at
+    // WalkFetchChunk literals so plan size stays bounded regardless of
+    // corpus or Q (pure physical batching: the union of chunked fetches
+    // is the same row set, so the walk stays bit-identical)
     def fetchVecs(ids: Set[Long]): Unit = {
       val missing = (ids -- fetched.keySet).toSeq
-      if (missing.nonEmpty)
-        vecRows(vecs.filter(col("vec_id").isin(missing: _*)).collect())
+      missing.grouped(WalkFetchChunk).foreach { chunk =>
+        vecRows(vecs.filter(col("vec_id").isin(chunk: _*)).collect())
           .foreach { case (k, v) => fetched(k) = v }
+      }
     }
     def fetchEdges(ids: Set[Long]): Unit = {
       val missing = (ids -- edgesOf.keySet).toSeq
-      if (missing.nonEmpty) {
-        val got = adj.filter(col("src").isin(missing: _*)).collect()
+      missing.grouped(WalkFetchChunk).foreach { chunk =>
+        val got = adj.filter(col("src").isin(chunk: _*)).collect()
           .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq }
-        missing.foreach(m => edgesOf(m) = got.getOrElse(m, Seq.empty))
+        chunk.foreach(m => edgesOf(m) = got.getOrElse(m, Seq.empty))
       }
     }
     def cosTo(q: Long, v: Long): Double = {
@@ -1560,6 +1567,13 @@ object Similarity extends QueryModule {
     }
     trace.toSeq.map(_.sorted)
   }
+
+  /** Per-fetch literal cap for the driver walk's `isin` batches: 10k
+    * Long literals is a ~100 ms plan (flat `In` over a cached relation)
+    * and far below any JVM method/plan-size cliff, while one fetch per
+    * round at the Q=256 gate ceiling rarely needs more than a few
+    * chunks. Chunking is pure batching — result union is identical. */
+  private[graft] val WalkFetchChunk = 10000
 
   /** The Q-gate of the serve: at or below this many queries the walk
     * runs on the driver, above it through [[graphFrontiersBatched]].

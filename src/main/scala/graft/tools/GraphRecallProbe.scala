@@ -26,6 +26,9 @@ object GraphRecallProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
+    // `prod` as a trailing arg runs ONLY the registered config — the
+    // cheap re-measure for the per-query floor row, vs the full sweep
+    val configs = if (args.contains("prod")) Configs.takeRight(1) else Configs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,7 +53,7 @@ object GraphRecallProbe {
       .filter(col("rank") <= sim.GraphK)
       .select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    Configs.foreach { case (bp, pc, e, b, r) =>
+    configs.foreach { case (bp, pc, e, b, r) =>
       val t0 = System.nanoTime()
       val served = sim.graphFrontiers(spark, dir, e, b, r, bp, pc).last
         .toDF("qid", "vec_id")
@@ -64,8 +67,13 @@ object GraphRecallProbe {
         .map(row => (row.getLong(0), row.getLong(1))).toSet
       val secs = (System.nanoTime() - t0) / 1e9
       val hits = (exact & served).size
+      // per-query floor alongside the aggregate: the spec pins ≥ 2/3 at
+      // the registered config (GraphAnnSpec), and the BASELINE row
+      // records the sf1 floor so a fixture regen can't hide one query's
+      // collapse inside a passing 0.9 average
+      val perQ = exact.groupBy(_._1).map { case (q, ex) => (ex & served).size }
       println(s"""[grecall] {"probe":$bp,"per_cell":$pc,"m":${bp * pc},"entries":$e,"beam":$b,"rounds":$r,""" +
-        s""""hits":$hits,"recall":${math.rint(hits / 24.0 * 1e6) / 1e6},"sec":${math.round(secs * 100) / 100.0}}""")
+        s""""hits":$hits,"recall":${math.rint(hits / 24.0 * 1e6) / 1e6},"min_hits":${perQ.min},"sec":${math.round(secs * 100) / 100.0}}""")
     }
     spark.stop()
   }

@@ -139,6 +139,15 @@ class GraphAnnSpec extends SparkTestBase {
       assert(rows.map(_.getLong(1)).sum >= 20,
         s"graph recall collapsed: ${rows.map(_.getLong(1)).sum}/24 hits " +
           "(stratified-edge navigability regressed — see the q184 build comment)")
+      // per-query FLOOR, not just the average: a fixture regen must not
+      // hide one query's recall collapse inside a passing aggregate —
+      // every query keeps ≥ 2 of its 3 exact neighbors at the registered
+      // config (the sf1 twin of this floor is GraphRecallProbe's
+      // min_hits row in BASELINE.md)
+      val floor = rows.map(_.getLong(1)).min
+      assert(floor >= 2,
+        s"a query's recall collapsed to $floor/3 hits at the registered config: " +
+          rows.map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(","))
     } finally Caches.release()
   }
 }

@@ -109,13 +109,19 @@ class IncrementalGraphSpec extends SparkTestBase {
       s"retired_better is constant ($bits) — the audit is vacuous on this fixture")
   }
 
-  test("compaction folds the tombstone physically; members reassigned to surviving cells") {
-    val comp = IncrementalGraphAnn.compact(spark, gen,
+  // the suite's compacted artifact: publish() is marker-gated, so each
+  // test that needs it can call this independently — whichever runs
+  // first builds, the rest no-op (no inter-test ordering dependency)
+  private def compactedIndex(): String =
+    IncrementalGraphAnn.compact(spark, gen,
       Seq(IncrementalGraphAnn.takedown(spark,
         spark.read.parquet(s"$gen/vectors").select(col("vec_id").as("doc_id"))
           .filter(col("doc_id") % 7 === 3),
         gen, IncrementalGraphAnn.tombBase(spark, sfDir))),
       IncrementalGraphAnn.compPath(spark, sfDir))
+
+  test("compaction folds the tombstone physically; members reassigned to surviving cells") {
+    val comp = compactedIndex()
     for ((rel, cols) <- Seq("vectors" -> Seq("vec_id"), "members" -> Seq("vec_id"),
                             "adj" -> Seq("src", "dst"), "pivots" -> Seq("cell"))) {
       val hit = cols.map(c =>
@@ -143,7 +149,7 @@ class IncrementalGraphSpec extends SparkTestBase {
     // pivots, recovering the entry budget the masked serve loses — a
     // surviving cell's crank only improves when the pool shrinks, so
     // masked-f0 ⊆ compacted-f0 must hold structurally, per query
-    val comp = IncrementalGraphAnn.compPath(spark, sfDir) // built by the previous test (marker-gated)
+    val comp = compactedIndex() // marker-gated: builds if this test runs first
     val qP = IncrementalGraphAnn.stageQueries(spark, sfDir)
     val qvecs = spark.read.parquet(s"$qP/vecs")
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
@@ -157,20 +163,30 @@ class IncrementalGraphSpec extends SparkTestBase {
         .filter(col("crank") <= Similarity.GraphEntries && col("qid") =!= col("cell"))
         .select("qid", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val genPiv = spark.read.parquet(s"$gen/pivots")
-    val masked = f0(genPiv).filter(_._2 % 7 != 3) // rank over ALL, then drop (q189)
+    val full = f0(genPiv) // rank over ALL pivots (q189's frontier, pre-drop)
+    val masked = full.filter(_._2 % 7 != 3) // then drop (q189)
     val compacted = f0(spark.read.parquet(s"$comp/pivots")) // rank over survivors (q191)
+    val survCells = spark.read.parquet(s"$comp/pivots").select("cell")
+      .collect().map(_.getLong(0)).toSet
     Caches.release()
     assert(masked.nonEmpty && compacted.nonEmpty)
     assert(masked.subsetOf(compacted),
       s"masked f0 escaped the compacted f0: ${(masked -- compacted).take(5)}")
-    // when the entry budget BINDS (more surviving cells than
-    // GraphEntries) and a tombstone hit an entry slot, the recovered
-    // budget must be real; at sf0.001 the coarse layer is smaller than
-    // the budget, so every cell enters either way and the sets tie
-    val survivors = spark.read.parquet(s"$comp/pivots").count()
-    if (survivors > Similarity.GraphEntries)
+    // the recovered entry budget must be real exactly when the premise
+    // holds: some query LOST an entry slot to the tombstone (a retired
+    // cell sat in its top-GraphEntries over all pivots) AND that query
+    // has more surviving candidate cells than the budget (excluding
+    // itself — a query that is a pivot never enters its own frontier).
+    // Gating on the observed frontier, not on fixture arithmetic, keeps
+    // the assert valid across fixture regens where no tombstone happens
+    // to land in an entry slot (the serve is then correct and the sets
+    // legitimately tie)
+    val recoverable = full.filter(_._2 % 7 == 3).map(_._1).exists(q =>
+      survCells.size - (if (survCells.contains(q)) 1 else 0) > Similarity.GraphEntries)
+    if (recoverable)
       assert((compacted -- masked).nonEmpty,
-        "entry budget binds but compaction recovered no entry slot")
+        "a query lost an entry slot to the tombstone and the budget binds, " +
+          "but compaction recovered no entry slot")
   }
 
   test("takedown is subtractive: no tombstoned id is served, cited, or relayed") {

@@ -119,6 +119,87 @@ class JdbcSpec extends SparkTestBase {
       s"wire-side second truncation diverged: ${wmRow.getTimestamp(0)} vs $maxTs")
   }
 
+  test("write-path dialect forms: slice DELETE and watermark UPDATE render per-dialect and execute on the Derby wire") {
+    import graft.sources.{DerbyDialect, OracleDialect, PostgresDialect}
+    // renderings pinned: the slice delete carries the reference's
+    // (lo, hi] convention (nikon.py:138-145 — note it FLIPS the scan's
+    // [lo, hi) bounds, the P6 both-conventions contract) and the
+    // watermark UPDATE stamps update_time from the server clock
+    // (nikon.py:169-186)
+    assert(OracleDialect.intervalDelete("TLCD01_rawdata", "tstamp",
+        "2020-01-01 00:00:00.000", "2020-01-02 00:00:00.000") ==
+      "DELETE FROM TLCD01_rawdata WHERE " +
+        "tstamp > to_timestamp('2020-01-01 00:00:00.000', 'YYYY-MM-DD HH24:MI:SS.FF3') " +
+        "AND tstamp <= to_timestamp('2020-01-02 00:00:00.000', 'YYYY-MM-DD HH24:MI:SS.FF3')")
+    assert(PostgresDialect.intervalDelete("TLCD01_rawdata", "tstamp",
+        "2020-01-01 00:00:00", "2020-01-02 00:00:00") ==
+      "DELETE FROM TLCD01_rawdata WHERE tstamp > '2020-01-01 00:00:00' " +
+        "AND tstamp <= '2020-01-02 00:00:00'")
+    assert(PostgresDialect.watermarkUpdate("lastendtime", "EDC_Import", "nikon_1",
+        "2020-01-02 00:00:00") ==
+      "UPDATE lastendtime SET last_end_time = '2020-01-02 00:00:00', " +
+        "update_time = now() WHERE apname = 'EDC_Import' AND toolid = 'nikon_1'")
+    assert(OracleDialect.watermarkUpdate("lastendtime", "EDC_Import", "nikon_1",
+        "2020-01-02 00:00:00").contains("update_time = SYSTIMESTAMP"))
+
+    // Derby executes both statements on a real wire
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts", "user_id", "value")
+    writeTable(ev, "events_w")
+    val (lo, hi) = ("2024-01-02 00:00:00", "2024-01-04 00:00:00")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // slice delete: exactly the (lo, hi] rows disappear; replaying the
+      // same delete removes nothing more (idempotent-replay precondition)
+      val doomed = ev.filter(col("ts") > Timestamp.valueOf(lo) &&
+        col("ts") <= Timestamp.valueOf(hi)).count()
+      assert(doomed > 0)
+      val deleted = st.executeUpdate(DerbyDialect.intervalDelete("events_w", "\"ts\"", lo, hi))
+      assert(deleted == doomed, s"wire delete removed $deleted rows, expected $doomed")
+      assert(st.executeUpdate(DerbyDialect.intervalDelete("events_w", "\"ts\"", lo, hi)) == 0)
+      assert(readTable("events_w").count() == ev.count() - doomed)
+
+      // watermark update: only the addressed (apname, toolid) row moves,
+      // and update_time is stamped by the SERVER clock
+      st.executeUpdate("CREATE TABLE lastendtime (apname VARCHAR(64), " +
+        "toolid VARCHAR(64), last_end_time TIMESTAMP, update_time TIMESTAMP)")
+      st.executeUpdate("INSERT INTO lastendtime VALUES " +
+        "('EDC_Import', 'nikon_1', TIMESTAMP('2020-01-01 00:00:00'), NULL), " +
+        "('EDC_Import', 'nikon_2', TIMESTAMP('2020-01-01 00:00:00'), NULL)")
+      val moved = st.executeUpdate(DerbyDialect.watermarkUpdate(
+        "lastendtime", "EDC_Import", "nikon_1", "2024-01-05 00:00:00"))
+      assert(moved == 1, s"watermark update touched $moved rows, expected 1")
+      val wm = readTable("lastendtime").collect()
+        .map(r => r.getString(1) -> (r.getTimestamp(2), r.getTimestamp(3))).toMap
+      assert(wm("nikon_1")._1 == Timestamp.valueOf("2024-01-05 00:00:00"))
+      assert(wm("nikon_1")._2 != null, "update_time not stamped by the server clock")
+      assert(wm("nikon_2")._1 == Timestamp.valueOf("2020-01-01 00:00:00") &&
+        wm("nikon_2")._2 == null, "the un-addressed watermark row moved")
+    } finally conn.close()
+  }
+
+  test("dialect bounds are validated: malformed or quote-bearing input is rejected, never rendered") {
+    import graft.sources.{DerbyDialect, OracleDialect, PostgresDialect}
+    // the reference interpolates caller strings straight into SQL
+    // (nikon.py:111-112,138-145); the renderer instead rejects anything
+    // off the documented yyyy-MM-dd HH:mm:ss[.SSS] shape — including the
+    // classic quote-escape — on EVERY dialect and statement
+    val bad = Seq("2020-01-01", "not a time", "2020-01-01 00:00:00'; DROP TABLE x--",
+      "2020-13-0a 00:00:00", "2020-01-01 00:00:00.1234")
+    for (d <- Seq(OracleDialect, PostgresDialect, DerbyDialect); b <- bad) {
+      intercept[IllegalArgumentException](d.intervalScan("t", "ts", b, "2020-01-02 00:00:00"))
+      intercept[IllegalArgumentException](d.intervalDelete("t", "ts", "2020-01-01 00:00:00", b))
+      intercept[IllegalArgumentException](d.watermarkUpdate("t", "ap", "tool", b))
+    }
+    // quote-bearing tool/ap names are rejected too (they are fixed
+    // config tokens in the reference — nikon.py:181-185)
+    intercept[IllegalArgumentException](
+      PostgresDialect.watermarkUpdate("t", "ap'name", "tool", "2020-01-01 00:00:00"))
+    // the good shapes still render on both fraction arities
+    assert(PostgresDialect.tsLiteral("2020-01-01 00:00:00.5") == "'2020-01-01 00:00:00.5'")
+    assert(DerbyDialect.tsLiteral("2020-01-01 00:00:00") == "TIMESTAMP('2020-01-01 00:00:00')")
+  }
+
   test("glassRawData pipeline over JDBC relations equals the parquet run") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_quantity")
