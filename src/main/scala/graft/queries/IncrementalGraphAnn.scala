@@ -98,7 +98,7 @@ object IncrementalGraphAnn extends QueryModule {
 
   /** All vectors, rolled up: (vec_id, qa, n2) — the q184 quantization. */
   private def allVecs(s: SparkSession, dir: String): DataFrame =
-    Similarity.vecsOf(Similarity.quant(s, dir)).select("vec_id", "qa", "n2")
+    Similarity.corpusVecs(s, dir).select("vec_id", "qa", "n2")
 
   /** Affinity of `vecs` against the FROZEN pivot relation: (vec_id,
     * cell, crank) with the shared (cos desc, cell) tie-break — the

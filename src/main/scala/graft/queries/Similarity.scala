@@ -62,7 +62,7 @@ object Similarity extends QueryModule {
   // window); the earlier position-explode equi-join shuffled the corpus
   // ×64 on a 64-value key. Same exact integer arithmetic, same oracle.
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    val vecs = vecsOf(quant(s, dir)).select("vec_id", "qa", "n2")
+    val vecs = corpusVecs(s, dir).select("vec_id", "qa", "n2")
     val queries = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
     vecs.crossJoin(broadcast(queries))
@@ -101,7 +101,7 @@ object Similarity extends QueryModule {
     * q36/q86 are verified under. */
   private[graft] def bruteRanks(s: SparkSession, dir: String,
                                 qids: Seq[Int], k: Int): DataFrame = {
-    val vecs = vecsOf(quant(s, dir)).select("vec_id", "qa", "n2")
+    val vecs = corpusVecs(s, dir).select("vec_id", "qa", "n2")
     val queries = vecs.filter(col("vec_id").isin(qids.map(_.toLong): _*))
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
     vecs.crossJoin(broadcast(queries))
@@ -180,6 +180,25 @@ object Similarity extends QueryModule {
            sum(col("q") * col("q")).as("n2"))
   }
 
+  /** [[vecsOf]]`(`[[quant]]`)` computed per ROW from the stored embedding
+    * array — `transform` quantizes in place and `aggregate` folds the
+    * norm, so the roll-up is one narrow codegen'd projection over the
+    * parquet scan with NO posexplode, NO ObjectHashAggregate pair and NO
+    * corpus-wide Exchange (the explode + collect_list regroup shuffled
+    * every vector's 64 coordinate rows just to reassemble the array the
+    * scan already had). Bit-identical to the old form: same
+    * float→double cast, same HALF_UP round at 1e7, same long overflow
+    * arithmetic, and transform preserves the pos order array_sort
+    * re-established; the size/notnull filter mirrors the predicate
+    * posexplode implied (a null/empty embedding produced no rows). */
+  private[graft] def corpusVecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1.0E7, 0) AS BIGINT))")
+          .as("qa"))
+      .withColumn("n2", expr("aggregate(qa, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+
   private val bucketsSqlCte =
     s"""projs AS (
       |  SELECT vec_id, plane, CAST(SUM(CASE WHEN substring(md5(plane::VARCHAR || '-' || pos::VARCHAR), 1, 1)
@@ -192,7 +211,7 @@ object Similarity extends QueryModule {
 
   private def q37(s: SparkSession, dir: String): DataFrame = {
     // tracked cache: both sides of the in-bucket join read it
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)))
+    val vecs = graft.Caches.track(corpusVecs(s, dir))
     // bucket = one per-row expression over literal planes — no join
     val withB = vecs.withColumn("bucket", bucketCol(NumPlanes))
     val queries = withB.filter(col("vec_id") < NumQueries)
@@ -240,7 +259,7 @@ object Similarity extends QueryModule {
   // clusters in this corpus — LSH (q37) is the approximate-ANN path).
   private def q38(s: SparkSession, dir: String): DataFrame = {
     // tracked cache: both sides of the within-class join read it
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)))
+    val vecs = graft.Caches.track(corpusVecs(s, dir))
     val queries = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("label"), col("qa").as("qq"), col("n2").as("n2q"))
     queries.join(
@@ -294,7 +313,7 @@ object Similarity extends QueryModule {
   def cosineNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     // tracked cache: the per-vector roll-up feeds the 30-plane bucketing
     // AND both verification join sides — one corpus pass, reused
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)))
+    val vecs = graft.Caches.track(corpusVecs(s, dir))
     // All 6 tables' 5-bit keys come from per-row expressions over the
     // literal planes (30 codegen'd dots), then a 6-row-per-vector
     // explode — zero joins/shuffles for candidate-key generation.
@@ -548,7 +567,7 @@ object Similarity extends QueryModule {
     * set's. Assignment, probes, and the graph's candidate generation
     * all branch from this ONE cached O(N·K) pass. */
   private def ivfAffinity(s: SparkSession, dir: String): DataFrame = {
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val vecs = graft.Caches.track(corpusVecs(s, dir).select("vec_id", "qa", "n2"))
       // tracked cache: assignment + probe + scoring all read it
     val pivots = vecs.filter(col("vec_id") % PivotStride === PivotPhase)
       .select(col("vec_id").as("cell"), col("qa").as("pa"), col("n2").as("pn2"))
@@ -563,7 +582,7 @@ object Similarity extends QueryModule {
   }
 
   private def q48(s: SparkSession, dir: String): DataFrame = {
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val vecs = graft.Caches.track(corpusVecs(s, dir).select("vec_id", "qa", "n2"))
       // tracked cache (idempotent with ivfCells' own): scoring reads it
     val (assigned, probes) = ivfCells(s, dir)
     // 3. rank the probed cells' members with exact integer cosine
@@ -648,13 +667,17 @@ object Similarity extends QueryModule {
     * assign → floor-mean update → assign. Tracked caches cover the
     * rolled-up vector relation read by every pass. */
   private[graft] def kmAssignments(s: SparkSession, dir: String): DataFrame = {
-    val quant4 = Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-      .select(col("vec_id"), (col("pos0") + 1).as("pos"),
-        round(col("v").cast("double") * 10000).cast("long").as("q"))
-    val vecs = graft.Caches.track(quant4.groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, q))), x -> x.q) AS qa"),
-           sum(col("q") * col("q")).as("n2v")))
+    // per-row roll-up straight off the stored array (the corpusVecs
+    // shape at 1e4): no posexplode, no ObjectHashAggregate pair, no
+    // corpus-wide Exchange — identical integers to the old explode +
+    // regroup (same cast chain, HALF_UP round, long arithmetic; the
+    // size/notnull filter mirrors what posexplode implied)
+    val vecs = graft.Caches.track(Tables.embeddings(s, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 10000.0, 0) AS BIGINT))")
+          .as("qa"))
+      .withColumn("n2v", expr("aggregate(qa, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")))
       // tracked cache: read by both assignment passes and both updates
     val c0 = vecs.filter(col("vec_id") < KmK)
       .select(col("vec_id").cast("long").as("cid"), col("qa").as("ca"), col("n2v").as("n2c"))
@@ -672,9 +695,12 @@ object Similarity extends QueryModule {
 
     // update: elementwise floor-mean per (cid, pos), rolled back into
     // centroid arrays (empty clusters simply vanish from the relation —
-    // identically on both engines)
+    // identically on both engines). The coordinate rows explode from
+    // the CACHED rolled vectors after the membership join (K·64-group
+    // aggregation over members only), not from a fresh corpus explode.
     def update(assigned: DataFrame): DataFrame =
-      assigned.select("vec_id", "cid").join(quant4, "vec_id")
+      assigned.select("vec_id", "cid").join(vecs, "vec_id")
+        .select(col("cid"), posexplode(col("qa")).as(Seq("pos", "q")))
         .groupBy("cid", "pos")
         .agg(expr("sum(q) div count(1) AS c"))
         .groupBy("cid")
@@ -908,14 +934,21 @@ object Similarity extends QueryModule {
     * cache: feeds seeds, both assignment passes, both updates (and, for
     * q64, the query-side distance tables). */
   private def pqQuantRows(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+    // per-row subvector split: slice the stored array into the PqM
+    // subspaces and quantize in place — an 8-way narrow explode with NO
+    // coordinate-level fan-out, NO ObjectHashAggregate pair and NO
+    // (vec_id, sub) Exchange (the old form exploded all 64 coordinates
+    // and shuffled them back together). Bit-identical: slice preserves
+    // the p = pos0 % PqDim order array_sort re-established, sub keeps
+    // the old `pos0 div PqDim` LONG type, same cast/round/overflow.
+    emb.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"),
-        expr(s"pos0 div $PqDim").as("sub"),
-        expr(s"pos0 % $PqDim").as("p"),
-        round(col("v").cast("double") * 10000).cast("long").as("q"))
-      .groupBy("vec_id", "sub")
-      .agg(expr("transform(array_sort(collect_list(struct(p, q))), x -> x.q) AS qa"),
-           sum(col("q") * col("q")).as("n2v"))
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${PqM - 1} AS BIGINT))")).as("sub"),
+        col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"transform(slice(embedding, CAST(sub * $PqDim + 1 AS INT), $PqDim), " +
+          "v -> CAST(round(CAST(v AS DOUBLE) * 10000.0, 0) AS BIGINT))").as("qa"))
+      .withColumn("n2v", expr("aggregate(qa, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
 
   private def pqQuant(s: SparkSession, dir: String): DataFrame =
     graft.Caches.track(pqQuantRows(Tables.embeddings(s, dir)))
@@ -1305,7 +1338,7 @@ object Similarity extends QueryModule {
   private val RecallK = 3
 
   private def q86(s: SparkSession, dir: String): DataFrame = {
-    val vecs = vecsOf(quant(s, dir)).select("vec_id", "qa", "n2")
+    val vecs = corpusVecs(s, dir).select("vec_id", "qa", "n2")
     val queriesV = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
     val exact = vecs.crossJoin(broadcast(queriesV))
@@ -1436,15 +1469,21 @@ object Similarity extends QueryModule {
   private[graft] def graphAdj(s: SparkSession, dir: String): DataFrame =
     graphAdjOf(s, dir, GraphBuildProbe, GraphPerCell)
 
-  /** [[graphAdj]] parameterized by build density — `buildProbe` cells
-    * probed per node × `perCell` stratified edges per probed cell, so
-    * M = buildProbe·perCell. q187's densification curve sweeps these
-    * (the 100 TB recall lever q186's walk-budget sweep plateaus on). */
-  private[graft] def graphAdjOf(s: SparkSession, dir: String,
-                                buildProbe: Int, perCell: Int): DataFrame = {
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+  /** ONE scored-candidate pass at the PRODUCTION density, shared by
+    * every build arm at or below it: (src, dst, crank, nrank) with
+    * crank ≤ GraphBuildProbe and nrank ≤ GraphPerCell. crank is
+    * constant within a (node, cell) group and nrank ranks within that
+    * group, so the (bp ≤ GraphBuildProbe, pc ≤ GraphPerCell) arm's edge
+    * set is EXACTLY the rows with crank ≤ bp AND nrank ≤ pc — a cell's
+    * per-member ranking is unaffected by which OTHER cells are probed.
+    * q187's density sweep previously ran this O(N·probe·perCellMembers)
+    * scoring pass once PER ARM; the sub-density arms are now filters
+    * over the dense arm's cached pass (3 builds → 1). */
+  private def graphAdjScored(s: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Caches.track(corpusVecs(s, dir).select("vec_id", "qa", "n2"))
     val aff = ivfAffinity(s, dir)
-    val probes = aff.filter(col("crank") <= buildProbe).select("vec_id", "cell")
+    val probes = aff.filter(col("crank") <= GraphBuildProbe)
+      .select("vec_id", "cell", "crank")
     val members = aff.filter(col("crank") === 1)
       .select(col("vec_id").as("nbr"), col("cell"))
     // each candidate arrives through exactly ONE cell (its assignment),
@@ -1452,7 +1491,7 @@ object Similarity extends QueryModule {
     // below stratifies without a distinct
     val cand = probes.join(members, "cell")
       .filter(col("vec_id") =!= col("nbr"))
-      .select("vec_id", "cell", "nbr")
+      .select("vec_id", "cell", "crank", "nbr")
     graft.Caches.track(cand
       .join(vecs.select(col("vec_id"), col("qa").as("qa1"), col("n2").as("n21")), "vec_id")
       .join(vecs.select(col("vec_id").as("nbr"), col("qa").as("qa2"), col("n2").as("n22")), "nbr")
@@ -1460,8 +1499,26 @@ object Similarity extends QueryModule {
       .withColumn("cos", cosine(col("dot"), col("n21"), col("n22")))
       .withColumn("nrank", row_number().over(
         Window.partitionBy("vec_id", "cell").orderBy(col("cos").desc, col("nbr"))))
-      .filter(col("nrank") <= perCell)
-      .select(col("vec_id").as("src"), col("nbr").as("dst")))
+      .filter(col("nrank") <= GraphPerCell)
+      .select(col("vec_id").as("src"), col("nbr").as("dst"),
+        col("crank"), col("nrank")))
+  }
+
+  /** [[graphAdj]] parameterized by build density — `buildProbe` cells
+    * probed per node × `perCell` stratified edges per probed cell, so
+    * M = buildProbe·perCell. q187's densification curve sweeps these
+    * (the 100 TB recall lever q186's walk-budget sweep plateaus on).
+    * Densities at or below the registered production point derive from
+    * the shared [[graphAdjScored]] pass (bit-identical edges, see its
+    * doc); a hypothetical DENSER request still gets its bespoke build. */
+  private[graft] def graphAdjOf(s: SparkSession, dir: String,
+                                buildProbe: Int, perCell: Int): DataFrame = {
+    require(buildProbe <= GraphBuildProbe && perCell <= GraphPerCell,
+      s"graphAdjOf($buildProbe, $perCell) exceeds the registered build " +
+        s"density ($GraphBuildProbe, $GraphPerCell) the shared scored pass covers")
+    graphAdjScored(s, dir)
+      .filter(col("crank") <= buildProbe && col("nrank") <= perCell)
+      .select("src", "dst")
   }
 
   /** Beam-search frontiers per round (index 0 = entries, last = final) —
@@ -1492,7 +1549,7 @@ object Similarity extends QueryModule {
                                     buildProbe: Int = GraphBuildProbe,
                                     perCell: Int = GraphPerCell,
                                     numQueries: Long = NumQueries): Seq[Seq[(Long, Long)]] = {
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val vecs = graft.Caches.track(corpusVecs(s, dir).select("vec_id", "qa", "n2"))
     val adj = graphAdjOf(s, dir, buildProbe, perCell)
     val qv = vecRows(vecs.filter(col("vec_id") < numQueries).collect())
     val f0 = ivfAffinity(s, dir)
@@ -1610,7 +1667,7 @@ object Similarity extends QueryModule {
                                            rounds: Int = GraphRounds,
                                            buildProbe: Int = GraphBuildProbe,
                                            perCell: Int = GraphPerCell): DataFrame = {
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val vecs = graft.Caches.track(corpusVecs(s, dir).select("vec_id", "qa", "n2"))
     val adj = graphAdjOf(s, dir, buildProbe, perCell)
     val queriesV = vecs.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
@@ -1669,7 +1726,7 @@ object Similarity extends QueryModule {
   }
 
   private def q184(s: SparkSession, dir: String): DataFrame = {
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val vecs = graft.Caches.track(corpusVecs(s, dir).select("vec_id", "qa", "n2"))
     val queriesV = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
     // final ranking is the distributed scoring form (graft_dot + the
@@ -1773,7 +1830,7 @@ object Similarity extends QueryModule {
   // insert-order graph defies replay — the recall row itself is
   // oracle-checkable end to end.
   private def q185(s: SparkSession, dir: String): DataFrame = {
-    val vecs = vecsOf(quant(s, dir)).select("vec_id", "qa", "n2")
+    val vecs = corpusVecs(s, dir).select("vec_id", "qa", "n2")
     val queriesV = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
     val exact = vecs.crossJoin(broadcast(queriesV))
@@ -1835,9 +1892,33 @@ object Similarity extends QueryModule {
   // the LAST row.
   private val GraphSweep = Seq((4, 8, 3), (8, 16, 6), (GraphEntries, GraphBeam, GraphRounds))
 
+  /** Run independent driver walks CONCURRENTLY (the guide-§2.6 overlap
+    * of independent jobs): a sweep arm is a pure function of the shared
+    * cached substrate, and its wall is dominated by ~2·rounds bounded
+    * fetch jobs of ≤ a few ms of executor work each — serialized arms
+    * pay that job latency 3× over, interleaved arms back-fill each
+    * other's idle cores, so wall ≈ max(arm) instead of Σ(arm). The
+    * shared caches (roll-up, affinity, scored adjacency) are
+    * materialized on the CALLING thread first, so Caches.track
+    * registers them on the thread whose consumer releases them — the
+    * pool threads' track() calls then see an already-cached plan and
+    * register nothing (Caches' thread-local contract holds). Results
+    * return in INPUT order: thread scheduling cannot reorder arms, and
+    * each arm's walk is bit-identical to its serial run (walk state is
+    * thread-local; the fetches read immutable cached relations). */
+  private def parallelWalks[A](s: SparkSession, dir: String,
+                               arms: Seq[() => A]): Seq[A] = {
+    graphAdj(s, dir).count() // materialize the shared substrate caches here
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(arms.size)
+    try arms.map(a => pool.submit(new java.util.concurrent.Callable[A] {
+        override def call(): A = a()
+      })).map(_.get())
+    finally pool.shutdown()
+  }
+
   private def q186(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val vecs = graft.Caches.track(corpusVecs(s, dir).select("vec_id", "qa", "n2"))
     val queriesV = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
     val exact = graft.Caches.track(vecs.crossJoin(broadcast(queriesV))
@@ -1849,8 +1930,10 @@ object Similarity extends QueryModule {
       .filter(col("rank") <= GraphK)
       .select("qid", "vec_id"))
       // tracked cache: the exact arm compares against every sweep config
-    GraphSweep.map { case (e, b, r) =>
-      val served = graphFrontiers(s, dir, e, b, r).last.toDF("qid", "vec_id")
+    val walked = parallelWalks(s, dir, GraphSweep.map { case (e, b, r) => () =>
+      graphFrontiers(s, dir, e, b, r).last })
+    GraphSweep.zip(walked).map { case ((e, b, r), lastFrontier) =>
+      val served = lastFrontier.toDF("qid", "vec_id")
         .join(vecs, "vec_id")
         .join(broadcast(queriesV), "qid")
         .withColumn("dot", expr("graft_dot(qq, qa)"))
@@ -1935,7 +2018,7 @@ object Similarity extends QueryModule {
 
   private def q187(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val vecs = graft.Caches.track(corpusVecs(s, dir).select("vec_id", "qa", "n2"))
     val queriesV = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
     val exact = graft.Caches.track(vecs.crossJoin(broadcast(queriesV))
@@ -1947,9 +2030,10 @@ object Similarity extends QueryModule {
       .filter(col("rank") <= GraphK)
       .select("qid", "vec_id"))
       // tracked cache: the exact arm compares against every density arm
-    GraphDensitySweep.map { case (bp, pc) =>
-      val served = graphFrontiers(s, dir,
-          GraphEntries, GraphBeam, GraphRounds, bp, pc).last.toDF("qid", "vec_id")
+    val walked = parallelWalks(s, dir, GraphDensitySweep.map { case (bp, pc) => () =>
+      graphFrontiers(s, dir, GraphEntries, GraphBeam, GraphRounds, bp, pc).last })
+    GraphDensitySweep.zip(walked).map { case ((bp, pc), lastFrontier) =>
+      val served = lastFrontier.toDF("qid", "vec_id")
         .join(vecs, "vec_id")
         .join(broadcast(queriesV), "qid")
         .withColumn("dot", expr("graft_dot(qq, qa)"))
@@ -2696,7 +2780,7 @@ object Similarity extends QueryModule {
     // definition — the sweep measures the q48/q71 chain, not a copy of
     // it), widened to the sweep's probe bound
     val (assigned, probes) = ivfCells(s, dir, maxProbe = SweepMaxProbe)
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)).select("vec_id", "qa", "n2"))
+    val vecs = graft.Caches.track(corpusVecs(s, dir).select("vec_id", "qa", "n2"))
       // tracked cache (idempotent with ivfCells' own): scoring reads it
     val queries = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
@@ -2855,7 +2939,7 @@ object Similarity extends QueryModule {
   // broadcast), and only the bounded-Q top-k window shuffles. Corpus
   // bytes never shuffle for candidate generation at any scale.
   private def q110(s: SparkSession, dir: String): DataFrame = {
-    val vecs = vecsOf(quant(s, dir)).select("vec_id", "label", "qa", "n2")
+    val vecs = corpusVecs(s, dir).select("vec_id", "label", "qa", "n2")
     val queries = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("qa").as("qq"), col("n2").as("n2q"))
@@ -3092,7 +3176,7 @@ object Similarity extends QueryModule {
   private val JlArms = Seq(16, 32, 48)
   private def q176(s: SparkSession, dir: String): DataFrame = {
     val qv = graft.Caches.track(quant(s, dir))
-    val vecs = vecsOf(qv).select("vec_id", "qa", "n2")
+    val vecs = corpusVecs(s, dir).select("vec_id", "qa", "n2")
     val queries0 = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
     val full = graft.Caches.track(vecs.crossJoin(broadcast(queries0))
@@ -3219,7 +3303,7 @@ object Similarity extends QueryModule {
   private val HubK = 3
   private val HubHeavy = 6L // in-degree >= 2*HubK = "heavy" vector
   private def q177(s: SparkSession, dir: String): DataFrame = {
-    val vecs = graft.Caches.track(vecsOf(quant(s, dir)))
+    val vecs = graft.Caches.track(corpusVecs(s, dir))
     val anchors = vecs
       .filter(conv(substring(md5(concat(lit("hub:"), col("vec_id").cast("string"))),
         1, 15), 16, 10).cast("long") % 8 === 0)

@@ -45,7 +45,7 @@ object GannWindowProbe {
       val g1 = g.buildGenIndex(spark, dir, base && col("vec_id") % 2 === 1,
         g.eraPath(spark, dir, "1"))
       val qP = g.stageQueries(spark, dir)
-      val vecs = sim.vecsOf(sim.quant(spark, dir)).select("vec_id", "qa", "n2")
+      val vecs = sim.corpusVecs(spark, dir).select("vec_id", "qa", "n2")
         .filter(base).cache()
       val queriesV = spark.read.parquet(s"$qP/vecs")
         .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))

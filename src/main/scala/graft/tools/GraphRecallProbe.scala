@@ -41,7 +41,7 @@ object GraphRecallProbe {
     import spark.implicits._
     val sim = graft.queries.Similarity
     val vecs = graft.Caches.track(
-      sim.vecsOf(sim.quant(spark, dir)).select("vec_id", "qa", "n2"))
+      sim.corpusVecs(spark, dir).select("vec_id", "qa", "n2"))
     val queriesV = vecs.filter(col("vec_id") < sim.NumQueries)
       .select(col("vec_id").as("qid"), col("qa").as("qq"), col("n2").as("n2q"))
     val exact = vecs.crossJoin(broadcast(queriesV))

@@ -47,18 +47,24 @@ object Prof {
         }
       }
     })
-    val fn = graft.SparkEntry.queries(name)
-    if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
-    (1 to 2).foreach { i =>
-      graft.Caches.release()     // mirror Bench: no cross-run cache reuse
-      spark.catalog.clearCache()
-      Seq(jobs, stages, tasks).foreach(_.set(0)); Seq(runMs, cpuMs, gcMs).foreach(_.set(0))
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain before reading counters
-      println(f"[prof] $name run$i: $wall%.2f s  jobs=${jobs.get} stages=${stages.get} " +
-        f"tasks=${tasks.get} execRun=${runMs.get / 1e3}%.1fs execCpu=${cpuMs.get / 1e3}%.1fs gc=${gcMs.get / 1e3}%.1fs")
+    // batch mode: every comma-free arg that names a catalog query after
+    // the first is profiled in the same session (one JVM spin-up for a
+    // whole sweep) — args(0) stays the first query for compatibility.
+    val names = (Seq(name) ++ args.drop(1).filter(graft.SparkEntry.queries.contains)).distinct
+    names.foreach { nm =>
+      val fn = graft.SparkEntry.queries(nm)
+      if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
+      (1 to 2).foreach { i =>
+        graft.Caches.release()     // mirror Bench: no cross-run cache reuse
+        spark.catalog.clearCache()
+        Seq(jobs, stages, tasks).foreach(_.set(0)); Seq(runMs, cpuMs, gcMs).foreach(_.set(0))
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let the listener bus drain before reading counters
+        println(f"[prof] $nm run$i: $wall%.2f s  jobs=${jobs.get} stages=${stages.get} " +
+          f"tasks=${tasks.get} execRun=${runMs.get / 1e3}%.1fs execCpu=${cpuMs.get / 1e3}%.1fs gc=${gcMs.get / 1e3}%.1fs")
+      }
     }
     spark.stop()
   }
